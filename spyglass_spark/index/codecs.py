@@ -1,0 +1,134 @@
+"""Posting-list codecs: delta + varint (LEB128) compression, numpy-vectorized.
+
+Layout mirrors the reference's physical index at block granularity
+(tantivy-0.19.2 public source: bitpacked blocks of 128 docs + VInt tail;
+we use delta+varint uniformly per BASELINE.json north_star: "delta-encoded +
+varint-compressed docID gaps and term-frequency blocks"), with per-block
+metadata (last_doc, max_tf, min_norm_id) retained for block-max WAND
+pruning (SURVEY.md §2.6).
+
+All encode/decode paths are numpy-vectorized (≤10 fixed-iteration passes
+over byte planes) — no per-value Python loops — so they run fast inside
+Arrow batches on executors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128  # docs per block, mirroring tantivy's block size
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    # bytes needed per value: ceil(bitlen/7), min 1
+    nbytes = np.ones(a.shape, dtype=np.int64)
+    for j in range(1, 10):
+        nbytes += (a >= np.uint64(1) << np.uint64(7 * j)).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    for j in range(10):
+        mask = nbytes > j
+        if not mask.any():
+            break
+        vals = (a[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
+        out[offsets[mask] + j] = vals.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode a LEB128 byte stream into a uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.flatnonzero((b & 0x80) == 0)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    lengths = ends - starts + 1
+    out = np.zeros(ends.size, dtype=np.uint64)
+    for j in range(int(lengths.max())):
+        mask = lengths > j
+        out[mask] |= (b[starts[mask] + j] & np.uint64(0x7F)).astype(np.uint64) << np.uint64(7 * j)
+    return out
+
+
+def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
+    """Strictly-increasing array -> gap array (first value kept raw)."""
+    a = np.ascontiguousarray(sorted_vals, dtype=np.uint64)
+    if a.size == 0:
+        return a
+    gaps = np.empty_like(a)
+    gaps[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=gaps[1:])
+    return gaps
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.ascontiguousarray(gaps, dtype=np.uint64), dtype=np.uint64)
+
+
+def encode_postings(doc_ords: np.ndarray, tfs: np.ndarray, norm_ids: np.ndarray | None = None):
+    """Encode one term's posting list.
+
+    Returns (doc_bytes, tf_bytes, block_meta_bytes) where block_meta is a
+    packed struct array per 128-doc block:
+      last_doc u64 | max_tf u32 | min_norm_id u8 (padded to 16 bytes).
+    ``norm_ids`` are the per-doc fieldnorm ids (for WAND upper bounds);
+    if None, 255 (largest norm → loosest bound) is recorded.
+    """
+    doc_ords = np.ascontiguousarray(doc_ords, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    n = doc_ords.size
+    doc_bytes = varint_encode(delta_encode(doc_ords))
+    tf_bytes = varint_encode(tfs)
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    meta = np.zeros(nblocks, dtype=_BLOCK_META_DTYPE)
+    for i in range(nblocks):
+        lo, hi = i * BLOCK_SIZE, min((i + 1) * BLOCK_SIZE, n)
+        meta[i]["last_doc"] = doc_ords[hi - 1]
+        meta[i]["max_tf"] = tfs[lo:hi].max()
+        meta[i]["min_norm"] = 255 if norm_ids is None else norm_ids[lo:hi].min()
+    return doc_bytes, tf_bytes, meta.tobytes()
+
+
+_BLOCK_META_DTYPE = np.dtype(
+    [("last_doc", "<u8"), ("max_tf", "<u4"), ("min_norm", "u1"), ("_pad", "V3")]
+)
+
+
+def decode_block_meta(meta_bytes: bytes) -> np.ndarray:
+    return np.frombuffer(meta_bytes, dtype=_BLOCK_META_DTYPE)
+
+
+def decode_postings(doc_bytes: bytes, tf_bytes: bytes):
+    """Decode a posting list -> (doc_ords uint64, tfs uint64)."""
+    return delta_decode(varint_decode(doc_bytes)), varint_decode(tf_bytes)
+
+
+def encode_positions(positions_per_doc: list[np.ndarray]) -> bytes:
+    """Encode per-doc token positions: for each doc, varint(count) then
+    delta+varint positions. Used for phrase scoring (fields indexed
+    WithFreqsAndPositions, schema.rs:152)."""
+    parts: list[np.ndarray] = []
+    for pos in positions_per_doc:
+        pos = np.ascontiguousarray(pos, dtype=np.uint64)
+        parts.append(np.array([pos.size], dtype=np.uint64))
+        if pos.size:
+            parts.append(delta_encode(pos))
+    if not parts:
+        return b""
+    return varint_encode(np.concatenate(parts))
+
+
+def decode_positions(buf: bytes, ndocs: int) -> list[np.ndarray]:
+    flat = varint_decode(buf)
+    out: list[np.ndarray] = []
+    i = 0
+    for _ in range(ndocs):
+        cnt = int(flat[i]); i += 1
+        out.append(np.cumsum(flat[i : i + cnt], dtype=np.uint64))
+        i += cnt
+    return out

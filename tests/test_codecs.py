@@ -1,0 +1,99 @@
+"""Varint/delta codec roundtrips + fieldnorm quantization goldens."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spyglass_spark.index.codecs import (
+    BLOCK_SIZE,
+    decode_block_meta,
+    decode_positions,
+    decode_postings,
+    delta_decode,
+    delta_encode,
+    encode_positions,
+    encode_postings,
+    varint_decode,
+    varint_encode,
+)
+from spyglass_spark.index.fieldnorm import FIELD_NORMS_TABLE, fieldnorm_to_id, id_to_fieldnorm
+
+
+def test_varint_known_values():
+    assert varint_encode(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert varint_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert varint_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+    assert varint_encode(np.array([300], dtype=np.uint64)) == b"\xac\x02"
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500))
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(arr)), arr)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=2**40), max_size=400))
+def test_delta_roundtrip(vals):
+    arr = np.array(sorted(vals), dtype=np.uint64)
+    assert np.array_equal(delta_decode(delta_encode(arr)), arr)
+
+
+def test_postings_roundtrip_and_blockmeta():
+    n = 1000
+    rng = np.random.default_rng(42)
+    docs = np.cumsum(rng.integers(1, 50, size=n)).astype(np.uint64)
+    tfs = rng.integers(1, 20, size=n).astype(np.uint64)
+    norms = rng.integers(0, 255, size=n).astype(np.uint8)
+    db, tb, mb = encode_postings(docs, tfs, norms)
+    d2, t2 = decode_postings(db, tb)
+    assert np.array_equal(d2, docs)
+    assert np.array_equal(t2, tfs)
+    meta = decode_block_meta(mb)
+    assert len(meta) == (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    assert meta[0]["last_doc"] == docs[BLOCK_SIZE - 1]
+    assert meta[0]["max_tf"] == tfs[:BLOCK_SIZE].max()
+    assert meta[0]["min_norm"] == norms[:BLOCK_SIZE].min()
+    assert meta[-1]["last_doc"] == docs[-1]
+
+
+def test_positions_roundtrip():
+    plists = [np.array([0, 5, 9], dtype=np.uint64), np.array([], dtype=np.uint64),
+              np.array([3], dtype=np.uint64), np.arange(100, dtype=np.uint64) * 7]
+    buf = encode_positions(plists)
+    out = decode_positions(buf, len(plists))
+    for a, b in zip(plists, out):
+        assert np.array_equal(a, b)
+
+
+# --- fieldnorm goldens: exact 0..40, exponential buckets above -------------
+
+def test_fieldnorm_exact_below_41():
+    for n in range(41):
+        assert int(id_to_fieldnorm(fieldnorm_to_id(n))) == n
+
+
+def test_fieldnorm_table_shape():
+    assert FIELD_NORMS_TABLE.shape == (256,)
+    assert FIELD_NORMS_TABLE[40] == 40
+    assert FIELD_NORMS_TABLE[41] == 42
+    assert FIELD_NORMS_TABLE[48] == 56
+    assert FIELD_NORMS_TABLE[49] == 60
+    assert list(FIELD_NORMS_TABLE[41:49]) == [42, 44, 46, 48, 50, 52, 54, 56]
+    assert list(FIELD_NORMS_TABLE[49:57]) == [60, 64, 68, 72, 76, 80, 84, 88]
+    assert np.all(np.diff(FIELD_NORMS_TABLE.astype(np.int64)) > 0)
+
+
+def test_fieldnorm_round_down():
+    assert int(fieldnorm_to_id(41)) == 40  # 41 rounds down to 40
+    assert int(id_to_fieldnorm(fieldnorm_to_id(43))) == 42
+    assert int(id_to_fieldnorm(fieldnorm_to_id(10_000))) <= 10_000
+
+
+def test_fieldnorm_vectorized():
+    arr = np.array([0, 1, 40, 41, 42, 1000, 10**6])
+    ids = fieldnorm_to_id(arr)
+    dec = id_to_fieldnorm(ids)
+    assert np.all(dec <= arr)
+    assert ids.dtype == np.uint8
