@@ -1,0 +1,205 @@
+"""Pure-Python single-process reference engine ("the oracle").
+
+Implements the full index + query semantics of SURVEY.md §2.11 without any
+Spark machinery. The distributed engine must produce rank-identical top-k
+(docIDs AND float32 scores) against this oracle — the parity tests in
+tests/test_search_parity.py are the BM25 rank-identity gate of
+BASELINE.json.
+
+Mirrors the reference E2E pattern at
+/root/reference/crates/spyglass-searcher/src/lib.rs:180-317.
+
+Canonical document ordering: doc ordinals are assigned by ascending ``url``
+(unique key). The Spark builder uses the same rule, so ordinals — and the
+(score desc, ord asc) tie-break — agree across implementations and across
+parallelism levels.
+
+Field semantics:
+  content — spyglass_tokenizer_en; fieldnorm = emitted token count
+  title   — default tokenizer;      fieldnorm = emitted token count
+  id/domain/url — untokenized single term; fieldnorm = 1
+  tags    — one term per tag id (decimal string); fieldnorm = #tags
+Fieldnorms are quantized to u8 and decoded for scoring (fieldnorm.py);
+avgdl per field = exact total emitted tokens / N.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+
+from ..analysis.analyzer import analyze
+from ..index.fieldnorm import fieldnorm_to_id, id_to_fieldnorm
+from ..query.compiler import CompiledQuery, compile_query
+from ..query.scoring import K1, bm25_weight, idf, norm_cache, sloppy_phrase_count
+
+FIELDS = ("content", "title", "id", "domain", "url", "tags")
+
+
+class OracleIndex:
+    def __init__(self) -> None:
+        self.docs: list[dict] = []  # ord -> doc dict
+        self.postings: dict[tuple[str, str], list[tuple[int, int, np.ndarray]]] = {}
+        self.norm_ids: dict[str, np.ndarray] = {}
+        self.totals: dict[str, int] = {}
+        self.n_docs = 0
+
+    @classmethod
+    def build(cls, docs: list[dict]) -> "OracleIndex":
+        """docs: dicts with doc_id,url,domain,title,content,tags(list[int])."""
+        idx = cls()
+        docs = sorted(docs, key=lambda d: d["url"])
+        idx.docs = docs
+        idx.n_docs = len(docs)
+        postings: dict[tuple[str, str], list] = defaultdict(list)
+        norms = {f: np.zeros(len(docs), dtype=np.uint8) for f in FIELDS}
+        totals = {f: 0 for f in FIELDS}
+        for ord_, doc in enumerate(docs):
+            fielded = {
+                "content": doc.get("content", ""),
+                "title": doc.get("title", ""),
+                "id": doc.get("doc_id", ""),
+                "domain": doc.get("domain", ""),
+                "url": doc.get("url", ""),
+            }
+            for field, text in fielded.items():
+                toks = analyze(field, text)
+                totals[field] += len(toks)
+                norms[field][ord_] = fieldnorm_to_id(len(toks))
+                by_term: dict[str, list[int]] = defaultdict(list)
+                for pos, term in toks:
+                    by_term[term].append(pos)
+                for term, positions in by_term.items():
+                    postings[(field, term)].append(
+                        (ord_, len(positions), np.asarray(positions, dtype=np.uint64)))
+            tags = sorted(set(int(t) for t in (doc.get("tags") or [])))
+            totals["tags"] += len(tags)
+            norms["tags"][ord_] = fieldnorm_to_id(len(tags))
+            for t in tags:
+                postings[("tags", str(t))].append((ord_, 1, np.array([0], dtype=np.uint64)))
+        idx.postings = dict(postings)
+        idx.norm_ids = norms
+        idx.totals = totals
+        return idx
+
+    # -- stats ---------------------------------------------------------
+
+    def df(self, field: str, term: str) -> int:
+        return len(self.postings.get((field, term), ()))
+
+    def avgdl(self, field: str) -> float:
+        return self.totals[field] / self.n_docs if self.n_docs else 1.0
+
+    # -- search --------------------------------------------------------
+
+    def _clause_scores(self, clause, caches) -> dict[int, np.float32]:
+        """ord -> float32 score for one clause (0-boost clauses score 0)."""
+        field = clause.field
+        cache = caches[field]
+        if clause.kind == "term":
+            plist = self.postings.get((field, clause.terms[0]), [])
+            if not plist:
+                return {}
+            w = bm25_weight(self.df(field, clause.terms[0]), self.n_docs, clause.boost)
+            out = {}
+            for ord_, tf, _pos in plist:
+                norm = cache[self.norm_ids[field][ord_]]
+                out[ord_] = np.float32(w) * np.float32(tf) / (np.float32(tf) + norm)
+            return out
+        # phrase: docs containing all terms; tf = sloppy match count
+        term_lists = [self.postings.get((field, t), []) for t in clause.terms]
+        if any(not pl for pl in term_lists):
+            return {}
+        # phrase weight: boost * (sum of member-term idfs) * (k1+1)
+        idf_sum = np.float32(0.0)
+        for t in clause.terms:
+            idf_sum += idf(self.df(field, t), self.n_docs)
+        w = np.float32(clause.boost) * idf_sum * (K1 + np.float32(1.0))
+        maps = [{o: p for o, _tf, p in pl} for pl in term_lists]
+        common = set(maps[0])
+        for m in maps[1:]:
+            common &= set(m)
+        out = {}
+        for ord_ in common:
+            tf = sloppy_phrase_count([m[ord_] for m in maps], list(clause.positions), clause.slop)
+            if tf > 0:
+                norm = cache[self.norm_ids[field][ord_]]
+                out[ord_] = w * np.float32(tf) / (np.float32(tf) + norm)
+        return out
+
+    def _matches(self, clause) -> set[int]:
+        if clause.kind == "term":
+            return {o for o, _t, _p in self.postings.get((clause.field, clause.terms[0]), [])}
+        scores = self._clause_scores_nofilter(clause)
+        return scores
+
+    def _clause_scores_nofilter(self, clause) -> set[int]:
+        field = clause.field
+        term_lists = [self.postings.get((field, t), []) for t in clause.terms]
+        if any(not pl for pl in term_lists):
+            return set()
+        maps = [{o: p for o, _tf, p in pl} for pl in term_lists]
+        common = set(maps[0])
+        for m in maps[1:]:
+            common &= set(m)
+        return {o for o in common
+                if sloppy_phrase_count([m[o] for m in maps], list(clause.positions), clause.slop) > 0}
+
+    def execute(self, cq: CompiledQuery, k: int = 5, offset: int = 0) -> list[dict]:
+        caches = {f: norm_cache(self.avgdl(f)) for f in FIELDS}
+        group_scores = [self._clause_scores(c, caches) if c.scoring else
+                        {o: np.float32(0.0) for o in self._matches(c)}
+                        for c in cq.should_group]
+        must_scores = [self._clause_scores(c, caches) if c.scoring else
+                       {o: np.float32(0.0) for o in self._matches(c)}
+                       for c in cq.musts]
+        # candidate set: every Must group/clause must match
+        must_sets: list[set[int]] = []
+        if cq.should_group:
+            u: set[int] = set()
+            for gs in group_scores:
+                u |= set(gs)
+            must_sets.append(u)
+        for grp in cq.extra_groups:
+            u = set()
+            for c in grp:
+                u |= self._matches(c)
+            must_sets.append(u)
+        for ms in must_scores:
+            must_sets.append(set(ms))
+        if not must_sets:
+            return []
+        candidates = set(must_sets[0])
+        for s_ in must_sets[1:]:
+            candidates &= s_
+        for c in cq.must_nots:
+            candidates -= self._matches(c)
+        extra_scores = [self._clause_scores(c, caches) for c in cq.should_extra]
+
+        results = []
+        for ord_ in candidates:
+            s = np.float32(0.0)
+            for gs in group_scores:
+                if ord_ in gs:
+                    s += gs[ord_]
+            for ms in must_scores:
+                if ord_ in ms:
+                    s += ms[ord_]
+            for es in extra_scores:
+                if ord_ in es:
+                    s += es[ord_]
+            results.append((float(np.float32(s)), ord_))
+        # score > 0 post-filter (client/local.rs:138), tie-break (score desc, ord asc)
+        results = [(s, o) for s, o in results if s > 0.0]
+        results.sort(key=lambda x: (-x[0], x[1]))
+        out = []
+        for rank, (s, o) in enumerate(results[offset:offset + k], start=1 + offset):
+            d = self.docs[o]
+            out.append({"rank": rank, "doc_id": d["doc_id"], "url": d["url"],
+                        "domain": d["domain"], "title": d["title"],
+                        "score": s, "doc_ord": o})
+        return out
+
+    def search(self, query: str, filters=(), boosts=(), k: int = 5, offset: int = 0):
+        return self.execute(compile_query(query, filters, boosts), k=k, offset=offset)

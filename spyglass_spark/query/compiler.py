@@ -1,0 +1,147 @@
+"""Query compiler — free-text query + filters + boosts → clause tree.
+
+Replicates ``build_query`` at
+/root/reference/crates/spyglass-searcher/src/query.rs:58-181 exactly:
+
+1. Tokenize the query per-field with that field's analyzer (query.rs:237-259):
+   ``content`` via spyglass_tokenizer_en, ``title`` via the default tokenizer.
+2. ≥2 content terms → Should PhraseQuery(content terms w/ positions, slop)
+   boosted 1.5 × len (query.rs:80-85; defaults query.rs:46-56);
+   slop = clamp(last_position − 2, 0, 3) (query.rs:24-33).
+3. ≥2 title terms → Should Phrase boosted 2.5 × len (query.rs:87-94).
+4. Every content term → Should Term boost 1.0; title term → boost 2.0
+   (query.rs:96-102).
+5. Boost clauses appended as Should terms: DocId/Url default 3.0, Tag 1.5
+   (lib.rs:38-51, query.rs:107-134).
+6. The Should group is wrapped as a single Must ("must hit at least one",
+   query.rs:137); filters appended as Must terms with boost 0.0
+   (query.rs:139-178); Favorite{required} → Must/Should boost 3.0
+   (query.rs:145-158).
+
+``build_document_query`` (query.rs:184-231) compiles url/id OR-lists and
+tag include/exclude filters, all boost 0.0 (unscored match set).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from ..analysis.analyzer import tokenize_default, tokenize_en
+from .scoring import phrase_slop
+
+CONTENT_BOOST = 1.0
+CONTENT_PHRASE_BOOST = 1.5
+TITLE_BOOST = 2.0
+TITLE_PHRASE_BOOST = 2.5
+DEFAULT_BOOST_DOCID = 3.0
+DEFAULT_BOOST_URL = 3.0
+DEFAULT_BOOST_TAG = 1.5
+DEFAULT_BOOST_FAVORITE = 3.0
+
+
+@dataclass(frozen=True)
+class Clause:
+    kind: str  # 'term' | 'phrase'
+    field: str
+    terms: tuple[str, ...]
+    positions: tuple[int, ...]  # query positions (phrase offsets)
+    boost: float
+    slop: int = 0
+
+    @property
+    def scoring(self) -> bool:
+        return self.boost > 0.0
+
+
+@dataclass
+class CompiledQuery:
+    """``should_group`` is the inner Should group (wrapped in a Must).
+    ``extra_groups`` are additional Must(Should(...)) OR-lists (document
+    queries, query.rs:195-215). ``musts``/``should_extra``/``must_nots``
+    are top-level single clauses."""
+
+    should_group: list[Clause] = dc_field(default_factory=list)
+    extra_groups: list[list[Clause]] = dc_field(default_factory=list)
+    musts: list[Clause] = dc_field(default_factory=list)
+    should_extra: list[Clause] = dc_field(default_factory=list)
+    must_nots: list[Clause] = dc_field(default_factory=list)
+    term_count: int = 0
+
+    def all_clauses(self) -> list[Clause]:
+        out = self.should_group + self.musts + self.should_extra + self.must_nots
+        for g in self.extra_groups:
+            out.extend(g)
+        return out
+
+    def term_keys(self) -> set[tuple[str, str]]:
+        return {(c.field, t) for c in self.all_clauses() for t in c.terms}
+
+
+def _term(field: str, term: str, boost: float) -> Clause:
+    return Clause("term", field, (term,), (0,), boost)
+
+
+def _phrase(field: str, toks: list[tuple[int, str]], boost: float) -> Clause:
+    slop = phrase_slop(toks[-1][0]) if toks else 0
+    return Clause("phrase", field, tuple(t for _, t in toks),
+                  tuple(p for p, _ in toks), boost, slop)
+
+
+def compile_query(query_string: str, filters=(), boosts=()) -> CompiledQuery:
+    """filters/boosts: iterables of (kind, value) with kind in
+    {'tag', 'url', 'docid', 'favorite', 'favorite_required'}; tag values are
+    int tag ids. Optional 3-tuples (kind, value, boost) override defaults."""
+    cq = CompiledQuery()
+    content_toks = tokenize_en(query_string)
+    title_toks = tokenize_default(query_string)
+    cq.term_count = len(content_toks)
+
+    if len(content_toks) > 1:
+        cq.should_group.append(
+            _phrase("content", content_toks, CONTENT_PHRASE_BOOST * len(content_toks)))
+    if len(title_toks) > 1:
+        cq.should_group.append(
+            _phrase("title", title_toks, TITLE_PHRASE_BOOST * len(title_toks)))
+    for _, term in content_toks:
+        cq.should_group.append(_term("content", term, CONTENT_BOOST))
+    for _, term in title_toks:
+        cq.should_group.append(_term("title", term, TITLE_BOOST))
+
+    for spec in boosts:
+        kind, value, *rest = spec
+        if kind == "favorite" or kind == "favorite_required":
+            continue  # only considered in filters (query.rs:113-114)
+        boost = rest[0] if rest else {
+            "docid": DEFAULT_BOOST_DOCID, "url": DEFAULT_BOOST_URL,
+            "tag": DEFAULT_BOOST_TAG}.get(kind, 0.0)
+        field = {"docid": "id", "url": "url", "tag": "tags"}[kind]
+        cq.should_group.append(_term(field, str(value), boost))
+
+    for spec in filters:
+        kind, value, *rest = spec
+        if kind in ("favorite", "favorite_required"):
+            clause = _term("tags", str(value), rest[0] if rest else DEFAULT_BOOST_FAVORITE)
+            if kind == "favorite_required":
+                cq.musts.append(clause)
+            else:
+                cq.should_extra.append(clause)
+            continue
+        field = {"docid": "id", "url": "url", "tag": "tags"}[kind]
+        cq.musts.append(_term(field, str(value), 0.0))
+
+    return cq
+
+
+def compile_document_query(urls=(), ids=(), tags=(), exclude_tags=()) -> CompiledQuery:
+    """query.rs:184-231 — unscored document-set query: Must(Should(urls)),
+    Must(Should(ids)), Must(tag) each, MustNot(tag) each."""
+    cq = CompiledQuery()
+    if urls:
+        cq.extra_groups.append([_term("url", u, 0.0) for u in urls])
+    if ids:
+        cq.extra_groups.append([_term("id", i, 0.0) for i in ids])
+    for t in tags:
+        cq.musts.append(_term("tags", str(t), 0.0))
+    for t in exclude_tags:
+        cq.must_nots.append(_term("tags", str(t), 0.0))
+    return cq
