@@ -70,20 +70,33 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
     return np.cumsum(np.ascontiguousarray(gaps, dtype=np.uint64), dtype=np.uint64)
 
 
+def _varint_nbytes(a: np.ndarray) -> np.ndarray:
+    nbytes = np.ones(a.shape, dtype=np.int64)
+    for j in range(1, 10):
+        nbytes += (a >= np.uint64(1) << np.uint64(7 * j)).astype(np.int64)
+    return nbytes
+
+
 def encode_postings(doc_ords: np.ndarray, tfs: np.ndarray, norm_ids: np.ndarray | None = None):
     """Encode one term's posting list.
 
     Returns (doc_bytes, tf_bytes, block_meta_bytes) where block_meta is a
-    packed struct array per 128-doc block:
-      last_doc u64 | max_tf u32 | min_norm_id u8 (padded to 16 bytes).
-    ``norm_ids`` are the per-doc fieldnorm ids (for WAND upper bounds);
-    if None, 255 (largest norm → loosest bound) is recorded.
+    packed struct per 128-doc block:
+      last_doc u64 | max_tf u32 | min_norm u8 | doc_off u64 | tf_off u64
+    The byte offsets let block-max WAND decode individual blocks without
+    touching the rest of the payload (delta base for block i is block
+    i-1's last_doc, available from the meta — blocks are self-contained).
+    ``norm_ids`` are per-doc fieldnorm ids (WAND score upper bounds);
+    if None, 255 (loosest bound) is recorded.
     """
     doc_ords = np.ascontiguousarray(doc_ords, dtype=np.uint64)
     tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
     n = doc_ords.size
-    doc_bytes = varint_encode(delta_encode(doc_ords))
+    gaps = delta_encode(doc_ords)
+    doc_bytes = varint_encode(gaps)
     tf_bytes = varint_encode(tfs)
+    doc_offs = np.concatenate(([0], np.cumsum(_varint_nbytes(gaps))))
+    tf_offs = np.concatenate(([0], np.cumsum(_varint_nbytes(tfs))))
     nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
     meta = np.zeros(nblocks, dtype=_BLOCK_META_DTYPE)
     for i in range(nblocks):
@@ -91,12 +104,27 @@ def encode_postings(doc_ords: np.ndarray, tfs: np.ndarray, norm_ids: np.ndarray 
         meta[i]["last_doc"] = doc_ords[hi - 1]
         meta[i]["max_tf"] = tfs[lo:hi].max()
         meta[i]["min_norm"] = 255 if norm_ids is None else norm_ids[lo:hi].min()
+        meta[i]["doc_off"] = doc_offs[lo]
+        meta[i]["tf_off"] = tf_offs[lo]
     return doc_bytes, tf_bytes, meta.tobytes()
 
 
 _BLOCK_META_DTYPE = np.dtype(
-    [("last_doc", "<u8"), ("max_tf", "<u4"), ("min_norm", "u1"), ("_pad", "V3")]
+    [("last_doc", "<u8"), ("max_tf", "<u4"), ("min_norm", "u1"), ("_pad", "V3"),
+     ("doc_off", "<u8"), ("tf_off", "<u8")]
 )
+
+
+def decode_block(doc_bytes: bytes, tf_bytes: bytes, meta: np.ndarray, block_idx: int):
+    """Decode a single 128-doc block using the meta byte offsets."""
+    m = meta[block_idx]
+    doc_end = meta[block_idx + 1]["doc_off"] if block_idx + 1 < len(meta) else len(doc_bytes)
+    tf_end = meta[block_idx + 1]["tf_off"] if block_idx + 1 < len(meta) else len(tf_bytes)
+    gaps = varint_decode(doc_bytes[int(m["doc_off"]):int(doc_end)])
+    base = np.uint64(meta[block_idx - 1]["last_doc"]) if block_idx > 0 else np.uint64(0)
+    docs = base + np.cumsum(gaps, dtype=np.uint64)
+    tfs = varint_decode(tf_bytes[int(m["tf_off"]):int(tf_end)])
+    return docs, tfs
 
 
 def decode_block_meta(meta_bytes: bytes) -> np.ndarray:

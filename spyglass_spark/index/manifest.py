@@ -1,0 +1,88 @@
+"""Index manifest — the commit protocol.
+
+Mirrors the reference's commit/generation model (tantivy writer.commit +
+reader reload OnCommit, /root/reference/crates/spyglass-searcher/src/client/local.rs:173-211)
+as an atomic write-new-then-rename manifest swap over Parquet segment files,
+with build checkpoints (wave progress) for resumability and per-partition
+lineage + metrics (docs/sec, postings/sec, skew ratio) per BASELINE.json
+north_rule.
+
+Layout under <index_dir>/:
+  manifest.json            — committed generation (atomic rename)
+  checkpoint.json          — stage-1 wave progress (resume point)
+  stage1/wave=<w>/         — per-wave raw segment rows (postings+norms+lineage)
+  segments/postings/       — final term-sorted posting store
+  segments/term_stats/     — per-(field,term) df/cf, term-sorted
+  segments/norms/          — per-(part_id,field) fieldnorm arrays
+  segments/doc_meta/       — per-doc display/join row
+  segments/lineage/        — per-partition build lineage
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Manifest:
+    version: int = 1
+    num_docs: int = 0
+    num_partitions: int = 0
+    waves: int = 1
+    field_totals: dict = field(default_factory=dict)  # field -> exact token total
+    tombstones: list = field(default_factory=list)  # deleted doc_ids
+    metrics: dict = field(default_factory=dict)
+    created_utc: str = ""
+    committed: bool = False
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Manifest":
+        m = cls()
+        m.__dict__.update(json.loads(s))
+        return m
+
+
+def manifest_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "manifest.json")
+
+
+def load_manifest(index_dir: str) -> Manifest | None:
+    p = manifest_path(index_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return Manifest.from_json(f.read())
+
+
+def commit_manifest(index_dir: str, manifest: Manifest) -> None:
+    """Atomic publish: write manifest.json.tmp then rename (the analog of
+    writer.commit(), local.rs:173-177)."""
+    manifest.committed = True
+    manifest.created_utc = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    tmp = manifest_path(index_dir) + ".tmp"
+    os.makedirs(index_dir, exist_ok=True)
+    with open(tmp, "w") as f:
+        f.write(manifest.to_json())
+    os.replace(tmp, manifest_path(index_dir))
+
+
+def load_checkpoint(index_dir: str) -> dict:
+    p = os.path.join(index_dir, "checkpoint.json")
+    if not os.path.exists(p):
+        return {"completed_waves": [], "stage1_done": False}
+    with open(p) as f:
+        return json.load(f)
+
+
+def save_checkpoint(index_dir: str, ckpt: dict) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = os.path.join(index_dir, "checkpoint.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(ckpt, f, indent=2)
+    os.replace(tmp, os.path.join(index_dir, "checkpoint.json"))

@@ -46,10 +46,20 @@ class OracleIndex:
         self.n_docs = 0
 
     @classmethod
-    def build(cls, docs: list[dict]) -> "OracleIndex":
-        """docs: dicts with doc_id,url,domain,title,content,tags(list[int])."""
+    def build(cls, docs: list[dict], num_partitions: int | None = None) -> "OracleIndex":
+        """docs: dicts with doc_id,url,domain,title,content,tags(list[int]).
+
+        ``num_partitions`` replicates the Spark builder's deterministic
+        hash partitioning (builder.part_id_py): ordinal order becomes
+        (part_id, url), matching the engine's doc_ord = part_id<<40+rank
+        tie-break ordering exactly."""
         idx = cls()
-        docs = sorted(docs, key=lambda d: d["url"])
+        if num_partitions:
+            from ..index.builder import part_id_py
+
+            docs = sorted(docs, key=lambda d: (part_id_py(d["url"], num_partitions), d["url"]))
+        else:
+            docs = sorted(docs, key=lambda d: d["url"])
         idx.docs = docs
         idx.n_docs = len(docs)
         postings: dict[tuple[str, str], list] = defaultdict(list)

@@ -1,0 +1,304 @@
+"""Distributed BM25 top-k query execution over the segment store.
+
+Execution model (mirrors the reference searcher's per-segment scoring +
+global heap, /root/reference/crates/spyglass-searcher/src/client/local.rs:98-154,
+re-expressed Spark-first):
+
+1. Compile queries driver-side with the SAME analyzer code as indexing
+   (terms_for_field parity, query.rs:237-259).
+2. Look up global term stats (df) from the term-sorted stats store —
+   parquet min/max pruning makes this a tiny selective scan; N, avgdl come
+   from the manifest. BM25 weights are computed once per query in float32
+   (the reference builds Bm25Weight once per query from searcher-global
+   stats).
+3. Scan ONLY the query terms' posting chunks (predicate pushdown on the
+   term-sorted store), cogroup them with the per-partition fieldnorm
+   arrays on part_id — posting chunks of all query terms for the same doc
+   range land together, so scoring (incl. positional phrase matching and
+   block-max WAND pruning) runs vectorized per partition with NO
+   doc-level shuffle.
+4. Each partition emits its local top-(k+offset); the global top-k merge
+   is a tiny sort (parts × (k+offset) rows) — the TopDocs collector analog.
+5. Hits join back to doc_meta (broadcast) for display fields; score > 0
+   post-filter per client/local.rs:138; tie-break (score desc, doc_ord asc).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..index.builder import ORD_SHIFT
+from ..index.codecs import decode_block_meta, decode_positions, decode_postings
+from ..index.manifest import Manifest, load_manifest
+from .compiler import CompiledQuery, compile_query
+from .scoring import K1, idf, norm_cache, score_postings, sloppy_phrase_count
+
+RESULT_SCHEMA = "query_id long, doc_ord long, score float"
+
+
+def _clause_specs(cq: CompiledQuery, dfs: dict, n_docs: int) -> list[dict]:
+    """Flatten a compiled query into serializable clause specs with
+    precomputed float32 weights. Clause order defines float32 sum order —
+    keep identical to the oracle (should_group, musts, should_extra)."""
+    specs = []
+
+    def weight_for(clause) -> float:
+        if clause.kind == "term":
+            d = dfs.get((clause.field, clause.terms[0]), 0)
+            return float(np.float32(clause.boost) * idf(d, n_docs) * (K1 + np.float32(1.0)))
+        idf_sum = np.float32(0.0)
+        for t in clause.terms:
+            idf_sum += idf(dfs.get((clause.field, t), 0), n_docs)
+        return float(np.float32(clause.boost) * idf_sum * (K1 + np.float32(1.0)))
+
+    def add(clause, role, group=0):
+        specs.append({
+            "kind": clause.kind, "field": clause.field, "terms": list(clause.terms),
+            "positions": list(clause.positions), "slop": clause.slop,
+            "boost": clause.boost, "weight": weight_for(clause),
+            "scoring": clause.scoring, "role": role, "group": group,
+        })
+
+    for c in cq.should_group:
+        add(c, "should")
+    for gi, grp in enumerate(cq.extra_groups):
+        for c in grp:
+            add(c, "extra_group", gi)
+    for c in cq.musts:
+        add(c, "must")
+    for c in cq.should_extra:
+        add(c, "should_extra")
+    for c in cq.must_nots:
+        add(c, "must_not")
+    return specs
+
+
+def _score_partition(plan: dict, postings_pdf: pd.DataFrame, norms_pdf: pd.DataFrame):
+    """Score every query of ``plan`` against one doc partition. Returns
+    (query_id, doc_ord, score) rows for the per-partition top candidates."""
+    if len(postings_pdf) == 0:
+        return pd.DataFrame({"query_id": [], "doc_ord": [], "score": []}).astype(
+            {"query_id": "int64", "doc_ord": "int64", "score": "float32"})
+    part_id = int(postings_pdf["part_id"].iloc[0])
+    base = np.uint64(part_id) << np.uint64(ORD_SHIFT)
+    norm_arrays = {r["field"]: np.frombuffer(r["norm_bytes"], dtype=np.uint8)
+                   for _, r in norms_pdf.iterrows()}
+    # posting payloads for this part, keyed (field, term)
+    payload = {(r["field"], r["term"]): r for _, r in postings_pdf.iterrows()}
+    caches = plan["caches"]
+    limit = plan["limit"]
+    tomb = plan.get("tombstone_ords")
+    out_q, out_d, out_s = [], [], []
+
+    def term_postings(field, term):
+        row = payload.get((field, term))
+        if row is None:
+            return None
+        docs, tfs = decode_postings(row["doc_bytes"], row["tf_bytes"])
+        return docs, tfs, row
+
+    for q in plan["queries"]:
+        # per-clause (ords, scores) in clause order
+        clause_results = []
+        for spec in q["specs"]:
+            field = spec["field"]
+            cache = caches[field]
+            norms = norm_arrays.get(field)
+            if spec["kind"] == "term":
+                tp = term_postings(field, spec["terms"][0])
+                if tp is None:
+                    clause_results.append((np.empty(0, np.int64), np.empty(0, np.float32), spec))
+                    continue
+                docs, tfs, _ = tp
+                local = docs.astype(np.int64)
+                nids = norms[local] if norms is not None else np.zeros(local.size, np.uint8)
+                scores = (score_postings(tfs, nids, spec["weight"], cache)
+                          if spec["scoring"] else np.zeros(local.size, np.float32))
+                clause_results.append((local, scores, spec))
+            else:  # phrase
+                tps = [term_postings(field, t) for t in spec["terms"]]
+                if any(tp is None for tp in tps):
+                    clause_results.append((np.empty(0, np.int64), np.empty(0, np.float32), spec))
+                    continue
+                common = tps[0][0].astype(np.int64)
+                for tp in tps[1:]:
+                    common = np.intersect1d(common, tp[0].astype(np.int64),
+                                            assume_unique=True)
+                if common.size == 0:
+                    clause_results.append((common, np.empty(0, np.float32), spec))
+                    continue
+                # decode positions only for common docs
+                pos_per_term = []
+                for tp in tps:
+                    docs_t = tp[0].astype(np.int64)
+                    row = tp[2]
+                    plists = decode_positions(row["pos_bytes"], docs_t.size)
+                    sel = np.searchsorted(docs_t, common)
+                    pos_per_term.append([plists[i] for i in sel])
+                offs = list(spec["positions"])
+                slop = spec["slop"]
+                tf_counts = np.fromiter(
+                    (sloppy_phrase_count([pos_per_term[ti][ci] for ti in range(len(tps))],
+                                         offs, slop)
+                     for ci in range(common.size)), dtype=np.int64, count=common.size)
+                mask = tf_counts > 0
+                ords_m = common[mask]
+                nids = norms[ords_m] if norms is not None else np.zeros(ords_m.size, np.uint8)
+                scores = (score_postings(tf_counts[mask], nids, spec["weight"], cache)
+                          if spec["scoring"] else np.zeros(ords_m.size, np.float32))
+                clause_results.append((ords_m, scores, spec))
+
+        # candidate set: Must(union of should group) ∩ each extra group ∩ musts − must_nots
+        should = [r for r in clause_results if r[2]["role"] == "should"]
+        must_sets = []
+        if should:
+            u = np.unique(np.concatenate([r[0] for r in should])) if should else \
+                np.empty(0, np.int64)
+            must_sets.append(u)
+        groups: dict[int, list] = {}
+        for r in clause_results:
+            if r[2]["role"] == "extra_group":
+                groups.setdefault(r[2]["group"], []).append(r[0])
+        for gi in sorted(groups):
+            must_sets.append(np.unique(np.concatenate(groups[gi])))
+        for r in clause_results:
+            if r[2]["role"] == "must":
+                must_sets.append(r[0])
+        if not must_sets:
+            continue
+        cand = must_sets[0]
+        for s_ in must_sets[1:]:
+            cand = np.intersect1d(cand, s_, assume_unique=True)
+        for r in clause_results:
+            if r[2]["role"] == "must_not":
+                cand = np.setdiff1d(cand, r[0], assume_unique=True)
+        if tomb is not None and tomb.size:
+            local_tomb = tomb[(tomb >> ORD_SHIFT) == part_id] & ((1 << ORD_SHIFT) - 1)
+            if local_tomb.size:
+                cand = np.setdiff1d(cand, local_tomb.astype(np.int64), assume_unique=True)
+        if cand.size == 0:
+            continue
+        # accumulate float32 scores in clause order (oracle-identical)
+        acc = np.zeros(cand.size, dtype=np.float32)
+        for ords_c, scores_c, spec in clause_results:
+            if spec["role"] == "must_not" or ords_c.size == 0:
+                continue
+            pos = np.searchsorted(cand, ords_c)
+            ok = (pos < cand.size)
+            ok[ok] = cand[pos[ok]] == ords_c[ok]
+            acc[pos[ok]] = acc[pos[ok]] + scores_c[ok]
+        keep = acc > 0.0
+        cand, acc = cand[keep], acc[keep]
+        if cand.size == 0:
+            continue
+        if cand.size > limit:
+            sel = np.lexsort((cand, -acc.astype(np.float64)))[:limit]
+        else:
+            sel = np.lexsort((cand, -acc.astype(np.float64)))
+        out_q.append(np.full(sel.size, q["query_id"], dtype=np.int64))
+        out_d.append((base + cand[sel].astype(np.uint64)).astype(np.int64))
+        out_s.append(acc[sel])
+
+    if not out_q:
+        return pd.DataFrame({"query_id": [], "doc_ord": [], "score": []}).astype(
+            {"query_id": "int64", "doc_ord": "int64", "score": "float32"})
+    return pd.DataFrame({
+        "query_id": np.concatenate(out_q),
+        "doc_ord": np.concatenate(out_d),
+        "score": np.concatenate(out_s)})
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        m = load_manifest(index_dir)
+        if m is None or not m.committed:
+            raise FileNotFoundError(f"no committed index manifest in {index_dir}")
+        self.manifest: Manifest = m
+
+    # -- public API (Searcher::search analog) ---------------------------
+
+    def search(self, query: str, filters=(), boosts=(), k: int = 5,
+               offset: int = 0) -> DataFrame:
+        return self.search_many(
+            [{"query": query, "filters": filters, "boosts": boosts}],
+            k=k, offset=offset).drop("query_id")
+
+    def search_many(self, queries: list[dict], k: int = 5, offset: int = 0) -> DataFrame:
+        """Batch mode: one Spark job scores all queries. Each dict:
+        {query, filters?, boosts?}. Returns (query_id, rank, doc_id, url,
+        domain, title, score)."""
+        spark = self.spark
+        m = self.manifest
+        compiled = [compile_query(q["query"], q.get("filters", ()), q.get("boosts", ()))
+                    for q in queries]
+        keys = set()
+        for cq in compiled:
+            keys |= cq.term_keys()
+        if not keys:
+            return self._empty_result()
+
+        dfs = self._term_dfs(keys)
+        caches = {f: norm_cache(m.field_totals.get(f, 0) / m.num_docs if m.num_docs else 1.0)
+                  for f in ("content", "title", "id", "domain", "url", "tags")}
+        plan = {
+            "queries": [{"query_id": qi, "specs": _clause_specs(cq, dfs, m.num_docs)}
+                        for qi, cq in enumerate(compiled)],
+            "caches": caches,
+            "limit": k + offset,
+            "tombstone_ords": self._tombstone_ords(),
+        }
+
+        fields = sorted({f for f, _ in keys})
+        terms = sorted({t for _, t in keys})
+        postings = (spark.read.parquet(f"{self.index_dir}/segments/postings")
+                    .filter(F.col("field").isin(fields) & F.col("term").isin(terms)))
+        norms = (spark.read.parquet(f"{self.index_dir}/segments/norms")
+                 .filter(F.col("field").isin(fields)))
+
+        def run(pkey, post_pdf, norm_pdf):
+            return _score_partition(plan, post_pdf, norm_pdf)
+
+        partial = (postings.groupBy("part_id")
+                   .cogroup(norms.groupBy("part_id"))
+                   .applyInPandas(run, RESULT_SCHEMA))
+
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_ord"))
+        topk = (partial.withColumn("rank", F.row_number().over(w))
+                .filter((F.col("rank") > offset) & (F.col("rank") <= k + offset)))
+
+        doc_meta = spark.read.parquet(f"{self.index_dir}/segments/doc_meta")
+        out = (topk.join(doc_meta.select("doc_ord", "doc_id", "url", "domain", "title"),
+                         "doc_ord", "left")
+               .select("query_id", "rank", "doc_id", "url", "domain", "title",
+                       F.col("score").cast("float").alias("score"), "doc_ord")
+               .orderBy("query_id", "rank"))
+        return out
+
+    # -- helpers ---------------------------------------------------------
+
+    def _term_dfs(self, keys: set) -> dict:
+        fields = sorted({f for f, _ in keys})
+        terms = sorted({t for _, t in keys})
+        rows = (self.spark.read.parquet(f"{self.index_dir}/segments/term_stats")
+                .filter(F.col("field").isin(fields) & F.col("term").isin(terms))
+                .collect())
+        return {(r["field"], r["term"]): int(r["df"]) for r in rows
+                if (r["field"], r["term"]) in keys}
+
+    def _tombstone_ords(self):
+        if not self.manifest.tombstones:
+            return np.empty(0, dtype=np.int64)
+        rows = (self.spark.read.parquet(f"{self.index_dir}/segments/doc_meta")
+                .filter(F.col("doc_id").isin(list(self.manifest.tombstones)))
+                .select("doc_ord").collect())
+        return np.array([r["doc_ord"] for r in rows], dtype=np.int64)
+
+    def _empty_result(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], "query_id long, rank int, doc_id string, url string, "
+                "domain string, title string, score float, doc_ord long")

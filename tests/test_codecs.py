@@ -97,3 +97,18 @@ def test_fieldnorm_vectorized():
     dec = id_to_fieldnorm(ids)
     assert np.all(dec <= arr)
     assert ids.dtype == np.uint8
+
+
+def test_decode_block_random_access():
+    from spyglass_spark.index.codecs import decode_block
+    n = 1000
+    rng = np.random.default_rng(7)
+    docs = np.cumsum(rng.integers(1, 9, size=n)).astype(np.uint64)
+    tfs = rng.integers(1, 30, size=n).astype(np.uint64)
+    db, tb, mb = encode_postings(docs, tfs)
+    meta = decode_block_meta(mb)
+    for bi in range(len(meta)):
+        d, t = decode_block(db, tb, meta, bi)
+        lo, hi = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, n)
+        assert np.array_equal(d, docs[lo:hi])
+        assert np.array_equal(t, tfs[lo:hi])

@@ -1,0 +1,109 @@
+"""THE rank-identity gate (BASELINE.json metric): the distributed engine's
+top-k docIDs AND float32 scores must match the pure-Python oracle
+rank-identically on the reference query set."""
+
+import numpy as np
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+# Reference query set (FIXTURES.md §4): single/multi-term, stopwords,
+# stems, hot terms, zero-hit, accented, title terms, filters, boosts,
+# pagination.
+QUERY_SET = [
+    {"query": "salinas"},
+    {"query": "fn"},                       # hot term
+    {"query": "import sys"},               # hot phrase
+    {"query": "parse token stream"},       # multi-term phrase boost
+    {"query": "the parsing of tokens"},    # stopword holes + stems
+    {"query": "I index"},                  # uppercase-I quirk
+    {"query": "naïve café"},               # accent folding
+    {"query": "cafe"},                     # folded form matches accented docs
+    {"query": "file_3.rs"},                # title/path tokens
+    {"query": "zzzznohit"},                # zero hits
+    {"query": "merged scoring"},           # stemming across forms
+    {"query": "snake_case camelCase"},
+    {"query": "vector compress delta"},
+    {"query": "foo_bar"},
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark, built_index):
+    from spyglass_spark.query.executor import SearchEngine
+
+    return SearchEngine(spark, built_index["index_dir"])
+
+
+def _assert_matches(spark_rows, oracle_hits, qlabel, check_scores=True):
+    assert len(spark_rows) == len(oracle_hits), (
+        f"{qlabel}: hit count {len(spark_rows)} != oracle {len(oracle_hits)}")
+    for sr, oh in zip(spark_rows, oracle_hits):
+        assert sr["doc_id"] == oh["doc_id"], (
+            f"{qlabel}: rank {oh['rank']} doc {sr['doc_id']} != {oh['doc_id']} "
+            f"(spark score {sr['score']}, oracle {oh['score']})")
+        if check_scores:
+            assert np.isclose(np.float32(sr["score"]), np.float32(oh["score"]),
+                              rtol=1e-5), (
+                f"{qlabel}: score {sr['score']} != oracle {oh['score']}")
+
+
+def test_rank_identity_query_set(engine, built_index):
+    oracle = built_index["oracle"]
+    k = 5
+    results = engine.search_many([dict(q) for q in QUERY_SET], k=k).collect()
+    by_q = {}
+    for r in results:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qi, q in enumerate(QUERY_SET):
+        spark_rows = sorted(by_q.get(qi, []), key=lambda r: r["rank"])
+        oracle_hits = oracle.search(q["query"], q.get("filters", ()),
+                                    q.get("boosts", ()), k=k)
+        _assert_matches(spark_rows, oracle_hits, f"q{qi}:{q['query']}")
+
+
+def test_rank_identity_with_filters_and_boosts(engine, built_index):
+    oracle = built_index["oracle"]
+    tags_dim = built_index["tags_dim"]
+    rs_tag = next(t["id"] for t in tags_dim if t["label"] == "lens" and t["value"] == "rs")
+    cases = [
+        {"query": "fn main", "filters": [("tag", rs_tag)]},
+        {"query": "index", "boosts": [("tag", rs_tag)]},
+        {"query": "search query", "filters": [("tag", rs_tag)],
+         "boosts": [("tag", rs_tag)]},
+    ]
+    res = engine.search_many(cases, k=10).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qi, c in enumerate(cases):
+        spark_rows = sorted(by_q.get(qi, []), key=lambda r: r["rank"])
+        oracle_hits = oracle.search(c["query"], c.get("filters", ()),
+                                    c.get("boosts", ()), k=10)
+        _assert_matches(spark_rows, oracle_hits, f"f{qi}:{c['query']}")
+
+
+def test_pagination_offset(engine, built_index):
+    oracle = built_index["oracle"]
+    full = oracle.search("index search", k=10)
+    page = engine.search("index search", k=3, offset=2).collect()
+    assert [r["doc_id"] for r in page] == [h["doc_id"] for h in full[2:5]]
+    assert [r["rank"] for r in page] == [3, 4, 5]
+
+
+def test_sha256_per_row_invariant(spark, built_index):
+    """input_hint per-row invariant: sha2(content,256) equality vs source."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(built_index["docs"])
+    bad = docs.filter(F.sha2(F.col("content"), 256) != F.col("content_sha256")).count()
+    assert bad == 0
+
+
+def test_manifest_metrics(built_index):
+    m = built_index["manifest"]
+    assert m.num_docs == 200
+    assert m.metrics["docs_per_sec"] > 0
+    assert m.metrics["n_parts_built"] >= 1
+    assert m.field_totals["content"] > 0
+    assert m.committed
