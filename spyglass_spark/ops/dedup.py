@@ -1,0 +1,139 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+All of these are pure DataFrame plans (JVM/whole-stage-codegen expressions,
+no Python UDFs) so Catalyst can push filters/prune columns and AQE can
+handle skew at 100 TB scale:
+
+  exact            — hash groupBy on sha256(text)           (1 shuffle)
+  minhash LSH      — shingle → md5 minhash → band → bucket join
+  n-gram Jaccard   — shingle self-join restricted to LSH-candidate space
+  simhash          — 16-bit md5-based simhash + banded hamming pairs
+
+Hash choice: md5/sha256 hex (identical builtins in Spark SQL and DuckDB)
+so every operator has an exact cross-engine oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _tokens(col: str):
+    return F.filter(F.split(F.lower(F.col(col)), TOKEN_SPLIT), lambda t: t != "")
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    toks = _tokens(text_col)
+    parts = [F.slice(toks, i + 1, F.size(toks) - F.lit(n - 1)) for i in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat_ws(" ", a, b))
+    return (df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+            .distinct())
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: groups of identical content. Returns
+    (text_sha, n_dups, keeper) for groups with >1 member; keeper = min id."""
+    return (df.groupBy(F.sha2(F.col(text_col), 256).alias("text_sha"))
+            .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keeper"))
+            .filter(F.col("n_dups") > 1))
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       num_perms: int = 8, ngram: int = 3) -> DataFrame:
+    """MinHash signature per doc: perm i = min(md5(i || ':' || shingle)).
+    One narrow aggregation after the shingle explode."""
+    sh = shingles(df, text_col, id_col, ngram)
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+            for i in range(num_perms)]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
+                      num_perms: int = 8, bands: int = 2, ngram: int = 3) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of the minhash signature.
+    Band join key = md5(concat of the band's perm values) — the classic
+    shingle→minhash→band→bucket-join pipeline. Returns (a, b) with a < b."""
+    rows = num_perms // bands
+    sig = minhash_signatures(df, text_col, id_col, num_perms, ngram)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{i}") for i in range(b * rows, (b + 1) * rows)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.md5(F.concat_ws("|", *cols)).alias("sig")))
+    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bs")) \
+                .select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (left.join(right, (F.col("l.band") == F.col("r.band")) &
+                      (F.col("l.sig") == F.col("r.sig")) &
+                      (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+            .distinct())
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        threshold: float = 0.5, ngram: int = 3) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard ≥ threshold. Pair generation via
+    shingle equi-join (only docs sharing ≥1 shingle are compared — at scale,
+    run after minhash_lsh_pairs to bound the candidate space)."""
+    sh = shingles(df, text_col, id_col, ngram)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    inter = (sh.alias("l").join(sh.alias("r"),
+                                (F.col("l.shingle") == F.col("r.shingle")) &
+                                (F.col("l.id") < F.col("r.id")))
+             .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+             .agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_sh", "na"), "a")
+            .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n_sh", "nb"), "b")
+            .withColumn("jacc", F.round(F.col("inter") /
+                                        (F.col("na") + F.col("nb") - F.col("inter")), 4))
+            .filter(F.col("jacc") >= threshold)
+            .select("a", "b", "jacc"))
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """16-bit SimHash over distinct tokens: token hash = first 4 md5 hex
+    chars as int; bit j of the fingerprint = majority of token-hash bit j.
+    Pure JVM expressions (conv/shiftright/bitwise)."""
+    toks = (df.select(F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("tok"))
+            .distinct()
+            .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")))
+    bit_sums = toks.groupBy("id").agg(
+        *[F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{j}")
+          for j in range(bits)])
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bit_sums.select("id", fp.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
+                  max_hamming: int = 3, bits: int = 16) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance ≤ max_hamming.
+    Candidate generation by byte-band blocking (two 8-bit bands: pairs
+    within hamming ≤ 3 of 16 bits share ≥1 identical band by pigeonhole
+    only when distance ≤ 1 per band — so for recall we block on either
+    band equal, then verify exact hamming)."""
+    s = simhash(df, text_col, id_col, bits)
+    lo = F.col("simhash").bitwiseAND(F.lit(0xFF))
+    hi = F.shiftright(F.col("simhash"), 8).bitwiseAND(F.lit(0xFF))
+    s2 = s.select("id", "simhash", lo.alias("b0"), hi.alias("b1"))
+    l, r = s2.alias("l"), s2.alias("r")
+    cand = (l.join(r, ((F.col("l.b0") == F.col("r.b0")) |
+                       (F.col("l.b1") == F.col("r.b1"))) &
+                   (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                    F.col("l.simhash").alias("ha"), F.col("r.simhash").alias("hb")))
+    x = F.col("ha").bitwiseXOR(F.col("hb"))
+    ham = F.lit(0)
+    for j in range(bits):
+        ham = ham + F.shiftright(x, j).bitwiseAND(F.lit(1))
+    return (cand.withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming").distinct())

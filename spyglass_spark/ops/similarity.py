@@ -1,0 +1,76 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (one narrow pass, JVM
+zip_with/aggregate — no UDF); the LSH variant is the scale path: random-
+hyperplane signatures bucket vectors so the query only scans its bucket.
+Hyperplanes are drawn deterministically from the dataset itself (vectors
+vec_id 1..nbits) so Spark and the SQL oracle agree exactly without any
+external randomness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0).cast("double"), lambda acc, v: acc + v))
+
+
+def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                exclude_ids: tuple = ()) -> DataFrame:
+    """Exact brute-force cosine top-k. Returns (vec_id, cos_sim) rounded to
+    4 dp, ties broken by id — deterministic at any parallelism."""
+    q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    out = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(_dot(vec, q) / (_norm(vec) * _norm(q)), 4).alias("cos_sim"))
+    if exclude_ids:
+        out = out.filter(~F.col("vec_id").isin(list(exclude_ids)))
+    return out.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
+
+
+def hyperplane_signature(emb: DataFrame, planes: list[list[float]],
+                         id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """nbits-bit signature: bit j = 1 if dot(v, plane_j) > 0."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sig = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        pj = F.array(*[F.lit(float(x)).cast("double") for x in p])
+        sig = sig + F.when(_dot(vec, pj) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vec"),
+                      sig.alias("bucket"))
+
+
+def lsh_cosine_topk(emb: DataFrame, query_vec: list[float],
+                    planes: list[list[float]], k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    exclude_ids: tuple = ()) -> DataFrame:
+    """LSH-bucketed ANN: restrict the cosine scan to the query's bucket.
+    At scale the signature table is partitioned by bucket → the probe scans
+    one partition instead of the full corpus."""
+    import numpy as np
+
+    qsig = 0
+    q = np.asarray(query_vec, dtype=np.float64)
+    for j, p in enumerate(planes):
+        if float(np.dot(q, np.asarray(p, dtype=np.float64))) > 0:
+            qsig |= 1 << j
+    sigs = hyperplane_signature(emb, planes, id_col, vec_col)
+    bucket = sigs.filter(F.col("bucket") == qsig)
+    qarr = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    vec = F.transform(F.col("_vec"), lambda x: x.cast("double"))
+    out = bucket.select(
+        "vec_id",
+        F.round(_dot(vec, qarr) / (_norm(vec) * _norm(qarr)), 4).alias("cos_sim"))
+    if exclude_ids:
+        out = out.filter(~F.col("vec_id").isin(list(exclude_ids)))
+    return out.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)

@@ -1,0 +1,108 @@
+"""Driver-contract test: run each queries() entry on Spark and its
+oracle_sql() on DuckDB over the same parquet; compare row count, columns,
+and order-insensitive values (the CORRECTNESS_r{N}.json gate)."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPYGLASS_TEST_SF_DIR", "/root/testdata/sf0.01")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _canon(val):
+    if val is None:
+        return None
+    if isinstance(val, bool):
+        return int(val)
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "nan"
+        return round(val, 6)
+    if isinstance(val, (list, tuple)):
+        return tuple(_canon(v) for v in val)
+    try:
+        import numpy as np
+        if isinstance(val, np.integer):
+            return int(val)
+        if isinstance(val, np.floating):
+            return round(float(val), 6)
+    except ImportError:
+        pass
+    return val
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def contract():
+    import __spark_entry__ as E
+    return E
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = _duck()
+    yield con
+    con.close()
+
+
+def _pairs():
+    import __spark_entry__ as E
+    qs = E.queries()
+    os_ = E.oracle_sql()
+    return sorted(qs.keys()), qs, os_
+
+
+NAMES, _QS, _OS = _pairs()
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_vs_oracle(name, spark, duck, contract):
+    fn = contract.queries()[name]
+    sdf = fn(spark, SF_DIR)
+    spark_rows = sdf.collect()
+    spark_cols = sdf.columns
+    sql = contract.oracle_sql().get(name)
+    if sql is None:
+        # rows-only check: must run and have a stable schema
+        assert isinstance(spark_cols, list) and len(spark_cols) > 0
+        return
+    res = duck.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: columns {sorted(spark_cols)} != {sorted(duck_cols)}")
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: {len(spark_rows)} rows != oracle {len(duck_rows)}")
+    s = _rowset(spark_cols, [[r[c] for c in spark_cols] for r in spark_rows])
+    d = _rowset(duck_cols, duck_rows)
+    mism = [i for i, (a, b) in enumerate(zip(s, d)) if a != b]
+    assert not mism, (
+        f"{name}: {len(mism)} mismatched rows; first: spark={s[mism[0]]} "
+        f"oracle={d[mism[0]]}")
+
+
+def test_entry_smoke(spark, contract):
+    df = contract.entry(spark)
+    rows = df.collect()
+    assert len(df.columns) > 0
+    assert len(rows) >= 0
