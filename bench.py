@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Covers the BASELINE.md targets:
+  - index-build throughput (docs/sec, postings/sec, skew ratio)
+  - scaling efficiency between two parallelism levels (local[8] vs
+    local[32] — the sandbox proxy for N vs 4N executors), run as separate
+    JVMs via subprocess on the SAME input
+  - headline query latencies: BM25 search (hot term / phrase / filtered /
+    batch), SQL-oracle BM25, minhash-LSH dedup, ANN cosine top-k.
+
+The corpus is the deterministic derivation of {sf_dir}/documents.parquet
+replicated REPLICAS× (distinct paths/commits, content varied per replica)
+— no external data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICAS = int(os.environ.get("SPYGLASS_BENCH_REPLICAS", "64"))
+NUM_PARTS = int(os.environ.get("SPYGLASS_BENCH_PARTS", "128"))
+WORK_DIR = os.environ.get("SPYGLASS_BENCH_DIR", "/tmp/spyglass_bench")
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def build_leg(cores: int, out_path: str) -> None:
+    """Child process: build the full index at a given parallelism."""
+    from spyglass_spark.corpus import load_corpus, to_documents
+    from spyglass_spark.index.builder import build_index
+    from spyglass_spark.session import get_spark
+
+    spark = get_spark(f"bench-build-{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=max(cores, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    index_dir = f"{WORK_DIR}/index_c{cores}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    corpus = load_corpus(spark, SF_DIR, replicas=REPLICAS)
+    docs = to_documents(corpus)
+    t0 = time.time()
+    m = build_index(spark, docs, index_dir, num_partitions=NUM_PARTS, waves=1)
+    elapsed = time.time() - t0
+    with open(out_path, "w") as f:
+        json.dump({"cores": cores, "n_docs": m.num_docs, "build_sec": elapsed,
+                   "docs_per_sec": m.num_docs / elapsed,
+                   "postings_per_sec": m.metrics.get("postings_per_sec"),
+                   "partition_skew_ratio": m.metrics.get("partition_skew_ratio"),
+                   "term_df_skew_ratio": m.metrics.get("term_df_skew_ratio"),
+                   "index_dir": index_dir}, f)
+    spark.stop()
+
+
+def _run_leg(cores: int) -> dict:
+    out = f"{WORK_DIR}/leg_{cores}.json"
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_SF_DIR", SF_DIR)
+    subprocess.run([sys.executable, os.path.abspath(__file__),
+                    "--build-leg", str(cores), out], check=True, env=env,
+                   stdout=subprocess.DEVNULL)
+    with open(out) as f:
+        return json.load(f)
+
+
+def main() -> None:
+    os.makedirs(WORK_DIR, exist_ok=True)
+
+    # --- scaling legs (separate JVMs, same input) -----------------------
+    leg8 = _run_leg(8)
+    leg32 = _run_leg(32)
+    efficiency = (leg32["docs_per_sec"] / leg8["docs_per_sec"]) / (32 / 8)
+
+    # --- headline queries on the 32-core index ---------------------------
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from spyglass_spark.query.executor import SearchEngine
+    from spyglass_spark.session import get_spark
+
+    spark = get_spark("bench-queries", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    eng = SearchEngine(spark, leg32["index_dir"])
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # warmup: python workers + parquet footers (steady-state latencies are
+    # what matters; cold JVM spin-up is session-level, not per-query)
+    eng.search("warmupterm", k=5).collect()
+
+    timed("search_hot_term", lambda: eng.search("join", k=10).collect())
+    timed("search_multi_phrase",
+          lambda: eng.search("the fast key order sort", k=10).collect())
+    timed("search_batch8", lambda: eng.search_many(
+        [{"query": q} for q in ["spark", "merge join", "window filter agg",
+                                "the fast key", "scan table", "batch stream",
+                                "customer line", "hash part"]], k=10).collect())
+    timed("bm25_sql_oracle_form",
+          lambda: E.q_bm25_topk_simple(spark, SF_DIR).collect())
+    timed("dedup_minhash_lsh",
+          lambda: E.q_dedup_minhash_lsh(spark, SF_DIR).collect())
+    timed("ann_cosine_topk", lambda: E.q_ann_cosine_topk(spark, SF_DIR).collect())
+    timed("dedup_exact", lambda: E.q_dedup_exact(spark, SF_DIR).collect())
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(SF_DIR),
+        "index_build": {
+            "n_docs": leg32["n_docs"],
+            "replicas": REPLICAS,
+            "num_partitions": NUM_PARTS,
+            "docs_per_sec_8c": round(leg8["docs_per_sec"], 1),
+            "docs_per_sec_32c": round(leg32["docs_per_sec"], 1),
+            "build_sec_8c": round(leg8["build_sec"], 2),
+            "build_sec_32c": round(leg32["build_sec"], 2),
+            "scaling_efficiency_8_to_32": round(efficiency, 3),
+            "postings_per_sec_32c": leg32["postings_per_sec"],
+            "partition_skew_ratio": leg32["partition_skew_ratio"],
+            "term_df_skew_ratio": leg32["term_df_skew_ratio"],
+        },
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 4 and sys.argv[1] == "--build-leg":
+        build_leg(int(sys.argv[2]), sys.argv[3])
+    else:
+        main()

@@ -36,7 +36,7 @@ from collections import defaultdict
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..analysis.analyzer import analyze
@@ -53,11 +53,16 @@ ALL_FIELDS = ("content", "title", "id", "domain", "url", "tags")
 
 NORMS_MARK = "\x01norms"
 LINEAGE_MARK = "\x01lineage"
+DOCMETA_MARK = "\x01docmeta"
 
+# One schema for all stage-1 row kinds (postings / norms / lineage /
+# doc_meta) so the whole build is a single tokenize pass — nullable
+# columns are near-free in Parquet.
 SEGMENT_SCHEMA = (
     "part_id int, field string, term string, df_part long, cf_part long, "
     "n_local int, doc_bytes binary, tf_bytes binary, pos_bytes binary, "
-    "meta_bytes binary"
+    "meta_bytes binary, doc_id string, url string, domain string, "
+    "title string, content_sha256 string, local_ord int"
 )
 
 
@@ -105,6 +110,7 @@ def _build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         for t in tags:
             postings[("tags", str(t))].append((ord_, [0]))
 
+    nostr = (None, None, None, None, None, None)
     rows = []
     n_postings = 0
     for (field, term), plist in postings.items():
@@ -115,11 +121,18 @@ def _build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         doc_b, tf_b, meta_b = encode_postings(ords, tfs, norm_ids)
         pos_b = encode_positions([np.asarray(p, dtype=np.uint64) for _, p in plist])
         rows.append((part_id, field, term, len(plist), int(tfs.sum()),
-                     n, doc_b, tf_b, pos_b, meta_b))
+                     n, doc_b, tf_b, pos_b, meta_b) + nostr)
 
     for field in ALL_FIELDS:
         rows.append((part_id, NORMS_MARK, field, 0, int(totals[field]), n,
-                     norms[field].tobytes(), b"", b"", b""))
+                     norms[field].tobytes(), b"", b"", b"") + nostr)
+    # doc_meta rows — same pass, no second scan over the corpus
+    sha = pdf["content_sha256"] if "content_sha256" in pdf.columns else None
+    for ord_ in range(n):
+        rows.append((part_id, DOCMETA_MARK, None, 0, 0, n, b"", b"", b"", b"",
+                     pdf["doc_id"].iat[ord_], pdf["url"].iat[ord_],
+                     pdf["domain"].iat[ord_], pdf["title"].iat[ord_],
+                     None if sha is None else sha.iat[ord_], ord_))
     elapsed = max(time.time() - t0, 1e-9)
     lineage = json.dumps({
         "part_id": part_id, "n_docs": n, "n_postings": n_postings,
@@ -127,10 +140,12 @@ def _build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         "docs_per_sec": round(n / elapsed, 2),
         "postings_per_sec": round(n_postings / elapsed, 2),
     })
-    rows.append((part_id, LINEAGE_MARK, lineage, n, n_postings, n, b"", b"", b"", b""))
+    rows.append((part_id, LINEAGE_MARK, lineage, n, n_postings, n,
+                 b"", b"", b"", b"") + nostr)
     return pd.DataFrame(rows, columns=[
         "part_id", "field", "term", "df_part", "cf_part", "n_local",
-        "doc_bytes", "tf_bytes", "pos_bytes", "meta_bytes"])
+        "doc_bytes", "tf_bytes", "pos_bytes", "meta_bytes",
+        "doc_id", "url", "domain", "title", "content_sha256", "local_ord"])
 
 
 def build_index(spark: SparkSession, documents: DataFrame, index_dir: str,
@@ -169,9 +184,14 @@ def build_index(spark: SparkSession, documents: DataFrame, index_dir: str,
     save_checkpoint(index_dir, ckpt)
 
     stage1 = spark.read.parquet(f"{index_dir}/stage1/wave=*")
-    real = stage1.filter(~F.col("field").startswith("\x01"))
+    posting_cols = ["part_id", "field", "term", "df_part", "cf_part", "n_local",
+                    "doc_bytes", "tf_bytes", "pos_bytes", "meta_bytes"]
+    real = stage1.filter(~F.col("field").startswith("\x01")).select(posting_cols)
 
     # ---- stage 2: term-keyed merge (repartitionByRange on term) --------
+    # Hot-term skew (e.g. 'fn'/'import') is handled by the part_id in the
+    # range key: a hot term's per-partition chunks spread across merge
+    # partitions instead of landing on one reducer (explicit salting).
     mp = merge_partitions or spark.sparkContext.defaultParallelism
     (real.repartitionByRange(mp, "field", "term", "part_id")
          .sortWithinPartitions("field", "term", "part_id")
@@ -189,27 +209,25 @@ def build_index(spark: SparkSession, documents: DataFrame, index_dir: str,
                    F.col("doc_bytes").alias("norm_bytes"),
                    F.col("cf_part").alias("total_tokens"),
                    F.col("n_local").alias("n_docs"))
-           .repartition(1).sortWithinPartitions("part_id", "field")
+           .repartitionByRange(max(mp // 4, 1), "part_id")
+           .sortWithinPartitions("part_id", "field")
            .write.mode("overwrite").parquet(f"{index_dir}/segments/norms"))
 
-    lineage_df = (stage1.filter(F.col("field") == LINEAGE_MARK)
-                  .select("part_id", F.col("term").alias("lineage_json"),
-                          F.col("df_part").alias("n_docs"),
-                          F.col("cf_part").alias("n_postings")))
-    lineage_df.repartition(1).write.mode("overwrite").parquet(
-        f"{index_dir}/segments/lineage")
+    (stage1.filter(F.col("field") == LINEAGE_MARK)
+           .select("part_id", F.col("term").alias("lineage_json"),
+                   F.col("df_part").alias("n_docs"),
+                   F.col("cf_part").alias("n_postings"))
+           .coalesce(max(mp // 8, 1))
+           .write.mode("overwrite").parquet(f"{index_dir}/segments/lineage"))
 
-    w_ord = Window.partitionBy("part_id").orderBy("url")
-    (docs.select("part_id", "doc_id", "url", "domain", "title",
-                 F.col("tags"),
-                 *([F.col("content_sha256")] if "content_sha256" in docs.columns else []))
-         .withColumn("local_ord", F.row_number().over(w_ord) - F.lit(1))
-         .withColumn("doc_ord",
-                     (F.col("part_id").cast("long") * F.lit(1 << ORD_SHIFT)
-                      + F.col("local_ord")).cast("long"))
-         .repartitionByRange(max(mp // 4, 1), "part_id", "local_ord")
-         .sortWithinPartitions("part_id", "local_ord")
-         .write.mode("overwrite").parquet(f"{index_dir}/segments/doc_meta"))
+    (stage1.filter(F.col("field") == DOCMETA_MARK)
+           .select("part_id", "local_ord", "doc_id", "url", "domain", "title",
+                   "content_sha256",
+                   (F.col("part_id").cast("long") * F.lit(1 << ORD_SHIFT)
+                    + F.col("local_ord")).alias("doc_ord"))
+           .repartitionByRange(max(mp // 4, 1), "part_id", "local_ord")
+           .sortWithinPartitions("part_id", "local_ord")
+           .write.mode("overwrite").parquet(f"{index_dir}/segments/doc_meta"))
 
     # ---- aggregates + manifest commit ----------------------------------
     norms_df = spark.read.parquet(f"{index_dir}/segments/norms")

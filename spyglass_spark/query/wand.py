@@ -1,0 +1,266 @@
+"""Block-max WAND top-k pruning over the compressed posting chunks.
+
+Operates per doc-partition inside the scoring UDF (SURVEY.md §2.6 —
+the reference's tantivy 0.19 lacks WAND for spyglass's query shape; the
+BASELINE north_rule requires it in this engine).
+
+Vectorized formulation (numpy, no per-doc Python):
+
+1. Every 128-doc block carries (last_doc, max_tf, min_norm) + byte offsets
+   (index/codecs.py), so a block's score upper bound
+   ``weight * max_tf / (max_tf + cache[min_norm])`` is known WITHOUT
+   decoding the payload.
+2. Block boundaries of all clauses are merged into disjoint doc-range
+   *segments*; each segment's UB = Σ clause block UBs covering it (a
+   phrase clause contributes its full weight only where ALL member terms
+   have a block).
+3. Segments are processed in descending-UB order in batches; exact
+   float32 scores (identical math to the exhaustive path) maintain the
+   running top-k threshold θ; processing stops as soon as the next
+   segment's UB ≤ θ with the heap full. Blocks in skipped segments are
+   never decoded — that's the saved work.
+
+Equality with the exhaustive scorer is asserted in tests (same docs, same
+float32 scores) — WAND is a pruning strategy, never a semantics change.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..index.codecs import decode_block, decode_block_meta
+from .scoring import sloppy_phrase_count
+
+
+class _ClauseData:
+    """Decoded-on-demand posting access for one clause in one partition."""
+
+    __slots__ = ("spec", "rows", "metas", "ubs", "last_docs", "cache", "norms",
+                 "_block_cache", "_full", "_pos_cache")
+
+    def __init__(self, spec, rows, cache, norms):
+        self.spec = spec
+        self.rows = rows  # list of one payload row per term (term clauses: 1)
+        self.cache = cache
+        self.norms = norms
+        self.metas = [decode_block_meta(r["meta_bytes"]) for r in rows]
+        self._block_cache: dict[tuple[int, int], tuple] = {}
+        self._full = None
+        self._pos_cache = None
+        # per-term block upper bounds (weight folded in by caller)
+        self.ubs = []
+        self.last_docs = []
+        for m in self.metas:
+            tfs = m["max_tf"].astype(np.float32)
+            norms_dec = cache[m["min_norm"].astype(np.int64)]
+            self.ubs.append((np.float32(spec["weight"]) * tfs / (tfs + norms_dec))
+                            .astype(np.float32))
+            self.last_docs.append(m["last_doc"].astype(np.int64))
+
+    def block(self, term_idx: int, block_idx: int):
+        key = (term_idx, block_idx)
+        hit = self._block_cache.get(key)
+        if hit is None:
+            r = self.rows[term_idx]
+            hit = decode_block(r["doc_bytes"], r["tf_bytes"], self.metas[term_idx],
+                               block_idx)
+            self._block_cache[key] = hit
+        return hit
+
+    def docs_tfs_in_range(self, term_idx: int, lo: int, hi: int):
+        """All (docs, tfs) of term_idx with lo < doc <= hi (decoding only
+        the covering blocks)."""
+        last = self.last_docs[term_idx]
+        b0 = int(np.searchsorted(last, lo, side="left"))
+        b1 = int(np.searchsorted(last, hi, side="left"))
+        outs_d, outs_t = [], []
+        for bi in range(b0, min(b1 + 1, len(last))):
+            d, t = self.block(term_idx, bi)
+            d = d.astype(np.int64)
+            m = (d > lo) & (d <= hi)
+            if m.any():
+                outs_d.append(d[m])
+                outs_t.append(t[m])
+        if not outs_d:
+            return np.empty(0, np.int64), np.empty(0, np.uint64)
+        return np.concatenate(outs_d), np.concatenate(outs_t)
+
+
+def wand_top_k(scoring_clauses, filter_include, filter_exclude, k,
+               batch_segments: int = 16):
+    """Block-max WAND top-k for one partition.
+
+    scoring_clauses: list of (_ClauseData, spec) — the Should-group (and
+      scoring Must) clauses; phrase clauses allowed.
+    filter_include: sorted int64 array of ords that candidates MUST be in,
+      or None (no filter).
+    filter_exclude: sorted int64 array of ords to drop, or None.
+    Returns (ords int64, scores float32) of the top-k by
+    (score desc, ord asc) — identical to exhaustive scoring + truncation.
+    """
+    # ---- segment grid ----------------------------------------------------
+    all_bounds = [cd.last_docs[ti] for cd in scoring_clauses
+                  for ti in range(len(cd.rows))]
+    if not all_bounds:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    bounds = np.unique(np.concatenate(all_bounds))
+    nseg = bounds.size
+    seg_lo = np.concatenate(([np.int64(-1)], bounds[:-1]))
+    seg_hi = bounds
+
+    ub = np.zeros(nseg, dtype=np.float32)
+    for cd in scoring_clauses:
+        if cd.spec["kind"] == "term":
+            idx = np.searchsorted(cd.last_docs[0], seg_hi, side="left")
+            valid = idx < cd.last_docs[0].size
+            contrib = np.zeros(nseg, dtype=np.float32)
+            contrib[valid] = cd.ubs[0][idx[valid]]
+            # block covers segment only if its interval starts before seg
+            starts = np.concatenate(([np.int64(-1)], cd.last_docs[0][:-1]))
+            contrib[valid & ~(starts[np.minimum(idx, cd.last_docs[0].size - 1)]
+                              <= seg_lo)] = 0.0
+            ub += contrib
+        else:  # phrase: full weight where ALL member terms have a block
+            present = np.ones(nseg, dtype=bool)
+            for ti in range(len(cd.rows)):
+                idx = np.searchsorted(cd.last_docs[ti], seg_hi, side="left")
+                ok = idx < cd.last_docs[ti].size
+                starts = np.concatenate(([np.int64(-1)], cd.last_docs[ti][:-1]))
+                ok &= starts[np.minimum(idx, cd.last_docs[ti].size - 1)] <= seg_lo
+                present &= ok
+            ub += np.where(present, np.float32(cd.spec["weight"]), np.float32(0.0))
+
+    order = np.argsort(-ub.astype(np.float64), kind="stable")
+
+    # ---- process segments best-first, maintain θ -------------------------
+    top_ords = np.empty(0, np.int64)
+    top_scores = np.empty(0, np.float32)
+    theta = -np.inf
+
+    i = 0
+    while i < nseg:
+        j = min(i + batch_segments, nseg)
+        batch = order[i:j]
+        if top_ords.size >= k and float(ub[batch[0]]) <= theta:
+            break  # every remaining segment is below threshold
+        i = j
+        batch = batch[ub[batch] > (theta if top_ords.size >= k else -np.inf)]
+        if batch.size == 0:
+            continue
+        lo_arr, hi_arr = seg_lo[batch], seg_hi[batch]
+        ords, scores = _score_segments(scoring_clauses, lo_arr, hi_arr,
+                                       filter_include, filter_exclude)
+        if ords.size == 0:
+            continue
+        top_ords = np.concatenate([top_ords, ords])
+        top_scores = np.concatenate([top_scores, scores])
+        if top_ords.size > k:
+            sel = np.lexsort((top_ords, -top_scores.astype(np.float64)))[:k]
+            top_ords, top_scores = top_ords[sel], top_scores[sel]
+        if top_ords.size >= k:
+            theta = float(top_scores.min())
+
+    sel = np.lexsort((top_ords, -top_scores.astype(np.float64)))
+    return top_ords[sel], top_scores[sel]
+
+
+def _score_segments(scoring_clauses, lo_arr, hi_arr, include, exclude):
+    """Exact float32 scores for all docs in the given segments that match
+    ≥1 scoring clause (and the filters). Identical score math/order to the
+    exhaustive path: accumulate per clause in clause order."""
+    per_clause = []  # (ords, scores) restricted to the segments
+    for cd in scoring_clauses:
+        spec = cd.spec
+        if spec["kind"] == "term":
+            ds, ts = [], []
+            for lo, hi in zip(lo_arr, hi_arr):
+                d, t = cd.docs_tfs_in_range(0, int(lo), int(hi))
+                ds.append(d)
+                ts.append(t)
+            docs = np.concatenate(ds) if ds else np.empty(0, np.int64)
+            tfs = np.concatenate(ts) if ts else np.empty(0, np.uint64)
+            if docs.size and not np.all(np.diff(docs) > 0):
+                o = np.argsort(docs, kind="stable")
+                docs, tfs = docs[o], tfs[o]
+            if docs.size == 0:
+                per_clause.append((docs, np.empty(0, np.float32)))
+                continue
+            nids = cd.norms[docs] if cd.norms is not None else \
+                np.zeros(docs.size, np.uint8)
+            tfs_f = tfs.astype(np.float32)
+            norm = cd.cache[nids.astype(np.int64)]
+            scores = (np.float32(spec["weight"]) * tfs_f / (tfs_f + norm)
+                      ).astype(np.float32)
+            per_clause.append((docs, scores))
+        else:
+            docs, counts = _phrase_in_segments(cd, lo_arr, hi_arr)
+            if docs.size == 0:
+                per_clause.append((docs, np.empty(0, np.float32)))
+                continue
+            nids = cd.norms[docs] if cd.norms is not None else \
+                np.zeros(docs.size, np.uint8)
+            cf = counts.astype(np.float32)
+            norm = cd.cache[nids.astype(np.int64)]
+            scores = (np.float32(cd.spec["weight"]) * cf / (cf + norm)
+                      ).astype(np.float32)
+            per_clause.append((docs, scores))
+
+    if not per_clause:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    nonempty = [d for d, _ in per_clause if d.size]
+    if not nonempty:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    cand = np.unique(np.concatenate(nonempty))
+    if include is not None:
+        cand = np.intersect1d(cand, include, assume_unique=True)
+    if exclude is not None and exclude.size:
+        cand = np.setdiff1d(cand, exclude, assume_unique=True)
+    if cand.size == 0:
+        return cand, np.empty(0, np.float32)
+    acc = np.zeros(cand.size, dtype=np.float32)
+    for docs, scores in per_clause:
+        if docs.size == 0:
+            continue
+        pos = np.searchsorted(cand, docs)
+        ok = pos < cand.size
+        ok[ok] = cand[pos[ok]] == docs[ok]
+        acc[pos[ok]] = acc[pos[ok]] + scores[ok]
+    keep = acc > 0.0
+    return cand[keep], acc[keep]
+
+
+def _phrase_in_segments(cd: _ClauseData, lo_arr, hi_arr):
+    """Sloppy-phrase tf for docs inside the segments. Positions are decoded
+    lazily once per clause (full stream) and cached."""
+    from ..index.codecs import decode_positions, decode_postings
+
+    if cd._pos_cache is None:
+        cache = []
+        for r in cd.rows:
+            docs, _ = decode_postings(r["doc_bytes"], r["tf_bytes"])
+            docs = docs.astype(np.int64)
+            plists = decode_positions(r["pos_bytes"], docs.size)
+            cache.append((docs, plists))
+        cd._pos_cache = cache
+    docs0 = cd._pos_cache[0][0]
+    mask = np.zeros(docs0.size, dtype=bool)
+    for lo, hi in zip(lo_arr, hi_arr):
+        mask |= (docs0 > lo) & (docs0 <= hi)
+    common = docs0[mask]
+    for docs_t, _ in cd._pos_cache[1:]:
+        common = np.intersect1d(common, docs_t, assume_unique=True)
+    if common.size == 0:
+        return common, np.empty(0, np.int64)
+    offs = list(cd.spec["positions"])
+    slop = cd.spec["slop"]
+    out_docs, out_counts = [], []
+    sels = [np.searchsorted(docs_t, common) for docs_t, _ in cd._pos_cache]
+    for ci in range(common.size):
+        plists = [cd._pos_cache[ti][1][sels[ti][ci]]
+                  for ti in range(len(cd._pos_cache))]
+        c = sloppy_phrase_count(plists, offs, slop)
+        if c > 0:
+            out_docs.append(int(common[ci]))
+            out_counts.append(c)
+    return (np.asarray(out_docs, dtype=np.int64),
+            np.asarray(out_counts, dtype=np.int64))
