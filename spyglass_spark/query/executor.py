@@ -39,6 +39,54 @@ from .scoring import K1, idf, norm_cache, score_postings, sloppy_phrase_count
 RESULT_SCHEMA = "query_id long, doc_ord long, score float"
 
 
+def _wand_eligible(specs) -> bool:
+    """Block-max WAND handles the standard search shape: a scoring Should
+    group + zero-boost Must filters (+ MustNots). Scoring musts /
+    favorite-Should extras fall back to the exhaustive scorer."""
+    for s in specs:
+        if s["role"] in ("should_extra", "extra_group"):
+            return False
+        if s["role"] == "must" and s["scoring"]:
+            return False
+    return any(s["role"] == "should" for s in specs)
+
+
+def _run_wand(q, payload, caches, norm_arrays, limit, local_tomb):
+    """Execute one query via block-max WAND. Returns (local_ords, scores)
+    or None to fall back (e.g. a filter term longer than this chunk)."""
+    from .wand import _ClauseData, wand_top_k
+
+    scoring = []
+    for spec in q["specs"]:
+        if spec["role"] != "should":
+            continue
+        rows = [payload.get((spec["field"], t)) for t in spec["terms"]]
+        if any(r is None for r in rows):
+            continue  # clause can't match in this part
+        scoring.append(_ClauseData(spec, rows, caches[spec["field"]],
+                                   norm_arrays.get(spec["field"])))
+    if not scoring:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+
+    include = None
+    exclude = local_tomb
+    for spec in q["specs"]:
+        if spec["role"] == "must":
+            row = payload.get((spec["field"], spec["terms"][0]))
+            m = (np.empty(0, np.int64) if row is None else
+                 decode_postings(row["doc_bytes"], row["tf_bytes"])[0].astype(np.int64))
+            include = m if include is None else np.intersect1d(
+                include, m, assume_unique=True)
+        elif spec["role"] == "must_not":
+            row = payload.get((spec["field"], spec["terms"][0]))
+            if row is not None:
+                m = decode_postings(row["doc_bytes"], row["tf_bytes"])[0].astype(np.int64)
+                exclude = m if exclude is None else np.union1d(exclude, m)
+    if include is not None and include.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    return wand_top_k(scoring, include, exclude, limit)
+
+
 def _clause_specs(cq: CompiledQuery, dfs: dict, n_docs: int) -> list[dict]:
     """Flatten a compiled query into serializable clause specs with
     precomputed float32 weights. Clause order defines float32 sum order —
@@ -91,6 +139,7 @@ def _score_partition(plan: dict, postings_pdf: pd.DataFrame, norms_pdf: pd.DataF
     caches = plan["caches"]
     limit = plan["limit"]
     tomb = plan.get("tombstone_ords")
+    algo = plan.get("algo", "auto")
     out_q, out_d, out_s = [], [], []
 
     def term_postings(field, term):
@@ -100,7 +149,24 @@ def _score_partition(plan: dict, postings_pdf: pd.DataFrame, norms_pdf: pd.DataF
         docs, tfs = decode_postings(row["doc_bytes"], row["tf_bytes"])
         return docs, tfs, row
 
+    def local_tombstones():
+        if tomb is None or not tomb.size:
+            return None
+        lt = tomb[(tomb >> ORD_SHIFT) == part_id] & ((1 << ORD_SHIFT) - 1)
+        return lt.astype(np.int64) if lt.size else None
+
     for q in plan["queries"]:
+        if algo != "exhaustive" and _wand_eligible(q["specs"]):
+            res = _run_wand(q, payload, caches, norm_arrays, limit,
+                            local_tombstones())
+            if res is not None:
+                ords_w, scores_w = res
+                if ords_w.size:
+                    sel = np.lexsort((ords_w, -scores_w.astype(np.float64)))[:limit]
+                    out_q.append(np.full(sel.size, q["query_id"], dtype=np.int64))
+                    out_d.append((base + ords_w[sel].astype(np.uint64)).astype(np.int64))
+                    out_s.append(scores_w[sel])
+                continue
         # per-clause (ords, scores) in clause order
         clause_results = []
         for spec in q["specs"]:
@@ -223,15 +289,17 @@ class SearchEngine:
     # -- public API (Searcher::search analog) ---------------------------
 
     def search(self, query: str, filters=(), boosts=(), k: int = 5,
-               offset: int = 0) -> DataFrame:
+               offset: int = 0, algo: str = "auto") -> DataFrame:
         return self.search_many(
             [{"query": query, "filters": filters, "boosts": boosts}],
-            k=k, offset=offset).drop("query_id")
+            k=k, offset=offset, algo=algo).drop("query_id")
 
-    def search_many(self, queries: list[dict], k: int = 5, offset: int = 0) -> DataFrame:
+    def search_many(self, queries: list[dict], k: int = 5, offset: int = 0,
+                    algo: str = "auto") -> DataFrame:
         """Batch mode: one Spark job scores all queries. Each dict:
         {query, filters?, boosts?}. Returns (query_id, rank, doc_id, url,
-        domain, title, score)."""
+        domain, title, score). ``algo``: 'auto' (block-max WAND where the
+        query shape allows, exhaustive otherwise) or 'exhaustive'."""
         spark = self.spark
         m = self.manifest
         compiled = [compile_query(q["query"], q.get("filters", ()), q.get("boosts", ()))
@@ -251,6 +319,7 @@ class SearchEngine:
             "caches": caches,
             "limit": k + offset,
             "tombstone_ords": self._tombstone_ords(),
+            "algo": algo,
         }
 
         fields = sorted({f for f, _ in keys})

@@ -1,0 +1,118 @@
+"""Block-max WAND: exact equality with exhaustive scoring + proof that
+pruning actually skips block decodes."""
+
+import numpy as np
+import pytest
+
+from spyglass_spark.index.codecs import encode_positions, encode_postings
+from spyglass_spark.index.fieldnorm import fieldnorm_to_id
+from spyglass_spark.query.scoring import norm_cache, score_postings
+from spyglass_spark.query.wand import _ClauseData, wand_top_k
+
+
+def _mk_row(docs, tfs, norm_ids, positions=None):
+    db, tb, mb = encode_postings(docs, tfs, norm_ids[docs.astype(np.int64)])
+    pos = positions if positions is not None else \
+        [np.arange(t, dtype=np.uint64) for t in tfs]
+    return {"doc_bytes": db, "tf_bytes": tb, "meta_bytes": mb,
+            "pos_bytes": encode_positions(pos)}
+
+
+@pytest.fixture(scope="module")
+def big_part():
+    """50k-doc partition, 3 terms with different df/tf profiles."""
+    rng = np.random.default_rng(123)
+    n_docs = 50_000
+    norms = fieldnorm_to_id(rng.integers(5, 400, size=n_docs))
+    cache = norm_cache(80.0)
+    terms = {}
+    for name, df_, tfmax in [("common", 30_000, 4), ("medium", 3_000, 12)]:
+        docs = np.sort(rng.choice(n_docs, size=df_, replace=False)).astype(np.uint64)
+        tfs = rng.integers(1, tfmax + 1, size=df_).astype(np.uint64)
+        terms[name] = (docs, tfs)
+    # rare term clustered in a narrow ord range: segments far from the
+    # cluster have UB below θ once the heap fills → block skips
+    docs = np.arange(1000, 1120, dtype=np.uint64)
+    tfs = rng.integers(10, 31, size=docs.size).astype(np.uint64)
+    terms["rare"] = (docs, tfs)
+    return dict(n_docs=n_docs, norms=norms, cache=cache, terms=terms)
+
+
+def _spec(weight, kind="term", positions=(0,), slop=0):
+    return {"kind": kind, "field": "content", "terms": ["t"] * len(positions),
+            "positions": list(positions), "slop": slop, "boost": 1.0,
+            "weight": float(weight), "scoring": True, "role": "should"}
+
+
+def _exhaustive(big, specs_and_terms, include, exclude, k):
+    scores = {}
+    for spec, tname in specs_and_terms:
+        docs, tfs = big["terms"][tname]
+        s = score_postings(tfs, big["norms"][docs.astype(np.int64)],
+                           spec["weight"], big["cache"])
+        for d, v in zip(docs.astype(np.int64), s):
+            scores[d] = np.float32(scores.get(d, np.float32(0.0)) + v)
+    items = [(d, v) for d, v in scores.items()
+             if (include is None or d in include)
+             and (exclude is None or d not in set(exclude.tolist()))
+             and v > 0]
+    items.sort(key=lambda x: (-x[1], x[0]))
+    return items[:k]
+
+
+def test_wand_equals_exhaustive_and_prunes(big_part):
+    big = big_part
+    pairs = [(_spec(5.0), "rare"), (_spec(0.9), "medium"), (_spec(0.5), "common")]
+    clauses = []
+    for spec, tname in pairs:
+        docs, tfs = big["terms"][tname]
+        row = _mk_row(docs, tfs, big["norms"])
+        clauses.append(_ClauseData(spec, [row], big["cache"], big["norms"]))
+
+    ords, scores = wand_top_k(clauses, None, None, 10)
+    expected = _exhaustive(big, pairs, None, None, 10)
+    assert [int(o) for o in ords] == [d for d, _ in expected]
+    assert all(np.float32(s) == v for s, (_, v) in zip(scores, expected))
+
+    # pruning proof: the common term must not have all blocks decoded
+    common_cd = clauses[2]
+    total_blocks = len(common_cd.metas[0])
+    decoded = len(common_cd._block_cache)
+    assert decoded < total_blocks, (decoded, total_blocks)
+
+
+def test_wand_with_filters(big_part):
+    big = big_part
+    rng = np.random.default_rng(5)
+    include = np.sort(rng.choice(big["n_docs"], size=5_000, replace=False)).astype(np.int64)
+    exclude = np.sort(rng.choice(big["n_docs"], size=500, replace=False)).astype(np.int64)
+    pairs = [(_spec(1.8), "medium"), (_spec(0.7), "common")]
+    clauses = []
+    for spec, tname in pairs:
+        docs, tfs = big["terms"][tname]
+        clauses.append(_ClauseData(spec, [_mk_row(docs, tfs, big["norms"])],
+                                   big["cache"], big["norms"]))
+    ords, scores = wand_top_k(clauses, include, exclude, 10)
+    inc_set = set(include.tolist())
+    expected = _exhaustive(big, pairs, inc_set, exclude, 10)
+    assert [int(o) for o in ords] == [d for d, _ in expected]
+    assert all(np.float32(s) == v for s, (_, v) in zip(scores, expected))
+
+
+def test_engine_wand_equals_exhaustive(spark, built_index):
+    """Engine-level: every query of the parity set gives identical results
+    under algo='auto' (WAND) and algo='exhaustive'."""
+    from spyglass_spark.query.executor import SearchEngine
+
+    eng = SearchEngine(spark, built_index["index_dir"])
+    queries = [{"query": q} for q in
+               ["salinas", "fn", "import sys", "parse token stream",
+                "vector compress delta", "the parsing of tokens"]]
+    a = eng.search_many(queries, k=8, algo="auto").collect()
+    b = eng.search_many(queries, k=8, algo="exhaustive").collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    a, b = sorted(a, key=key), sorted(b, key=key)
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert (ra["query_id"], ra["rank"], ra["doc_id"], ra["score"]) == \
+               (rb["query_id"], rb["rank"], rb["doc_id"], rb["score"])
