@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..analysis.analyzer import analyze
-from .codecs import encode_positions, encode_postings
+from .codecs import bulk_encode_postings
 from .fieldnorm import fieldnorm_to_id
 from .manifest import (Manifest, commit_manifest, load_checkpoint,
                        load_manifest, save_checkpoint)
@@ -79,73 +79,162 @@ def part_id_py(url: str, P: int) -> int:
     return int(hashlib.sha256(url.encode("utf-8")).hexdigest()[:15], 16) % P
 
 
+_OUT_COLUMNS = ["part_id", "field", "term", "df_part", "cf_part", "n_local",
+                "doc_bytes", "tf_bytes", "pos_bytes", "meta_bytes",
+                "doc_id", "url", "domain", "title", "content_sha256", "local_ord"]
+
+
+def _field_frame(field: str, by_term: dict, norms_f: np.ndarray,
+                 positional: bool, part_id: int, n: int) -> pd.DataFrame:
+    """Encode one field's whole term dict via the bulk codec into a
+    postings DataFrame (byte-identical to per-term encoding)."""
+    if not by_term:
+        return pd.DataFrame(columns=_OUT_COLUMNS)
+    terms = list(by_term.keys())
+    dfs = np.fromiter((len(v[0]) for v in by_term.values()), dtype=np.int64,
+                      count=len(terms))
+    term_starts = np.concatenate(([0], np.cumsum(dfs)))
+    ords = np.fromiter((o for v in by_term.values() for o in v[0]),
+                       dtype=np.uint64, count=int(dfs.sum()))
+    if positional:
+        tfs = np.fromiter((t for v in by_term.values() for t in v[1]),
+                          dtype=np.uint64, count=int(dfs.sum()))
+        pos_concat = np.fromiter((p for v in by_term.values() for p in v[2]),
+                                 dtype=np.uint64)
+    else:
+        tfs = np.ones(int(dfs.sum()), dtype=np.uint64)
+        pos_concat = None
+    norm_ids = norms_f[ords.astype(np.int64)]
+    doc_b, tf_b, pos_b, meta_b = bulk_encode_postings(
+        term_starts, ords, tfs, norm_ids, pos_concat)
+    cfs = (np.add.reduceat(tfs, term_starts[:-1]) if ords.size else
+           np.zeros(0, dtype=np.uint64))
+    return pd.DataFrame({
+        "part_id": np.full(len(terms), part_id, dtype=np.int32),
+        "field": field, "term": terms,
+        "df_part": dfs, "cf_part": cfs.astype(np.int64),
+        "n_local": np.full(len(terms), n, dtype=np.int32),
+        "doc_bytes": doc_b, "tf_bytes": tf_b, "pos_bytes": pos_b,
+        "meta_bytes": meta_b,
+        "doc_id": None, "url": None, "domain": None, "title": None,
+        "content_sha256": None, "local_ord": None})
+
+
 def _build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
     """Build one doc-partition's full postings (runs on executors inside
-    applyInPandas; pure numpy/python over an Arrow batch)."""
+    applyInPandas; numpy bulk codecs over an Arrow batch)."""
     t0 = time.time()
     pdf = pdf.sort_values("url", kind="mergesort").reset_index(drop=True)
     part_id = int(pdf["part_id"].iloc[0])
     n = len(pdf)
     norms = {f: np.zeros(n, dtype=np.uint8) for f in ALL_FIELDS}
     totals: dict[str, int] = defaultdict(int)
-    postings: dict[tuple[str, str], list] = defaultdict(list)  # -> [(ord, positions)]
+    frames = []
+    n_postings = 0
+    n_terms = 0
 
-    for field, src_col in TEXT_FIELDS.items():
-        col = pdf[src_col]
+    # positional text fields: term -> ([ords], [tfs], [flat positions])
+    for field in ("content", "title"):
+        col = pdf[TEXT_FIELDS[field]]
+        by_term: dict[str, tuple[list, list, list]] = {}
+        counts = np.zeros(n, dtype=np.int64)
         for ord_ in range(n):
             toks = analyze(field, col.iat[ord_] or "")
-            totals[field] += len(toks)
-            norms[field][ord_] = fieldnorm_to_id(len(toks))
-            by_term: dict[str, list[int]] = defaultdict(list)
+            counts[ord_] = len(toks)
+            doc_terms: dict[str, list[int]] = defaultdict(list)
             for pos, term in toks:
-                by_term[term].append(pos)
-            for term, positions in by_term.items():
-                postings[(field, term)].append((ord_, positions))
+                doc_terms[term].append(pos)
+            for term, positions in doc_terms.items():
+                ent = by_term.get(term)
+                if ent is None:
+                    ent = by_term[term] = ([], [], [])
+                ent[0].append(ord_)
+                ent[1].append(len(positions))
+                ent[2].extend(positions)
+        totals[field] = int(counts.sum())
+        norms[field][:] = fieldnorm_to_id(counts)
+        n_postings += sum(sum(v[1]) for v in by_term.values())
+        n_terms += len(by_term)
+        frames.append(_field_frame(field, by_term, norms[field], True, part_id, n))
+
+    # untokenized STRING fields: one term per doc, tf=1, position 0
+    for field in ("id", "domain", "url"):
+        col = pdf[TEXT_FIELDS[field]]
+        by_term = {}
+        counts = np.zeros(n, dtype=np.int64)
+        for ord_ in range(n):
+            v = col.iat[ord_]
+            if not v:
+                continue
+            counts[ord_] = 1
+            ent = by_term.get(v)
+            if ent is None:
+                ent = by_term[v] = ([], None, None)
+            ent[0].append(ord_)
+        totals[field] = int(counts.sum())
+        norms[field][:] = fieldnorm_to_id(counts)
+        n_postings += totals[field]
+        n_terms += len(by_term)
+        frames.append(_field_frame(field, by_term, norms[field], False, part_id, n))
+
+    # tags: u64 multi-value → decimal-string terms, tf=1
     tag_col = pdf["tags"]
+    by_term = {}
+    tag_counts = np.zeros(n, dtype=np.int64)
     for ord_ in range(n):
         tags = tag_col.iat[ord_]
         tags = sorted(set(int(t) for t in tags)) if tags is not None else []
-        totals["tags"] += len(tags)
-        norms["tags"][ord_] = fieldnorm_to_id(len(tags))
+        tag_counts[ord_] = len(tags)
         for t in tags:
-            postings[("tags", str(t))].append((ord_, [0]))
+            key = str(t)
+            ent = by_term.get(key)
+            if ent is None:
+                ent = by_term[key] = ([], None, None)
+            ent[0].append(ord_)
+    totals["tags"] = int(tag_counts.sum())
+    norms["tags"][:] = fieldnorm_to_id(tag_counts)
+    n_postings += totals["tags"]
+    n_terms += len(by_term)
+    frames.append(_field_frame("tags", by_term, norms["tags"], False, part_id, n))
 
-    nostr = (None, None, None, None, None, None)
-    rows = []
-    n_postings = 0
-    for (field, term), plist in postings.items():
-        ords = np.fromiter((o for o, _ in plist), dtype=np.uint64, count=len(plist))
-        tfs = np.fromiter((len(p) for _, p in plist), dtype=np.uint64, count=len(plist))
-        n_postings += int(tfs.sum())
-        norm_ids = norms[field][ords.astype(np.int64)]
-        doc_b, tf_b, meta_b = encode_postings(ords, tfs, norm_ids)
-        pos_b = encode_positions([np.asarray(p, dtype=np.uint64) for _, p in plist])
-        rows.append((part_id, field, term, len(plist), int(tfs.sum()),
-                     n, doc_b, tf_b, pos_b, meta_b) + nostr)
+    # norms rows
+    frames.append(pd.DataFrame({
+        "part_id": np.full(len(ALL_FIELDS), part_id, dtype=np.int32),
+        "field": NORMS_MARK, "term": list(ALL_FIELDS),
+        "df_part": 0, "cf_part": [int(totals[f]) for f in ALL_FIELDS],
+        "n_local": n, "doc_bytes": [norms[f].tobytes() for f in ALL_FIELDS],
+        "tf_bytes": b"", "pos_bytes": b"", "meta_bytes": b"",
+        "doc_id": None, "url": None, "domain": None, "title": None,
+        "content_sha256": None, "local_ord": None}))
 
-    for field in ALL_FIELDS:
-        rows.append((part_id, NORMS_MARK, field, 0, int(totals[field]), n,
-                     norms[field].tobytes(), b"", b"", b"") + nostr)
     # doc_meta rows — same pass, no second scan over the corpus
-    sha = pdf["content_sha256"] if "content_sha256" in pdf.columns else None
-    for ord_ in range(n):
-        rows.append((part_id, DOCMETA_MARK, None, 0, 0, n, b"", b"", b"", b"",
-                     pdf["doc_id"].iat[ord_], pdf["url"].iat[ord_],
-                     pdf["domain"].iat[ord_], pdf["title"].iat[ord_],
-                     None if sha is None else sha.iat[ord_], ord_))
+    dm = pd.DataFrame({
+        "part_id": np.full(n, part_id, dtype=np.int32),
+        "field": DOCMETA_MARK, "term": None, "df_part": 0, "cf_part": 0,
+        "n_local": n, "doc_bytes": b"", "tf_bytes": b"", "pos_bytes": b"",
+        "meta_bytes": b"",
+        "doc_id": pdf["doc_id"].values, "url": pdf["url"].values,
+        "domain": pdf["domain"].values, "title": pdf["title"].values,
+        "content_sha256": (pdf["content_sha256"].values
+                           if "content_sha256" in pdf.columns else None),
+        "local_ord": np.arange(n, dtype=np.int32)})
+    frames.append(dm)
+
     elapsed = max(time.time() - t0, 1e-9)
     lineage = json.dumps({
-        "part_id": part_id, "n_docs": n, "n_postings": n_postings,
-        "n_terms": len(postings), "elapsed_sec": round(elapsed, 4),
+        "part_id": part_id, "n_docs": n, "n_postings": int(n_postings),
+        "n_terms": int(n_terms), "elapsed_sec": round(elapsed, 4),
         "docs_per_sec": round(n / elapsed, 2),
         "postings_per_sec": round(n_postings / elapsed, 2),
     })
-    rows.append((part_id, LINEAGE_MARK, lineage, n, n_postings, n,
-                 b"", b"", b"", b"") + nostr)
-    return pd.DataFrame(rows, columns=[
-        "part_id", "field", "term", "df_part", "cf_part", "n_local",
-        "doc_bytes", "tf_bytes", "pos_bytes", "meta_bytes",
-        "doc_id", "url", "domain", "title", "content_sha256", "local_ord"])
+    frames.append(pd.DataFrame({
+        "part_id": [part_id], "field": [LINEAGE_MARK], "term": [lineage],
+        "df_part": [n], "cf_part": [int(n_postings)], "n_local": [n],
+        "doc_bytes": [b""], "tf_bytes": [b""], "pos_bytes": [b""],
+        "meta_bytes": [b""], "doc_id": [None], "url": [None], "domain": [None],
+        "title": [None], "content_sha256": [None], "local_ord": [None]}))
+    out = pd.concat(frames, ignore_index=True)
+    return out[_OUT_COLUMNS]
 
 
 def build_index(spark: SparkSession, documents: DataFrame, index_dir: str,

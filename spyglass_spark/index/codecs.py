@@ -115,6 +115,96 @@ _BLOCK_META_DTYPE = np.dtype(
 )
 
 
+def bulk_encode_postings(term_starts: np.ndarray, ords: np.ndarray,
+                         tfs: np.ndarray, norm_ids: np.ndarray,
+                         pos_concat: np.ndarray | None):
+    """Encode MANY terms' posting lists in one vectorized pass.
+
+    term_starts: int64 array (T+1) — posting index boundaries per term.
+    ords/tfs/norm_ids: concatenated per-posting arrays (term-major,
+      ord-sorted within each term).
+    pos_concat: concatenated position values (posting-major; tfs[i] values
+      per posting), or None for fields whose every posting has the single
+      position 0 (untokenized STRING/tag fields).
+
+    Returns (doc_bytes_list, tf_bytes_list, pos_bytes_list, meta_bytes_list)
+    with outputs byte-identical to per-term encode_postings/encode_positions
+    (asserted in tests) — this is purely a constant-factor optimization for
+    the build's hot path.
+    """
+    T = term_starts.size - 1
+    n = ords.size
+    ords = np.ascontiguousarray(ords, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    starts = term_starts[:-1]
+    ends = term_starts[1:]
+
+    # doc gaps with per-term reset
+    gaps = np.empty_like(ords)
+    if n:
+        gaps[0] = ords[0]
+        np.subtract(ords[1:], ords[:-1], out=gaps[1:])
+        gaps[starts] = ords[starts]
+    doc_stream = varint_encode(gaps)
+    doc_nb = np.concatenate(([0], np.cumsum(_varint_nbytes(gaps))))
+    tf_stream = varint_encode(tfs)
+    tf_nb = np.concatenate(([0], np.cumsum(_varint_nbytes(tfs))))
+
+    # positions flat stream: per posting [count, delta positions...]
+    if pos_concat is None:
+        # every posting: [1, 0]
+        flat = np.zeros(2 * n, dtype=np.uint64)
+        flat[0::2] = 1
+        rec_starts = np.arange(0, 2 * n + 1, 2, dtype=np.int64)
+    else:
+        pos_concat = np.ascontiguousarray(pos_concat, dtype=np.uint64)
+        total_pos = pos_concat.size
+        rec_starts = np.concatenate(([0], np.cumsum(tfs.astype(np.int64) + 1)))
+        flat = np.empty(n + total_pos, dtype=np.uint64)
+        flat[rec_starts[:-1]] = tfs
+        pos_starts = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
+        pgaps = np.empty_like(pos_concat)
+        if total_pos:
+            pgaps[0] = pos_concat[0]
+            np.subtract(pos_concat[1:], pos_concat[:-1], out=pgaps[1:])
+            pgaps[pos_starts[:-1]] = pos_concat[pos_starts[:-1]]
+        shift = np.repeat(rec_starts[:-1] + 1 - pos_starts[:-1],
+                          tfs.astype(np.int64))
+        flat[np.arange(total_pos, dtype=np.int64) + shift] = pgaps
+    pos_stream = varint_encode(flat)
+    pos_nb = np.concatenate(([0], np.cumsum(_varint_nbytes(flat))))
+
+    # single-block meta for the common case df <= BLOCK_SIZE, bulk-built
+    meta_bulk = np.zeros(T, dtype=_BLOCK_META_DTYPE)
+    if n:
+        meta_bulk["last_doc"] = ords[ends - 1]
+        meta_bulk["max_tf"] = np.maximum.reduceat(tfs, starts) if n else 0
+        meta_bulk["min_norm"] = np.minimum.reduceat(
+            np.ascontiguousarray(norm_ids, dtype=np.uint8), starts)
+
+    doc_out, tf_out, pos_out, meta_out = [], [], [], []
+    for t in range(T):
+        s, e = int(starts[t]), int(ends[t])
+        doc_out.append(doc_stream[doc_nb[s]:doc_nb[e]])
+        tf_out.append(tf_stream[tf_nb[s]:tf_nb[e]])
+        pos_out.append(pos_stream[pos_nb[rec_starts[s]]:pos_nb[rec_starts[e]]])
+        df = e - s
+        if df <= BLOCK_SIZE:
+            meta_out.append(meta_bulk[t].tobytes())
+        else:
+            nblocks = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
+            m = np.zeros(nblocks, dtype=_BLOCK_META_DTYPE)
+            for i in range(nblocks):
+                lo, hi = s + i * BLOCK_SIZE, min(s + (i + 1) * BLOCK_SIZE, e)
+                m[i]["last_doc"] = ords[hi - 1]
+                m[i]["max_tf"] = tfs[lo:hi].max()
+                m[i]["min_norm"] = norm_ids[lo:hi].min()
+                m[i]["doc_off"] = doc_nb[lo] - doc_nb[s]
+                m[i]["tf_off"] = tf_nb[lo] - tf_nb[s]
+            meta_out.append(m.tobytes())
+    return doc_out, tf_out, pos_out, meta_out
+
+
 def decode_block(doc_bytes: bytes, tf_bytes: bytes, meta: np.ndarray, block_idx: int):
     """Decode a single 128-doc block using the meta byte offsets."""
     m = meta[block_idx]

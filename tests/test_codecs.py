@@ -112,3 +112,44 @@ def test_decode_block_random_access():
         lo, hi = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, n)
         assert np.array_equal(d, docs[lo:hi])
         assert np.array_equal(t, tfs[lo:hi])
+
+
+def test_bulk_encode_matches_per_term():
+    from spyglass_spark.index.codecs import bulk_encode_postings
+    rng = np.random.default_rng(11)
+    # terms with df 1, 3, 200 (multi-block), 128 (boundary)
+    term_dfs = [1, 3, 200, 128, 7]
+    ords_l, tfs_l, pos_l, starts = [], [], [], [0]
+    for df in term_dfs:
+        o = np.sort(rng.choice(100000, size=df, replace=False)).astype(np.uint64)
+        t = rng.integers(1, 6, size=df).astype(np.uint64)
+        ords_l.append(o); tfs_l.append(t)
+        pos_l.append([np.sort(rng.choice(500, size=int(x), replace=False)).astype(np.uint64) for x in t])
+        starts.append(starts[-1] + df)
+    ords = np.concatenate(ords_l); tfs = np.concatenate(tfs_l)
+    norm_ids = rng.integers(0, 256, size=ords.size).astype(np.uint8)
+    pos_concat = np.concatenate([p for plist in pos_l for p in plist])
+    db, tb, pb, mb = bulk_encode_postings(np.array(starts, dtype=np.int64),
+                                          ords, tfs, norm_ids, pos_concat)
+    k = 0
+    for i, df in enumerate(term_dfs):
+        s, e = starts[i], starts[i + 1]
+        d_ref, t_ref, m_ref = encode_postings(ords[s:e], tfs[s:e], norm_ids[s:e])
+        p_ref = encode_positions(pos_l[i])
+        assert db[i] == d_ref, f"term {i} doc bytes"
+        assert tb[i] == t_ref, f"term {i} tf bytes"
+        assert pb[i] == p_ref, f"term {i} pos bytes"
+        assert mb[i] == m_ref, f"term {i} meta bytes"
+
+
+def test_bulk_encode_string_field_path():
+    from spyglass_spark.index.codecs import bulk_encode_postings
+    # pos_concat=None: every posting [1, 0]
+    starts = np.array([0, 2, 3], dtype=np.int64)
+    ords = np.array([4, 9, 1], dtype=np.uint64)
+    tfs = np.ones(3, dtype=np.uint64)
+    norm_ids = np.array([1, 1, 1], dtype=np.uint8)
+    db, tb, pb, mb = bulk_encode_postings(starts, ords, tfs, norm_ids, None)
+    d_ref, t_ref, m_ref = encode_postings(ords[:2], tfs[:2], norm_ids[:2])
+    p_ref = encode_positions([np.array([0], dtype=np.uint64)] * 2)
+    assert db[0] == d_ref and tb[0] == t_ref and pb[0] == p_ref and mb[0] == m_ref
