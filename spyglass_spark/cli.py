@@ -1,0 +1,105 @@
+"""spark-submit entry point (BASELINE north_star: "runs via spark-submit
+--py-files on multi-executor clusters").
+
+Usage:
+  # package the library for executors
+  zip -r spyglass_spark.zip spyglass_spark
+
+  spark-submit --py-files spyglass_spark.zip -m ... spyglass_spark/cli.py \
+      build  --corpus /path/corpus.parquet --index /path/index \
+             [--partitions 128] [--waves 4]
+  spark-submit ... cli.py search --index /path/index --query "fn main" \
+             [--k 5] [--offset 0] [--tag 3] [--algo auto]
+  spark-submit ... cli.py stats  --index /path/index
+
+The RPC surface of the reference (search_docs / add_document_batch /
+delete_document, spyglass-rpc/src/lib.rs:35-51) maps to:
+  build → add_document_batch (bulk), search → search_docs,
+  delete → spyglass_spark.index.builder.delete_by_ids.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="spyglass-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index from a corpus table")
+    b.add_argument("--corpus", required=True,
+                   help="parquet path with (repo,path,commit,lang,content) "
+                        "or a documents table with (doc_id,url,domain,title,content,tags)")
+    b.add_argument("--index", required=True)
+    b.add_argument("--partitions", type=int, default=128)
+    b.add_argument("--waves", type=int, default=4)
+
+    s = sub.add_parser("search", help="BM25 top-k search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--k", type=int, default=5)
+    s.add_argument("--offset", type=int, default=0)
+    s.add_argument("--tag", type=int, action="append", default=[],
+                   help="tag-id filter (repeatable)")
+    s.add_argument("--boost-tag", type=int, action="append", default=[])
+    s.add_argument("--algo", default="auto", choices=["auto", "exhaustive"])
+
+    st = sub.add_parser("stats", help="print the committed manifest")
+    st.add_argument("--index", required=True)
+
+    d = sub.add_parser("delete", help="tombstone doc ids")
+    d.add_argument("--index", required=True)
+    d.add_argument("--doc-id", action="append", required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "stats":
+        from spyglass_spark.index.manifest import load_manifest
+
+        m = load_manifest(args.index)
+        print(m.to_json() if m else "{}")
+        return 0
+    if args.cmd == "delete":
+        from spyglass_spark.index.builder import delete_by_ids
+
+        m = delete_by_ids(args.index, args.doc_id)
+        print(json.dumps({"tombstones": len(m.tombstones)}))
+        return 0
+
+    from spyglass_spark.session import get_spark
+
+    spark = get_spark(f"spyglass-{args.cmd}")
+    spark.sparkContext.setLogLevel("WARN")
+    try:
+        if args.cmd == "build":
+            from spyglass_spark.corpus import to_documents
+            from spyglass_spark.index.builder import build_index
+
+            df = spark.read.parquet(args.corpus)
+            if "url" not in df.columns:  # corpus shape → documents shape
+                df = to_documents(df)
+            m = build_index(spark, df, args.index,
+                            num_partitions=args.partitions, waves=args.waves)
+            print(m.to_json())
+        elif args.cmd == "search":
+            from spyglass_spark.query.executor import SearchEngine
+
+            eng = SearchEngine(spark, args.index)
+            filters = [("tag", t) for t in args.tag]
+            boosts = [("tag", t) for t in args.boost_tag]
+            rows = eng.search(args.query, filters=filters, boosts=boosts,
+                              k=args.k, offset=args.offset,
+                              algo=args.algo).collect()
+            for r in rows:
+                print(json.dumps({"rank": r["rank"], "doc_id": r["doc_id"],
+                                  "url": r["url"], "score": float(r["score"])}))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
