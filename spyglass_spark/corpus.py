@@ -80,8 +80,15 @@ def corpus_oracle_sql(replicas: int = 1) -> str:
 
 
 def load_corpus(spark: SparkSession, sf_dir: str, replicas: int = 1) -> DataFrame:
-    """Synthesize the corpus table from {sf_dir}/documents.parquet."""
+    """Synthesize the corpus table from {sf_dir}/documents.parquet.
+
+    The base table is fanned out across the cluster BEFORE the replica
+    explode + sha256 derivation so the (row-multiplying) derivation runs
+    on every core instead of on the single input split — at real scale the
+    source is already many splits and this repartition is a no-op cost."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if replicas > 1:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
     docs.createOrReplaceTempView("__sg_documents")
     return spark.sql(corpus_sql("__sg_documents", "spark", replicas))
 

@@ -135,11 +135,11 @@ def _build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
 
     # positional text fields: term -> ([ords], [tfs], [flat positions])
     for field in ("content", "title"):
-        col = pdf[TEXT_FIELDS[field]]
+        col = pdf[TEXT_FIELDS[field]].tolist()
         by_term: dict[str, tuple[list, list, list]] = {}
         counts = np.zeros(n, dtype=np.int64)
         for ord_ in range(n):
-            toks = analyze(field, col.iat[ord_] or "")
+            toks = analyze(field, col[ord_] or "")
             counts[ord_] = len(toks)
             doc_terms: dict[str, list[int]] = defaultdict(list)
             for pos, term in toks:
@@ -159,11 +159,11 @@ def _build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
 
     # untokenized STRING fields: one term per doc, tf=1, position 0
     for field in ("id", "domain", "url"):
-        col = pdf[TEXT_FIELDS[field]]
+        col = pdf[TEXT_FIELDS[field]].tolist()
         by_term = {}
         counts = np.zeros(n, dtype=np.int64)
         for ord_ in range(n):
-            v = col.iat[ord_]
+            v = col[ord_]
             if not v:
                 continue
             counts[ord_] = 1
@@ -178,11 +178,11 @@ def _build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         frames.append(_field_frame(field, by_term, norms[field], False, part_id, n))
 
     # tags: u64 multi-value → decimal-string terms, tf=1
-    tag_col = pdf["tags"]
+    tag_col = pdf["tags"].tolist()
     by_term = {}
     tag_counts = np.zeros(n, dtype=np.int64)
     for ord_ in range(n):
-        tags = tag_col.iat[ord_]
+        tags = tag_col[ord_]
         tags = sorted(set(int(t) for t in tags)) if tags is not None else []
         tag_counts[ord_] = len(tags)
         for t in tags:
@@ -282,41 +282,57 @@ def build_index(spark: SparkSession, documents: DataFrame, index_dir: str,
     # range key: a hot term's per-partition chunks spread across merge
     # partitions instead of landing on one reducer (explicit salting).
     mp = merge_partitions or spark.sparkContext.defaultParallelism
-    (real.repartitionByRange(mp, "field", "term", "part_id")
-         .sortWithinPartitions("field", "term", "part_id")
-         .write.mode("overwrite").parquet(f"{index_dir}/segments/postings"))
 
-    (real.groupBy("field", "term")
-         .agg(F.sum("df_part").alias("df"), F.sum("cf_part").alias("cf"),
-              F.count("*").alias("n_chunks"))
-         .repartitionByRange(max(mp // 4, 1), "field", "term")
-         .sortWithinPartitions("field", "term")
-         .write.mode("overwrite").parquet(f"{index_dir}/segments/term_stats"))
+    def _w_postings():
+        (real.repartitionByRange(mp, "field", "term", "part_id")
+             .sortWithinPartitions("field", "term", "part_id")
+             .write.mode("overwrite").parquet(f"{index_dir}/segments/postings"))
 
-    (stage1.filter(F.col("field") == NORMS_MARK)
-           .select("part_id", F.col("term").alias("field"),
-                   F.col("doc_bytes").alias("norm_bytes"),
-                   F.col("cf_part").alias("total_tokens"),
-                   F.col("n_local").alias("n_docs"))
-           .repartitionByRange(max(mp // 4, 1), "part_id")
-           .sortWithinPartitions("part_id", "field")
-           .write.mode("overwrite").parquet(f"{index_dir}/segments/norms"))
+    def _w_stats():
+        (real.groupBy("field", "term")
+             .agg(F.sum("df_part").alias("df"), F.sum("cf_part").alias("cf"),
+                  F.count("*").alias("n_chunks"))
+             .repartitionByRange(max(mp // 4, 1), "field", "term")
+             .sortWithinPartitions("field", "term")
+             .write.mode("overwrite").parquet(f"{index_dir}/segments/term_stats"))
 
-    (stage1.filter(F.col("field") == LINEAGE_MARK)
-           .select("part_id", F.col("term").alias("lineage_json"),
-                   F.col("df_part").alias("n_docs"),
-                   F.col("cf_part").alias("n_postings"))
-           .coalesce(max(mp // 8, 1))
-           .write.mode("overwrite").parquet(f"{index_dir}/segments/lineage"))
+    def _w_norms():
+        (stage1.filter(F.col("field") == NORMS_MARK)
+               .select("part_id", F.col("term").alias("field"),
+                       F.col("doc_bytes").alias("norm_bytes"),
+                       F.col("cf_part").alias("total_tokens"),
+                       F.col("n_local").alias("n_docs"))
+               .repartition(max(mp // 4, 1), "part_id")
+               .sortWithinPartitions("part_id", "field")
+               .write.mode("overwrite").parquet(f"{index_dir}/segments/norms"))
 
-    (stage1.filter(F.col("field") == DOCMETA_MARK)
-           .select("part_id", "local_ord", "doc_id", "url", "domain", "title",
-                   "content_sha256",
-                   (F.col("part_id").cast("long") * F.lit(1 << ORD_SHIFT)
-                    + F.col("local_ord")).alias("doc_ord"))
-           .repartitionByRange(max(mp // 4, 1), "part_id", "local_ord")
-           .sortWithinPartitions("part_id", "local_ord")
-           .write.mode("overwrite").parquet(f"{index_dir}/segments/doc_meta"))
+    def _w_lineage():
+        (stage1.filter(F.col("field") == LINEAGE_MARK)
+               .select("part_id", F.col("term").alias("lineage_json"),
+                       F.col("df_part").alias("n_docs"),
+                       F.col("cf_part").alias("n_postings"))
+               .coalesce(max(mp // 8, 1))
+               .write.mode("overwrite").parquet(f"{index_dir}/segments/lineage"))
+
+    def _w_docmeta():
+        (stage1.filter(F.col("field") == DOCMETA_MARK)
+               .select("part_id", "local_ord", "doc_id", "url", "domain", "title",
+                       "content_sha256",
+                       (F.col("part_id").cast("long") * F.lit(1 << ORD_SHIFT)
+                        + F.col("local_ord")).alias("doc_ord"))
+               .repartition(max(mp // 4, 1), "part_id")
+               .sortWithinPartitions("part_id", "local_ord")
+               .write.mode("overwrite").parquet(f"{index_dir}/segments/doc_meta"))
+
+    # independent writes run as concurrent Spark jobs (shared scheduler
+    # keeps the cluster busy instead of paying per-job latency serially)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        futs = [pool.submit(f) for f in
+                (_w_postings, _w_stats, _w_norms, _w_lineage, _w_docmeta)]
+        for fut in futs:
+            fut.result()
 
     # ---- aggregates + manifest commit ----------------------------------
     norms_df = spark.read.parquet(f"{index_dir}/segments/norms")

@@ -1,0 +1,166 @@
+"""Unit tests for the training-data pipeline ops + physical-plan quality
+checks (pushdown / column pruning / no-UDF-in-plan)."""
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+from pyspark.sql import functions as F  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely different content here about spark sql engines"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, "nothing in common with anything else zzz"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs_df):
+    from spyglass_spark.ops.dedup import exact_duplicates
+
+    out = exact_duplicates(docs_df, "text", "doc_id").collect()
+    assert len(out) == 1
+    assert out[0]["n_dups"] == 2 and out[0]["keeper"] == 0
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_df):
+    from spyglass_spark.ops.dedup import minhash_lsh_pairs
+
+    pairs = {(r["a"], r["b"]) for r in
+             minhash_lsh_pairs(docs_df, "text", "doc_id").collect()}
+    assert (0, 3) in pairs  # exact dup always collides
+    assert not any(4 in p for p in pairs)  # the unique doc never pairs
+
+
+def test_ngram_jaccard(spark, docs_df):
+    from spyglass_spark.ops.dedup import ngram_jaccard_pairs
+
+    out = {(r["a"], r["b"]): r["jacc"] for r in
+           ngram_jaccard_pairs(docs_df, "text", "doc_id", threshold=0.3).collect()}
+    assert out[(0, 3)] == 1.0
+    assert 0.3 <= out[(0, 1)] < 1.0  # one word differs
+
+
+def test_simhash_pairs(spark, docs_df):
+    from spyglass_spark.ops.dedup import simhash, simhash_pairs
+
+    fps = {r["id"]: r["simhash"] for r in simhash(docs_df, "text", "doc_id").collect()}
+    assert fps[0] == fps[3]
+    pairs = {(r["a"], r["b"]) for r in
+             simhash_pairs(docs_df, "text", "doc_id", max_hamming=3).collect()}
+    assert (0, 3) in pairs
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    from spyglass_spark.ops.similarity import cosine_topk, lsh_cosine_topk
+
+    rows = [(i, [float(i == j) + 0.1 * j for j in range(4)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[1][1]
+    out = cosine_topk(emb, q, k=3, exclude_ids=(1,)).collect()
+    assert len(out) == 3
+    assert out[0]["cos_sim"] >= out[1]["cos_sim"] >= out[2]["cos_sim"]
+    # LSH bucket variant returns a subset of the brute-force ranking
+    planes = [rows[2][1], rows[3][1]]
+    lsh = lsh_cosine_topk(emb, q, planes, k=3, exclude_ids=(1,)).collect()
+    assert all(r["cos_sim"] <= out[0]["cos_sim"] for r in lsh)
+
+
+def test_quality_stats_and_tokens(spark, docs_df):
+    from spyglass_spark.ops.textstats import quality_stats, token_counts
+
+    qs = {r["id"]: r for r in quality_stats(docs_df, "text", "doc_id").collect()}
+    assert qs[0]["n_tokens"] == 9
+    assert qs[0]["stopword_ratio"] > 0  # 'the' twice + 'over'
+    tc = {r["id"]: r for r in token_counts(docs_df, "text", "doc_id").collect()}
+    assert tc[0]["n_ws_tokens"] == 9
+    assert tc[0]["n_bpe_tokens"] == 9
+
+
+def test_fingerprint_stability(spark, docs_df):
+    from spyglass_spark.ops.textstats import fingerprint
+
+    fp = {r["id"]: r["fingerprint"] for r in
+          fingerprint(docs_df, "text", "doc_id").collect()}
+    assert fp[0] == fp[3]  # identical docs → identical fingerprint
+    assert fp[0] != fp[2]
+
+
+def test_langid_markers(spark):
+    from spyglass_spark.ops.textstats import langid_ngram
+
+    rows = [(0, "the cat and the dog is here"),
+            (1, "der hund und die katze ist hier"),
+            (2, "xyzzy qwerty asdf")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r["pred_lang"] for r in langid_ngram(df, "text", "doc_id").collect()}
+    assert out[0] == "en" and out[1] == "de" and out[2] == "und"
+
+
+def test_multimodal_frames_deterministic(spark, docs_df):
+    from spyglass_spark.ops.multimodal import attach_binary_payload, extract_frames
+
+    assets = attach_binary_payload(docs_df, "text", "doc_id")
+    f1 = sorted(extract_frames(assets, 2).collect(),
+                key=lambda r: (r["asset_id"], r["frame_idx"]))
+    f2 = sorted(extract_frames(assets, 2).collect(),
+                key=lambda r: (r["asset_id"], r["frame_idx"]))
+    assert [r["feat_hash"] for r in f1] == [r["feat_hash"] for r in f2]
+    assert len(f1) == 5 * 2
+    assert all(r["height"] == 8 and r["width"] == 8 for r in f1)
+
+
+def test_multimodal_decode_stub_raises():
+    from spyglass_spark.ops.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+# --- physical plan quality --------------------------------------------
+
+def test_postings_scan_pushdown(spark, built_index):
+    """Term lookups must reach the parquet scan as PushedFilters."""
+    postings = spark.read.parquet(f"{built_index['index_dir']}/segments/postings")
+    plan = (postings.filter((F.col("field") == "content") & (F.col("term") == "fn"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters" in plan
+    assert "term" in plan.split("PushedFilters")[1][:200]
+
+
+def test_docmeta_column_pruning(spark, built_index):
+    """A 2-column projection must not read the other columns."""
+    dm = spark.read.parquet(f"{built_index['index_dir']}/segments/doc_meta")
+    plan = (dm.select("doc_ord", "doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_ord" in read_schema and "doc_id" in read_schema
+    assert "content_sha256" not in read_schema
+
+
+def test_payload_metadata_never_reads_binary(spark, docs_df, tmp_path):
+    from spyglass_spark.ops.multimodal import attach_binary_payload, payload_metadata
+
+    p = str(tmp_path / "assets.parquet")
+    attach_binary_payload(docs_df, "text", "doc_id").write.parquet(p)
+    plan = (payload_metadata(spark.read.parquet(p))
+            ._jdf.queryExecution().executedPlan().toString())
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "payload" not in read_schema
+
+
+def test_dedup_ops_are_udf_free(spark, docs_df):
+    """Dedup/textstats plans must stay JVM-side (no BatchEvalPython /
+    ArrowEvalPython nodes — whole-stage codegen eligible)."""
+    from spyglass_spark.ops.dedup import minhash_lsh_pairs, simhash
+    from spyglass_spark.ops.textstats import quality_stats
+
+    for df in (minhash_lsh_pairs(docs_df, "text", "doc_id"),
+               simhash(docs_df, "text", "doc_id"),
+               quality_stats(docs_df, "text", "doc_id")):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, plan[:500]
