@@ -237,6 +237,131 @@ def _build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
     return out[_OUT_COLUMNS]
 
 
+def _build_generation(spark: SparkSession, documents: DataFrame,
+                      index_dir: str, prefix: str,
+                      num_partitions: int, part_offset: int, waves: int,
+                      merge_partitions: int | None,
+                      fail_after_wave: int | None) -> dict:
+    """Build one segment generation (stage 1 + stage 2) under
+    {index_dir}/{prefix}. Returns aggregates for the manifest."""
+    ckpt = load_checkpoint(index_dir)
+    ckpt_key = f"completed_waves_{prefix}"
+    ckpt.setdefault(ckpt_key, ckpt.pop("completed_waves", [])
+                    if prefix == "segments" else [])
+    t_start = time.time()
+
+    docs = documents.withColumn(
+        "part_id", (part_id_col(num_partitions) + F.lit(part_offset)).cast("int"))
+
+    # ---- stage 1: per-partition segments, in resumable waves -----------
+    for w in range(waves):
+        if w in ckpt[ckpt_key]:
+            continue
+        wave_dir = f"{index_dir}/{prefix}_stage1/wave={w}"
+        (docs.filter((F.col("part_id") - part_offset) % waves == w)
+             .groupBy("part_id")
+             .applyInPandas(_build_segment, SEGMENT_SCHEMA)
+             .write.mode("overwrite").parquet(wave_dir))
+        ckpt[ckpt_key].append(w)
+        save_checkpoint(index_dir, ckpt)
+        if fail_after_wave is not None and w >= fail_after_wave:
+            raise RuntimeError(f"injected failure after wave {w}")
+
+    stage1 = spark.read.parquet(f"{index_dir}/{prefix}_stage1/wave=*")
+    posting_cols = ["part_id", "field", "term", "df_part", "cf_part", "n_local",
+                    "doc_bytes", "tf_bytes", "pos_bytes", "meta_bytes"]
+    real = stage1.filter(~F.col("field").startswith("\x01")).select(posting_cols)
+
+    # ---- stage 2: term-keyed merge (repartitionByRange on term) --------
+    # Hot-term skew (e.g. 'fn'/'import') is handled by the part_id in the
+    # range key: a hot term's per-partition chunks spread across merge
+    # partitions instead of landing on one reducer (explicit salting).
+    mp = merge_partitions or spark.sparkContext.defaultParallelism
+
+    def _w_postings():
+        (real.repartitionByRange(mp, "field", "term", "part_id")
+             .sortWithinPartitions("field", "term", "part_id")
+             .write.mode("overwrite").parquet(f"{index_dir}/{prefix}/postings"))
+
+    def _w_stats():
+        (real.groupBy("field", "term")
+             .agg(F.sum("df_part").alias("df"), F.sum("cf_part").alias("cf"),
+                  F.count("*").alias("n_chunks"))
+             .repartitionByRange(max(mp // 4, 1), "field", "term")
+             .sortWithinPartitions("field", "term")
+             .write.mode("overwrite").parquet(f"{index_dir}/{prefix}/term_stats"))
+
+    def _w_norms():
+        (stage1.filter(F.col("field") == NORMS_MARK)
+               .select("part_id", F.col("term").alias("field"),
+                       F.col("doc_bytes").alias("norm_bytes"),
+                       F.col("cf_part").alias("total_tokens"),
+                       F.col("n_local").alias("n_docs"))
+               .repartition(max(mp // 4, 1), "part_id")
+               .sortWithinPartitions("part_id", "field")
+               .write.mode("overwrite").parquet(f"{index_dir}/{prefix}/norms"))
+
+    def _w_lineage():
+        (stage1.filter(F.col("field") == LINEAGE_MARK)
+               .select("part_id", F.col("term").alias("lineage_json"),
+                       F.col("df_part").alias("n_docs"),
+                       F.col("cf_part").alias("n_postings"))
+               .coalesce(max(mp // 8, 1))
+               .write.mode("overwrite").parquet(f"{index_dir}/{prefix}/lineage"))
+
+    def _w_docmeta():
+        (stage1.filter(F.col("field") == DOCMETA_MARK)
+               .select("part_id", "local_ord", "doc_id", "url", "domain", "title",
+                       "content_sha256",
+                       (F.col("part_id").cast("long") * F.lit(1 << ORD_SHIFT)
+                        + F.col("local_ord")).alias("doc_ord"))
+               .repartition(max(mp // 4, 1), "part_id")
+               .sortWithinPartitions("part_id", "local_ord")
+               .write.mode("overwrite").parquet(f"{index_dir}/{prefix}/doc_meta"))
+
+    # independent writes run as concurrent Spark jobs (shared scheduler
+    # keeps the cluster busy instead of paying per-job latency serially)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        futs = [pool.submit(f) for f in
+                (_w_postings, _w_stats, _w_norms, _w_lineage, _w_docmeta)]
+        for fut in futs:
+            fut.result()
+
+    # ---- aggregates + manifest commit ----------------------------------
+    norms_df = spark.read.parquet(f"{index_dir}/{prefix}/norms")
+    totals = {r["field"]: int(r["total"]) for r in
+              norms_df.groupBy("field").agg(F.sum("total_tokens").alias("total")).collect()}
+    lin = spark.read.parquet(f"{index_dir}/{prefix}/lineage")
+    agg = lin.agg(F.sum("n_docs").alias("nd"), F.sum("n_postings").alias("np"),
+                  F.count("*").alias("parts"),
+                  F.max("n_postings").alias("maxp"),
+                  F.avg("n_postings").alias("avgp")).collect()[0]
+    # skew ratio over the merged term postings (hot terms like 'fn'/'import')
+    stats = spark.read.parquet(f"{index_dir}/{prefix}/term_stats")
+    tf_stats = stats.filter(F.col("field") == "content").agg(
+        F.max("df").alias("max_df"), F.avg("df").alias("avg_df")).collect()[0]
+
+    wall = time.time() - t_start
+    return {
+        "num_docs": int(agg["nd"] or 0),
+        "field_totals": totals,
+        "metrics": {
+            "build_wall_sec": round(wall, 3),
+            "docs_per_sec": round((agg["nd"] or 0) / wall, 2),
+            "postings_per_sec": round((agg["np"] or 0) / wall, 2),
+            "n_parts_built": int(agg["parts"] or 0),
+            "partition_skew_ratio": round(
+                float(agg["maxp"]) / max(float(agg["avgp"] or 1), 1e-9), 3)
+            if agg["maxp"] is not None else None,
+            "term_df_skew_ratio": round(
+                float(tf_stats["max_df"]) / max(float(tf_stats["avg_df"] or 1), 1e-9), 3)
+            if tf_stats["max_df"] is not None else None,
+        },
+    }
+
+
 def build_index(spark: SparkSession, documents: DataFrame, index_dir: str,
                 num_partitions: int = 32, waves: int = 1,
                 merge_partitions: int | None = None,
@@ -251,122 +376,61 @@ def build_index(spark: SparkSession, documents: DataFrame, index_dir: str,
     if existing is not None and existing.committed:
         return existing
     os.makedirs(index_dir, exist_ok=True)
-    ckpt = load_checkpoint(index_dir)
-    t_start = time.time()
-
-    docs = documents.withColumn("part_id", part_id_col(num_partitions))
-
-    # ---- stage 1: per-partition segments, in resumable waves -----------
-    for w in range(waves):
-        if w in ckpt["completed_waves"]:
-            continue
-        wave_dir = f"{index_dir}/stage1/wave={w}"
-        (docs.filter(F.col("part_id") % waves == w)
-             .groupBy("part_id")
-             .applyInPandas(_build_segment, SEGMENT_SCHEMA)
-             .write.mode("overwrite").parquet(wave_dir))
-        ckpt["completed_waves"].append(w)
-        save_checkpoint(index_dir, ckpt)
-        if fail_after_wave is not None and w >= fail_after_wave:
-            raise RuntimeError(f"injected failure after wave {w}")
-    ckpt["stage1_done"] = True
-    save_checkpoint(index_dir, ckpt)
-
-    stage1 = spark.read.parquet(f"{index_dir}/stage1/wave=*")
-    posting_cols = ["part_id", "field", "term", "df_part", "cf_part", "n_local",
-                    "doc_bytes", "tf_bytes", "pos_bytes", "meta_bytes"]
-    real = stage1.filter(~F.col("field").startswith("\x01")).select(posting_cols)
-
-    # ---- stage 2: term-keyed merge (repartitionByRange on term) --------
-    # Hot-term skew (e.g. 'fn'/'import') is handled by the part_id in the
-    # range key: a hot term's per-partition chunks spread across merge
-    # partitions instead of landing on one reducer (explicit salting).
-    mp = merge_partitions or spark.sparkContext.defaultParallelism
-
-    def _w_postings():
-        (real.repartitionByRange(mp, "field", "term", "part_id")
-             .sortWithinPartitions("field", "term", "part_id")
-             .write.mode("overwrite").parquet(f"{index_dir}/segments/postings"))
-
-    def _w_stats():
-        (real.groupBy("field", "term")
-             .agg(F.sum("df_part").alias("df"), F.sum("cf_part").alias("cf"),
-                  F.count("*").alias("n_chunks"))
-             .repartitionByRange(max(mp // 4, 1), "field", "term")
-             .sortWithinPartitions("field", "term")
-             .write.mode("overwrite").parquet(f"{index_dir}/segments/term_stats"))
-
-    def _w_norms():
-        (stage1.filter(F.col("field") == NORMS_MARK)
-               .select("part_id", F.col("term").alias("field"),
-                       F.col("doc_bytes").alias("norm_bytes"),
-                       F.col("cf_part").alias("total_tokens"),
-                       F.col("n_local").alias("n_docs"))
-               .repartition(max(mp // 4, 1), "part_id")
-               .sortWithinPartitions("part_id", "field")
-               .write.mode("overwrite").parquet(f"{index_dir}/segments/norms"))
-
-    def _w_lineage():
-        (stage1.filter(F.col("field") == LINEAGE_MARK)
-               .select("part_id", F.col("term").alias("lineage_json"),
-                       F.col("df_part").alias("n_docs"),
-                       F.col("cf_part").alias("n_postings"))
-               .coalesce(max(mp // 8, 1))
-               .write.mode("overwrite").parquet(f"{index_dir}/segments/lineage"))
-
-    def _w_docmeta():
-        (stage1.filter(F.col("field") == DOCMETA_MARK)
-               .select("part_id", "local_ord", "doc_id", "url", "domain", "title",
-                       "content_sha256",
-                       (F.col("part_id").cast("long") * F.lit(1 << ORD_SHIFT)
-                        + F.col("local_ord")).alias("doc_ord"))
-               .repartition(max(mp // 4, 1), "part_id")
-               .sortWithinPartitions("part_id", "local_ord")
-               .write.mode("overwrite").parquet(f"{index_dir}/segments/doc_meta"))
-
-    # independent writes run as concurrent Spark jobs (shared scheduler
-    # keeps the cluster busy instead of paying per-job latency serially)
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=5) as pool:
-        futs = [pool.submit(f) for f in
-                (_w_postings, _w_stats, _w_norms, _w_lineage, _w_docmeta)]
-        for fut in futs:
-            fut.result()
-
-    # ---- aggregates + manifest commit ----------------------------------
-    norms_df = spark.read.parquet(f"{index_dir}/segments/norms")
-    totals = {r["field"]: int(r["total"]) for r in
-              norms_df.groupBy("field").agg(F.sum("total_tokens").alias("total")).collect()}
-    lin = spark.read.parquet(f"{index_dir}/segments/lineage")
-    agg = lin.agg(F.sum("n_docs").alias("nd"), F.sum("n_postings").alias("np"),
-                  F.count("*").alias("parts"),
-                  F.max("n_postings").alias("maxp"),
-                  F.avg("n_postings").alias("avgp")).collect()[0]
-    # skew ratio over the merged term postings (hot terms like 'fn'/'import')
-    stats = spark.read.parquet(f"{index_dir}/segments/term_stats")
-    tf_stats = stats.filter(F.col("field") == "content").agg(
-        F.max("df").alias("max_df"), F.avg("df").alias("avg_df")).collect()[0]
-
-    wall = time.time() - t_start
+    agg = _build_generation(spark, documents, index_dir, "segments",
+                            num_partitions, 0, waves, merge_partitions,
+                            fail_after_wave)
     m = Manifest(
-        num_docs=int(agg["nd"] or 0),
+        num_docs=agg["num_docs"],
         num_partitions=num_partitions,
         waves=waves,
-        field_totals=totals,
-        metrics={
-            "build_wall_sec": round(wall, 3),
-            "docs_per_sec": round((agg["nd"] or 0) / wall, 2),
-            "postings_per_sec": round((agg["np"] or 0) / wall, 2),
-            "n_parts_built": int(agg["parts"] or 0),
-            "partition_skew_ratio": round(
-                float(agg["maxp"]) / max(float(agg["avgp"] or 1), 1e-9), 3)
-            if agg["maxp"] is not None else None,
-            "term_df_skew_ratio": round(
-                float(tf_stats["max_df"]) / max(float(tf_stats["avg_df"] or 1), 1e-9), 3)
-            if tf_stats["max_df"] is not None else None,
-        },
+        field_totals=agg["field_totals"],
+        generations=[{"gen": 0, "prefix": "segments", "part_offset": 0,
+                      "num_partitions": num_partitions,
+                      "num_docs": agg["num_docs"]}],
+        metrics=agg["metrics"],
     )
+    commit_manifest(index_dir, m)
+    return m
+
+
+def upsert_documents(spark: SparkSession, documents: DataFrame, index_dir: str,
+                     num_partitions: int = 16) -> Manifest:
+    """Upsert = delete existing docs with the same url, then index the new
+    versions as a fresh delta generation (the reference's
+    process_crawl_results: find-by-URL → delete_many_by_id → re-add,
+    /root/reference/crates/spyglass/src/documents/mod.rs:135-195).
+
+    Old copies are tombstoned by ORDINAL (precise — the re-added doc keeps
+    the same UUIDv5 doc_id); global stats N / df / avgdl keep counting the
+    tombstoned docs until a merge, matching tantivy's max_doc model.
+    At very large scale the tombstone set belongs in a side table rather
+    than the manifest JSON; the protocol is unchanged."""
+    m = load_manifest(index_dir)
+    if m is None or not m.committed:
+        raise FileNotFoundError(f"no committed index at {index_dir}")
+
+    gens = m.gen_list()
+    dm_paths = [f"{index_dir}/{g['prefix']}/doc_meta" for g in gens]
+    old = (spark.read.parquet(*dm_paths)
+           .join(documents.select("url").distinct(), "url", "leftsemi")
+           .select("doc_ord").collect())
+    old_ords = [int(r["doc_ord"]) for r in old]
+
+    gen_id = max(g["gen"] for g in gens) + 1
+    prefix = f"segments_gen{gen_id}"
+    part_offset = m.next_part_offset()
+    agg = _build_generation(spark, documents, index_dir, prefix,
+                            num_partitions, part_offset, 1, None, None)
+
+    m.generations = gens + [{"gen": gen_id, "prefix": prefix,
+                             "part_offset": part_offset,
+                             "num_partitions": num_partitions,
+                             "num_docs": agg["num_docs"]}]
+    m.num_docs += agg["num_docs"]
+    for f_, v in agg["field_totals"].items():
+        m.field_totals[f_] = m.field_totals.get(f_, 0) + v
+    m.tombstoned_ords = sorted(set(m.tombstoned_ords) | set(old_ords))
+    m.metrics[f"gen{gen_id}"] = agg["metrics"]
     commit_manifest(index_dir, m)
     return m
 

@@ -29,14 +29,26 @@ from dataclasses import dataclass, field
 @dataclass
 class Manifest:
     version: int = 1
-    num_docs: int = 0
+    num_docs: int = 0  # global, across generations, INCLUDING tombstoned
     num_partitions: int = 0
     waves: int = 1
     field_totals: dict = field(default_factory=dict)  # field -> exact token total
-    tombstones: list = field(default_factory=list)  # deleted doc_ids
+    tombstones: list = field(default_factory=list)  # deleted doc_ids (all copies)
+    tombstoned_ords: list = field(default_factory=list)  # upsert-precise ords
+    generations: list = field(default_factory=list)
+    # each generation: {gen, prefix, part_offset, num_partitions, num_docs}
     metrics: dict = field(default_factory=dict)
     created_utc: str = ""
     committed: bool = False
+
+    def gen_list(self) -> list[dict]:
+        if self.generations:
+            return self.generations
+        return [{"gen": 0, "prefix": "segments", "part_offset": 0,
+                 "num_partitions": self.num_partitions, "num_docs": self.num_docs}]
+
+    def next_part_offset(self) -> int:
+        return max(g["part_offset"] + g["num_partitions"] for g in self.gen_list())
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, indent=2, sort_keys=True)

@@ -44,6 +44,15 @@ class OracleIndex:
         self.norm_ids: dict[str, np.ndarray] = {}
         self.totals: dict[str, int] = {}
         self.n_docs = 0
+        self.tombstoned: set[int] = set()
+
+    def delete_by_ids(self, doc_ids) -> None:
+        """Tombstone semantics: excluded from hits, but N/df/avgdl keep
+        counting the deleted docs until a merge (tantivy max_doc model)."""
+        ids = set(doc_ids)
+        for ord_, d in enumerate(self.docs):
+            if d["doc_id"] in ids:
+                self.tombstoned.add(ord_)
 
     @classmethod
     def build(cls, docs: list[dict], num_partitions: int | None = None) -> "OracleIndex":
@@ -53,13 +62,23 @@ class OracleIndex:
         hash partitioning (builder.part_id_py): ordinal order becomes
         (part_id, url), matching the engine's doc_ord = part_id<<40+rank
         tie-break ordering exactly."""
-        idx = cls()
-        if num_partitions:
-            from ..index.builder import part_id_py
+        return cls.build_generations([(docs, num_partitions)])
 
-            docs = sorted(docs, key=lambda d: (part_id_py(d["url"], num_partitions), d["url"]))
-        else:
-            docs = sorted(docs, key=lambda d: d["url"])
+    @classmethod
+    def build_generations(cls, gens: list[tuple[list[dict], int | None]]) -> "OracleIndex":
+        """Multi-generation build mirroring the engine's upsert layout:
+        generation g's partitions come after all earlier generations'
+        (part offsets), so ordinal tie-break order is gen-major."""
+        idx = cls()
+        docs: list[dict] = []
+        for gdocs, num_partitions in gens:
+            if num_partitions:
+                from ..index.builder import part_id_py
+
+                docs.extend(sorted(
+                    gdocs, key=lambda d: (part_id_py(d["url"], num_partitions), d["url"])))
+            else:
+                docs.extend(sorted(gdocs, key=lambda d: d["url"]))
         idx.docs = docs
         idx.n_docs = len(docs)
         postings: dict[tuple[str, str], list] = defaultdict(list)
@@ -185,6 +204,7 @@ class OracleIndex:
             candidates &= s_
         for c in cq.must_nots:
             candidates -= self._matches(c)
+        candidates -= self.tombstoned
         extra_scores = [self._clause_scores(c, caches) for c in cq.should_extra]
 
         results = []

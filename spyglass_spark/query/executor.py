@@ -285,6 +285,10 @@ class SearchEngine:
         if m is None or not m.committed:
             raise FileNotFoundError(f"no committed index manifest in {index_dir}")
         self.manifest: Manifest = m
+        self.gens = m.gen_list()
+
+    def _paths(self, name: str) -> list[str]:
+        return [f"{self.index_dir}/{g['prefix']}/{name}" for g in self.gens]
 
     # -- public API (Searcher::search analog) ---------------------------
 
@@ -324,9 +328,9 @@ class SearchEngine:
 
         fields = sorted({f for f, _ in keys})
         terms = sorted({t for _, t in keys})
-        postings = (spark.read.parquet(f"{self.index_dir}/segments/postings")
+        postings = (spark.read.parquet(*self._paths("postings"))
                     .filter(F.col("field").isin(fields) & F.col("term").isin(terms)))
-        norms = (spark.read.parquet(f"{self.index_dir}/segments/norms")
+        norms = (spark.read.parquet(*self._paths("norms"))
                  .filter(F.col("field").isin(fields)))
 
         def run(pkey, post_pdf, norm_pdf):
@@ -340,7 +344,7 @@ class SearchEngine:
         topk = (partial.withColumn("rank", F.row_number().over(w))
                 .filter((F.col("rank") > offset) & (F.col("rank") <= k + offset)))
 
-        doc_meta = spark.read.parquet(f"{self.index_dir}/segments/doc_meta")
+        doc_meta = spark.read.parquet(*self._paths("doc_meta"))
         out = (topk.join(doc_meta.select("doc_ord", "doc_id", "url", "domain", "title"),
                          "doc_ord", "left")
                .select("query_id", "rank", "doc_id", "url", "domain", "title",
@@ -353,19 +357,24 @@ class SearchEngine:
     def _term_dfs(self, keys: set) -> dict:
         fields = sorted({f for f, _ in keys})
         terms = sorted({t for _, t in keys})
-        rows = (self.spark.read.parquet(f"{self.index_dir}/segments/term_stats")
+        rows = (self.spark.read.parquet(*self._paths("term_stats"))
                 .filter(F.col("field").isin(fields) & F.col("term").isin(terms))
                 .collect())
-        return {(r["field"], r["term"]): int(r["df"]) for r in rows
-                if (r["field"], r["term"]) in keys}
+        out: dict = {}
+        for r in rows:  # sum df across generations
+            k = (r["field"], r["term"])
+            if k in keys:
+                out[k] = out.get(k, 0) + int(r["df"])
+        return out
 
     def _tombstone_ords(self):
-        if not self.manifest.tombstones:
-            return np.empty(0, dtype=np.int64)
-        rows = (self.spark.read.parquet(f"{self.index_dir}/segments/doc_meta")
-                .filter(F.col("doc_id").isin(list(self.manifest.tombstones)))
-                .select("doc_ord").collect())
-        return np.array([r["doc_ord"] for r in rows], dtype=np.int64)
+        ords = set(int(o) for o in self.manifest.tombstoned_ords)
+        if self.manifest.tombstones:
+            rows = (self.spark.read.parquet(*self._paths("doc_meta"))
+                    .filter(F.col("doc_id").isin(list(self.manifest.tombstones)))
+                    .select("doc_ord").collect())
+            ords |= {int(r["doc_ord"]) for r in rows}
+        return np.array(sorted(ords), dtype=np.int64)
 
     def _empty_result(self) -> DataFrame:
         return self.spark.createDataFrame(

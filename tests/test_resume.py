@@ -50,7 +50,7 @@ def test_kill_resume_identical(spark, corpus_rows, tmp_path):
         build_index(spark, sdf, crash_dir, num_partitions=8, waves=4,
                     fail_after_wave=1)
     ckpt = load_checkpoint(crash_dir)
-    assert ckpt["completed_waves"] == [0, 1]
+    assert ckpt["completed_waves_segments"] == [0, 1]
     assert load_manifest(crash_dir) is None  # nothing committed yet
 
     # resume: waves 0-1 skipped, 2-3 built, commit
@@ -85,3 +85,53 @@ def test_tombstone_delete(spark, built_index):
         m = load_manifest(built_index["index_dir"])
         m.tombstones = []
         commit_manifest(built_index["index_dir"], m)
+
+
+def test_upsert_delete_readd_parity(spark, corpus_rows, tmp_path):
+    """Upsert = delete+re-add (documents/mod.rs:135-195): new content is
+    searchable, old versions are gone, stats keep counting tombstoned docs
+    (tantivy max_doc model) — rank-identical to the multi-generation
+    oracle."""
+    from spyglass_spark.index.builder import build_index, upsert_documents
+    from spyglass_spark.oracle.engine import OracleIndex
+    from spyglass_spark.query.executor import SearchEngine
+    from spyglass_spark.testing import corpus_to_documents
+
+    docs, _ = corpus_to_documents(corpus_rows)
+    idx_dir = str(tmp_path / "ups")
+    build_index(spark, spark.createDataFrame(docs), idx_dir,
+                num_partitions=8, waves=1)
+
+    # replace 10 docs: same url/doc_id, new content with a marker term
+    replaced = []
+    for d in docs[:10]:
+        nd = dict(d)
+        nd["content"] = (d["content"] or "") + " upsertedmarker freshly indexed"
+        import hashlib
+        nd["content_sha256"] = hashlib.sha256(nd["content"].encode()).hexdigest()
+        replaced.append(nd)
+    m = upsert_documents(spark, spark.createDataFrame(replaced), idx_dir,
+                         num_partitions=4)
+    assert m.num_docs == len(docs) + 10  # N counts tombstoned old copies
+    assert len(m.tombstoned_ords) == 10
+
+    oracle = OracleIndex.build_generations([(docs, 8), (replaced, 4)])
+    # tombstone the gen-0 copies of the replaced urls (by ordinal)
+    replaced_urls = {d["url"] for d in replaced}
+    for ord_, d in enumerate(oracle.docs):
+        if d["url"] in replaced_urls and "upsertedmarker" not in d["content"]:
+            oracle.tombstoned.add(ord_)
+
+    eng = SearchEngine(spark, idx_dir)
+    for q in ["upsertedmarker", "fn", "index search", "salinas"]:
+        got = eng.search(q, k=8).collect()
+        exp = oracle.search(q, k=8)
+        assert [r["doc_id"] for r in got] == [h["doc_id"] for h in exp], q
+        import numpy as np
+        for r, h in zip(got, exp):
+            assert np.isclose(np.float32(r["score"]), np.float32(h["score"]),
+                              rtol=1e-5), (q, r["score"], h["score"])
+
+    hits = eng.search("upsertedmarker", k=20).collect()
+    assert len(hits) == 10
+    assert {h["url"] for h in hits} == replaced_urls
