@@ -77,29 +77,29 @@ def phrase_slop(last_token_position: int) -> int:
 def sloppy_phrase_count(position_lists: list[np.ndarray], offsets: list[int], slop: int) -> int:
     """Count phrase matches of terms with query-position ``offsets`` where
     each term may be displaced by at most ``slop`` positions from its slot,
-    with strictly increasing document positions across terms.
+    with strictly increasing document positions across terms (greedy:
+    each term takes its earliest admissible position).
 
     For slop=0 this is the exact positional intersection (standard phrase
-    match). One shared implementation keeps oracle and engine semantics
-    identical.
+    match). One shared, fully vectorized implementation keeps oracle and
+    engine semantics identical.
     """
     if any(len(p) == 0 for p in position_lists):
         return 0
-    base_off = offsets[0]
-    count = 0
-    first = position_lists[0]
-    for p0 in first:
-        anchor = int(p0) - base_off  # implied position of query slot 0
-        prev = int(p0)
-        ok = True
-        for plist, off in zip(position_lists[1:], offsets[1:]):
-            target = anchor + off
-            lo, hi = target - slop, target + slop
-            cand = plist[(plist >= max(lo, prev + 1)) & (plist <= hi)]
-            if cand.size == 0:
-                ok = False
-                break
-            prev = int(cand[0])
-        if ok:
-            count += 1
-    return count
+    first = np.asarray(position_lists[0], dtype=np.int64)
+    anchors = first - int(offsets[0])  # implied position of query slot 0
+    prev = first.copy()
+    ok = np.ones(first.size, dtype=bool)
+    for plist, off in zip(position_lists[1:], offsets[1:]):
+        pl = np.asarray(plist, dtype=np.int64)
+        target = anchors + int(off)
+        lo = np.maximum(target - slop, prev + 1)
+        hi = target + slop
+        idx = np.searchsorted(pl, lo)
+        valid = idx < pl.size
+        cand = pl[np.minimum(idx, pl.size - 1)]
+        ok &= valid & (cand <= hi)
+        prev = np.where(ok, cand, prev)
+        if not ok.any():
+            return 0
+    return int(ok.sum())
