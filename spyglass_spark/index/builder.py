@@ -59,11 +59,13 @@ DOCMETA_MARK = "\x01docmeta"
 # doc_meta) so the whole build is a single tokenize pass — nullable
 # columns are near-free in Parquet.
 SEGMENT_SCHEMA = (
-    "part_id int, field string, term string, df_part long, cf_part long, "
+    "kind int, part_id int, field string, term string, df_part long, cf_part long, "
     "n_local int, doc_bytes binary, tf_bytes binary, pos_bytes binary, "
     "meta_bytes binary, doc_id string, url string, domain string, "
     "title string, content_sha256 string, local_ord int"
 )
+
+KIND_POSTING, KIND_NORMS, KIND_LINEAGE, KIND_DOCMETA = 0, 1, 2, 3
 
 
 def part_id_col(P: int, url_col: str = "url"):
@@ -79,7 +81,7 @@ def part_id_py(url: str, P: int) -> int:
     return int(hashlib.sha256(url.encode("utf-8")).hexdigest()[:15], 16) % P
 
 
-_OUT_COLUMNS = ["part_id", "field", "term", "df_part", "cf_part", "n_local",
+_OUT_COLUMNS = ["kind", "part_id", "field", "term", "df_part", "cf_part", "n_local",
                 "doc_bytes", "tf_bytes", "pos_bytes", "meta_bytes",
                 "doc_id", "url", "domain", "title", "content_sha256", "local_ord"]
 
@@ -110,6 +112,7 @@ def _field_frame(field: str, by_term: dict, norms_f: np.ndarray,
     cfs = (np.add.reduceat(tfs, term_starts[:-1]) if ords.size else
            np.zeros(0, dtype=np.uint64))
     return pd.DataFrame({
+        "kind": np.full(len(terms), 0, dtype=np.int32),
         "part_id": np.full(len(terms), part_id, dtype=np.int32),
         "field": field, "term": terms,
         "df_part": dfs, "cf_part": cfs.astype(np.int64),
@@ -199,6 +202,7 @@ def _build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
 
     # norms rows
     frames.append(pd.DataFrame({
+        "kind": np.full(len(ALL_FIELDS), 1, dtype=np.int32),
         "part_id": np.full(len(ALL_FIELDS), part_id, dtype=np.int32),
         "field": NORMS_MARK, "term": list(ALL_FIELDS),
         "df_part": 0, "cf_part": [int(totals[f]) for f in ALL_FIELDS],
@@ -209,6 +213,7 @@ def _build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
 
     # doc_meta rows — same pass, no second scan over the corpus
     dm = pd.DataFrame({
+        "kind": np.full(n, 3, dtype=np.int32),
         "part_id": np.full(n, part_id, dtype=np.int32),
         "field": DOCMETA_MARK, "term": None, "df_part": 0, "cf_part": 0,
         "n_local": n, "doc_bytes": b"", "tf_bytes": b"", "pos_bytes": b"",
@@ -228,7 +233,7 @@ def _build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         "postings_per_sec": round(n_postings / elapsed, 2),
     })
     frames.append(pd.DataFrame({
-        "part_id": [part_id], "field": [LINEAGE_MARK], "term": [lineage],
+        "kind": [2], "part_id": [part_id], "field": [LINEAGE_MARK], "term": [lineage],
         "df_part": [n], "cf_part": [int(n_postings)], "n_local": [n],
         "doc_bytes": [b""], "tf_bytes": [b""], "pos_bytes": [b""],
         "meta_bytes": [b""], "doc_id": [None], "url": [None], "domain": [None],
@@ -261,22 +266,26 @@ def _build_generation(spark: SparkSession, documents: DataFrame,
         (docs.filter((F.col("part_id") - part_offset) % waves == w)
              .groupBy("part_id")
              .applyInPandas(_build_segment, SEGMENT_SCHEMA)
-             .write.mode("overwrite").parquet(wave_dir))
+             .write.partitionBy("kind")
+             .mode("overwrite").parquet(wave_dir))
         ckpt[ckpt_key].append(w)
         save_checkpoint(index_dir, ckpt)
         if fail_after_wave is not None and w >= fail_after_wave:
             raise RuntimeError(f"injected failure after wave {w}")
 
-    stage1 = spark.read.parquet(f"{index_dir}/{prefix}_stage1/wave=*")
+    stage1 = spark.read.option("basePath", f"{index_dir}/{prefix}_stage1") \
+        .parquet(f"{index_dir}/{prefix}_stage1/wave=*")
     posting_cols = ["part_id", "field", "term", "df_part", "cf_part", "n_local",
                     "doc_bytes", "tf_bytes", "pos_bytes", "meta_bytes"]
-    real = stage1.filter(~F.col("field").startswith("\x01")).select(posting_cols)
+    # kind is a directory-partition column: each stage-2 job reads ONLY its
+    # slice of stage1 (partition pruning), instead of rescanning everything
+    real = stage1.filter(F.col("kind") == KIND_POSTING).select(posting_cols)
 
     # ---- stage 2: term-keyed merge (repartitionByRange on term) --------
     # Hot-term skew (e.g. 'fn'/'import') is handled by the part_id in the
     # range key: a hot term's per-partition chunks spread across merge
     # partitions instead of landing on one reducer (explicit salting).
-    mp = merge_partitions or spark.sparkContext.defaultParallelism
+    mp = merge_partitions or spark.sparkContext.defaultParallelism * 2
 
     def _w_postings():
         (real.repartitionByRange(mp, "field", "term", "part_id")
@@ -292,7 +301,7 @@ def _build_generation(spark: SparkSession, documents: DataFrame,
              .write.mode("overwrite").parquet(f"{index_dir}/{prefix}/term_stats"))
 
     def _w_norms():
-        (stage1.filter(F.col("field") == NORMS_MARK)
+        (stage1.filter(F.col("kind") == KIND_NORMS)
                .select("part_id", F.col("term").alias("field"),
                        F.col("doc_bytes").alias("norm_bytes"),
                        F.col("cf_part").alias("total_tokens"),
@@ -302,7 +311,7 @@ def _build_generation(spark: SparkSession, documents: DataFrame,
                .write.mode("overwrite").parquet(f"{index_dir}/{prefix}/norms"))
 
     def _w_lineage():
-        (stage1.filter(F.col("field") == LINEAGE_MARK)
+        (stage1.filter(F.col("kind") == KIND_LINEAGE)
                .select("part_id", F.col("term").alias("lineage_json"),
                        F.col("df_part").alias("n_docs"),
                        F.col("cf_part").alias("n_postings"))
@@ -310,7 +319,7 @@ def _build_generation(spark: SparkSession, documents: DataFrame,
                .write.mode("overwrite").parquet(f"{index_dir}/{prefix}/lineage"))
 
     def _w_docmeta():
-        (stage1.filter(F.col("field") == DOCMETA_MARK)
+        (stage1.filter(F.col("kind") == KIND_DOCMETA)
                .select("part_id", "local_ord", "doc_id", "url", "domain", "title",
                        "content_sha256",
                        (F.col("part_id").cast("long") * F.lit(1 << ORD_SHIFT)
