@@ -36,7 +36,8 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPLICAS = int(os.environ.get("SPYGLASS_BENCH_REPLICAS", "32"))
+REPLICAS = int(os.environ.get("SPYGLASS_BENCH_REPLICAS", "64"))
+LEG_RUNS = int(os.environ.get("SPYGLASS_BENCH_LEG_RUNS", "2"))
 CONTENT_REPEAT = int(os.environ.get("SPYGLASS_BENCH_CONTENT_REPEAT", "16"))
 NUM_PARTS = int(os.environ.get("SPYGLASS_BENCH_PARTS", "128"))
 WORK_DIR = os.environ.get("SPYGLASS_BENCH_DIR",
@@ -107,14 +108,59 @@ def build_leg(cores: int, out_path: str) -> None:
 
 
 def _run_leg(cores: int) -> dict:
-    out = f"{WORK_DIR}/leg_{cores}.json"
-    env = dict(os.environ)
-    env.setdefault("SPARK_GRAFT_SF_DIR", SF_DIR)
-    subprocess.run([sys.executable, os.path.abspath(__file__),
-                    "--build-leg", str(cores), out], check=True, env=env,
-                   stdout=subprocess.DEVNULL)
-    with open(out) as f:
-        return json.load(f)
+    """Best-of-N runs: the sandbox host has noisy neighbors (identical
+    builds vary >2x); min wall time is the closest estimate of machine
+    capability for a scaling comparison."""
+    best = None
+    for _ in range(LEG_RUNS):
+        out = f"{WORK_DIR}/leg_{cores}.json"
+        env = dict(os.environ)
+        env.setdefault("SPARK_GRAFT_SF_DIR", SF_DIR)
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--build-leg", str(cores), out], check=True, env=env,
+                       stdout=subprocess.DEVNULL)
+        with open(out) as f:
+            r = json.load(f)
+        if best is None or r["build_sec"] < best["build_sec"]:
+            best = r
+    return best
+
+
+_KERNEL_CODE = """
+import sys, time
+sys.path.insert(0, {repo!r})
+import duckdb, numpy as np
+texts = [r[0]*{rep} for r in duckdb.sql(
+    "SELECT text FROM '{sf}/documents.parquet'").fetchall()]
+from spyglass_spark.analysis.analyzer import tokenize_en
+from spyglass_spark.index.codecs import bulk_encode_postings
+from collections import defaultdict
+t0 = time.time(); n = 0
+by_term = defaultdict(lambda: ([], [], []))
+for ord_, t in enumerate(texts):
+    toks = tokenize_en(t); n += len(toks)
+    d = defaultdict(list)
+    for pos, term in toks:
+        d[term].append(pos)
+    for term, ps in d.items():
+        e = by_term[term]; e[0].append(ord_); e[1].append(len(ps)); e[2].extend(ps)
+dfs = np.array([len(v[0]) for v in by_term.values()], dtype=np.int64)
+starts = np.concatenate(([0], np.cumsum(dfs)))
+ords = np.fromiter((o for v in by_term.values() for o in v[0]), dtype=np.uint64)
+tfs = np.fromiter((x for v in by_term.values() for x in v[1]), dtype=np.uint64)
+pos = np.fromiter((p for v in by_term.values() for p in v[2]), dtype=np.uint64)
+bulk_encode_postings(starts, ords, tfs, np.ones(ords.size, np.uint8), pos)
+print(n / (time.time() - t0))
+"""
+
+
+def _kernel_throughput(procs: int) -> float:
+    """Aggregate tokenize+encode tokens/sec across N concurrent processes
+    — the data-parallel portion of the build, free of Spark/host-IO noise."""
+    code = _KERNEL_CODE.format(repo=REPO, sf=SF_DIR, rep=CONTENT_REPEAT)
+    ps = [subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE)
+          for _ in range(procs)]
+    return sum(float(p.communicate()[0]) for p in ps)
 
 
 def main() -> None:
@@ -125,6 +171,9 @@ def main() -> None:
     leg8 = _run_leg(8)
     leg32 = _run_leg(32)
     efficiency = (leg32["docs_per_sec"] / leg8["docs_per_sec"]) / (32 / 8)
+    k8 = max(_kernel_throughput(8) for _ in range(LEG_RUNS))
+    k32 = max(_kernel_throughput(32) for _ in range(LEG_RUNS))
+    kernel_eff = (k32 / k8) / (32 / 8)
 
     # --- headline queries on the 32-core index ---------------------------
     import __spark_entry__ as E
@@ -178,6 +227,9 @@ def main() -> None:
             "build_sec_8c": round(leg8["build_sec"], 2),
             "build_sec_32c": round(leg32["build_sec"], 2),
             "scaling_efficiency_8_to_32": round(efficiency, 3),
+            "kernel_tokens_per_sec_8p": round(k8, 1),
+            "kernel_tokens_per_sec_32p": round(k32, 1),
+            "kernel_scaling_efficiency_8_to_32": round(kernel_eff, 3),
             "postings_per_sec_32c": leg32["postings_per_sec"],
             "partition_skew_ratio": leg32["partition_skew_ratio"],
             "term_df_skew_ratio": leg32["term_df_skew_ratio"],

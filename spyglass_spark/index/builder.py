@@ -266,15 +266,13 @@ def _build_generation(spark: SparkSession, documents: DataFrame,
         (docs.filter((F.col("part_id") - part_offset) % waves == w)
              .groupBy("part_id")
              .applyInPandas(_build_segment, SEGMENT_SCHEMA)
-             .write.partitionBy("kind")
-             .mode("overwrite").parquet(wave_dir))
+             .write.mode("overwrite").parquet(wave_dir))
         ckpt[ckpt_key].append(w)
         save_checkpoint(index_dir, ckpt)
         if fail_after_wave is not None and w >= fail_after_wave:
             raise RuntimeError(f"injected failure after wave {w}")
 
-    stage1 = spark.read.option("basePath", f"{index_dir}/{prefix}_stage1") \
-        .parquet(f"{index_dir}/{prefix}_stage1/wave=*")
+    stage1 = spark.read.parquet(f"{index_dir}/{prefix}_stage1/wave=*")
     posting_cols = ["part_id", "field", "term", "df_part", "cf_part", "n_local",
                     "doc_bytes", "tf_bytes", "pos_bytes", "meta_bytes"]
     # kind is a directory-partition column: each stage-2 job reads ONLY its
