@@ -50,6 +50,10 @@ ORD_SHIFT = 40  # doc_ord = part_id << 40 | local_rank
 TEXT_FIELDS = {"content": "content", "title": "title", "id": "doc_id",
                "domain": "domain", "url": "url"}
 ALL_FIELDS = ("content", "title", "id", "domain", "url", "tags")
+# optional columns indexed when present: description (custom analyzer,
+# schema.rs:174) and engine-configured custom u64 fields
+# (Boost::CustomField, lib.rs:68, query.rs:124-130)
+OPTIONAL_TEXT_FIELDS = {"description": "description"}
 
 NORMS_MARK = "\x01norms"
 LINEAGE_MARK = "\x01lineage"
@@ -130,15 +134,19 @@ def _build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values("url", kind="mergesort").reset_index(drop=True)
     part_id = int(pdf["part_id"].iloc[0])
     n = len(pdf)
-    norms = {f: np.zeros(n, dtype=np.uint8) for f in ALL_FIELDS}
+    custom_fields = [c for c in pdf.columns if c.startswith("cf_")]
+    positional_fields = ["content", "title"] + [
+        f for f in OPTIONAL_TEXT_FIELDS if OPTIONAL_TEXT_FIELDS[f] in pdf.columns]
+    all_fields = tuple(positional_fields) + ("id", "domain", "url", "tags") +         tuple(c[3:] for c in custom_fields)
+    norms = {f: np.zeros(n, dtype=np.uint8) for f in all_fields}
     totals: dict[str, int] = defaultdict(int)
     frames = []
     n_postings = 0
     n_terms = 0
 
     # positional text fields: term -> ([ords], [tfs], [flat positions])
-    for field in ("content", "title"):
-        col = pdf[TEXT_FIELDS[field]].tolist()
+    for field in positional_fields:
+        col = pdf[{**TEXT_FIELDS, **OPTIONAL_TEXT_FIELDS}[field]].tolist()
         by_term: dict[str, tuple[list, list, list]] = {}
         counts = np.zeros(n, dtype=np.int64)
         for ord_ in range(n):
@@ -200,13 +208,36 @@ def _build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
     n_terms += len(by_term)
     frames.append(_field_frame("tags", by_term, norms["tags"], False, part_id, n))
 
+    # custom u64 fields (columns named cf_<field>): each value → one
+    # decimal-string term, tf=1 — Boost::CustomField parity
+    for col_name in custom_fields:
+        field = col_name[3:]
+        vals = pdf[col_name].tolist()
+        by_term = {}
+        counts = np.zeros(n, dtype=np.int64)
+        for ord_ in range(n):
+            v = vals[ord_]
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                continue
+            counts[ord_] = 1
+            key = str(int(v))
+            ent = by_term.get(key)
+            if ent is None:
+                ent = by_term[key] = ([], None, None)
+            ent[0].append(ord_)
+        totals[field] = int(counts.sum())
+        norms[field][:] = fieldnorm_to_id(counts)
+        n_postings += totals[field]
+        n_terms += len(by_term)
+        frames.append(_field_frame(field, by_term, norms[field], False, part_id, n))
+
     # norms rows
     frames.append(pd.DataFrame({
-        "kind": np.full(len(ALL_FIELDS), 1, dtype=np.int32),
-        "part_id": np.full(len(ALL_FIELDS), part_id, dtype=np.int32),
-        "field": NORMS_MARK, "term": list(ALL_FIELDS),
-        "df_part": 0, "cf_part": [int(totals[f]) for f in ALL_FIELDS],
-        "n_local": n, "doc_bytes": [norms[f].tobytes() for f in ALL_FIELDS],
+        "kind": np.full(len(all_fields), 1, dtype=np.int32),
+        "part_id": np.full(len(all_fields), part_id, dtype=np.int32),
+        "field": NORMS_MARK, "term": list(all_fields),
+        "df_part": 0, "cf_part": [int(totals[f]) for f in all_fields],
+        "n_local": n, "doc_bytes": [norms[f].tobytes() for f in all_fields],
         "tf_bytes": b"", "pos_bytes": b"", "meta_bytes": b"",
         "doc_id": None, "url": None, "domain": None, "title": None,
         "content_sha256": None, "local_ord": None}))

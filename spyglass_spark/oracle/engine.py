@@ -34,7 +34,7 @@ from ..index.fieldnorm import fieldnorm_to_id, id_to_fieldnorm
 from ..query.compiler import CompiledQuery, compile_query
 from ..query.scoring import K1, bm25_weight, idf, norm_cache, sloppy_phrase_count
 
-FIELDS = ("content", "title", "id", "domain", "url", "tags")
+BASE_FIELDS = ("content", "title", "id", "domain", "url", "tags")
 
 
 class OracleIndex:
@@ -81,9 +81,13 @@ class OracleIndex:
                 docs.extend(sorted(gdocs, key=lambda d: d["url"]))
         idx.docs = docs
         idx.n_docs = len(docs)
+        custom = sorted({k[3:] for d in docs for k in d if k.startswith("cf_")})
+        has_desc = any("description" in d for d in docs)
+        fields = BASE_FIELDS + (("description",) if has_desc else ()) + tuple(custom)
+        idx.fields = fields
         postings: dict[tuple[str, str], list] = defaultdict(list)
-        norms = {f: np.zeros(len(docs), dtype=np.uint8) for f in FIELDS}
-        totals = {f: 0 for f in FIELDS}
+        norms = {f: np.zeros(len(docs), dtype=np.uint8) for f in fields}
+        totals = {f: 0 for f in fields}
         for ord_, doc in enumerate(docs):
             fielded = {
                 "content": doc.get("content", ""),
@@ -92,6 +96,8 @@ class OracleIndex:
                 "domain": doc.get("domain", ""),
                 "url": doc.get("url", ""),
             }
+            if has_desc:
+                fielded["description"] = doc.get("description", "") or ""
             for field, text in fielded.items():
                 toks = analyze(field, text)
                 totals[field] += len(toks)
@@ -107,6 +113,13 @@ class OracleIndex:
             norms["tags"][ord_] = fieldnorm_to_id(len(tags))
             for t in tags:
                 postings[("tags", str(t))].append((ord_, 1, np.array([0], dtype=np.uint64)))
+            for cf in custom:
+                v = doc.get("cf_" + cf)
+                if v is None:
+                    continue
+                totals[cf] += 1
+                norms[cf][ord_] = fieldnorm_to_id(1)
+                postings[(cf, str(int(v)))].append((ord_, 1, np.array([0], dtype=np.uint64)))
         idx.postings = dict(postings)
         idx.norm_ids = norms
         idx.totals = totals
@@ -176,7 +189,11 @@ class OracleIndex:
                 if sloppy_phrase_count([m[o] for m in maps], list(clause.positions), clause.slop) > 0}
 
     def execute(self, cq: CompiledQuery, k: int = 5, offset: int = 0) -> list[dict]:
-        caches = {f: norm_cache(self.avgdl(f)) for f in FIELDS}
+        fields = getattr(self, "fields", BASE_FIELDS)
+        caches = {f: norm_cache(self.avgdl(f)) for f in fields}
+        for c in cq.all_clauses():
+            if c.field not in caches:
+                caches[c.field] = norm_cache(1.0)
         group_scores = [self._clause_scores(c, caches) if c.scoring else
                         {o: np.float32(0.0) for o in self._matches(c)}
                         for c in cq.should_group]

@@ -114,7 +114,12 @@ def compile_query(query_string: str, filters=(), boosts=()) -> CompiledQuery:
         boost = rest[0] if rest else {
             "docid": DEFAULT_BOOST_DOCID, "url": DEFAULT_BOOST_URL,
             "tag": DEFAULT_BOOST_TAG}.get(kind, 0.0)
-        field = {"docid": "id", "url": "url", "tag": "tags"}[kind]
+        if kind.startswith("custom:"):
+            # Boost::CustomField{field_name, value} — default boost 0.0
+            # (lib.rs:49-51, query.rs:124-130)
+            field = kind.split(":", 1)[1]
+        else:
+            field = {"docid": "id", "url": "url", "tag": "tags"}[kind]
         cq.should_group.append(_term(field, str(value), boost))
 
     for spec in filters:
@@ -126,7 +131,8 @@ def compile_query(query_string: str, filters=(), boosts=()) -> CompiledQuery:
             else:
                 cq.should_extra.append(clause)
             continue
-        field = {"docid": "id", "url": "url", "tag": "tags"}[kind]
+        field = (kind.split(":", 1)[1] if kind.startswith("custom:")
+                 else {"docid": "id", "url": "url", "tag": "tags"}[kind])
         cq.musts.append(_term(field, str(value), 0.0))
 
     return cq

@@ -315,8 +315,10 @@ class SearchEngine:
             return self._empty_result()
 
         dfs = self._term_dfs(keys)
-        caches = {f: norm_cache(m.field_totals.get(f, 0) / m.num_docs if m.num_docs else 1.0)
-                  for f in ("content", "title", "id", "domain", "url", "tags")}
+        cache_fields = set(m.field_totals) | {f for f, _ in keys}
+        caches = {f: norm_cache(m.field_totals.get(f, 0) / m.num_docs
+                                if m.num_docs else 1.0)
+                  for f in cache_fields}
         plan = {
             "queries": [{"query_id": qi, "specs": _clause_specs(cq, dfs, m.num_docs)}
                         for qi, cq in enumerate(compiled)],
@@ -351,6 +353,38 @@ class SearchEngine:
                        F.col("score").cast("float").alias("score"), "doc_ord")
                .orderBy("query_id", "rank"))
         return out
+
+    def materialize(self, hits: DataFrame, documents: DataFrame,
+                    query: str, preview_words: int = 20) -> DataFrame:
+        """Hit materialization (api/handler/search.rs:142-188 analog):
+        join the top-k back to the source documents (broadcast the tiny
+        hit side), add a highlight preview (utils.rs:64-138) and a
+        first-N-words description (crawler/mod.rs:632-637)."""
+        import pandas as pd
+        from pyspark.sql.types import StringType
+
+        from .highlight import first_words, generate_highlight_preview
+
+        @F.pandas_udf(StringType())
+        def preview_udf(content: pd.Series) -> pd.Series:
+            return content.map(lambda c: generate_highlight_preview(query, c or ""))
+
+        @F.pandas_udf(StringType())
+        def desc_udf(content: pd.Series) -> pd.Series:
+            return content.map(lambda c: first_words(c or "", preview_words))
+
+        joined = documents.join(
+            F.broadcast(hits.select("rank", "doc_id", "score",
+                                    *(["query_id"] if "query_id" in hits.columns else []))),
+            "doc_id", "inner")
+        return (joined
+                .withColumn("preview", preview_udf(F.col("content")))
+                .withColumn("description", desc_udf(F.col("content")))
+                .select(*(["query_id"] if "query_id" in hits.columns else []),
+                        "rank", "doc_id", "url", "domain", "title",
+                        "description", "preview", "score")
+                .orderBy(*(["query_id"] if "query_id" in hits.columns else []),
+                         "rank"))
 
     # -- helpers ---------------------------------------------------------
 

@@ -107,3 +107,54 @@ def test_manifest_metrics(built_index):
     assert m.metrics["n_parts_built"] >= 1
     assert m.field_totals["content"] > 0
     assert m.committed
+
+
+def test_description_and_custom_field_parity(spark, corpus_rows, tmp_path):
+    """Optional description field (schema.rs:174) + Boost::CustomField
+    (lib.rs:68, query.rs:124-130) — rank-identity incl. custom boosts."""
+    from spyglass_spark.index.builder import build_index
+    from spyglass_spark.oracle.engine import OracleIndex
+    from spyglass_spark.query.executor import SearchEngine
+    from spyglass_spark.testing import corpus_to_documents
+
+    docs, _ = corpus_to_documents(corpus_rows[:80])
+    for i, d in enumerate(docs):
+        d["description"] = f"module summary number {i % 7} parsing tokens"
+        d["cf_stars"] = (i % 5) * 100  # custom u64 field
+    idx_dir = str(tmp_path / "cfidx")
+    build_index(spark, spark.createDataFrame(docs), idx_dir,
+                num_partitions=4, waves=1)
+    oracle = OracleIndex.build(docs, num_partitions=4)
+    eng = SearchEngine(spark, idx_dir)
+
+    cases = [
+        {"query": "index search"},
+        {"query": "parse", "boosts": [("custom:stars", 200, 2.0)]},
+        {"query": "token", "filters": [("custom:stars", 0)]},
+    ]
+    got = eng.search_many(cases, k=8).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qi, c in enumerate(cases):
+        srows = sorted(by_q.get(qi, []), key=lambda r: r["rank"])
+        orows = oracle.search(c["query"], c.get("filters", ()),
+                              c.get("boosts", ()), k=8)
+        assert [r["doc_id"] for r in srows] == [h["doc_id"] for h in orows], c
+        for r, h in zip(srows, orows):
+            assert np.isclose(np.float32(r["score"]), np.float32(h["score"]),
+                              rtol=1e-5), (c, r["score"], h["score"])
+
+
+def test_materialize_preview(spark, built_index):
+    from spyglass_spark.query.executor import SearchEngine
+
+    eng = SearchEngine(spark, built_index["index_dir"])
+    docs_df = spark.createDataFrame(built_index["docs"])
+    hits = eng.search("salinas", k=5)
+    out = eng.materialize(hits, docs_df, "salinas").collect()
+    assert len(out) == hits.count()
+    for r in out:
+        assert r["preview"].startswith("<span>")
+        assert "<mark>" in r["preview"]
+        assert len(r["description"].split()) <= 20
