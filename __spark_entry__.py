@@ -272,6 +272,43 @@ def q_multimodal_frames(spark, sf_dir):  # rows-only (mapInPandas stub kernel)
     return MM.extract_frames(assets, frames_per_asset=2)
 
 
+def q_first_words_description(spark, sf_dir):
+    """First-N-words description snippet (crawler/mod.rs:632-637 analog)."""
+    c = load_corpus(spark, sf_dir)
+    words = F.split(F.trim(F.col("content")), "\\s+")
+    return c.select(
+        "path",
+        F.array_join(F.slice(words, 1, 12), " ").alias("description"))
+
+
+def q_group_urls_by_scheme(spark, sf_dir):
+    """utils.rs:140-152 analog over derived urls + a second scheme."""
+    c = load_corpus(spark, sf_dir)
+    url = F.concat(F.lit("repo://"), F.col("repo"), F.lit("/"), F.col("path"))
+    alt = F.concat(F.lit("file:///"), F.col("path"))
+    urls = c.select(url.alias("u")).union(c.select(alt.alias("u")))
+    return (urls.select(F.split(F.col("u"), ":").getItem(0).alias("scheme"))
+            .groupBy("scheme").agg(F.count("*").alias("n_urls")))
+
+
+def q_events_hourly_agg(spark, sf_dir):
+    """Time-window aggregation over the events stream table."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                       F.col("event_type"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 3).alias("sum_value")))
+
+
+def q_topk_docs_per_source(spark, sf_dir):
+    """Top-3 longest docs per source (window top-k, TopDocs analog)."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("source", "doc_id", "n_chars", "rn"))
+
+
 def q_crawlqueue_cte_analog(spark, sf_dir):
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -340,6 +377,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
+        "first_words_description": q_first_words_description,
+        "group_urls_by_scheme": q_group_urls_by_scheme,
+        "events_hourly_agg": q_events_hourly_agg,
+        "topk_docs_per_source": q_topk_docs_per_source,
         "crawlqueue_cte_analog": q_crawlqueue_cte_analog,
         "events_topk_window": q_events_topk_window,
         "search_bm25": q_search_bm25,
@@ -559,6 +600,27 @@ SELECT CAST(doc_id AS BIGINT) AS asset_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        'application/octet-stream' AS mime
 FROM documents
+""",
+        "first_words_description": f"WITH {DUCK_CORPUS} "
+            "SELECT path, array_to_string(list_slice("
+            r"regexp_split_to_array(trim(content), '\s+'), 1, 12), ' ') AS description "
+            "FROM corpus",
+        "group_urls_by_scheme": f"WITH {DUCK_CORPUS}, urls AS ("
+            "  SELECT concat('repo://', repo, '/', path) AS u FROM corpus"
+            "  UNION ALL SELECT concat('file:///', path) AS u FROM corpus) "
+            "SELECT string_split(u, ':')[1] AS scheme, count(*) AS n_urls "
+            "FROM urls GROUP BY 1",
+        "events_hourly_agg": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 3) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "topk_docs_per_source": """
+WITH rn AS (SELECT source, doc_id, n_chars,
+                   CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY n_chars DESC, doc_id) AS INT) AS rn
+            FROM documents)
+SELECT source, doc_id, n_chars, rn FROM rn WHERE rn <= 3
 """,
         "crawlqueue_cte_analog": """
 SELECT n.n_name AS nation,
