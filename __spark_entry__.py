@@ -272,6 +272,31 @@ def q_multimodal_frames(spark, sf_dir):  # rows-only (mapInPandas stub kernel)
     return MM.extract_frames(assets, frames_per_asset=2)
 
 
+def q_query_tag_boost_rewrite(spark, sf_dir):
+    """Query-token ∩ tag-value equijoin (tag.rs:372-383): tokens of the
+    query that name a tag value → boostable tag ids."""
+    from spyglass_spark.ops.tags import check_query_for_tags
+
+    dim = build_tags_dim(load_corpus(spark, sf_dir))
+    return check_query_for_tags("rs src3 parse", dim)
+
+
+def q_unsynced_docs_predicate(spark, sf_dir):
+    """LIKE + range predicate pattern (connection/github.rs:229-238)."""
+    c = load_corpus(spark, sf_dir)
+    url = F.concat(F.lit("repo://"), F.col("repo"), F.lit("/"), F.col("path"))
+    return (c.select(url.alias("url"), F.length("content").alias("n_chars"))
+            .filter(F.col("url").like("repo://src1%") & (F.col("n_chars") < 300)))
+
+
+def q_search_with_lenses(spark, sf_dir):  # rows-only: full search prep path
+    from spyglass_spark.ops.tags import search_with_lenses
+
+    eng = _get_engine(spark, sf_dir)
+    dim = build_tags_dim(load_corpus(spark, sf_dir))
+    return search_with_lenses(eng, "fast key order", ["rs", "ts"], dim, k=10)
+
+
 def q_first_words_description(spark, sf_dir):
     """First-N-words description snippet (crawler/mod.rs:632-637 analog)."""
     c = load_corpus(spark, sf_dir)
@@ -377,6 +402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
+        "query_tag_boost_rewrite": q_query_tag_boost_rewrite,
+        "unsynced_docs_predicate": q_unsynced_docs_predicate,
+        "search_with_lenses": q_search_with_lenses,
         "first_words_description": q_first_words_description,
         "group_urls_by_scheme": q_group_urls_by_scheme,
         "events_hourly_agg": q_events_hourly_agg,
@@ -601,6 +629,18 @@ SELECT CAST(doc_id AS BIGINT) AS asset_id,
        'application/octet-stream' AS mime
 FROM documents
 """,
+        "query_tag_boost_rewrite": f"WITH {DUCK_CORPUS}, tagvals AS ("
+            "  SELECT DISTINCT 'lens' AS label, lang AS value FROM corpus"
+            "  UNION SELECT DISTINCT 'repository' AS label, repo AS value FROM corpus), "
+            "dim AS (SELECT CAST(row_number() OVER (ORDER BY label, value) AS BIGINT) AS id, "
+            "        label, value FROM tagvals) "
+            "SELECT id, label, value FROM dim "
+            "WHERE lower(value) IN ('rs', 'src3', 'parse')",
+        "unsynced_docs_predicate": f"WITH {DUCK_CORPUS} "
+            "SELECT concat('repo://', repo, '/', path) AS url, "
+            "CAST(length(content) AS BIGINT) AS n_chars FROM corpus "
+            "WHERE concat('repo://', repo, '/', path) LIKE 'repo://src1%' "
+            "AND length(content) < 300",
         "first_words_description": f"WITH {DUCK_CORPUS} "
             "SELECT path, array_to_string(list_slice("
             r"regexp_split_to_array(trim(content), '\s+'), 1, 12), ' ') AS description "
