@@ -357,29 +357,46 @@ def _build_generation(spark: SparkSession, documents: DataFrame,
                .sortWithinPartitions("part_id", "local_ord")
                .write.mode("overwrite").parquet(f"{index_dir}/{prefix}/doc_meta"))
 
-    # independent writes run as concurrent Spark jobs (shared scheduler
-    # keeps the cluster busy instead of paying per-job latency serially)
+    # each writer chains its small aggregate read so all 5 pipelines run as
+    # concurrent Spark jobs (no serial tail of per-job scheduling latency)
+    results: dict = {}
+
+    def _w_norms_agg():
+        _w_norms()
+        results["totals"] = {
+            r["field"]: int(r["total"]) for r in
+            spark.read.parquet(f"{index_dir}/{prefix}/norms")
+                 .groupBy("field").agg(F.sum("total_tokens").alias("total"))
+                 .collect()}
+
+    def _w_lineage_agg():
+        _w_lineage()
+        results["agg"] = (spark.read.parquet(f"{index_dir}/{prefix}/lineage")
+                          .agg(F.sum("n_docs").alias("nd"),
+                               F.sum("n_postings").alias("np"),
+                               F.count("*").alias("parts"),
+                               F.max("n_postings").alias("maxp"),
+                               F.avg("n_postings").alias("avgp")).collect()[0])
+
+    def _w_stats_agg():
+        _w_stats()
+        # skew over the merged term postings (hot terms like 'fn'/'import')
+        results["tf_stats"] = (
+            spark.read.parquet(f"{index_dir}/{prefix}/term_stats")
+                 .filter(F.col("field") == "content")
+                 .agg(F.max("df").alias("max_df"),
+                      F.avg("df").alias("avg_df")).collect()[0])
+
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=5) as pool:
         futs = [pool.submit(f) for f in
-                (_w_postings, _w_stats, _w_norms, _w_lineage, _w_docmeta)]
+                (_w_postings, _w_stats_agg, _w_norms_agg, _w_lineage_agg,
+                 _w_docmeta)]
         for fut in futs:
             fut.result()
 
-    # ---- aggregates + manifest commit ----------------------------------
-    norms_df = spark.read.parquet(f"{index_dir}/{prefix}/norms")
-    totals = {r["field"]: int(r["total"]) for r in
-              norms_df.groupBy("field").agg(F.sum("total_tokens").alias("total")).collect()}
-    lin = spark.read.parquet(f"{index_dir}/{prefix}/lineage")
-    agg = lin.agg(F.sum("n_docs").alias("nd"), F.sum("n_postings").alias("np"),
-                  F.count("*").alias("parts"),
-                  F.max("n_postings").alias("maxp"),
-                  F.avg("n_postings").alias("avgp")).collect()[0]
-    # skew ratio over the merged term postings (hot terms like 'fn'/'import')
-    stats = spark.read.parquet(f"{index_dir}/{prefix}/term_stats")
-    tf_stats = stats.filter(F.col("field") == "content").agg(
-        F.max("df").alias("max_df"), F.avg("df").alias("avg_df")).collect()[0]
+    totals, agg, tf_stats = results["totals"], results["agg"], results["tf_stats"]
 
     wall = time.time() - t_start
     return {

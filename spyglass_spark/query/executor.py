@@ -314,7 +314,18 @@ class SearchEngine:
         if not keys:
             return self._empty_result()
 
-        dfs = self._term_dfs(keys)
+        fields = sorted({f for f, _ in keys})
+        terms = sorted({t for _, t in keys})
+        postings = (spark.read.parquet(*self._paths("postings"))
+                    .filter(F.col("field").isin(fields) & F.col("term").isin(terms))
+                    .persist())
+        # global df per (field, term) straight from the scanned chunk rows —
+        # one cached scan serves both stats and scoring (df counts
+        # tombstoned docs, matching tantivy's searcher-global stats)
+        dfs = {(r["field"], r["term"]): int(r["df"]) for r in
+               postings.groupBy("field", "term")
+                       .agg(F.sum("df_part").alias("df")).collect()
+               if (r["field"], r["term"]) in keys}
         cache_fields = set(m.field_totals) | {f for f, _ in keys}
         caches = {f: norm_cache(m.field_totals.get(f, 0) / m.num_docs
                                 if m.num_docs else 1.0)
@@ -328,10 +339,6 @@ class SearchEngine:
             "algo": algo,
         }
 
-        fields = sorted({f for f, _ in keys})
-        terms = sorted({t for _, t in keys})
-        postings = (spark.read.parquet(*self._paths("postings"))
-                    .filter(F.col("field").isin(fields) & F.col("term").isin(terms)))
         norms = (spark.read.parquet(*self._paths("norms"))
                  .filter(F.col("field").isin(fields)))
 
@@ -352,6 +359,8 @@ class SearchEngine:
                .select("query_id", "rank", "doc_id", "url", "domain", "title",
                        F.col("score").cast("float").alias("score"), "doc_ord")
                .orderBy("query_id", "rank"))
+        out = out.localCheckpoint(eager=True)
+        postings.unpersist()
         return out
 
     def materialize(self, hits: DataFrame, documents: DataFrame,
