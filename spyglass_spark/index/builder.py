@@ -501,3 +501,43 @@ def delete_by_ids(index_dir: str, doc_ids: list[str]) -> Manifest:
     m.tombstones = sorted(set(m.tombstones) | set(doc_ids))
     commit_manifest(index_dir, m)
     return m
+
+
+def compact_index(spark: SparkSession, documents: DataFrame, index_dir: str,
+                  num_partitions: int | None = None) -> Manifest:
+    """Whole-index rewrite merge: collapse all generations into one and
+    drop tombstones — the reference's two merge shapes in one: tantivy's
+    segment merges discard deleted docs, and schema migrations re-add every
+    stored doc to a fresh index (/root/reference/crates/migrations/src/
+    m20230315_000001_migrate_search_schema.rs:86-120). ``documents`` is the
+    system of record (the stored row store, SURVEY §1.1); only rows whose
+    url is live in the current index are re-indexed.
+
+    The rebuilt index is prepared in a sibling directory and swapped in via
+    directory rename + fresh manifest commit."""
+    import shutil
+
+    m = load_manifest(index_dir)
+    if m is None or not m.committed:
+        raise FileNotFoundError(f"no committed index at {index_dir}")
+
+    dm_paths = [f"{index_dir}/{g['prefix']}/doc_meta" for g in m.gen_list()]
+    dm = spark.read.parquet(*dm_paths)
+    if m.tombstoned_ords:
+        dm = dm.filter(~F.col("doc_ord").isin([int(o) for o in m.tombstoned_ords]))
+    if m.tombstones:
+        dm = dm.filter(~F.col("doc_id").isin(list(m.tombstones)))
+    live_urls = dm.select("url").distinct()
+    live_docs = documents.join(F.broadcast(live_urls), "url", "leftsemi")
+
+    tmp_dir = index_dir.rstrip("/") + ".compacting"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    new = build_index(spark, live_docs, tmp_dir,
+                      num_partitions=num_partitions or m.num_partitions,
+                      waves=1)
+    old_dir = index_dir.rstrip("/") + ".old"
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.rename(index_dir, old_dir)
+    os.rename(tmp_dir, index_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    return new

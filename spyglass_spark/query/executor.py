@@ -284,6 +284,11 @@ class SearchEngine:
         m = load_manifest(index_dir)
         if m is None or not m.committed:
             raise FileNotFoundError(f"no committed index manifest in {index_dir}")
+        if m.version > 1:
+            raise ValueError(
+                f"index manifest version {m.version} is newer than this "
+                "engine supports (1) — run a compaction/migration first "
+                "(the v3→v4 whole-index rewrite pattern, SURVEY §1.1)")
         self.manifest: Manifest = m
         self.gens = m.gen_list()
 
@@ -362,6 +367,61 @@ class SearchEngine:
         out = out.localCheckpoint(eager=True)
         postings.unpersist()
         return out
+
+    def get_documents(self, doc_ids: list[str]) -> DataFrame:
+        """Doc-store get-by-id (client/local.rs:71-95 analog): fetch the
+        stored fields for exact doc ids. Tombstoned ids are excluded."""
+        dm = (self.spark.read.parquet(*self._paths("doc_meta"))
+              .filter(F.col("doc_id").isin(list(doc_ids))))
+        tomb = self._tombstone_ords()
+        if tomb.size:
+            dm = dm.filter(~F.col("doc_ord").isin([int(t) for t in tomb]))
+        return dm.select("doc_id", "url", "domain", "title", "doc_ord")
+
+    def document_query(self, urls=(), ids=(), tags=(), exclude_tags=()) -> DataFrame:
+        """Unscored document-set query (build_document_query +
+        DocSetCollector, query.rs:184-231, client/local.rs:234-241):
+        Must(any urls) AND Must(any ids) AND each tag AND NOT exclude_tags.
+        Returns the full match set (no top-k, no scores)."""
+        dm = self.spark.read.parquet(*self._paths("doc_meta"))
+        cond = F.lit(True)
+        if urls:
+            cond = cond & F.col("url").isin(list(urls))
+        if ids:
+            cond = cond & F.col("doc_id").isin(list(ids))
+        out = dm.filter(cond)
+        for t in tags:
+            ords = self._tag_ords(int(t))
+            out = out.join(ords, "doc_ord", "leftsemi")
+        for t in exclude_tags:
+            ords = self._tag_ords(int(t))
+            out = out.join(ords, "doc_ord", "leftanti")
+        tomb = self._tombstone_ords()
+        if tomb.size:
+            out = out.filter(~F.col("doc_ord").isin([int(x) for x in tomb]))
+        return out.select("doc_id", "url", "domain", "title", "doc_ord")
+
+    def _tag_ords(self, tag_id: int) -> DataFrame:
+        """Decode one tag term's posting chunks into a doc_ord DataFrame
+        (Arrow-batched; the chunks are term-pruned at the parquet scan)."""
+        import pandas as pd
+
+        rows = (self.spark.read.parquet(*self._paths("postings"))
+                .filter((F.col("field") == "tags") & (F.col("term") == str(tag_id)))
+                .select("part_id", "doc_bytes", "tf_bytes"))
+
+        def decode(batches):
+            for pdf in batches:
+                outs = []
+                for _, r in pdf.iterrows():
+                    docs, _ = decode_postings(r["doc_bytes"], r["tf_bytes"])
+                    base = np.uint64(int(r["part_id"])) << np.uint64(ORD_SHIFT)
+                    outs.append(pd.DataFrame(
+                        {"doc_ord": (base + docs).astype(np.int64)}))
+                yield (pd.concat(outs) if outs else
+                       pd.DataFrame({"doc_ord": pd.Series([], dtype="int64")}))
+
+        return rows.mapInPandas(decode, "doc_ord long")
 
     def materialize(self, hits: DataFrame, documents: DataFrame,
                     query: str, preview_words: int = 20) -> DataFrame:

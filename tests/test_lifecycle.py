@@ -1,0 +1,107 @@
+"""Index lifecycle: get-by-id, document queries, compaction, sources,
+manifest version guard."""
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def test_get_documents(spark, built_index):
+    from spyglass_spark.query.executor import SearchEngine
+
+    eng = SearchEngine(spark, built_index["index_dir"])
+    ids = [d["doc_id"] for d in built_index["docs"][:3]]
+    out = eng.get_documents(ids).collect()
+    assert {r["doc_id"] for r in out} == set(ids)
+
+
+def test_document_query_urls_and_tags(spark, built_index):
+    from spyglass_spark.query.executor import SearchEngine
+
+    eng = SearchEngine(spark, built_index["index_dir"])
+    docs = built_index["docs"]
+    urls = [docs[0]["url"], docs[1]["url"], docs[2]["url"]]
+    out = eng.document_query(urls=urls).collect()
+    assert {r["url"] for r in out} == set(urls)
+
+    rs_tag = next(t["id"] for t in built_index["tags_dim"]
+                  if t["label"] == "lens" and t["value"] == "rs")
+    expected = {d["doc_id"] for d in docs if rs_tag in d["tags"]}
+    got = {r["doc_id"] for r in eng.document_query(tags=[rs_tag]).collect()}
+    assert got == expected
+
+    excl = {r["doc_id"] for r in
+            eng.document_query(exclude_tags=[rs_tag]).collect()}
+    assert excl == {d["doc_id"] for d in docs} - expected
+
+
+def test_compaction_drops_tombstones_and_generations(spark, corpus_rows, tmp_path):
+    from spyglass_spark.index.builder import (build_index, compact_index,
+                                              upsert_documents)
+    from spyglass_spark.index.manifest import load_manifest
+    from spyglass_spark.oracle.engine import OracleIndex
+    from spyglass_spark.query.executor import SearchEngine
+    from spyglass_spark.testing import corpus_to_documents
+
+    docs, _ = corpus_to_documents(corpus_rows[:100])
+    idx = str(tmp_path / "cmp")
+    build_index(spark, spark.createDataFrame(docs), idx, num_partitions=8, waves=1)
+    import hashlib
+    replaced = []
+    for d in docs[:8]:
+        nd = dict(d)
+        nd["content"] = (d["content"] or "") + " compactmarker"
+        nd["content_sha256"] = hashlib.sha256(nd["content"].encode()).hexdigest()
+        replaced.append(nd)
+    upsert_documents(spark, spark.createDataFrame(replaced), idx, num_partitions=4)
+
+    # system-of-record = original docs with the replaced contents applied
+    final_docs = {d["url"]: d for d in docs}
+    for d in replaced:
+        final_docs[d["url"]] = d
+    record = spark.createDataFrame(list(final_docs.values()))
+
+    m = compact_index(spark, record, idx, num_partitions=8)
+    assert m.num_docs == 100  # tombstoned copies gone
+    assert len(m.gen_list()) == 1
+    assert not m.tombstoned_ords and not m.tombstones
+
+    eng = SearchEngine(spark, idx)
+    oracle = OracleIndex.build(list(final_docs.values()), num_partitions=8)
+    for q in ["compactmarker", "fn", "index search"]:
+        got = eng.search(q, k=8).collect()
+        exp = oracle.search(q, k=8)
+        assert [r["doc_id"] for r in got] == [h["doc_id"] for h in exp], q
+
+
+def test_read_corpus_formats(spark, corpus_rows, tmp_path):
+    from spyglass_spark.sources import read_corpus
+
+    rows = corpus_rows[:20]
+    df = spark.createDataFrame(rows)
+    for fmt, ext in [("parquet", "pq_dir"), ("json", "json_dir"), ("csv", "csv_dir")]:
+        p = str(tmp_path / ext)
+        df.write.format(fmt).option("header", "true").save(p)
+        back = read_corpus(spark, p, fmt=fmt)
+        assert back.count() == 20
+        assert {"repo", "path", "commit", "lang", "content"} <= set(back.columns)
+    with pytest.raises(ValueError, match="expected the corpus shape"):
+        bad = str(tmp_path / "bad")
+        spark.range(3).write.parquet(bad)
+        read_corpus(spark, bad)
+
+
+def test_manifest_version_guard(spark, built_index, tmp_path):
+    import shutil
+
+    from spyglass_spark.index.manifest import commit_manifest, load_manifest
+    from spyglass_spark.query.executor import SearchEngine
+
+    idx2 = str(tmp_path / "vguard")
+    shutil.copytree(built_index["index_dir"], idx2)
+    m = load_manifest(idx2)
+    m.version = 99
+    commit_manifest(idx2, m)
+    with pytest.raises(ValueError, match="newer than this engine"):
+        SearchEngine(spark, idx2)
