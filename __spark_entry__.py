@@ -245,6 +245,17 @@ def q_ann_lsh_topk(spark, sf_dir):
     return S.lsh_cosine_topk(e, qv, planes, k=10, exclude_ids=(0, 1, 2, 3, 4))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: assign vectors to max-cosine centroid lists, probe the 2
+    lists nearest the query, exact cosine top-k inside them."""
+    e = _emb(spark, sf_dir)
+    rows = e.filter(F.col("vec_id") <= 8).orderBy("vec_id")             .select("vec_id", "embedding").collect()
+    qv = list(next(r["embedding"] for r in rows if r["vec_id"] == 0))
+    centroids = [list(r["embedding"]) for r in rows if 1 <= r["vec_id"] <= 8]
+    return S.ivf_cosine_topk(e, qv, centroids, k=10, nprobe=2,
+                             exclude_ids=tuple(range(9)))
+
+
 def q_textstats_quality(spark, sf_dir):
     return T.quality_stats(_docs(spark, sf_dir), "text", "doc_id")
 
@@ -396,6 +407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "textstats_quality": q_textstats_quality,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -568,6 +580,33 @@ sigs AS (SELECT e.vec_id,
 qsig AS (SELECT bucket FROM sigs WHERE vec_id = 0),
 cand AS (SELECT s.vec_id FROM sigs s, qsig WHERE s.bucket = qsig.bucket
          AND s.vec_id NOT IN (0,1,2,3,4)),
+parts AS (SELECT e.vec_id,
+    sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.qv[CAST(i AS INT)] AS DOUBLE)) AS dot,
+    sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) ^ 2) AS na,
+    sum(CAST(q.qv[CAST(i AS INT)] AS DOUBLE) ^ 2) AS nb
+  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q CROSS JOIN range(1, 65) r(i)
+  GROUP BY e.vec_id)
+SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+FROM parts ORDER BY cos_sim DESC, vec_id LIMIT 10
+""",
+        "ann_ivf_topk": """
+WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+               WHERE vec_id BETWEEN 1 AND 8),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+dots AS (SELECT e.vec_id, c.cid,
+    sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+        * CAST(c.cv[CAST(i AS INT)] AS DOUBLE)) AS dot,
+    sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) ^ 2) AS ne,
+    sum(CAST(c.cv[CAST(i AS INT)] AS DOUBLE) ^ 2) AS nc
+  FROM embeddings e CROSS JOIN cents c CROSS JOIN range(1, 65) r(i)
+  GROUP BY e.vec_id, c.cid),
+assign AS (SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dot/(sqrt(ne)*sqrt(nc)) DESC, cid) AS rn
+           FROM dots),
+probe AS (SELECT cid FROM assign WHERE vec_id = 0 AND rn <= 2),
+cand AS (SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid
+         WHERE a.rn = 1 AND a.vec_id NOT IN (0,1,2,3,4,5,6,7,8)),
 parts AS (SELECT e.vec_id,
     sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.qv[CAST(i AS INT)] AS DOUBLE)) AS dot,
     sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) ^ 2) AS na,

@@ -398,6 +398,16 @@ def _build_generation(spark: SparkSession, documents: DataFrame,
 
     totals, agg, tf_stats = results["totals"], results["agg"], results["tf_stats"]
 
+    # on-disk footprint (compression evidence: delta+varint payloads +
+    # parquet encoding vs 8 bytes/posting uncompressed docID alone)
+    store_bytes = {}
+    for store in ("postings", "term_stats", "norms", "doc_meta", "lineage"):
+        d = f"{index_dir}/{prefix}/{store}"
+        if os.path.isdir(d):
+            store_bytes[store] = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(d) for f in fs)
+
     wall = time.time() - t_start
     return {
         "num_docs": int(agg["nd"] or 0),
@@ -413,6 +423,11 @@ def _build_generation(spark: SparkSession, documents: DataFrame,
             "term_df_skew_ratio": round(
                 float(tf_stats["max_df"]) / max(float(tf_stats["avg_df"] or 1), 1e-9), 3)
             if tf_stats["max_df"] is not None else None,
+            "store_bytes": store_bytes,
+            "index_bytes_per_doc": round(
+                sum(store_bytes.values()) / max(int(agg["nd"] or 1), 1), 2),
+            "postings_bytes_per_posting": round(
+                store_bytes.get("postings", 0) / max(int(agg["np"] or 1), 1), 3),
         },
     }
 

@@ -74,3 +74,49 @@ def lsh_cosine_topk(emb: DataFrame, query_vec: list[float],
     if exclude_ids:
         out = out.filter(~F.col("vec_id").isin(list(exclude_ids)))
     return out.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
+
+
+def assign_ivf(emb: DataFrame, centroids: list[list[float]],
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF list assignment: each vector goes to its max-cosine centroid
+    (ties → lowest centroid id). Centroids are supplied (in production:
+    k-means trained, or a deterministic sample); the partition/probe
+    plumbing is the scale path — the list table is partitioned by
+    centroid so probes scan only their lists."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    best = None
+    for cid, c in enumerate(centroids):
+        cv = F.array(*[F.lit(float(x)).cast("double") for x in c])
+        cos = _dot(vec, cv) / (_norm(vec) * _norm(cv))
+        cand = F.struct(cos.alias("cos"), F.lit(-cid).alias("neg_cid"))
+        best = cand if best is None else F.greatest(best, cand)
+    return emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vec"),
+                      (-best["neg_cid"]).cast("int").alias("centroid"))
+
+
+def ivf_cosine_topk(emb: DataFrame, query_vec: list[float],
+                    centroids: list[list[float]], k: int = 10, nprobe: int = 2,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    exclude_ids: tuple = ()) -> DataFrame:
+    """IVF ANN: probe the nprobe centroids nearest the query; exact cosine
+    top-k inside the probed lists only."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+    sims = []
+    for cid, c in enumerate(centroids):
+        cv = np.asarray(c, dtype=np.float64)
+        sims.append((float(np.dot(q, cv)) / (qn * float(np.linalg.norm(cv))), -cid))
+    probed = [-ncid for _, ncid in sorted(sims, reverse=True)[:nprobe]]
+
+    lists = assign_ivf(emb, centroids, id_col, vec_col)
+    cand = lists.filter(F.col("centroid").isin(probed))
+    qarr = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    vec = F.transform(F.col("_vec"), lambda x: x.cast("double"))
+    out = cand.select(
+        "vec_id",
+        F.round(_dot(vec, qarr) / (_norm(vec) * _norm(qarr)), 4).alias("cos_sim"))
+    if exclude_ids:
+        out = out.filter(~F.col("vec_id").isin(list(exclude_ids)))
+    return out.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)

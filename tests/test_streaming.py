@@ -69,3 +69,37 @@ def test_incremental_stream_indexing(spark, tmp_path):
         assert _doc(0, "")["url"] in urls  # still matches via new content
     finally:
         q.stop()
+
+
+def test_windowed_event_counts_with_watermark(spark, tmp_path):
+    """Streaming tumbling-window agg with watermark ≡ the equivalent batch
+    aggregation once all data is processed."""
+    from pyspark.sql import functions as F
+
+    from spyglass_spark.streaming.windows import windowed_event_counts
+
+    src = str(tmp_path / "ev")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.mode("overwrite").parquet(src)
+    schema = ev.schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (agg.writeStream.outputMode("append")
+         .format("memory").queryName("winagg").start())
+    try:
+        q.processAllAvailable()
+        # append mode only emits windows the watermark has passed; compare
+        # those against the batch computation
+        got = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+               for r in spark.sql("SELECT * FROM winagg").collect()}
+        batch = (ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+                 .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("s"))
+                 .collect())
+        batch_map = {(r["win"]["start"], r["event_type"]): (r["n"], r["s"])
+                     for r in batch}
+        assert got  # at least the closed windows are emitted
+        for k, v in got.items():
+            assert batch_map[k] == v
+    finally:
+        q.stop()
