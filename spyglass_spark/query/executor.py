@@ -344,8 +344,13 @@ class SearchEngine:
             "algo": algo,
         }
 
+        # ship ONLY the norm arrays of partitions that actually hold chunks
+        # of the query terms — at 10^12-doc scale the norms store is huge
+        # and most queries touch a sliver of partitions
+        touched_parts = postings.select("part_id").distinct()
         norms = (spark.read.parquet(*self._paths("norms"))
-                 .filter(F.col("field").isin(fields)))
+                 .filter(F.col("field").isin(fields))
+                 .join(touched_parts, "part_id", "leftsemi"))
 
         def run(pkey, post_pdf, norm_pdf):
             return _score_partition(plan, post_pdf, norm_pdf)
@@ -356,15 +361,24 @@ class SearchEngine:
 
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_ord"))
         topk = (partial.withColumn("rank", F.row_number().over(w))
-                .filter((F.col("rank") > offset) & (F.col("rank") <= k + offset)))
+                .filter((F.col("rank") > offset) & (F.col("rank") <= k + offset))
+                .localCheckpoint(eager=True))  # scoring runs exactly once
 
-        doc_meta = spark.read.parquet(*self._paths("doc_meta"))
+        # prune the doc_meta scan to the hit partitions (store is sorted by
+        # part_id → parquet row-group stats prune) before the broadcast join
+        hit_parts = [int(r["part_id"]) for r in
+                     topk.select((F.col("doc_ord") / F.lit(1 << ORD_SHIFT))
+                                 .cast("long").alias("part_id"))
+                         .distinct().collect()]
+        doc_meta = (spark.read.parquet(*self._paths("doc_meta"))
+                    .filter(F.col("part_id").isin(hit_parts))
+                    if hit_parts else
+                    spark.read.parquet(*self._paths("doc_meta")))
         out = (topk.join(doc_meta.select("doc_ord", "doc_id", "url", "domain", "title"),
                          "doc_ord", "left")
                .select("query_id", "rank", "doc_id", "url", "domain", "title",
                        F.col("score").cast("float").alias("score"), "doc_ord")
                .orderBy("query_id", "rank"))
-        out = out.localCheckpoint(eager=True)
         postings.unpersist()
         return out
 
