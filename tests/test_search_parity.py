@@ -158,3 +158,46 @@ def test_materialize_preview(spark, built_index):
         assert r["preview"].startswith("<span>")
         assert "<mark>" in r["preview"]
         assert len(r["description"].split()) <= 20
+
+
+def test_edge_cases_parity(spark, tmp_path):
+    """Empty query, stopword-only query (title tokenizer keeps stopwords),
+    unicode/CJK content, empty docs, k > corpus size — all rank-identical."""
+    import hashlib
+    import uuid
+
+    from spyglass_spark.corpus import SPYGLASS_NS
+    from spyglass_spark.index.builder import build_index
+    from spyglass_spark.oracle.engine import OracleIndex
+    from spyglass_spark.query.executor import SearchEngine
+
+    contents = [
+        "",                                   # empty doc
+        "   \t\n ",                           # whitespace-only
+        "the and of to is",                   # stopwords only
+        "搜索 引擎 测试 中文 内容",               # CJK
+        "emoji 🎉 mixed tokens",               # emoji (non-alnum, splits)
+        "The Quick brown the fox",
+        "ÅNGSTRÖM überschrift façade",         # folding + upper unicode
+        "x" * 45 + " visible",                # long-token drop
+    ]
+    docs = []
+    for i, c in enumerate(contents):
+        url = f"repo://edge/the-file_{i}.rs@{'0' * 40}"
+        docs.append(dict(doc_id=str(uuid.uuid5(SPYGLASS_NS, url)), url=url,
+                         domain="edge", title=f"the-file_{i}.rs", content=c,
+                         tags=[1],
+                         content_sha256=hashlib.sha256(c.encode()).hexdigest()))
+    idx = str(tmp_path / "edge")
+    build_index(spark, spark.createDataFrame(docs), idx, num_partitions=4, waves=1)
+    oracle = OracleIndex.build(docs, num_partitions=4)
+    eng = SearchEngine(spark, idx)
+
+    for q in ["", "the of and", "quick fox", "测试", "überschrift", "angstrom",
+              "visible", "🎉", "the"]:
+        got = eng.search(q, k=50).collect()
+        exp = oracle.search(q, k=50)
+        assert [r["doc_id"] for r in got] == [h["doc_id"] for h in exp], repr(q)
+        for r, h in zip(got, exp):
+            assert np.isclose(np.float32(r["score"]), np.float32(h["score"]),
+                              rtol=1e-5), (q, r["score"], h["score"])
