@@ -54,6 +54,12 @@ def main(argv=None) -> int:
     d.add_argument("--index", required=True)
     d.add_argument("--doc-id", action="append", required=True)
 
+    c = sub.add_parser("compact", help="merge generations, drop tombstones")
+    c.add_argument("--index", required=True)
+    c.add_argument("--corpus", required=True,
+                   help="system-of-record table (corpus or documents shape)")
+    c.add_argument("--partitions", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "stats":
@@ -74,7 +80,18 @@ def main(argv=None) -> int:
     spark = get_spark(f"spyglass-{args.cmd}")
     spark.sparkContext.setLogLevel("WARN")
     try:
-        if args.cmd == "build":
+        if args.cmd == "compact":
+            from spyglass_spark.corpus import to_documents
+            from spyglass_spark.index.builder import compact_index
+            from spyglass_spark.sources import read_corpus
+
+            df = read_corpus(spark, args.corpus)
+            if "url" not in df.columns:
+                df = to_documents(df)
+            m = compact_index(spark, df, args.index,
+                              num_partitions=args.partitions)
+            print(m.to_json())
+        elif args.cmd == "build":
             from spyglass_spark.corpus import to_documents
             from spyglass_spark.index.builder import build_index
 
