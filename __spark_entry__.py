@@ -230,6 +230,12 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     return D.simhash_pairs(sub, "text", "doc_id", max_hamming=1)
 
 
+def q_dedup_embedding_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over a bounded id range."""
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") < 80)
+    return D.embedding_cosine_pairs(e, threshold=0.2)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     e = _emb(spark, sf_dir)
     qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -405,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -553,6 +560,18 @@ pairs AS (SELECT l.id AS a, r.id AS b, xor(l.sh, r.sh) AS x
 ham AS (SELECT a, b, CAST(sum((x >> CAST(j AS INT)) & 1) AS INT) AS hamming
         FROM pairs CROSS JOIN range(16) r(j) GROUP BY a, b, x)
 SELECT DISTINCT a, b, hamming FROM ham WHERE hamming <= 1
+""",
+        "dedup_embedding_pairs": """
+WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 80),
+pairs AS (SELECT l.vec_id AS a, r.vec_id AS b, l.embedding AS va, r.embedding AS vb
+          FROM sub l JOIN sub r ON l.vec_id < r.vec_id),
+parts AS (SELECT a, b,
+    sum(CAST(va[CAST(i AS INT)] AS DOUBLE) * CAST(vb[CAST(i AS INT)] AS DOUBLE)) AS dot,
+    sum(CAST(va[CAST(i AS INT)] AS DOUBLE) ^ 2) AS na,
+    sum(CAST(vb[CAST(i AS INT)] AS DOUBLE) ^ 2) AS nb
+  FROM pairs CROSS JOIN range(1, 65) r(i) GROUP BY a, b)
+SELECT a, b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+FROM parts WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.2
 """,
         "ann_cosine_topk": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -137,3 +137,22 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
     return (cand.withColumn("hamming", ham.cast("int"))
             .filter(F.col("hamming") <= max_hamming)
             .select("a", "b", "hamming").distinct())
+
+
+def embedding_cosine_pairs(emb: "DataFrame", threshold: float = 0.95,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> "DataFrame":
+    """Embedding-cosine near-dup pairs: (a, b, cos_sim) with cosine ≥
+    threshold, a < b. Exact all-pairs within the given frame — at scale,
+    bound the candidate space first (LSH buckets / IVF lists from
+    ops.similarity) and run this inside each bucket."""
+    from .similarity import _dot, _norm
+
+    va = F.transform(F.col("l.v"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("r.v"), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    pairs = base.alias("l").join(base.alias("r"), F.col("l.id") < F.col("r.id"))
+    return (pairs.select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                         F.round(_dot(va, vb) / (_norm(va) * _norm(vb)), 4)
+                         .alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
