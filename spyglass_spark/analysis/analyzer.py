@@ -82,31 +82,60 @@ def ascii_fold(token: str) -> str:
     return "".join(out)
 
 
+# Raw-token → final-token caches (None = dropped by a filter). Token
+# streams are zipfian, so one dict probe replaces the whole filter chain
+# for almost every token. Pure functions of the token → identical results
+# with or without the cache (oracle and engine share this module).
+_CACHE_LIMIT = 1 << 20
+_en_cache: dict = {}
+_default_cache: dict = {}
+_MISS = object()
+
+
+def _default_token(tok: str):
+    if len(tok.encode("utf-8")) >= MAX_TOKEN_BYTES:
+        return None
+    return tok.lower()
+
+
+def _en_token(tok: str):
+    if len(tok.encode("utf-8")) >= MAX_TOKEN_BYTES:
+        return None
+    t = ascii_fold(tok.lower())
+    if t in STOP_WORDS:
+        return None
+    return stem(t)
+
+
 def tokenize_default(text: str) -> list[tuple[int, str]]:
     """tantivy ``default`` tokenizer (title field): simple split +
     RemoveLong(40) + lowercase. Returns [(position, token)]."""
+    cache = _default_cache
     out = []
-    for pos, m in enumerate(_TOKEN_RE.finditer(text)):
-        tok = m.group(0)
-        if len(tok.encode("utf-8")) >= MAX_TOKEN_BYTES:
-            continue
-        out.append((pos, tok.lower()))
+    for pos, tok in enumerate(_TOKEN_RE.findall(text)):
+        r = cache.get(tok, _MISS)
+        if r is _MISS:
+            r = _default_token(tok)
+            if len(cache) < _CACHE_LIMIT:
+                cache[tok] = r
+        if r is not None:
+            out.append((pos, r))
     return out
 
 
 def tokenize_en(text: str) -> list[tuple[int, str]]:
     """``spyglass_tokenizer_en`` chain (content field). Returns
     [(position, token)] with stopword holes preserved."""
+    cache = _en_cache
     out = []
-    for pos, m in enumerate(_TOKEN_RE.finditer(text)):
-        tok = m.group(0)
-        if len(tok.encode("utf-8")) >= MAX_TOKEN_BYTES:
-            continue
-        tok = tok.lower()
-        tok = ascii_fold(tok)
-        if tok in STOP_WORDS:
-            continue
-        out.append((pos, stem(tok)))
+    for pos, tok in enumerate(_TOKEN_RE.findall(text)):
+        r = cache.get(tok, _MISS)
+        if r is _MISS:
+            r = _en_token(tok)
+            if len(cache) < _CACHE_LIMIT:
+                cache[tok] = r
+        if r is not None:
+            out.append((pos, r))
     return out
 
 
