@@ -141,10 +141,12 @@ def wand_top_k(scoring_clauses, filter_include, filter_exclude, k,
     while i < nseg:
         j = min(i + batch_segments, nseg)
         batch = order[i:j]
-        if top_ords.size >= k and float(ub[batch[0]]) <= theta:
+        # prune only STRICTLY below θ: a segment whose UB equals θ can hold
+        # a score-θ doc with a smaller ordinal, which wins the tie-break
+        if top_ords.size >= k and float(ub[batch[0]]) < theta:
             break  # every remaining segment is below threshold
         i = j
-        batch = batch[ub[batch] > (theta if top_ords.size >= k else -np.inf)]
+        batch = batch[ub[batch] >= (theta if top_ords.size >= k else -np.inf)]
         if batch.size == 0:
             continue
         lo_arr, hi_arr = seg_lo[batch], seg_hi[batch]

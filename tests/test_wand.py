@@ -116,3 +116,49 @@ def test_engine_wand_equals_exhaustive(spark, built_index):
     for ra, rb in zip(a, b):
         assert (ra["query_id"], ra["rank"], ra["doc_id"], ra["score"]) == \
                (rb["query_id"], rb["rank"], rb["doc_id"], rb["score"])
+
+
+def test_wand_tie_at_k_boundary(big_part):
+    """Docs with IDENTICAL scores straddling the k-th boundary: the
+    smaller ordinals must win the tie-break even when their segments' UB
+    exactly equals θ (regression: segments pruned at UB == θ)."""
+    big = big_part
+    n = 5000
+    # one term, constant tf and constant norm → every doc scores the same
+    docs = np.arange(0, n * 10, 10, dtype=np.uint64)
+    tfs = np.full(n, 3, dtype=np.uint64)
+    norms = np.full(big["norms"].shape, 17, dtype=np.uint8)
+    spec = _spec(1.7)
+    cd = _ClauseData(spec, [_mk_row(docs, tfs, norms)], big["cache"], norms)
+    ords, scores = wand_top_k([cd], None, None, 10)
+    assert ords.size == 10
+    assert np.all(scores == scores[0])  # all tied
+    # tie-break: the 10 smallest ordinals, in order
+    assert [int(o) for o in ords] == [int(d) for d in docs[:10]]
+
+
+def test_wand_heavy_ties_random_equality(big_part):
+    """Quantized tfs + constant norms → massive score ties with VARYING
+    block UBs; wand must equal exhaustive exactly (incl. tie-breaks)."""
+    big = big_part
+    rng = np.random.default_rng(77)
+    terms = {}
+    for name, df_, w in [("a", 20_000, 1.0), ("b", 4_000, 2.0), ("c", 150, 5.0)]:
+        docs = np.sort(rng.choice(big["n_docs"], size=df_, replace=False)).astype(np.uint64)
+        tfs = rng.integers(1, 3, size=df_).astype(np.uint64)  # tf ∈ {1,2} → ties
+        terms[name] = (docs, tfs, w)
+    norms = np.full(big["norms"].shape, 23, dtype=np.uint8)
+    clauses, pairs = [], []
+    local = dict(big)
+    local["norms"] = norms
+    local["terms"] = {k: (d, t) for k, (d, t, _) in terms.items()}
+    for name, (docs, tfs, w) in terms.items():
+        spec = _spec(w)
+        clauses.append(_ClauseData(spec, [_mk_row(docs, tfs, norms)],
+                                   big["cache"], norms))
+        pairs.append((spec, name))
+    for k in (1, 5, 10, 50):
+        ords, scores = wand_top_k(clauses, None, None, k)
+        expected = _exhaustive(local, pairs, None, None, k)
+        assert [int(o) for o in ords] == [d for d, _ in expected], k
+        assert all(np.float32(s) == v for s, (_, v) in zip(scores, expected)), k
