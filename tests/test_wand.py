@@ -162,3 +162,24 @@ def test_wand_heavy_ties_random_equality(big_part):
         expected = _exhaustive(local, pairs, None, None, k)
         assert [int(o) for o in ords] == [d for d, _ in expected], k
         assert all(np.float32(s) == v for s, (_, v) in zip(scores, expected)), k
+
+
+def test_wand_tie_boundary_pruning_adversarial(big_part):
+    """Heap fills from a high-UB segment with HIGH-ordinal tied docs; the
+    remaining segments have UB exactly equal to θ and hold SMALLER-ordinal
+    docs with the same score — pruning at UB == θ would return the wrong
+    tie-broken top-k (this is the regression the strict-< fix addresses)."""
+    big = big_part
+    # ords 0..999 (tf=3) then 50000..50100 where the last doc has tf=5
+    low = np.arange(0, 1000, dtype=np.uint64)
+    high = np.arange(50000, 50101, dtype=np.uint64)
+    docs = np.concatenate([low, high])
+    tfs = np.concatenate([np.full(low.size, 3), np.full(high.size, 3)]).astype(np.uint64)
+    tfs[-1] = 5  # boosts the LAST block's UB above everything else
+    norms = np.full(50200, 23, dtype=np.uint8)
+    spec = _spec(1.0)
+    cd = _ClauseData(spec, [_mk_row(docs, tfs, norms)], big["cache"], norms)
+    ords, scores = wand_top_k([cd], None, None, 10, batch_segments=1)
+    # correct answer: tf=5 doc first, then the 9 SMALLEST tied ordinals
+    assert int(ords[0]) == 50100
+    assert [int(o) for o in ords[1:]] == list(range(9))
