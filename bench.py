@@ -236,7 +236,7 @@ def main() -> None:
         },
     }
     spark.stop()
-    shutil.rmtree(f"{WORK_DIR}/spark_local", ignore_errors=True)
+    shutil.rmtree(WORK_DIR, ignore_errors=True)  # free the tmpfs footprint
     print(json.dumps(result))
 
 
