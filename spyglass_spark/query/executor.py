@@ -309,10 +309,14 @@ class SearchEngine:
         {query, filters?, boosts?}. Returns (query_id, rank, doc_id, url,
         domain, title, score). ``algo``: 'auto' (block-max WAND where the
         query shape allows, exhaustive otherwise) or 'exhaustive'."""
-        spark = self.spark
-        m = self.manifest
         compiled = [compile_query(q["query"], q.get("filters", ()), q.get("boosts", ()))
                     for q in queries]
+        return self._execute_compiled(compiled, k=k, offset=offset, algo=algo)
+
+    def _execute_compiled(self, compiled: list[CompiledQuery], k: int = 5,
+                          offset: int = 0, algo: str = "auto") -> DataFrame:
+        spark = self.spark
+        m = self.manifest
         keys = set()
         for cq in compiled:
             keys |= cq.term_keys()
@@ -381,6 +385,39 @@ class SearchEngine:
                .orderBy("query_id", "rank"))
         postings.unpersist()
         return out
+
+    def more_like_this(self, doc_id: str, documents: DataFrame, k: int = 5,
+                       max_terms: int = 10) -> DataFrame:
+        """Find documents similar to ``doc_id``: pick its ``max_terms``
+        highest tf·idf content terms (idf from the index's global stats)
+        and run them as a Should-group BM25 query, excluding the seed doc.
+        ``documents`` is the stored row store (source table)."""
+        from collections import Counter
+
+        from ..analysis.analyzer import tokenize_en
+        from .scoring import idf as idf_fn
+
+        row = (documents.filter(F.col("doc_id") == doc_id)
+               .select("content").collect())
+        if not row:
+            return self._empty_result().drop("query_id")
+        tf = Counter(t for _, t in tokenize_en(row[0]["content"] or ""))
+        dfs = self._term_dfs({("content", t) for t in tf})
+        n = self.manifest.num_docs
+        ranked = sorted(
+            tf, key=lambda t: (-(tf[t] * float(idf_fn(dfs.get(("content", t), 0), n))), t))
+        terms = ranked[:max_terms]
+        if not terms:
+            return self._empty_result().drop("query_id")
+        # terms are ALREADY analyzed — build the clause tree directly
+        # (re-analysis would double-stem)
+        from .compiler import CompiledQuery as CQ
+        from .compiler import _term
+
+        cq = CQ(should_group=[_term("content", t, 1.0) for t in terms])
+        hits = self._execute_compiled([cq], k=k + 1).drop("query_id")
+        return (hits.filter(F.col("doc_id") != doc_id)
+                .orderBy("rank").limit(k))
 
     def get_documents(self, doc_ids: list[str]) -> DataFrame:
         """Doc-store get-by-id (client/local.rs:71-95 analog): fetch the

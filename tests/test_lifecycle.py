@@ -105,3 +105,15 @@ def test_manifest_version_guard(spark, built_index, tmp_path):
     commit_manifest(idx2, m)
     with pytest.raises(ValueError, match="newer than this engine"):
         SearchEngine(spark, idx2)
+
+
+def test_more_like_this(spark, built_index):
+    from spyglass_spark.query.executor import SearchEngine
+
+    eng = SearchEngine(spark, built_index["index_dir"])
+    docs_df = spark.createDataFrame(built_index["docs"])
+    seed = next(d for d in built_index["docs"] if len((d["content"] or "").split()) > 30)
+    out = eng.more_like_this(seed["doc_id"], docs_df, k=5).collect()
+    assert 1 <= len(out) <= 5
+    assert all(r["doc_id"] != seed["doc_id"] for r in out)
+    assert all(r["score"] > 0 for r in out)
