@@ -291,6 +291,11 @@ class SearchEngine:
                 "(the v3→v4 whole-index rewrite pattern, SURVEY §1.1)")
         self.manifest: Manifest = m
         self.gens = m.gen_list()
+        # base frames created once: Spark caches their file indexes, so
+        # per-query work skips the parquet listing round trips
+        self._postings_base = spark.read.parquet(*self._paths("postings"))
+        self._norms_base = spark.read.parquet(*self._paths("norms"))
+        self._doc_meta_base = spark.read.parquet(*self._paths("doc_meta"))
 
     def _paths(self, name: str) -> list[str]:
         return [f"{self.index_dir}/{g['prefix']}/{name}" for g in self.gens]
@@ -325,7 +330,7 @@ class SearchEngine:
 
         fields = sorted({f for f, _ in keys})
         terms = sorted({t for _, t in keys})
-        postings = (spark.read.parquet(*self._paths("postings"))
+        postings = (self._postings_base
                     .filter(F.col("field").isin(fields) & F.col("term").isin(terms))
                     .persist())
         # global df per (field, term) straight from the scanned chunk rows —
@@ -352,7 +357,7 @@ class SearchEngine:
         # of the query terms — at 10^12-doc scale the norms store is huge
         # and most queries touch a sliver of partitions
         touched_parts = postings.select("part_id").distinct()
-        norms = (spark.read.parquet(*self._paths("norms"))
+        norms = (self._norms_base
                  .filter(F.col("field").isin(fields))
                  .join(touched_parts, "part_id", "leftsemi"))
 
@@ -374,10 +379,8 @@ class SearchEngine:
                      topk.select((F.col("doc_ord") / F.lit(1 << ORD_SHIFT))
                                  .cast("long").alias("part_id"))
                          .distinct().collect()]
-        doc_meta = (spark.read.parquet(*self._paths("doc_meta"))
-                    .filter(F.col("part_id").isin(hit_parts))
-                    if hit_parts else
-                    spark.read.parquet(*self._paths("doc_meta")))
+        doc_meta = (self._doc_meta_base.filter(F.col("part_id").isin(hit_parts))
+                    if hit_parts else self._doc_meta_base)
         out = (topk.join(doc_meta.select("doc_ord", "doc_id", "url", "domain", "title"),
                          "doc_ord", "left")
                .select("query_id", "rank", "doc_id", "url", "domain", "title",
