@@ -86,7 +86,9 @@ def _get_engine(spark: SparkSession, sf_dir: str):
     from spyglass_spark.index.manifest import load_manifest
     from spyglass_spark.query.executor import SearchEngine
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    # layout marker in the cache key: a layout change invalidates indexes
+    # cached by previous revisions
+    tag = hashlib.md5(f"v2:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:10]
     index_dir = os.path.join(os.environ.get("SPYGLASS_INDEX_CACHE", "/tmp/spyglass_idx"),
                              tag)
     m = load_manifest(index_dir)

@@ -124,9 +124,52 @@ SELECT CAST(row_number() OVER (ORDER BY label, value) AS BIGINT) AS id, label, v
 """
 
 
+# --- deterministic date fields (µs since epoch) -------------------------
+# The reference schema v4 indexes `published` / `lastmodified` as
+# fast+indexed+stored µs timestamps (schema.rs:179-195). The driver's
+# synthetic corpus has no dates, so we derive them deterministically from
+# sha256(url) with expressions that exist identically in Spark SQL and
+# DuckDB SQL (oracle-reproducible, no external data):
+#   published    = 2020-01-01T00:00:00Z + (h1 mod ~5y) seconds
+#   lastmodified = published + (h2 mod 90d) seconds
+_EPOCH_2020_US = 1577836800000000
+_PUB_SPAN_S = 157766400  # ≈5 years of seconds
+_MOD_SPAN_S = 7776000  # 90 days of seconds
+
+PUBLISHED_SPARK_SQL = (
+    f"CAST({_EPOCH_2020_US} + (CAST(conv(substr(sha2(url, 256), 1, 15), 16, 10) "
+    f"AS BIGINT) % {_PUB_SPAN_S}) * 1000000 AS BIGINT)")
+LASTMODIFIED_SPARK_SQL = (
+    f"CAST({PUBLISHED_SPARK_SQL} + (CAST(conv(substr(sha2(url, 256), 16, 15), 16, 10) "
+    f"AS BIGINT) % {_MOD_SPAN_S}) * 1000000 AS BIGINT)")
+
+PUBLISHED_DUCKDB_SQL = (
+    f"CAST({_EPOCH_2020_US} + (('0x' || substr(sha256(url), 1, 15))::BIGINT "
+    f"% {_PUB_SPAN_S}) * 1000000 AS BIGINT)")
+LASTMODIFIED_DUCKDB_SQL = (
+    f"CAST({PUBLISHED_DUCKDB_SQL} + (('0x' || substr(sha256(url), 16, 15))::BIGINT "
+    f"% {_MOD_SPAN_S}) * 1000000 AS BIGINT)")
+
+
+def published_py(url: str) -> int:
+    """Python mirror of PUBLISHED_SPARK_SQL (for the oracle index)."""
+    import hashlib
+
+    h = int(hashlib.sha256(url.encode()).hexdigest()[:15], 16)
+    return _EPOCH_2020_US + (h % _PUB_SPAN_S) * 1_000_000
+
+
+def lastmodified_py(url: str) -> int:
+    import hashlib
+
+    h = int(hashlib.sha256(url.encode()).hexdigest()[15:30], 16)
+    return published_py(url) + (h % _MOD_SPAN_S) * 1_000_000
+
+
 def to_documents(corpus: DataFrame, tags_dim: DataFrame | None = None) -> DataFrame:
     """Map the corpus to the spyglass schema-v4 document table
-    (doc_id, url, domain, title, content, tags, content_sha256)."""
+    (doc_id, url, domain, title, content, tags, content_sha256,
+    published, lastmodified)."""
     if tags_dim is None:
         tags_dim = build_tags_dim(corpus)
     url = F.concat(F.lit("repo://"), F.col("repo"), F.lit("/"), F.col("path"),
@@ -150,4 +193,7 @@ def to_documents(corpus: DataFrame, tags_dim: DataFrame | None = None) -> DataFr
         .withColumn("tags", F.array_sort(F.array("lens_tag", "repo_tag")))
         .drop("lens_tag", "repo_tag", "lang")
     )
-    return docs.select("doc_id", "url", "domain", "title", "content", "tags", "content_sha256")
+    docs = (docs.withColumn("published", F.expr(PUBLISHED_SPARK_SQL))
+                .withColumn("lastmodified", F.expr(LASTMODIFIED_SPARK_SQL)))
+    return docs.select("doc_id", "url", "domain", "title", "content", "tags",
+                       "content_sha256", "published", "lastmodified")

@@ -5,26 +5,44 @@ documents/mod.rs:290-423), re-architected Spark-first:
 
   corpus/documents DataFrame
     → deterministic hash partitioning  part_id = sha256(url)[:60bits] % P
+    → repartition(P, part_id)          (one task per doc partition: even
+      makespan — hashing 4×P groups into the default shuffle-partition
+      count gave ~2× balls-in-bins skew and halved 32-core throughput)
     → groupBy(part_id).applyInPandas   (Arrow-batched tokenize + local
       posting construction + delta/varint encode — "the 5,000-record batch"
-      analog, vectorized, no per-row Python at the plan level)
-    → repartitionByRange(field, term, part_id) merge pass
-      (posting-list merge keyed by term; a hot term's chunks carry their
-      part_id in the range key, so skewed terms like 'fn'/'import' spread
-      across merge partitions — explicit salting per BASELINE north_rule)
-    → term-sorted Parquet segment store + stats + manifest commit.
+      analog, vectorized at the plan level)
+    → ONE kind-partitioned Parquet store write (postings + norms + fast
+      fields + doc_meta + lineage emitted in the same pass — the store IS
+      the stage-1 output; no second rewrite of the payload bytes)
+    → a small term_stats aggregation job over the (field,term,df,cf)
+      columns only (columnar pruning never touches the posting payloads).
+
+Store layout per generation (tantivy's per-segment model, re-expressed as
+a kind-partitioned Parquet dataset):
+
+  {prefix}/store/wave=<w>/kind=0/   posting chunks, term-sorted per part
+                          kind=1/   fieldnorm arrays per (part, field)
+                          kind=2/   per-partition build lineage
+                          kind=3/   doc_meta (stored fields incl. tags/dates)
+                          kind=4/   fast fields (date columns as i64 arrays)
+  {prefix}/term_stats/              global (field,term) → df/cf, term-sorted
+
+Postings are term-sorted *within each part* (tantivy's per-segment term
+dictionary): query-term scans prune via parquet row-group/page statistics
+inside every part file instead of a global term sort, which would cost a
+full extra shuffle of the payload bytes at build time. A hot term's chunks
+live in different part files, so scans of skewed terms parallelize by
+construction.
 
 Doc ordinals: ``doc_ord = part_id * 2^40 + local_rank(url)``. Fully
 deterministic with NO global pass: ordinals are identical at any
 parallelism level (local[8] vs local[32] must produce identical top-k
-tie-breaks), and postings store the small local ordinal for tight delta
-compression. P (num_partitions) is an index property recorded in the
+tie-breaks). P (num_partitions) is an index property recorded in the
 manifest, independent of cluster size.
 
 Resumability: stage 1 runs in waves (part_id % waves); each completed wave
 checkpoints. A restart skips completed waves (kill/resume test in
-tests/test_resume.py). Per-partition lineage (n_docs, n_postings, ms,
-docs/sec) is recorded in segments/lineage.
+tests/test_resume.py).
 """
 
 from __future__ import annotations
@@ -33,6 +51,7 @@ import json
 import os
 import time
 from collections import defaultdict
+from functools import reduce
 
 import numpy as np
 import pandas as pd
@@ -54,22 +73,33 @@ ALL_FIELDS = ("content", "title", "id", "domain", "url", "tags")
 # schema.rs:174) and engine-configured custom u64 fields
 # (Boost::CustomField, lib.rs:68, query.rs:124-130)
 OPTIONAL_TEXT_FIELDS = {"description": "description"}
+# date fast fields (µs since epoch) — published/lastmodified are indexed
+# fast+stored in the reference schema (schema.rs:179-195)
+DATE_FIELDS = ("published", "lastmodified")
 
 NORMS_MARK = "\x01norms"
 LINEAGE_MARK = "\x01lineage"
 DOCMETA_MARK = "\x01docmeta"
+FAST_MARK = "\x01fast"
 
 # One schema for all stage-1 row kinds (postings / norms / lineage /
-# doc_meta) so the whole build is a single tokenize pass — nullable
-# columns are near-free in Parquet.
+# doc_meta / fast fields) so the whole build is a single tokenize pass —
+# nullable columns are near-free in Parquet.
 SEGMENT_SCHEMA = (
     "kind int, part_id int, field string, term string, df_part long, cf_part long, "
     "n_local int, doc_bytes binary, tf_bytes binary, pos_bytes binary, "
     "meta_bytes binary, doc_id string, url string, domain string, "
-    "title string, content_sha256 string, local_ord int"
+    "title string, content_sha256 string, local_ord int, tags array<long>, "
+    "published long, lastmodified long"
 )
 
-KIND_POSTING, KIND_NORMS, KIND_LINEAGE, KIND_DOCMETA = 0, 1, 2, 3
+KIND_POSTING, KIND_NORMS, KIND_LINEAGE, KIND_DOCMETA, KIND_FAST = 0, 1, 2, 3, 4
+
+# Parquet physical tuning for the store write: small row groups + pages so
+# query-term scans (field/term pushdown) prune within each part file via
+# row-group stats and column indexes instead of reading a whole part.
+STORE_BLOCK_BYTES = 8 * 1024 * 1024
+STORE_PAGE_BYTES = 64 * 1024
 
 
 def part_id_col(P: int, url_col: str = "url"):
@@ -87,25 +117,28 @@ def part_id_py(url: str, P: int) -> int:
 
 _OUT_COLUMNS = ["kind", "part_id", "field", "term", "df_part", "cf_part", "n_local",
                 "doc_bytes", "tf_bytes", "pos_bytes", "meta_bytes",
-                "doc_id", "url", "domain", "title", "content_sha256", "local_ord"]
+                "doc_id", "url", "domain", "title", "content_sha256", "local_ord",
+                "tags", "published", "lastmodified"]
 
 
 def _field_frame(field: str, by_term: dict, norms_f: np.ndarray,
                  positional: bool, part_id: int, n: int) -> pd.DataFrame:
     """Encode one field's whole term dict via the bulk codec into a
-    postings DataFrame (byte-identical to per-term encoding)."""
+    postings DataFrame (byte-identical to per-term encoding). Terms are
+    emitted SORTED so parquet row-group/page stats are tight per part."""
     if not by_term:
         return pd.DataFrame(columns=_OUT_COLUMNS)
-    terms = list(by_term.keys())
-    dfs = np.fromiter((len(v[0]) for v in by_term.values()), dtype=np.int64,
+    terms = sorted(by_term.keys())
+    vals = [by_term[t] for t in terms]
+    dfs = np.fromiter((len(v[0]) for v in vals), dtype=np.int64,
                       count=len(terms))
     term_starts = np.concatenate(([0], np.cumsum(dfs)))
-    ords = np.fromiter((o for v in by_term.values() for o in v[0]),
+    ords = np.fromiter((o for v in vals for o in v[0]),
                        dtype=np.uint64, count=int(dfs.sum()))
     if positional:
-        tfs = np.fromiter((t for v in by_term.values() for t in v[1]),
+        tfs = np.fromiter((t for v in vals for t in v[1]),
                           dtype=np.uint64, count=int(dfs.sum()))
-        pos_concat = np.fromiter((p for v in by_term.values() for p in v[2]),
+        pos_concat = np.fromiter((p for v in vals for p in v[2]),
                                  dtype=np.uint64)
     else:
         tfs = np.ones(int(dfs.sum()), dtype=np.uint64)
@@ -124,7 +157,23 @@ def _field_frame(field: str, by_term: dict, norms_f: np.ndarray,
         "doc_bytes": doc_b, "tf_bytes": tf_b, "pos_bytes": pos_b,
         "meta_bytes": meta_b,
         "doc_id": None, "url": None, "domain": None, "title": None,
-        "content_sha256": None, "local_ord": None})
+        "content_sha256": None, "local_ord": None, "tags": None,
+        "published": None, "lastmodified": None})
+
+
+def _marker_frame(kind: int, part_id: int, **cols) -> pd.DataFrame:
+    """A non-posting row frame with the shared output schema."""
+    n = len(next(iter(cols.values())))
+    base = {
+        "kind": np.full(n, kind, dtype=np.int32),
+        "part_id": np.full(n, part_id, dtype=np.int32),
+        "field": None, "term": None, "df_part": 0, "cf_part": 0,
+        "n_local": 0, "doc_bytes": b"", "tf_bytes": b"", "pos_bytes": b"",
+        "meta_bytes": b"", "doc_id": None, "url": None, "domain": None,
+        "title": None, "content_sha256": None, "local_ord": None,
+        "tags": None, "published": None, "lastmodified": None}
+    base.update(cols)
+    return pd.DataFrame(base)[_OUT_COLUMNS]
 
 
 def _build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -137,7 +186,8 @@ def _build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
     custom_fields = [c for c in pdf.columns if c.startswith("cf_")]
     positional_fields = ["content", "title"] + [
         f for f in OPTIONAL_TEXT_FIELDS if OPTIONAL_TEXT_FIELDS[f] in pdf.columns]
-    all_fields = tuple(positional_fields) + ("id", "domain", "url", "tags") +         tuple(c[3:] for c in custom_fields)
+    all_fields = tuple(positional_fields) + ("id", "domain", "url", "tags") + \
+        tuple(c[3:] for c in custom_fields)
     norms = {f: np.zeros(n, dtype=np.uint8) for f in all_fields}
     totals: dict[str, int] = defaultdict(int)
     frames = []
@@ -192,9 +242,11 @@ def _build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
     tag_col = pdf["tags"].tolist()
     by_term = {}
     tag_counts = np.zeros(n, dtype=np.int64)
+    clean_tags = []
     for ord_ in range(n):
         tags = tag_col[ord_]
         tags = sorted(set(int(t) for t in tags)) if tags is not None else []
+        clean_tags.append(tags)
         tag_counts[ord_] = len(tags)
         for t in tags:
             key = str(t)
@@ -232,29 +284,44 @@ def _build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         frames.append(_field_frame(field, by_term, norms[field], False, part_id, n))
 
     # norms rows
-    frames.append(pd.DataFrame({
-        "kind": np.full(len(all_fields), 1, dtype=np.int32),
-        "part_id": np.full(len(all_fields), part_id, dtype=np.int32),
-        "field": NORMS_MARK, "term": list(all_fields),
-        "df_part": 0, "cf_part": [int(totals[f]) for f in all_fields],
-        "n_local": n, "doc_bytes": [norms[f].tobytes() for f in all_fields],
-        "tf_bytes": b"", "pos_bytes": b"", "meta_bytes": b"",
-        "doc_id": None, "url": None, "domain": None, "title": None,
-        "content_sha256": None, "local_ord": None}))
+    frames.append(_marker_frame(
+        KIND_NORMS, part_id,
+        field=[NORMS_MARK] * len(all_fields), term=list(all_fields),
+        cf_part=[int(totals[f]) for f in all_fields],
+        n_local=[n] * len(all_fields),
+        doc_bytes=[norms[f].tobytes() for f in all_fields]))
 
-    # doc_meta rows — same pass, no second scan over the corpus
-    dm = pd.DataFrame({
-        "kind": np.full(n, 3, dtype=np.int32),
-        "part_id": np.full(n, part_id, dtype=np.int32),
-        "field": DOCMETA_MARK, "term": None, "df_part": 0, "cf_part": 0,
-        "n_local": n, "doc_bytes": b"", "tf_bytes": b"", "pos_bytes": b"",
-        "meta_bytes": b"",
-        "doc_id": pdf["doc_id"].values, "url": pdf["url"].values,
-        "domain": pdf["domain"].values, "title": pdf["title"].values,
-        "content_sha256": (pdf["content_sha256"].values
-                           if "content_sha256" in pdf.columns else None),
-        "local_ord": np.arange(n, dtype=np.int32)})
-    frames.append(dm)
+    # date fast fields: per-part i64 column arrays in ordinal order — the
+    # tantivy fast-field analog (schema.rs:179-195); range filters decode
+    # these in-UDF during scoring
+    present_dates = [d for d in DATE_FIELDS if d in pdf.columns]
+    if present_dates:
+        arrs = []
+        for d in present_dates:
+            v = pdf[d].to_numpy()
+            a = np.where(pd.isna(v), np.int64(-1), v).astype(np.int64)
+            arrs.append(a.tobytes())
+        frames.append(_marker_frame(
+            KIND_FAST, part_id,
+            field=[FAST_MARK] * len(present_dates), term=present_dates,
+            n_local=[n] * len(present_dates), doc_bytes=arrs))
+
+    # doc_meta rows — same pass, no second scan over the corpus; carries
+    # tags + dates so hits can return them (RetrievedDocument{..tags},
+    # lib.rs:130-139)
+    frames.append(_marker_frame(
+        KIND_DOCMETA, part_id,
+        field=[DOCMETA_MARK] * n,
+        n_local=[n] * n,
+        doc_id=pdf["doc_id"].values, url=pdf["url"].values,
+        domain=pdf["domain"].values, title=pdf["title"].values,
+        content_sha256=(pdf["content_sha256"].values
+                        if "content_sha256" in pdf.columns else None),
+        local_ord=np.arange(n, dtype=np.int32),
+        tags=pd.Series(clean_tags, dtype="object"),
+        published=(pdf["published"] if "published" in pdf.columns else None),
+        lastmodified=(pdf["lastmodified"] if "lastmodified" in pdf.columns
+                      else None)))
 
     elapsed = max(time.time() - t0, 1e-9)
     lineage = json.dumps({
@@ -263,23 +330,52 @@ def _build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         "docs_per_sec": round(n / elapsed, 2),
         "postings_per_sec": round(n_postings / elapsed, 2),
     })
-    frames.append(pd.DataFrame({
-        "kind": [2], "part_id": [part_id], "field": [LINEAGE_MARK], "term": [lineage],
-        "df_part": [n], "cf_part": [int(n_postings)], "n_local": [n],
-        "doc_bytes": [b""], "tf_bytes": [b""], "pos_bytes": [b""],
-        "meta_bytes": [b""], "doc_id": [None], "url": [None], "domain": [None],
-        "title": [None], "content_sha256": [None], "local_ord": [None]}))
+    frames.append(_marker_frame(
+        KIND_LINEAGE, part_id,
+        field=[LINEAGE_MARK], term=[lineage],
+        df_part=[n], cf_part=[int(n_postings)], n_local=[n]))
     out = pd.concat(frames, ignore_index=True)
     return out[_OUT_COLUMNS]
+
+
+def read_store(spark: SparkSession, index_dir: str,
+               prefix: str = "segments") -> DataFrame:
+    """The kind-partitioned segment store of one generation (partition
+    columns ``wave`` and ``kind`` are discovered from the layout)."""
+    return spark.read.parquet(f"{index_dir}/{prefix}/store")
+
+
+def doc_meta_view(spark: SparkSession, index_dir: str, gens: list[dict]) -> DataFrame:
+    """Stored-field rows (kind=3) across generations, with doc_ord."""
+    frames = [read_store(spark, index_dir, g["prefix"])
+              .filter(F.col("kind") == KIND_DOCMETA) for g in gens]
+    dm = reduce(DataFrame.unionByName, frames)
+    return dm.select(
+        "part_id", "local_ord", "doc_id", "url", "domain", "title",
+        "content_sha256", "tags", "published", "lastmodified",
+        (F.col("part_id").cast("long") * F.lit(1 << ORD_SHIFT)
+         + F.col("local_ord")).alias("doc_ord"))
+
+
+def tombstone_view(spark: SparkSession, index_dir: str,
+                   manifest: Manifest) -> DataFrame | None:
+    """Union of the tombstone side tables (doc_ord long, part_id int), or
+    None when no upsert-generated tombstones exist."""
+    dirs = [d for d in manifest.tombstone_dirs
+            if os.path.isdir(os.path.join(index_dir, d))]
+    if not dirs:
+        return None
+    return spark.read.parquet(*[os.path.join(index_dir, d) for d in dirs])
 
 
 def _build_generation(spark: SparkSession, documents: DataFrame,
                       index_dir: str, prefix: str,
                       num_partitions: int, part_offset: int, waves: int,
-                      merge_partitions: int | None,
                       fail_after_wave: int | None) -> dict:
-    """Build one segment generation (stage 1 + stage 2) under
-    {index_dir}/{prefix}. Returns aggregates for the manifest."""
+    """Build one segment generation under {index_dir}/{prefix}: the wave
+    job(s) write the store in a single pass; a small follow-up job builds
+    term_stats from the pruned (field,term,df,cf) columns. Returns
+    aggregates for the manifest."""
     ckpt = load_checkpoint(index_dir)
     ckpt_key = f"completed_waves_{prefix}"
     ckpt.setdefault(ckpt_key, ckpt.pop("completed_waves", [])
@@ -289,110 +385,67 @@ def _build_generation(spark: SparkSession, documents: DataFrame,
     docs = documents.withColumn(
         "part_id", (part_id_col(num_partitions) + F.lit(part_offset)).cast("int"))
 
-    # ---- stage 1: per-partition segments, in resumable waves -----------
+    store_dir = f"{index_dir}/{prefix}/store"
+    stats_dir = f"{index_dir}/{prefix}/term_stats"
+
+    # ---- stage 1 = the store write: per-partition segments, in waves ----
     for w in range(waves):
         if w in ckpt[ckpt_key]:
             continue
-        wave_dir = f"{index_dir}/{prefix}_stage1/wave={w}"
         (docs.filter((F.col("part_id") - part_offset) % waves == w)
+             .repartition(num_partitions, "part_id")
              .groupBy("part_id")
              .applyInPandas(_build_segment, SEGMENT_SCHEMA)
-             .write.mode("overwrite").parquet(wave_dir))
+             .write.mode("overwrite")
+             .option("parquet.block.size", str(STORE_BLOCK_BYTES))
+             .option("parquet.page.size", str(STORE_PAGE_BYTES))
+             .partitionBy("kind")
+             .parquet(f"{store_dir}/wave={w}"))
         ckpt[ckpt_key].append(w)
         save_checkpoint(index_dir, ckpt)
         if fail_after_wave is not None and w >= fail_after_wave:
             raise RuntimeError(f"injected failure after wave {w}")
 
-    stage1 = spark.read.parquet(f"{index_dir}/{prefix}_stage1/wave=*")
-    posting_cols = ["part_id", "field", "term", "df_part", "cf_part", "n_local",
-                    "doc_bytes", "tf_bytes", "pos_bytes", "meta_bytes"]
-    # kind is a directory-partition column: each stage-2 job reads ONLY its
-    # slice of stage1 (partition pruning), instead of rescanning everything
-    real = stage1.filter(F.col("kind") == KIND_POSTING).select(posting_cols)
-
-    # ---- stage 2: term-keyed merge (repartitionByRange on term) --------
-    # Hot-term skew (e.g. 'fn'/'import') is handled by the part_id in the
-    # range key: a hot term's per-partition chunks spread across merge
-    # partitions instead of landing on one reducer (explicit salting).
-    mp = merge_partitions or spark.sparkContext.defaultParallelism * 2
-
-    def _w_postings():
-        (real.repartitionByRange(mp, "field", "term", "part_id")
-             .sortWithinPartitions("field", "term", "part_id")
-             .write.mode("overwrite").parquet(f"{index_dir}/{prefix}/postings"))
-
-    def _w_stats():
-        (real.groupBy("field", "term")
-             .agg(F.sum("df_part").alias("df"), F.sum("cf_part").alias("cf"),
-                  F.count("*").alias("n_chunks"))
-             .repartitionByRange(max(mp // 4, 1), "field", "term")
-             .sortWithinPartitions("field", "term")
-             .write.mode("overwrite").parquet(f"{index_dir}/{prefix}/term_stats"))
-
-    def _w_norms():
-        (stage1.filter(F.col("kind") == KIND_NORMS)
-               .select("part_id", F.col("term").alias("field"),
-                       F.col("doc_bytes").alias("norm_bytes"),
-                       F.col("cf_part").alias("total_tokens"),
-                       F.col("n_local").alias("n_docs"))
-               .repartition(max(mp // 4, 1), "part_id")
-               .sortWithinPartitions("part_id", "field")
-               .write.mode("overwrite").parquet(f"{index_dir}/{prefix}/norms"))
-
-    def _w_lineage():
-        (stage1.filter(F.col("kind") == KIND_LINEAGE)
-               .select("part_id", F.col("term").alias("lineage_json"),
-                       F.col("df_part").alias("n_docs"),
-                       F.col("cf_part").alias("n_postings"))
-               .coalesce(max(mp // 8, 1))
-               .write.mode("overwrite").parquet(f"{index_dir}/{prefix}/lineage"))
-
-    def _w_docmeta():
-        (stage1.filter(F.col("kind") == KIND_DOCMETA)
-               .select("part_id", "local_ord", "doc_id", "url", "domain", "title",
-                       "content_sha256",
-                       (F.col("part_id").cast("long") * F.lit(1 << ORD_SHIFT)
-                        + F.col("local_ord")).alias("doc_ord"))
-               .repartition(max(mp // 4, 1), "part_id")
-               .sortWithinPartitions("part_id", "local_ord")
-               .write.mode("overwrite").parquet(f"{index_dir}/{prefix}/doc_meta"))
-
-    # each writer chains its small aggregate read so all 5 pipelines run as
-    # concurrent Spark jobs (no serial tail of per-job scheduling latency)
+    store = spark.read.parquet(store_dir)
     results: dict = {}
 
-    def _w_norms_agg():
-        _w_norms()
+    # ---- term_stats + manifest aggregates (tiny, payload-free jobs) ----
+    def _w_stats():
+        (store.filter(F.col("kind") == KIND_POSTING)
+              .select("field", "term", "df_part", "cf_part")
+              .groupBy("field", "term")
+              .agg(F.sum("df_part").alias("df"), F.sum("cf_part").alias("cf"),
+                   F.count("*").alias("n_chunks"))
+              .repartitionByRange(
+                  max(spark.sparkContext.defaultParallelism // 2, 1),
+                  "field", "term")
+              .sortWithinPartitions("field", "term")
+              .write.mode("overwrite")
+              .option("parquet.block.size", str(4 * 1024 * 1024))
+              .parquet(stats_dir))
+        st = spark.read.parquet(stats_dir)
+        # field_totals: exact token totals per field (Σcf ≡ emitted tokens)
         results["totals"] = {
             r["field"]: int(r["total"]) for r in
-            spark.read.parquet(f"{index_dir}/{prefix}/norms")
-                 .groupBy("field").agg(F.sum("total_tokens").alias("total"))
-                 .collect()}
-
-    def _w_lineage_agg():
-        _w_lineage()
-        results["agg"] = (spark.read.parquet(f"{index_dir}/{prefix}/lineage")
-                          .agg(F.sum("n_docs").alias("nd"),
-                               F.sum("n_postings").alias("np"),
-                               F.count("*").alias("parts"),
-                               F.max("n_postings").alias("maxp"),
-                               F.avg("n_postings").alias("avgp")).collect()[0])
-
-    def _w_stats_agg():
-        _w_stats()
-        # skew over the merged term postings (hot terms like 'fn'/'import')
+            st.groupBy("field").agg(F.sum("cf").alias("total")).collect()}
         results["tf_stats"] = (
-            spark.read.parquet(f"{index_dir}/{prefix}/term_stats")
-                 .filter(F.col("field") == "content")
-                 .agg(F.max("df").alias("max_df"),
-                      F.avg("df").alias("avg_df")).collect()[0])
+            st.filter(F.col("field") == "content")
+              .agg(F.max("df").alias("max_df"),
+                   F.avg("df").alias("avg_df")).collect()[0])
+
+    def _w_lineage():
+        results["agg"] = (
+            store.filter(F.col("kind") == KIND_LINEAGE)
+                 .agg(F.sum("df_part").alias("nd"),
+                      F.sum("cf_part").alias("np"),
+                      F.count("*").alias("parts"),
+                      F.max("cf_part").alias("maxp"),
+                      F.avg("cf_part").alias("avgp")).collect()[0])
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=5) as pool:
-        futs = [pool.submit(f) for f in
-                (_w_postings, _w_stats_agg, _w_norms_agg, _w_lineage_agg,
-                 _w_docmeta)]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(f) for f in (_w_stats, _w_lineage)]
         for fut in futs:
             fut.result()
 
@@ -400,13 +453,19 @@ def _build_generation(spark: SparkSession, documents: DataFrame,
 
     # on-disk footprint (compression evidence: delta+varint payloads +
     # parquet encoding vs 8 bytes/posting uncompressed docID alone)
-    store_bytes = {}
-    for store in ("postings", "term_stats", "norms", "doc_meta", "lineage"):
-        d = f"{index_dir}/{prefix}/{store}"
-        if os.path.isdir(d):
-            store_bytes[store] = sum(
-                os.path.getsize(os.path.join(r, f))
-                for r, _, fs in os.walk(d) for f in fs)
+    kind_names = {0: "postings", 1: "norms", 2: "lineage", 3: "doc_meta",
+                  4: "fast"}
+    store_bytes: dict[str, int] = {}
+    for r, _, fs in os.walk(store_dir):
+        seg = next((p for p in r.split(os.sep) if p.startswith("kind=")), None)
+        name = kind_names.get(int(seg.split("=")[1]), "other") if seg else "other"
+        for f in fs:
+            store_bytes[name] = store_bytes.get(name, 0) + os.path.getsize(
+                os.path.join(r, f))
+    if os.path.isdir(stats_dir):
+        store_bytes["term_stats"] = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(stats_dir) for f in fs)
 
     wall = time.time() - t_start
     return {
@@ -437,18 +496,20 @@ def build_index(spark: SparkSession, documents: DataFrame, index_dir: str,
                 merge_partitions: int | None = None,
                 fail_after_wave: int | None = None) -> Manifest:
     """Build (or resume building) the index. ``documents`` must have columns
-    doc_id, url, domain, title, content, tags (see corpus.to_documents).
+    doc_id, url, domain, title, content, tags (see corpus.to_documents);
+    optional: content_sha256, description, published, lastmodified (µs),
+    cf_<name> custom u64 fields.
 
     Resumable: completed stage-1 waves are skipped on restart.
     ``fail_after_wave`` injects a crash for the resume test.
-    """
+    ``merge_partitions`` is accepted for API compatibility (the single-pass
+    store has no merge stage)."""
     existing = load_manifest(index_dir)
     if existing is not None and existing.committed:
         return existing
     os.makedirs(index_dir, exist_ok=True)
     agg = _build_generation(spark, documents, index_dir, "segments",
-                            num_partitions, 0, waves, merge_partitions,
-                            fail_after_wave)
+                            num_partitions, 0, waves, fail_after_wave)
     m = Manifest(
         num_docs=agg["num_docs"],
         num_partitions=num_partitions,
@@ -471,26 +532,31 @@ def upsert_documents(spark: SparkSession, documents: DataFrame, index_dir: str,
     /root/reference/crates/spyglass/src/documents/mod.rs:135-195).
 
     Old copies are tombstoned by ORDINAL (precise — the re-added doc keeps
-    the same UUIDv5 doc_id); global stats N / df / avgdl keep counting the
-    tombstoned docs until a merge, matching tantivy's max_doc model.
-    At very large scale the tombstone set belongs in a side table rather
-    than the manifest JSON; the protocol is unchanged."""
+    the same UUIDv5 doc_id); the ordinals are written to a parquet side
+    table by the cluster (never collected to the driver) and anti-joined /
+    masked during scoring. Global stats N / df / avgdl keep counting the
+    tombstoned docs until a merge, matching tantivy's max_doc model."""
     m = load_manifest(index_dir)
     if m is None or not m.committed:
         raise FileNotFoundError(f"no committed index at {index_dir}")
 
     gens = m.gen_list()
-    dm_paths = [f"{index_dir}/{g['prefix']}/doc_meta" for g in gens]
-    old = (spark.read.parquet(*dm_paths)
-           .join(documents.select("url").distinct(), "url", "leftsemi")
-           .select("doc_ord").collect())
-    old_ords = [int(r["doc_ord"]) for r in old]
-
     gen_id = max(g["gen"] for g in gens) + 1
+
+    # tombstone side table: matched old ordinals, sorted by part for
+    # part-pruned reads at query time (at larger scale: bucket by part_id)
+    tomb_rel = f"tombstones/gen{gen_id}"
+    (doc_meta_view(spark, index_dir, gens)
+     .join(documents.select("url").distinct(), "url", "leftsemi")
+     .select("part_id", "doc_ord")
+     .coalesce(max(spark.sparkContext.defaultParallelism // 8, 1))
+     .sortWithinPartitions("part_id", "doc_ord")
+     .write.mode("overwrite").parquet(f"{index_dir}/{tomb_rel}"))
+
     prefix = f"segments_gen{gen_id}"
     part_offset = m.next_part_offset()
     agg = _build_generation(spark, documents, index_dir, prefix,
-                            num_partitions, part_offset, 1, None, None)
+                            num_partitions, part_offset, 1, None)
 
     m.generations = gens + [{"gen": gen_id, "prefix": prefix,
                              "part_offset": part_offset,
@@ -499,7 +565,7 @@ def upsert_documents(spark: SparkSession, documents: DataFrame, index_dir: str,
     m.num_docs += agg["num_docs"]
     for f_, v in agg["field_totals"].items():
         m.field_totals[f_] = m.field_totals.get(f_, 0) + v
-    m.tombstoned_ords = sorted(set(m.tombstoned_ords) | set(old_ords))
+    m.tombstone_dirs = sorted(set(m.tombstone_dirs) | {tomb_rel})
     m.metrics[f"gen{gen_id}"] = agg["metrics"]
     commit_manifest(index_dir, m)
     return m
@@ -509,7 +575,9 @@ def delete_by_ids(index_dir: str, doc_ids: list[str]) -> Manifest:
     """delete_many_by_id analog (client/local.rs:39-50): tombstone doc_ids
     in the manifest (postings untouched until a future merge — like
     tantivy's deletes-as-tombstones). N and df keep counting deleted docs,
-    matching tantivy's max_doc-based stats (SURVEY §2.11)."""
+    matching tantivy's max_doc-based stats (SURVEY §2.11). The id list is
+    caller-supplied (already driver-resident); bulk deletions at scale
+    should go through upsert/compaction instead."""
     m = load_manifest(index_dir)
     if m is None:
         raise FileNotFoundError(f"no committed index at {index_dir}")
@@ -529,17 +597,18 @@ def compact_index(spark: SparkSession, documents: DataFrame, index_dir: str,
     url is live in the current index are re-indexed.
 
     The rebuilt index is prepared in a sibling directory and swapped in via
-    directory rename + fresh manifest commit."""
+    directory rename + fresh manifest commit. Open SearchEngines must call
+    ``refresh()`` (or be rebuilt) after a compaction."""
     import shutil
 
     m = load_manifest(index_dir)
     if m is None or not m.committed:
         raise FileNotFoundError(f"no committed index at {index_dir}")
 
-    dm_paths = [f"{index_dir}/{g['prefix']}/doc_meta" for g in m.gen_list()]
-    dm = spark.read.parquet(*dm_paths)
-    if m.tombstoned_ords:
-        dm = dm.filter(~F.col("doc_ord").isin([int(o) for o in m.tombstoned_ords]))
+    dm = doc_meta_view(spark, index_dir, m.gen_list())
+    tomb = tombstone_view(spark, index_dir, m)
+    if tomb is not None:
+        dm = dm.join(tomb.select("doc_ord"), "doc_ord", "leftanti")
     if m.tombstones:
         dm = dm.filter(~F.col("doc_id").isin(list(m.tombstones)))
     live_urls = dm.select("url").distinct()

@@ -10,12 +10,11 @@ north_rule.
 Layout under <index_dir>/:
   manifest.json            — committed generation (atomic rename)
   checkpoint.json          — stage-1 wave progress (resume point)
-  stage1/wave=<w>/         — per-wave raw segment rows (postings+norms+lineage)
-  segments/postings/       — final term-sorted posting store
-  segments/term_stats/     — per-(field,term) df/cf, term-sorted
-  segments/norms/          — per-(part_id,field) fieldnorm arrays
-  segments/doc_meta/       — per-doc display/join row
-  segments/lineage/        — per-partition build lineage
+  segments/store/wave=<w>/kind=<k>/ — the single-pass segment store
+      kind=0 postings (term-sorted per part) · kind=1 fieldnorms ·
+      kind=2 lineage · kind=3 doc_meta · kind=4 date fast fields
+  segments/term_stats/     — global (field,term) → df/cf, term-sorted
+  tombstones/gen<k>/       — upsert tombstone ordinals (parquet side table)
 """
 
 from __future__ import annotations
@@ -34,7 +33,10 @@ class Manifest:
     waves: int = 1
     field_totals: dict = field(default_factory=dict)  # field -> exact token total
     tombstones: list = field(default_factory=list)  # deleted doc_ids (all copies)
-    tombstoned_ords: list = field(default_factory=list)  # upsert-precise ords
+    # upsert-precise ordinal tombstones live in parquet side tables (written
+    # by the cluster, never collected to the driver); this lists their
+    # directories relative to index_dir
+    tombstone_dirs: list = field(default_factory=list)
     generations: list = field(default_factory=list)
     # each generation: {gen, prefix, part_offset, num_partitions, num_docs}
     metrics: dict = field(default_factory=dict)

@@ -214,6 +214,14 @@ class OracleIndex:
             must_sets.append(u)
         for ms in must_scores:
             must_sets.append(set(ms))
+        for rfield, ge, le in getattr(cq, "range_musts", ()):
+            s_rng = set()
+            for ord_, d in enumerate(self.docs):
+                v = d.get(rfield)
+                v = -1 if v is None else int(v)
+                if v >= 0 and (ge is None or v >= ge) and (le is None or v <= le):
+                    s_rng.add(ord_)
+            must_sets.append(s_rng)
         if not must_sets:
             return []
         candidates = set(must_sets[0])
@@ -245,6 +253,7 @@ class OracleIndex:
             d = self.docs[o]
             out.append({"rank": rank, "doc_id": d["doc_id"], "url": d["url"],
                         "domain": d["domain"], "title": d["title"],
+                        "tags": sorted(int(t) for t in (d.get("tags") or [])),
                         "score": s, "doc_ord": o})
         return out
 

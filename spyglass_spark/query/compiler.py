@@ -65,6 +65,9 @@ class CompiledQuery:
     musts: list[Clause] = dc_field(default_factory=list)
     should_extra: list[Clause] = dc_field(default_factory=list)
     must_nots: list[Clause] = dc_field(default_factory=list)
+    # date-range Must filters on fast fields: (field, ge_µs|None, le_µs|None)
+    # — the tantivy RangeQuery-on-fast-field analog (schema.rs:179-195)
+    range_musts: list[tuple] = dc_field(default_factory=list)
     term_count: int = 0
 
     def all_clauses(self) -> list[Clause]:
@@ -124,6 +127,12 @@ def compile_query(query_string: str, filters=(), boosts=()) -> CompiledQuery:
 
     for spec in filters:
         kind, value, *rest = spec
+        if kind.endswith("_ge") or kind.endswith("_le"):
+            # date-range filter on a fast field, e.g. ("lastmodified_ge", µs)
+            field, op = kind.rsplit("_", 1)
+            cq.range_musts.append((field, int(value) if op == "ge" else None,
+                                   int(value) if op == "le" else None))
+            continue
         if kind in ("favorite", "favorite_required"):
             clause = _term("tags", str(value), rest[0] if rest else DEFAULT_BOOST_FAVORITE)
             if kind == "favorite_required":

@@ -6,45 +6,70 @@ re-expressed Spark-first):
 
 1. Compile queries driver-side with the SAME analyzer code as indexing
    (terms_for_field parity, query.rs:237-259).
-2. Look up global term stats (df) from the term-sorted stats store —
-   parquet min/max pruning makes this a tiny selective scan; N, avgdl come
-   from the manifest. BM25 weights are computed once per query in float32
-   (the reference builds Bm25Weight once per query from searcher-global
-   stats).
-3. Scan ONLY the query terms' posting chunks (predicate pushdown on the
-   term-sorted store), cogroup them with the per-partition fieldnorm
+2. Look up global term stats (df) from the term-sorted stats store via a
+   driver-side pyarrow pruned read — the analog of tantivy consulting its
+   term dictionary: a metadata-plane lookup, NOT a Spark job. Results are
+   memoized per engine (df is an index property). N, avgdl come from the
+   manifest. BM25 weights are computed once per query in float32.
+3. Scan ONLY the query terms' posting chunks (field/term predicate pushdown
+   + row-group/page pruning inside each part file of the kind-partitioned
+   store), cogroup them with the per-partition fieldnorm + date fast-field
    arrays on part_id — posting chunks of all query terms for the same doc
-   range land together, so scoring (incl. positional phrase matching and
-   block-max WAND pruning) runs vectorized per partition with NO
-   doc-level shuffle.
+   range land together, so scoring (incl. positional phrase matching,
+   date-range fast-field filters and block-max WAND pruning) runs
+   vectorized per partition with NO doc-level shuffle.
 4. Each partition emits its local top-(k+offset); the global top-k merge
-   is a tiny sort (parts × (k+offset) rows) — the TopDocs collector analog.
-5. Hits join back to doc_meta (broadcast) for display fields; score > 0
-   post-filter per client/local.rs:138; tie-break (score desc, doc_ord asc).
+   runs DRIVER-SIDE over ≤ parts×(k+offset)×queries tiny rows collected
+   from the single scoring job (the TopDocs heap analog). Above a size
+   guard the merge falls back to a distributed window — same ordering.
+5. Hits join back to doc_meta (broadcast literal, part/ord-pruned scan)
+   for display fields incl. tags (RetrievedDocument{..tags}, lib.rs:130-139);
+   score > 0 post-filter per client/local.rs:138; tie-break
+   (score desc, doc_ord asc).
 """
 
 from __future__ import annotations
+
+import time
+from collections import defaultdict
+from functools import reduce
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..index.builder import ORD_SHIFT
-from ..index.codecs import decode_block_meta, decode_positions, decode_postings
+from ..index.builder import (KIND_DOCMETA, KIND_FAST, KIND_NORMS,
+                             KIND_POSTING, ORD_SHIFT, doc_meta_view,
+                             read_store, tombstone_view)
+from ..index.codecs import decode_positions, decode_postings
 from ..index.manifest import Manifest, load_manifest
 from .compiler import CompiledQuery, compile_query
 from .scoring import K1, idf, norm_cache, score_postings, sloppy_phrase_count
 
 RESULT_SCHEMA = "query_id long, doc_ord long, score float"
+HIT_COLUMNS = ["query_id", "rank", "doc_id", "url", "domain", "title",
+               "tags", "score", "doc_ord"]
+
+# Above this many candidate rows (parts × limit × queries) the global top-k
+# merge runs as a distributed window instead of a driver-side heap.
+MERGE_COLLECT_MAX = 2_000_000
+# Tombstone sets up to this size ship inside the plan payload; larger sets
+# are read per-partition by the executors from the parquet side tables.
+TOMBSTONE_SHIP_MAX = 1_000_000
 
 
 def _wand_eligible(specs) -> bool:
     """Block-max WAND handles the standard search shape: a scoring Should
-    group + zero-boost Must filters (+ MustNots). Scoring musts /
-    favorite-Should extras fall back to the exhaustive scorer."""
+    group + zero-boost single-term Must filters (+ MustNots). Scoring
+    musts / favorite-Should extras / phrase-or-multiterm musts / range
+    filters fall back to the exhaustive scorer (WAND is a pruning strategy
+    only — results must be bitwise identical)."""
     for s in specs:
-        if s["role"] in ("should_extra", "extra_group"):
+        if s["role"] in ("should_extra", "extra_group", "must_range"):
+            return False
+        if s["role"] in ("must", "must_not") and (
+                s["kind"] != "term" or len(s["terms"]) != 1):
             return False
         if s["role"] == "must" and s["scoring"]:
             return False
@@ -121,7 +146,46 @@ def _clause_specs(cq: CompiledQuery, dfs: dict, n_docs: int) -> list[dict]:
         add(c, "should_extra")
     for c in cq.must_nots:
         add(c, "must_not")
+    for field, ge, le in getattr(cq, "range_musts", ()):
+        specs.append({"kind": "range", "field": field, "terms": [],
+                      "positions": [], "slop": 0, "boost": 0.0, "weight": 0.0,
+                      "scoring": False, "role": "must_range",
+                      "ge": ge, "le": le})
     return specs
+
+
+def _open_parquet_dirs(dirs):
+    """pyarrow dataset over one or more parquet DIRECTORIES (a plain list
+    would be treated as file paths)."""
+    import pyarrow.dataset as pads
+
+    children = [pads.dataset(d, format="parquet") for d in dirs]
+    return children[0] if len(children) == 1 else pads.dataset(children)
+
+
+def _local_tombstones(plan: dict, part_id: int):
+    """This partition's tombstoned local ordinals (int64) or None.
+    Small sets arrive in the plan payload; large sets are read from the
+    parquet side tables pruned to this part (executor-side, no driver
+    materialization)."""
+    out = []
+    tomb = plan.get("tombstone_ords")
+    if tomb is not None and tomb.size:
+        lt = tomb[(tomb >> ORD_SHIFT) == part_id] & ((1 << ORD_SHIFT) - 1)
+        if lt.size:
+            out.append(lt.astype(np.int64))
+    dirs = plan.get("tombstone_dirs") or ()
+    if dirs:
+        import pyarrow.dataset as pads
+
+        tbl = _open_parquet_dirs(list(dirs)).to_table(
+            columns=["doc_ord"], filter=pads.field("part_id") == part_id)
+        arr = tbl.column("doc_ord").to_numpy()
+        if arr.size:
+            out.append((arr & ((1 << ORD_SHIFT) - 1)).astype(np.int64))
+    if not out:
+        return None
+    return np.unique(np.concatenate(out)) if len(out) > 1 else np.sort(out[0])
 
 
 def _score_partition(plan: dict, postings_pdf: pd.DataFrame, norms_pdf: pd.DataFrame):
@@ -132,14 +196,19 @@ def _score_partition(plan: dict, postings_pdf: pd.DataFrame, norms_pdf: pd.DataF
             {"query_id": "int64", "doc_ord": "int64", "score": "float32"})
     part_id = int(postings_pdf["part_id"].iloc[0])
     base = np.uint64(part_id) << np.uint64(ORD_SHIFT)
-    norm_arrays = {r["field"]: np.frombuffer(r["norm_bytes"], dtype=np.uint8)
-                   for _, r in norms_pdf.iterrows()}
+    norm_arrays = {}
+    fast_arrays = {}
+    for _, r in norms_pdf.iterrows():
+        if int(r["kind"]) == KIND_NORMS:
+            norm_arrays[r["term"]] = np.frombuffer(r["doc_bytes"], dtype=np.uint8)
+        else:  # KIND_FAST: date columns as little-endian i64 arrays
+            fast_arrays[r["term"]] = np.frombuffer(r["doc_bytes"], dtype=np.int64)
     # posting payloads for this part, keyed (field, term)
     payload = {(r["field"], r["term"]): r for _, r in postings_pdf.iterrows()}
     caches = plan["caches"]
     limit = plan["limit"]
-    tomb = plan.get("tombstone_ords")
     algo = plan.get("algo", "auto")
+    local_tomb = _local_tombstones(plan, part_id)
     out_q, out_d, out_s = [], [], []
 
     def term_postings(field, term):
@@ -149,16 +218,9 @@ def _score_partition(plan: dict, postings_pdf: pd.DataFrame, norms_pdf: pd.DataF
         docs, tfs = decode_postings(row["doc_bytes"], row["tf_bytes"])
         return docs, tfs, row
 
-    def local_tombstones():
-        if tomb is None or not tomb.size:
-            return None
-        lt = tomb[(tomb >> ORD_SHIFT) == part_id] & ((1 << ORD_SHIFT) - 1)
-        return lt.astype(np.int64) if lt.size else None
-
     for q in plan["queries"]:
         if algo != "exhaustive" and _wand_eligible(q["specs"]):
-            res = _run_wand(q, payload, caches, norm_arrays, limit,
-                            local_tombstones())
+            res = _run_wand(q, payload, caches, norm_arrays, limit, local_tomb)
             if res is not None:
                 ords_w, scores_w = res
                 if ords_w.size:
@@ -171,6 +233,20 @@ def _score_partition(plan: dict, postings_pdf: pd.DataFrame, norms_pdf: pd.DataF
         clause_results = []
         for spec in q["specs"]:
             field = spec["field"]
+            if spec["kind"] == "range":
+                arr = fast_arrays.get(field)
+                if arr is None:
+                    ords_r = np.empty(0, np.int64)
+                else:
+                    mask = np.ones(arr.size, dtype=bool)
+                    if spec["ge"] is not None:
+                        mask &= arr >= spec["ge"]
+                    if spec["le"] is not None:
+                        mask &= arr <= spec["le"]
+                    mask &= arr >= 0  # missing dates (-1) never match
+                    ords_r = np.nonzero(mask)[0].astype(np.int64)
+                clause_results.append((ords_r, np.empty(0, np.float32), spec))
+                continue
             cache = caches[field]
             norms = norm_arrays.get(field)
             if spec["kind"] == "term":
@@ -217,7 +293,8 @@ def _score_partition(plan: dict, postings_pdf: pd.DataFrame, norms_pdf: pd.DataF
                           if spec["scoring"] else np.zeros(ords_m.size, np.float32))
                 clause_results.append((ords_m, scores, spec))
 
-        # candidate set: Must(union of should group) ∩ each extra group ∩ musts − must_nots
+        # candidate set: Must(union of should group) ∩ each extra group
+        #   ∩ musts ∩ range filters − must_nots
         should = [r for r in clause_results if r[2]["role"] == "should"]
         must_sets = []
         if should:
@@ -231,7 +308,7 @@ def _score_partition(plan: dict, postings_pdf: pd.DataFrame, norms_pdf: pd.DataF
         for gi in sorted(groups):
             must_sets.append(np.unique(np.concatenate(groups[gi])))
         for r in clause_results:
-            if r[2]["role"] == "must":
+            if r[2]["role"] in ("must", "must_range"):
                 must_sets.append(r[0])
         if not must_sets:
             continue
@@ -241,16 +318,14 @@ def _score_partition(plan: dict, postings_pdf: pd.DataFrame, norms_pdf: pd.DataF
         for r in clause_results:
             if r[2]["role"] == "must_not":
                 cand = np.setdiff1d(cand, r[0], assume_unique=True)
-        if tomb is not None and tomb.size:
-            local_tomb = tomb[(tomb >> ORD_SHIFT) == part_id] & ((1 << ORD_SHIFT) - 1)
-            if local_tomb.size:
-                cand = np.setdiff1d(cand, local_tomb.astype(np.int64), assume_unique=True)
+        if local_tomb is not None:
+            cand = np.setdiff1d(cand, local_tomb, assume_unique=True)
         if cand.size == 0:
             continue
         # accumulate float32 scores in clause order (oracle-identical)
         acc = np.zeros(cand.size, dtype=np.float32)
         for ords_c, scores_c, spec in clause_results:
-            if spec["role"] == "must_not" or ords_c.size == 0:
+            if spec["role"] in ("must_not", "must_range") or ords_c.size == 0:
                 continue
             pos = np.searchsorted(cand, ords_c)
             ok = (pos < cand.size)
@@ -260,10 +335,7 @@ def _score_partition(plan: dict, postings_pdf: pd.DataFrame, norms_pdf: pd.DataF
         cand, acc = cand[keep], acc[keep]
         if cand.size == 0:
             continue
-        if cand.size > limit:
-            sel = np.lexsort((cand, -acc.astype(np.float64)))[:limit]
-        else:
-            sel = np.lexsort((cand, -acc.astype(np.float64)))
+        sel = np.lexsort((cand, -acc.astype(np.float64)))[:limit]
         out_q.append(np.full(sel.size, q["query_id"], dtype=np.int64))
         out_d.append((base + cand[sel].astype(np.uint64)).astype(np.int64))
         out_s.append(acc[sel])
@@ -281,9 +353,18 @@ class SearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
-        m = load_manifest(index_dir)
+        self.last_meta: dict | None = None
+        self.refresh()
+
+    def refresh(self) -> None:
+        """(Re)load the committed manifest and rebuild the cached frames /
+        stats caches. Call after another writer upserts/deletes or after
+        compact_index's directory swap — the engine otherwise serves the
+        generation it was opened on (tantivy reader-reload analog,
+        local.rs:178-190)."""
+        m = load_manifest(self.index_dir)
         if m is None or not m.committed:
-            raise FileNotFoundError(f"no committed index manifest in {index_dir}")
+            raise FileNotFoundError(f"no committed index manifest in {self.index_dir}")
         if m.version > 1:
             raise ValueError(
                 f"index manifest version {m.version} is newer than this "
@@ -293,9 +374,24 @@ class SearchEngine:
         self.gens = m.gen_list()
         # base frames created once: Spark caches their file indexes, so
         # per-query work skips the parquet listing round trips
-        self._postings_base = spark.read.parquet(*self._paths("postings"))
-        self._norms_base = spark.read.parquet(*self._paths("norms"))
-        self._doc_meta_base = spark.read.parquet(*self._paths("doc_meta"))
+        def fresh_store() -> DataFrame:
+            # separate reads (distinct plan lineage) so postings-derived
+            # frames can join norms-derived frames without self-join
+            # ambiguity; Spark still shares the cached file index
+            return reduce(DataFrame.unionByName,
+                          [read_store(self.spark, self.index_dir, g["prefix"])
+                           for g in self.gens])
+
+        self._postings_base = fresh_store().filter(
+            F.col("kind") == KIND_POSTING).select(
+            "part_id", "field", "term", "df_part", "cf_part", "n_local",
+            "doc_bytes", "tf_bytes", "pos_bytes", "meta_bytes")
+        self._norms_base = fresh_store().filter(
+            F.col("kind").isin([KIND_NORMS, KIND_FAST])).select(
+            "part_id", "kind", "term", "doc_bytes")
+        self._doc_meta_base = doc_meta_view(self.spark, self.index_dir, self.gens)
+        self._df_cache: dict[tuple[str, str], int] = {}
+        self._tomb_cache = None
 
     def _paths(self, name: str) -> list[str]:
         return [f"{self.index_dir}/{g['prefix']}/{name}" for g in self.gens]
@@ -312,34 +408,41 @@ class SearchEngine:
                     algo: str = "auto") -> DataFrame:
         """Batch mode: one Spark job scores all queries. Each dict:
         {query, filters?, boosts?}. Returns (query_id, rank, doc_id, url,
-        domain, title, score). ``algo``: 'auto' (block-max WAND where the
-        query shape allows, exhaustive otherwise) or 'exhaustive'."""
+        domain, title, tags, score). ``algo``: 'auto' (block-max WAND where
+        the query shape allows, exhaustive otherwise) or 'exhaustive'.
+        Per-batch metadata (num_docs, term_counts, wall_time_ms — the
+        SearchResults.meta analog, api/handler/search.rs:190-211) is left
+        in ``self.last_meta``."""
+        t0 = time.time()
         compiled = [compile_query(q["query"], q.get("filters", ()), q.get("boosts", ()))
                     for q in queries]
-        return self._execute_compiled(compiled, k=k, offset=offset, algo=algo)
+        out = self._execute_compiled(compiled, k=k, offset=offset, algo=algo)
+        self.last_meta = {
+            "queries": [q["query"] for q in queries],
+            "num_docs": self.manifest.num_docs,
+            "term_counts": [cq.term_count for cq in compiled],
+            "wall_time_ms": round((time.time() - t0) * 1000.0, 1),
+        }
+        return out
 
     def _execute_compiled(self, compiled: list[CompiledQuery], k: int = 5,
                           offset: int = 0, algo: str = "auto") -> DataFrame:
         spark = self.spark
         m = self.manifest
         keys = set()
+        range_fields = set()
         for cq in compiled:
             keys |= cq.term_keys()
+            range_fields |= {f for f, _, _ in getattr(cq, "range_musts", ())}
         if not keys:
             return self._empty_result()
 
         fields = sorted({f for f, _ in keys})
         terms = sorted({t for _, t in keys})
-        postings = (self._postings_base
-                    .filter(F.col("field").isin(fields) & F.col("term").isin(terms))
-                    .persist())
-        # global df per (field, term) straight from the scanned chunk rows —
-        # one cached scan serves both stats and scoring (df counts
-        # tombstoned docs, matching tantivy's searcher-global stats)
-        dfs = {(r["field"], r["term"]): int(r["df"]) for r in
-               postings.groupBy("field", "term")
-                       .agg(F.sum("df_part").alias("df")).collect()
-               if (r["field"], r["term"]) in keys}
+        # global df per (field, term): driver-side pruned read of the
+        # term-sorted stats store, memoized (df counts tombstoned docs,
+        # matching tantivy's searcher-global stats)
+        dfs = self._term_dfs(keys)
         cache_fields = set(m.field_totals) | {f for f, _ in keys}
         caches = {f: norm_cache(m.field_totals.get(f, 0) / m.num_docs
                                 if m.num_docs else 1.0)
@@ -349,16 +452,22 @@ class SearchEngine:
                         for qi, cq in enumerate(compiled)],
             "caches": caches,
             "limit": k + offset,
-            "tombstone_ords": self._tombstone_ords(),
             "algo": algo,
         }
+        plan.update(self._tombstone_plan())
 
-        # ship ONLY the norm arrays of partitions that actually hold chunks
-        # of the query terms — at 10^12-doc scale the norms store is huge
-        # and most queries touch a sliver of partitions
+        postings = self._postings_base.filter(
+            F.col("field").isin(fields) & F.col("term").isin(terms))
+        # ship ONLY the norm/fast arrays of partitions that actually hold
+        # chunks of the query terms — at 10^12-doc scale the norms store is
+        # huge and most queries touch a sliver of partitions
         touched_parts = postings.select("part_id").distinct()
-        norms = (self._norms_base
-                 .filter(F.col("field").isin(fields))
+        need_norms = ((F.col("kind") == KIND_NORMS) & F.col("term").isin(fields))
+        if range_fields:
+            need_norms = need_norms | (
+                (F.col("kind") == KIND_FAST)
+                & F.col("term").isin(sorted(range_fields)))
+        norms = (self._norms_base.filter(need_norms)
                  .join(touched_parts, "part_id", "leftsemi"))
 
         def run(pkey, post_pdf, norm_pdf):
@@ -368,26 +477,62 @@ class SearchEngine:
                    .cogroup(norms.groupBy("part_id"))
                    .applyInPandas(run, RESULT_SCHEMA))
 
+        total_parts = sum(g["num_partitions"] for g in self.gens)
+        bound = total_parts * (k + offset) * len(compiled)
+        if bound <= MERGE_COLLECT_MAX:
+            return self._merge_driver(partial, len(compiled), k, offset)
+        return self._merge_window(partial, k, offset)
+
+    def _merge_driver(self, partial: DataFrame, nq: int, k: int, offset: int) -> DataFrame:
+        """Global top-k merge on the driver: ONE Spark job collects the
+        per-partition candidates (≤ parts×limit×queries tiny rows), numpy
+        resolves the global order, and the result frame joins the hit list
+        back to a part/ord-pruned doc_meta scan."""
+        rows = partial.collect()
+        by_q: dict[int, list] = defaultdict(list)
+        for r in rows:
+            by_q[r["query_id"]].append((r["doc_ord"], r["score"]))
+        hits = []  # (query_id, rank, doc_ord, score)
+        for qi, pairs in by_q.items():
+            ords = np.fromiter((p[0] for p in pairs), dtype=np.int64, count=len(pairs))
+            scores = np.asarray([p[1] for p in pairs], dtype=np.float32)
+            sel = np.lexsort((ords, -scores.astype(np.float64)))
+            sel = sel[offset:offset + k]
+            for rank, i in enumerate(sel, start=1 + offset):
+                hits.append((int(qi), rank, int(ords[i]), float(scores[i])))
+        if not hits:
+            return self._empty_result()
+        hits_df = self.spark.createDataFrame(
+            hits, "query_id long, rank int, doc_ord long, score float")
+        parts = sorted({h[2] >> ORD_SHIFT for h in hits})
+        ords_all = [h[2] for h in hits]
+        dm = self._doc_meta_base.filter(
+            F.col("part_id").isin(parts) & F.col("doc_ord").isin(ords_all))
+        return (dm.join(F.broadcast(hits_df), "doc_ord")
+                .select("query_id", "rank", "doc_id", "url", "domain", "title",
+                        "tags", F.col("score").cast("float").alias("score"),
+                        "doc_ord")
+                .orderBy("query_id", "rank"))
+
+    def _merge_window(self, partial: DataFrame, k: int, offset: int) -> DataFrame:
+        """Distributed global top-k (the scalable fallback): identical
+        (score desc, doc_ord asc) ordering via a rank window."""
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_ord"))
         topk = (partial.withColumn("rank", F.row_number().over(w))
                 .filter((F.col("rank") > offset) & (F.col("rank") <= k + offset))
                 .localCheckpoint(eager=True))  # scoring runs exactly once
-
-        # prune the doc_meta scan to the hit partitions (store is sorted by
-        # part_id → parquet row-group stats prune) before the broadcast join
         hit_parts = [int(r["part_id"]) for r in
                      topk.select((F.col("doc_ord") / F.lit(1 << ORD_SHIFT))
                                  .cast("long").alias("part_id"))
                          .distinct().collect()]
-        doc_meta = (self._doc_meta_base.filter(F.col("part_id").isin(hit_parts))
-                    if hit_parts else self._doc_meta_base)
-        out = (topk.join(doc_meta.select("doc_ord", "doc_id", "url", "domain", "title"),
-                         "doc_ord", "left")
-               .select("query_id", "rank", "doc_id", "url", "domain", "title",
-                       F.col("score").cast("float").alias("score"), "doc_ord")
-               .orderBy("query_id", "rank"))
-        postings.unpersist()
-        return out
+        dm = (self._doc_meta_base.filter(F.col("part_id").isin(hit_parts))
+              if hit_parts else self._doc_meta_base)
+        return (topk.join(dm.select("doc_ord", "doc_id", "url", "domain",
+                                    "title", "tags"), "doc_ord", "left")
+                .select("query_id", "rank", "doc_id", "url", "domain", "title",
+                        "tags", F.col("score").cast("float").alias("score"),
+                        "doc_ord")
+                .orderBy("query_id", "rank"))
 
     def more_like_this(self, doc_id: str, documents: DataFrame, k: int = 5,
                        max_terms: int = 10) -> DataFrame:
@@ -425,42 +570,42 @@ class SearchEngine:
     def get_documents(self, doc_ids: list[str]) -> DataFrame:
         """Doc-store get-by-id (client/local.rs:71-95 analog): fetch the
         stored fields for exact doc ids. Tombstoned ids are excluded."""
-        dm = (self.spark.read.parquet(*self._paths("doc_meta"))
-              .filter(F.col("doc_id").isin(list(doc_ids))))
-        tomb = self._tombstone_ords()
-        if tomb.size:
-            dm = dm.filter(~F.col("doc_ord").isin([int(t) for t in tomb]))
-        return dm.select("doc_id", "url", "domain", "title", "doc_ord")
+        dm = self._doc_meta_base.filter(F.col("doc_id").isin(list(doc_ids)))
+        dm = self._anti_tombstone(dm)
+        return dm.select("doc_id", "url", "domain", "title", "tags", "doc_ord")
 
     def document_query(self, urls=(), ids=(), tags=(), exclude_tags=()) -> DataFrame:
         """Unscored document-set query (build_document_query +
         DocSetCollector, query.rs:184-231, client/local.rs:234-241):
         Must(any urls) AND Must(any ids) AND each tag AND NOT exclude_tags.
         Returns the full match set (no top-k, no scores)."""
-        dm = self.spark.read.parquet(*self._paths("doc_meta"))
         cond = F.lit(True)
         if urls:
             cond = cond & F.col("url").isin(list(urls))
         if ids:
             cond = cond & F.col("doc_id").isin(list(ids))
-        out = dm.filter(cond)
+        out = self._doc_meta_base.filter(cond)
         for t in tags:
-            ords = self._tag_ords(int(t))
-            out = out.join(ords, "doc_ord", "leftsemi")
+            out = out.join(self._tag_ords(int(t)), "doc_ord", "leftsemi")
         for t in exclude_tags:
-            ords = self._tag_ords(int(t))
-            out = out.join(ords, "doc_ord", "leftanti")
-        tomb = self._tombstone_ords()
-        if tomb.size:
-            out = out.filter(~F.col("doc_ord").isin([int(x) for x in tomb]))
+            out = out.join(self._tag_ords(int(t)), "doc_ord", "leftanti")
+        out = self._anti_tombstone(out)
         return out.select("doc_id", "url", "domain", "title", "doc_ord")
+
+    def _anti_tombstone(self, dm: DataFrame) -> DataFrame:
+        """Remove tombstoned docs from a doc_meta-shaped frame — side
+        tables anti-joined cluster-side, manifest doc_id list filtered."""
+        tomb = tombstone_view(self.spark, self.index_dir, self.manifest)
+        if tomb is not None:
+            dm = dm.join(tomb.select("doc_ord"), "doc_ord", "leftanti")
+        if self.manifest.tombstones:
+            dm = dm.filter(~F.col("doc_id").isin(list(self.manifest.tombstones)))
+        return dm
 
     def _tag_ords(self, tag_id: int) -> DataFrame:
         """Decode one tag term's posting chunks into a doc_ord DataFrame
         (Arrow-batched; the chunks are term-pruned at the parquet scan)."""
-        import pandas as pd
-
-        rows = (self.spark.read.parquet(*self._paths("postings"))
+        rows = (self._postings_base
                 .filter((F.col("field") == "tags") & (F.col("term") == str(tag_id)))
                 .select("part_id", "doc_bytes", "tf_bytes"))
 
@@ -483,7 +628,6 @@ class SearchEngine:
         join the top-k back to the source documents (broadcast the tiny
         hit side), add a highlight preview (utils.rs:64-138) and a
         first-N-words description (crawler/mod.rs:632-637)."""
-        import pandas as pd
         from pyspark.sql.types import StringType
 
         from .highlight import first_words, generate_highlight_preview
@@ -512,28 +656,60 @@ class SearchEngine:
     # -- helpers ---------------------------------------------------------
 
     def _term_dfs(self, keys: set) -> dict:
-        fields = sorted({f for f, _ in keys})
-        terms = sorted({t for _, t in keys})
-        rows = (self.spark.read.parquet(*self._paths("term_stats"))
-                .filter(F.col("field").isin(fields) & F.col("term").isin(terms))
-                .collect())
-        out: dict = {}
-        for r in rows:  # sum df across generations
-            k = (r["field"], r["term"])
-            if k in keys:
-                out[k] = out.get(k, 0) + int(r["df"])
-        return out
+        """Global df per (field, term): memoized driver-side pyarrow read
+        of the term-sorted stats store (row-group pruned by the field/term
+        predicate — the term-dictionary-lookup analog, not a Spark job).
+        Generations are summed."""
+        missing = {k2 for k2 in keys if k2 not in self._df_cache}
+        if missing:
+            import pyarrow.dataset as pads
 
-    def _tombstone_ords(self):
-        ords = set(int(o) for o in self.manifest.tombstoned_ords)
-        if self.manifest.tombstones:
-            rows = (self.spark.read.parquet(*self._paths("doc_meta"))
-                    .filter(F.col("doc_id").isin(list(self.manifest.tombstones)))
-                    .select("doc_ord").collect())
-            ords |= {int(r["doc_ord"]) for r in rows}
-        return np.array(sorted(ords), dtype=np.int64)
+            fields = sorted({f for f, _ in missing})
+            terms = sorted({t for _, t in missing})
+            flt = pads.field("field").isin(fields) & pads.field("term").isin(terms)
+            found: dict[tuple[str, str], int] = defaultdict(int)
+            for p in self._paths("term_stats"):
+                tbl = pads.dataset(p, format="parquet").to_table(
+                    columns=["field", "term", "df"], filter=flt)
+                for f_, t_, d_ in zip(tbl.column("field").to_pylist(),
+                                      tbl.column("term").to_pylist(),
+                                      tbl.column("df").to_pylist()):
+                    if (f_, t_) in missing:
+                        found[(f_, t_)] += int(d_)
+            for k2 in missing:
+                self._df_cache[k2] = found.get(k2, 0)
+        return {k2: self._df_cache[k2] for k2 in keys}
+
+    def _tombstone_plan(self) -> dict:
+        """Tombstones for the scoring plan: the manifest's doc_id list is
+        resolved once (bounded — caller-supplied ids), upsert side tables
+        ship inline when small and are read part-pruned by the executors
+        when large."""
+        if self._tomb_cache is None:
+            ords: set[int] = set()
+            dirs: list[str] = []
+            if self.manifest.tombstones:
+                rows = (self._doc_meta_base
+                        .filter(F.col("doc_id").isin(list(self.manifest.tombstones)))
+                        .select("doc_ord").collect())
+                ords |= {int(r["doc_ord"]) for r in rows}
+            side = [f"{self.index_dir}/{d}" for d in self.manifest.tombstone_dirs]
+            if side:
+                dset = _open_parquet_dirs(side)
+                n = dset.count_rows()
+                if n <= TOMBSTONE_SHIP_MAX:
+                    arr = dset.to_table(columns=["doc_ord"]).column("doc_ord")
+                    ords |= {int(v) for v in arr.to_pylist()}
+                else:
+                    dirs = side
+            self._tomb_cache = {
+                "tombstone_ords": np.array(sorted(ords), dtype=np.int64),
+                "tombstone_dirs": dirs,
+            }
+        return self._tomb_cache
 
     def _empty_result(self) -> DataFrame:
         return self.spark.createDataFrame(
             [], "query_id long, rank int, doc_id string, url string, "
-                "domain string, title string, score float, doc_ord long")
+                "domain string, title string, tags array<long>, score float, "
+                "doc_ord long")

@@ -59,7 +59,7 @@ def corpus_to_documents(rows: list[dict]) -> tuple[list[dict], list[dict]]:
     oracle side of parity tests). Returns (documents, tags_dim)."""
     import uuid
 
-    from .corpus import SPYGLASS_NS
+    from .corpus import SPYGLASS_NS, lastmodified_py, published_py
 
     tagvals = sorted({("lens", r["lang"]) for r in rows} |
                      {("repository", r["repo"]) for r in rows})
@@ -78,5 +78,7 @@ def corpus_to_documents(rows: list[dict]) -> tuple[list[dict], list[dict]]:
             "tags": sorted([tag_id[("lens", r["lang"])],
                             tag_id[("repository", r["repo"])]]),
             "content_sha256": hashlib.sha256(r["content"].encode()).hexdigest(),
+            "published": published_py(url),
+            "lastmodified": lastmodified_py(url),
         })
     return docs, tags_dim

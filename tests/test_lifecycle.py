@@ -65,7 +65,7 @@ def test_compaction_drops_tombstones_and_generations(spark, corpus_rows, tmp_pat
     m = compact_index(spark, record, idx, num_partitions=8)
     assert m.num_docs == 100  # tombstoned copies gone
     assert len(m.gen_list()) == 1
-    assert not m.tombstoned_ords and not m.tombstones
+    assert not m.tombstone_dirs and not m.tombstones
 
     eng = SearchEngine(spark, idx)
     oracle = OracleIndex.build(list(final_docs.values()), num_partitions=8)

@@ -125,7 +125,10 @@ def test_multimodal_decode_stub_raises():
 
 def test_postings_scan_pushdown(spark, built_index):
     """Term lookups must reach the parquet scan as PushedFilters."""
-    postings = spark.read.parquet(f"{built_index['index_dir']}/segments/postings")
+    from spyglass_spark.index.builder import KIND_POSTING, read_store
+
+    postings = (read_store(spark, built_index["index_dir"])
+                .filter(F.col("kind") == KIND_POSTING))
     plan = (postings.filter((F.col("field") == "content") & (F.col("term") == "fn"))
             ._jdf.queryExecution().executedPlan().toString())
     assert "PushedFilters" in plan
@@ -134,12 +137,17 @@ def test_postings_scan_pushdown(spark, built_index):
 
 def test_docmeta_column_pruning(spark, built_index):
     """A 2-column projection must not read the other columns."""
-    dm = spark.read.parquet(f"{built_index['index_dir']}/segments/doc_meta")
+    from spyglass_spark.index.builder import doc_meta_view
+
+    dm = doc_meta_view(spark, built_index["index_dir"],
+                       [{"prefix": "segments"}])
     plan = (dm.select("doc_ord", "doc_id")
             ._jdf.queryExecution().executedPlan().toString())
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
-    assert "doc_ord" in read_schema and "doc_id" in read_schema
-    assert "content_sha256" not in read_schema
+    # doc_ord is computed from (part_id, local_ord); the scan must read
+    # exactly those plus doc_id — nothing else
+    assert "local_ord" in read_schema and "doc_id" in read_schema
+    assert "content_sha256" not in read_schema and "title" not in read_schema
 
 
 def test_payload_metadata_never_reads_binary(spark, docs_df, tmp_path):

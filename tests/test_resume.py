@@ -11,8 +11,11 @@ def _index_fingerprint(spark, index_dir):
     across runs; values must not)."""
     from pyspark.sql import functions as F
 
+    from spyglass_spark.index.builder import KIND_POSTING, doc_meta_view, read_store
+
     parts = {}
-    post = spark.read.parquet(f"{index_dir}/segments/postings")
+    store = read_store(spark, index_dir)
+    post = store.filter(F.col("kind") == KIND_POSTING)
     parts["postings"] = (post
         .withColumn("h", F.sha2(F.concat_ws("|",
             "part_id", "field", "term", "df_part", "cf_part",
@@ -25,7 +28,8 @@ def _index_fingerprint(spark, index_dir):
         .withColumn("h", F.sha2(F.concat_ws("|", "field", "term", "df", "cf"), 256))
         .agg(F.sha2(F.concat_ws("", F.sort_array(F.collect_list("h"))), 256)
              .alias("x")).collect()[0]["x"])
-    dm = spark.read.parquet(f"{index_dir}/segments/doc_meta")
+    dm = doc_meta_view(spark, index_dir,
+                       [{"prefix": "segments"}])
     parts["doc_meta"] = (dm
         .withColumn("h", F.sha2(F.concat_ws("|", "doc_ord", "doc_id", "url"), 256))
         .agg(F.sha2(F.concat_ws("", F.sort_array(F.collect_list("h"))), 256)
@@ -113,7 +117,10 @@ def test_upsert_delete_readd_parity(spark, corpus_rows, tmp_path):
     m = upsert_documents(spark, spark.createDataFrame(replaced), idx_dir,
                          num_partitions=4)
     assert m.num_docs == len(docs) + 10  # N counts tombstoned old copies
-    assert len(m.tombstoned_ords) == 10
+    # tombstones live in a parquet side table (never collected driver-side)
+    from spyglass_spark.index.builder import tombstone_view
+    tomb = tombstone_view(spark, idx_dir, m)
+    assert tomb is not None and tomb.count() == 10
 
     oracle = OracleIndex.build_generations([(docs, 8), (replaced, 4)])
     # tombstone the gen-0 copies of the replaced urls (by ordinal)

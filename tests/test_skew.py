@@ -33,7 +33,9 @@ def test_hot_term_chunks_spread_across_merge_partitions(spark, tmp_path):
     # 'fn' appears in every doc → df = 800 split into 128 bounded chunks
     assert m.metrics["term_df_skew_ratio"] > 2
 
-    post = (spark.read.parquet(f"{idx}/segments/postings")
+    from spyglass_spark.index.builder import KIND_POSTING, read_store
+
+    post = (read_store(spark, idx).filter(F.col("kind") == KIND_POSTING)
             .filter((F.col("field") == "content") & (F.col("term") == "fn"))
             .select(F.input_file_name().alias("f"), "part_id", "df_part"))
     rows = post.collect()
