@@ -21,7 +21,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spyglass_spark.corpus import build_tags_dim, load_corpus, to_documents, uuid5_udf
+from spyglass_spark.corpus import (LASTMODIFIED_DUCKDB_SQL,
+                                   PUBLISHED_DUCKDB_SQL, build_tags_dim,
+                                   load_corpus, to_documents, uuid5_udf)
 from spyglass_spark.ops import dedup as D
 from spyglass_spark.ops import multimodal as MM
 from spyglass_spark.ops import similarity as S
@@ -29,6 +31,7 @@ from spyglass_spark.ops import textstats as T
 
 K1, B = 1.2, 0.75
 BM25_QUERY_TERMS = ["spark", "join", "filter", "merge"]
+DATE_CUTOFF_US = 1_672_531_200_000_000  # 2023-01-01T00:00:00Z in µs
 
 # ---------------------------------------------------------------------------
 # shared derivations
@@ -309,11 +312,88 @@ def q_unsynced_docs_predicate(spark, sf_dir):
 
 
 def q_search_with_lenses(spark, sf_dir):  # rows-only: full search prep path
+    # a SINGLE lens — the reference treats each lens tag as a Must, so two
+    # lenses AND to the empty set (round-1's vacuous 0-row check); the
+    # parity gate is tests/test_search_parity.py::
+    # test_search_with_lenses_parity_nonempty
     from spyglass_spark.ops.tags import search_with_lenses
 
     eng = _get_engine(spark, sf_dir)
     dim = build_tags_dim(load_corpus(spark, sf_dir))
-    return search_with_lenses(eng, "fast key order", ["rs", "ts"], dim, k=10)
+    return search_with_lenses(eng, "rs fast key order", ["rs"], dim, k=10)
+
+
+def q_docs_modified_since(spark, sf_dir):
+    """Freshness filter over the date fast fields (schema.rs:179-195):
+    docs whose lastmodified lands on/after the cutoff."""
+    docs = to_documents(load_corpus(spark, sf_dir))
+    return (docs.filter(F.col("lastmodified") >= DATE_CUTOFF_US)
+            .select("url", "published", "lastmodified"))
+
+
+def q_search_date_range(spark, sf_dir):  # rows-only: BM25 + date-range Must
+    eng = _get_engine(spark, sf_dir)
+    return eng.search("spark merge join",
+                      filters=[("lastmodified_ge", DATE_CUTOFF_US)], k=10)
+
+
+def q_lens_url_filter(spark, sf_dir):
+    """URL-based lens rules compiled to one rlike predicate
+    (spyglass-lens: LimitURLDepth allows, SkipURL skips)."""
+    from spyglass_spark.ops.lens_rules import LimitURLDepth, SkipURL, apply_lens
+
+    c = load_corpus(spark, sf_dir)
+    url = F.concat(F.lit("repo://"), F.col("repo"), F.lit("/"), F.col("path"),
+                   F.lit("@"), F.col("commit"))
+    urls = c.select(url.alias("url"))
+    return apply_lens(urls, "url",
+                      rules=[LimitURLDepth("repo://src1", 3),
+                             SkipURL("*.cpp*")])
+
+
+def q_ann_l2_topk(spark, sf_dir):
+    """Brute-force L2-distance top-k — the distance feeding the semantic
+    boosts (search.rs:73-79)."""
+    e = _emb(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return S.l2_topk(e, list(qv), k=10, exclude_ids=(0,))
+
+
+def q_ann_ivf_trained(spark, sf_dir):  # rows-only: iterative k-means trainer
+    e = _emb(spark, sf_dir)
+    cents = S.train_centroids(e, k=4, iters=3)
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return S.ivf_cosine_topk(e, list(qv), cents, k=10, nprobe=2,
+                             exclude_ids=(0,))
+
+
+def q_search_semantic_boost(spark, sf_dir):  # rows-only: BM25 + dist boosts
+    """search.rs:66-123: L2 top-10 under distance<25 → min-max-normalized
+    DocId boosts blended into the BM25 query."""
+    from spyglass_spark.ops.semantic import search_with_semantic_boost
+
+    eng = _get_engine(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    dist = (S.l2_topk(e, list(qv), k=10, exclude_ids=(0,))
+            .withColumnRenamed("l2_dist", "distance"))
+    # vec_id ↔ doc: the synthetic corpus embeds file_<doc_id>_<r> in path
+    c = load_corpus(spark, sf_dir)
+    url = F.concat(F.lit("repo://"), F.col("repo"), F.lit("/"), F.col("path"),
+                   F.lit("@"), F.col("commit"))
+    ids = c.select(uuid5_udf(url).alias("doc_id"),
+                   F.regexp_extract(F.col("path"), r"file_(\d+)_", 1)
+                   .cast("long").alias("vec_id"))
+    distances = dist.join(ids, "vec_id").select("doc_id", "distance")
+    return search_with_semantic_boost(eng, "spark merge join", distances, k=10)
+
+
+def q_dedup_near_duplicates(spark, sf_dir):
+    """Composed scale path: minhash-LSH candidates → exact Jaccard verify
+    restricted to the candidate pairs."""
+    sub = _dup_docs(spark, sf_dir).filter((F.col("doc_id") % 10 == 0))
+    return D.near_duplicates(sub, "text", "doc_id", threshold=0.5,
+                             num_perms=8, bands=2)
 
 
 def q_first_words_description(spark, sf_dir):
@@ -435,6 +515,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": q_search_bm25,
         "search_phrase_tag_filter": q_search_phrase_tag_filter,
         "search_batch": q_search_batch,
+        "docs_modified_since": q_docs_modified_since,
+        "search_date_range": q_search_date_range,
+        "lens_url_filter": q_lens_url_filter,
+        "ann_l2_topk": q_ann_l2_topk,
+        "ann_ivf_trained": q_ann_ivf_trained,
+        "search_semantic_boost": q_search_semantic_boost,
+        "dedup_near_duplicates": q_dedup_near_duplicates,
     }
 
 
@@ -738,5 +825,55 @@ WITH cnt AS (SELECT user_id, event_type, count(*) AS cnt FROM events
 rn AS (SELECT *, CAST(row_number() OVER (PARTITION BY user_id
               ORDER BY cnt DESC, event_type) AS INT) AS rn FROM cnt)
 SELECT user_id, event_type, cnt, rn FROM rn WHERE rn <= 3
+""",
+        "docs_modified_since": f"""
+WITH {DUCK_CORPUS},
+urls AS (SELECT concat('repo://', repo, '/', path, '@', commit) AS url
+         FROM corpus)
+SELECT url, {PUBLISHED_DUCKDB_SQL} AS published,
+       {LASTMODIFIED_DUCKDB_SQL} AS lastmodified
+FROM urls WHERE {LASTMODIFIED_DUCKDB_SQL} >= {DATE_CUTOFF_US}
+""",
+        "lens_url_filter": f"""
+WITH {DUCK_CORPUS},
+urls AS (SELECT concat('repo://', repo, '/', path, '@', commit) AS url
+         FROM corpus)
+SELECT url FROM urls
+WHERE regexp_matches(url, '^repo://src1/?(/[^/]+/?){{0,3}}$')
+  AND NOT regexp_matches(url, '.*\\.cpp.*')
+""",
+        "ann_l2_topk": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+parts AS (SELECT e.vec_id,
+    sum((CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+         - CAST(q.qv[CAST(i AS INT)] AS DOUBLE)) ^ 2) AS d2
+  FROM embeddings e CROSS JOIN q CROSS JOIN range(1, 65) r(i)
+  WHERE e.vec_id <> 0 GROUP BY e.vec_id)
+SELECT vec_id, round(sqrt(d2), 4) AS l2_dist
+FROM parts ORDER BY l2_dist, vec_id LIMIT 10
+""",
+        "dedup_near_duplicates": f"""
+WITH {DUCK_DUP},
+sub AS (SELECT doc_id AS id, list_filter(regexp_split_to_array(lower(text),
+          '[^a-z0-9]+'), x -> x <> '') AS t FROM dup WHERE id % 10 = 0),
+sh AS (SELECT DISTINCT id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS shingle
+       FROM sub, range(1, 2000) r(i) WHERE i + 2 <= len(t)),
+perms AS (SELECT id, p, min(md5(concat(CAST(p AS VARCHAR), ':', shingle))) AS mh
+          FROM sh CROSS JOIN range(8) r(p) GROUP BY id, p),
+bands AS (SELECT id, CAST(p // 4 AS INT) AS band,
+                 md5(string_agg(mh, '|' ORDER BY p)) AS sig
+          FROM perms GROUP BY id, p // 4),
+cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+         FROM bands l JOIN bands r
+           ON l.band = r.band AND l.sig = r.sig AND l.id < r.id),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (SELECT c.a, c.b, count(*) AS i
+          FROM cand c
+          JOIN sh ls ON ls.id = c.a
+          JOIN sh rs ON rs.id = c.b AND rs.shingle = ls.shingle
+          GROUP BY c.a, c.b)
+SELECT a, b, round(CAST(i AS DOUBLE)/(sa.n_sh + sb.n_sh - i), 4) AS jacc
+FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+WHERE round(CAST(i AS DOUBLE)/(sa.n_sh + sb.n_sh - i), 4) >= 0.5
 """,
     }

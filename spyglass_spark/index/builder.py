@@ -115,6 +115,45 @@ def part_id_py(url: str, P: int) -> int:
     return int(hashlib.sha256(url.encode("utf-8")).hexdigest()[:15], 16) % P
 
 
+def _murmur3_int32(x: int, seed: int = 42) -> int:
+    """Spark's Murmur3Hash of a 4-byte int column (seed 42) — the hash
+    behind hashpartitioning/F.hash for int32 (tested against F.hash)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    k = (x & 0xFFFFFFFF) * c1 & 0xFFFFFFFF
+    k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+    k = k * c2 & 0xFFFFFFFF
+    h = seed ^ k
+    h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+    h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= 4  # fmix with length=4
+    h ^= h >> 16
+    h = h * 0x85EBCA6B & 0xFFFFFFFF
+    h ^= h >> 13
+    h = h * 0xC2B2AE35 & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def identity_shuffle_keys(P: int) -> list[int]:
+    """keys[p] = smallest int x with pmod(murmur3(x), P) == p.
+
+    ``repartition(P, key)`` hashes keys with murmur3 — hashing the raw
+    part_id scatters P distinct parts over P buckets balls-in-bins style
+    (~37% empty buckets, busiest holding 3-5 parts: a 32-core makespan
+    tail). Substituting these precomputed keys makes the exchange an
+    IDENTITY mapping: exactly one doc partition per shuffle partition,
+    so stage-1 tasks are uniform by construction at any P."""
+    keys: list[int | None] = [None] * P
+    found, x = 0, 0
+    while found < P:
+        p = _murmur3_int32(x) % P
+        if keys[p] is None:
+            keys[p] = x
+            found += 1
+        x += 1
+    return keys  # type: ignore[return-value]
+
+
 _OUT_COLUMNS = ["kind", "part_id", "field", "term", "df_part", "cf_part", "n_local",
                 "doc_bytes", "tf_bytes", "pos_bytes", "meta_bytes",
                 "doc_id", "url", "domain", "title", "content_sha256", "local_ord",
@@ -384,17 +423,25 @@ def _build_generation(spark: SparkSession, documents: DataFrame,
 
     docs = documents.withColumn(
         "part_id", (part_id_col(num_partitions) + F.lit(part_offset)).cast("int"))
+    # identity exchange: one doc partition per shuffle partition (see
+    # identity_shuffle_keys — raw part_id hashing gives a balls-in-bins
+    # makespan tail at high core counts)
+    skeys = identity_shuffle_keys(num_partitions)
+    docs = docs.withColumn(
+        "skey", F.element_at(F.array(*[F.lit(k) for k in skeys]),
+                             F.col("part_id") - F.lit(part_offset) + 1))
 
     store_dir = f"{index_dir}/{prefix}/store"
     stats_dir = f"{index_dir}/{prefix}/term_stats"
 
     # ---- stage 1 = the store write: per-partition segments, in waves ----
+    t_stage1 = time.time()
     for w in range(waves):
         if w in ckpt[ckpt_key]:
             continue
         (docs.filter((F.col("part_id") - part_offset) % waves == w)
-             .repartition(num_partitions, "part_id")
-             .groupBy("part_id")
+             .repartition(num_partitions, "skey")
+             .groupBy("skey")
              .applyInPandas(_build_segment, SEGMENT_SCHEMA)
              .write.mode("overwrite")
              .option("parquet.block.size", str(STORE_BLOCK_BYTES))
@@ -405,6 +452,7 @@ def _build_generation(spark: SparkSession, documents: DataFrame,
         save_checkpoint(index_dir, ckpt)
         if fail_after_wave is not None and w >= fail_after_wave:
             raise RuntimeError(f"injected failure after wave {w}")
+    stage1_sec = time.time() - t_stage1
 
     store = spark.read.parquet(store_dir)
     results: dict = {}
@@ -444,10 +492,12 @@ def _build_generation(spark: SparkSession, documents: DataFrame,
 
     from concurrent.futures import ThreadPoolExecutor
 
+    t_stats = time.time()
     with ThreadPoolExecutor(max_workers=2) as pool:
         futs = [pool.submit(f) for f in (_w_stats, _w_lineage)]
         for fut in futs:
             fut.result()
+    stats_sec = time.time() - t_stats
 
     totals, agg, tf_stats = results["totals"], results["agg"], results["tf_stats"]
 
@@ -473,6 +523,8 @@ def _build_generation(spark: SparkSession, documents: DataFrame,
         "field_totals": totals,
         "metrics": {
             "build_wall_sec": round(wall, 3),
+            "stage1_sec": round(stage1_sec, 3),
+            "stats_sec": round(stats_sec, 3),
             "docs_per_sec": round((agg["nd"] or 0) / wall, 2),
             "postings_per_sec": round((agg["np"] or 0) / wall, 2),
             "n_parts_built": int(agg["parts"] or 0),
@@ -494,7 +546,8 @@ def _build_generation(spark: SparkSession, documents: DataFrame,
 def build_index(spark: SparkSession, documents: DataFrame, index_dir: str,
                 num_partitions: int = 32, waves: int = 1,
                 merge_partitions: int | None = None,
-                fail_after_wave: int | None = None) -> Manifest:
+                fail_after_wave: int | None = None,
+                applied_epoch: int | None = None) -> Manifest:
     """Build (or resume building) the index. ``documents`` must have columns
     doc_id, url, domain, title, content, tags (see corpus.to_documents);
     optional: content_sha256, description, published, lastmodified (µs),
@@ -520,12 +573,15 @@ def build_index(spark: SparkSession, documents: DataFrame, index_dir: str,
                       "num_docs": agg["num_docs"]}],
         metrics=agg["metrics"],
     )
+    if applied_epoch is not None:
+        m.applied_epochs = [int(applied_epoch)]
     commit_manifest(index_dir, m)
     return m
 
 
 def upsert_documents(spark: SparkSession, documents: DataFrame, index_dir: str,
-                     num_partitions: int = 16) -> Manifest:
+                     num_partitions: int = 16,
+                     applied_epoch: int | None = None) -> Manifest:
     """Upsert = delete existing docs with the same url, then index the new
     versions as a fresh delta generation (the reference's
     process_crawl_results: find-by-URL → delete_many_by_id → re-add,
@@ -567,6 +623,10 @@ def upsert_documents(spark: SparkSession, documents: DataFrame, index_dir: str,
         m.field_totals[f_] = m.field_totals.get(f_, 0) + v
     m.tombstone_dirs = sorted(set(m.tombstone_dirs) | {tomb_rel})
     m.metrics[f"gen{gen_id}"] = agg["metrics"]
+    if applied_epoch is not None:
+        # recorded in the SAME atomic commit as the generation so a crash
+        # can never publish the generation without its epoch marker
+        m.applied_epochs = sorted(set(m.applied_epochs) | {int(applied_epoch)})
     commit_manifest(index_dir, m)
     return m
 

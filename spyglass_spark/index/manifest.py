@@ -39,6 +39,10 @@ class Manifest:
     tombstone_dirs: list = field(default_factory=list)
     generations: list = field(default_factory=list)
     # each generation: {gen, prefix, part_offset, num_partitions, num_docs}
+    # streaming: ids of micro-batch epochs already applied — a replayed
+    # epoch (crash between manifest commit and stream-checkpoint ack) is
+    # skipped instead of re-upserted, so N/df/avgdl never drift
+    applied_epochs: list = field(default_factory=list)
     metrics: dict = field(default_factory=dict)
     created_utc: str = ""
     committed: bool = False

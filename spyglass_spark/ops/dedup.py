@@ -113,30 +113,79 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     return bit_sums.select("id", fp.alias("simhash"))
 
 
+def simhash_bands(max_hamming: int, bits: int = 16) -> list[tuple[int, int]]:
+    """Pigeonhole band layout: splitting ``bits`` into ``max_hamming + 1``
+    contiguous bands guarantees any pair within hamming ≤ max_hamming
+    agrees EXACTLY on at least one band (max_hamming bit errors cannot
+    touch all max_hamming+1 bands). Returns [(shift, width), ...]."""
+    nbands = min(max_hamming + 1, bits)
+    base, extra = divmod(bits, nbands)
+    out = []
+    shift = 0
+    for j in range(nbands):
+        w = base + (1 if j < extra else 0)
+        out.append((shift, w))
+        shift += w
+    return out
+
+
 def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
                   max_hamming: int = 3, bits: int = 16) -> DataFrame:
     """Near-dup pairs with simhash hamming distance ≤ max_hamming.
-    Candidate generation by byte-band blocking (two 8-bit bands: pairs
-    within hamming ≤ 3 of 16 bits share ≥1 identical band by pigeonhole
-    only when distance ≤ 1 per band — so for recall we block on either
-    band equal, then verify exact hamming)."""
+    Candidate generation blocks on ``max_hamming + 1`` pigeonhole bands
+    (see simhash_bands — full recall for the requested radius by
+    construction), then verifies exact hamming. Each band is an equi-join
+    key, so the blocking shuffles on (band, key) — never all-pairs."""
     s = simhash(df, text_col, id_col, bits)
-    lo = F.col("simhash").bitwiseAND(F.lit(0xFF))
-    hi = F.shiftright(F.col("simhash"), 8).bitwiseAND(F.lit(0xFF))
-    s2 = s.select("id", "simhash", lo.alias("b0"), hi.alias("b1"))
-    l, r = s2.alias("l"), s2.alias("r")
-    cand = (l.join(r, ((F.col("l.b0") == F.col("r.b0")) |
-                       (F.col("l.b1") == F.col("r.b1"))) &
+    band_cols = [
+        F.struct(F.lit(j).alias("band"),
+                 F.shiftright(F.col("simhash"), shift)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("key"))
+        for j, (shift, width) in enumerate(simhash_bands(max_hamming, bits))]
+    banded = (s.select("id", "simhash",
+                       F.explode(F.array(*band_cols)).alias("bk"))
+              .select("id", "simhash", F.col("bk.band").alias("band"),
+                      F.col("bk.key").alias("key")))
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (l.join(r, (F.col("l.band") == F.col("r.band")) &
+                   (F.col("l.key") == F.col("r.key")) &
                    (F.col("l.id") < F.col("r.id")))
             .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
-                    F.col("l.simhash").alias("ha"), F.col("r.simhash").alias("hb")))
+                    F.col("l.simhash").alias("ha"), F.col("r.simhash").alias("hb"))
+            .distinct())
     x = F.col("ha").bitwiseXOR(F.col("hb"))
     ham = F.lit(0)
     for j in range(bits):
         ham = ham + F.shiftright(x, j).bitwiseAND(F.lit(1))
     return (cand.withColumn("hamming", ham.cast("int"))
             .filter(F.col("hamming") <= max_hamming)
-            .select("a", "b", "hamming").distinct())
+            .select("a", "b", "hamming"))
+
+
+def near_duplicates(df: DataFrame, text_col: str, id_col: str,
+                    threshold: float = 0.5, num_perms: int = 8,
+                    bands: int = 2, ngram: int = 3) -> DataFrame:
+    """The composed scale-safe near-dup pipeline: minhash-LSH candidate
+    pairs → exact n-gram Jaccard verification computed ONLY over the
+    candidate pairs. This enforces the contract ngram_jaccard_pairs alone
+    can't (its shingle equi-join can blow up on a hot shingle); here the
+    pair space is bounded by the LSH buckets and the shingle join is
+    candidate-anchored. Returns (a, b, jacc) with jacc ≥ threshold."""
+    cand = minhash_lsh_pairs(df, text_col, id_col, num_perms, bands, ngram)
+    sh = shingles(df, text_col, id_col, ngram)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    inter = (cand
+             .join(sh.alias("ls"), F.col("a") == F.col("ls.id"))
+             .join(sh.alias("rs"), (F.col("b") == F.col("rs.id")) &
+                   (F.col("ls.shingle") == F.col("rs.shingle")))
+             .groupBy("a", "b").agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_sh", "na"), "a")
+            .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n_sh", "nb"), "b")
+            .withColumn("jacc", F.round(F.col("inter") /
+                                        (F.col("na") + F.col("nb") - F.col("inter")), 4))
+            .filter(F.col("jacc") >= threshold)
+            .select("a", "b", "jacc"))
 
 
 def embedding_cosine_pairs(emb: "DataFrame", threshold: float = 0.95,

@@ -6,7 +6,9 @@ Replicates generate_highlight_preview at
 whitespace word split, per-word analyzer normalization (FIRST emitted
 token), ±5-word windows around matches, overlap merge, ≤5 matches
 (the reference's `> MAX_HIGHLIGHT_MATCHES` check runs AFTER append, so up
-to 6 matches are collected), ≤10k tokens scanned, ≤4 windows emitted
+to 6 matches are collected), scan stops after token index 10_000 (the
+`> MAX_HIGHLIGHT_SCAN` check also runs post-processing — 10_001 tokens
+examined), ≤4 windows emitted
 (`> 3` after increment), '...' separators, <mark>/<span> wrapping.
 Golden test mirrors utils.rs:161-174.
 
@@ -33,11 +35,14 @@ def generate_highlight_preview(query: str, content: str) -> str:
 
     matched = []
     for idx, w in enumerate(tokens):
-        if idx + 1 > MAX_HIGHLIGHT_SCAN:
-            break
+        # utils.rs:79-97 ordering: the token is processed BEFORE either
+        # break, and the scan counter is incremented first — so the token
+        # at index MAX_HIGHLIGHT_SCAN is still examined (10001 scanned)
         if _normalize(w) in terms:
             matched.append(idx)
         if len(matched) > MAX_HIGHLIGHT_MATCHES:
+            break
+        if idx + 1 > MAX_HIGHLIGHT_SCAN:
             break
 
     # merge ±5-word windows (utils.rs:100-115)

@@ -6,10 +6,15 @@ delete + re-add; /root/reference/crates/spyglass/src/filesystem/mod.rs,
 documents/mod.rs:118-283). The Spark-native equivalent: a streaming source
 of document rows driven through ``foreachBatch`` into the same batch
 upsert path — each micro-batch becomes a delta segment generation with an
-atomic manifest commit, and the stream's checkpoint makes ingestion
-exactly-once across restarts (Spark replays uncommitted batches;
-re-upserting the same urls is idempotent thanks to delete+re-add).
-"""
+atomic manifest commit.
+
+Exactly-once: Spark's stream checkpoint replays a micro-batch whose
+``foreachBatch`` ran but whose offset commit didn't land. The upsert is
+match-set idempotent (delete+re-add by url), but a blind replay would add
+an extra delta generation whose tombstoned copies inflate N/df/avgdl and
+drift BM25 scores. The manifest therefore records every applied
+``epoch_id`` (atomically, in the same manifest commit as the generation
+itself) and ``index_microbatch`` skips epochs it has already applied."""
 
 from __future__ import annotations
 
@@ -20,18 +25,24 @@ from ..index.manifest import load_manifest
 
 
 def index_microbatch(spark: SparkSession, batch_df: DataFrame, index_dir: str,
-                     num_partitions: int = 8) -> None:
+                     num_partitions: int = 8, epoch_id: int | None = None) -> None:
     """Index one micro-batch: first batch bootstraps the index, later
-    batches append delta generations via upsert (delete+re-add by url)."""
+    batches append delta generations via upsert (delete+re-add by url).
+    When ``epoch_id`` is given, an epoch the manifest already records is a
+    no-op (checkpoint-replay protection)."""
     if batch_df.isEmpty():
         return
     m = load_manifest(index_dir)
+    if m is not None and epoch_id is not None and epoch_id in m.applied_epochs:
+        return
     if m is None or not m.committed:
         build_index(spark, batch_df, index_dir,
-                    num_partitions=num_partitions, waves=1)
+                    num_partitions=num_partitions, waves=1,
+                    applied_epoch=epoch_id)
     else:
         upsert_documents(spark, batch_df, index_dir,
-                         num_partitions=num_partitions)
+                         num_partitions=num_partitions,
+                         applied_epoch=epoch_id)
 
 
 def start_incremental_indexer(stream_df: DataFrame, index_dir: str,
@@ -44,7 +55,8 @@ def start_incremental_indexer(stream_df: DataFrame, index_dir: str,
     spark = stream_df.sparkSession
 
     def _batch(df: DataFrame, epoch_id: int) -> None:
-        index_microbatch(spark, df, index_dir, num_partitions)
+        index_microbatch(spark, df, index_dir, num_partitions,
+                         epoch_id=int(epoch_id))
 
     return (stream_df.writeStream
             .foreachBatch(_batch)

@@ -1,0 +1,69 @@
+"""Index physical-layout + compression regression over the built fixture:
+the kind-partitioned store must contain every row kind, and the manifest's
+size metrics must hold the compression invariants (delta+varint postings
+beat the 8-byte/posting uncompressed docID floor; bytes/doc stays bounded
+relative to the source content)."""
+
+import os
+
+
+def test_store_layout_kinds(built_index):
+    store = os.path.join(built_index["index_dir"], "segments", "store")
+    waves = [d for d in os.listdir(store) if d.startswith("wave=")]
+    assert waves, "store must be wave-partitioned"
+    kinds = set()
+    for w in waves:
+        kinds |= {d for d in os.listdir(os.path.join(store, w))
+                  if d.startswith("kind=")}
+    # postings, norms, lineage, doc_meta, fast (dates present in fixture)
+    assert kinds == {f"kind={k}" for k in range(5)}
+    assert os.path.isdir(os.path.join(built_index["index_dir"],
+                                      "segments", "term_stats"))
+
+
+def test_index_size_metrics(built_index):
+    m = built_index["manifest"]
+    sb = m.metrics["store_bytes"]
+    for name in ("postings", "norms", "lineage", "doc_meta", "fast",
+                 "term_stats"):
+        assert sb.get(name, 0) > 0, f"missing store component {name}"
+
+    # compression floor at file level is scale-dependent (parquet framing
+    # dominates a 200-doc fixture) — just sanity-bound it here; the tight
+    # payload-level bound is test_encoded_payload_compression below
+    assert m.metrics["postings_bytes_per_posting"] < 32.0
+
+    # bytes/doc bound: the whole index (postings+norms+meta+stats) must not
+    # exceed ~4x the source content bytes for this corpus shape
+    content_bytes = sum(len(d["content"].encode()) for d in built_index["docs"])
+    total = sum(sb.values())
+    assert total < 4 * max(content_bytes, 1) + 512 * 1024, (
+        f"index {total} B vs content {content_bytes} B")
+    assert m.metrics["index_bytes_per_doc"] > 0
+
+
+def test_encoded_payload_compression(spark, built_index):
+    """The delta+varint payload itself (doc gaps + tfs) must beat the raw
+    8 B/posting uncompressed docID floor — independent of parquet framing."""
+    from pyspark.sql import functions as F
+
+    from spyglass_spark.index.builder import KIND_POSTING, read_store
+
+    r = (read_store(spark, built_index["index_dir"])
+         .filter(F.col("kind") == KIND_POSTING)
+         .agg(F.sum(F.length("doc_bytes") + F.length("tf_bytes")).alias("payload"),
+              F.sum("df_part").alias("n_postings")).collect()[0])
+    assert int(r["n_postings"]) > 0
+    assert int(r["payload"]) / int(r["n_postings"]) < 8.0
+
+
+def test_lineage_rows_cover_all_parts(spark, built_index):
+    from pyspark.sql import functions as F
+
+    from spyglass_spark.index.builder import KIND_LINEAGE, read_store
+
+    lin = (read_store(spark, built_index["index_dir"])
+           .filter(F.col("kind") == KIND_LINEAGE)
+           .select("part_id", "df_part").collect())
+    assert {int(r["part_id"]) for r in lin} == set(range(built_index["P"]))
+    assert sum(int(r["df_part"]) for r in lin) == built_index["manifest"].num_docs

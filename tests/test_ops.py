@@ -55,6 +55,122 @@ def test_simhash_pairs(spark, docs_df):
     assert (0, 3) in pairs
 
 
+def test_simhash_bands_pigeonhole_recall(spark):
+    """Property: banded blocking recalls EVERY pair with hamming ≤
+    max_hamming (pigeonhole over max_hamming+1 bands) — the round-1
+    contract hole (2 fixed bands under-recalled max_hamming ≥ 2)."""
+    import itertools
+    import random
+
+    from spyglass_spark.ops.dedup import simhash_bands
+
+    assert simhash_bands(1, 16) == [(0, 8), (8, 8)]
+    assert [w for _, w in simhash_bands(3, 16)] == [4, 4, 4, 4]
+    assert sum(w for _, w in simhash_bands(5, 16)) == 16
+
+    rng = random.Random(1234)
+    for max_h in (1, 2, 3, 5):
+        bands = simhash_bands(max_h, 16)
+        for _ in range(400):
+            a = rng.getrandbits(16)
+            # flip exactly max_h bits (worst case) at random positions
+            flips = rng.sample(range(16), max_h)
+            b = a
+            for j in flips:
+                b ^= 1 << j
+            assert any(((a >> s) & ((1 << w) - 1)) == ((b >> s) & ((1 << w) - 1))
+                       for s, w in bands), (max_h, a, b)
+    # distributed check: banded pairs ≡ brute-force hamming pairs
+    from spyglass_spark.ops.dedup import simhash, simhash_pairs
+
+    texts = [(i, " ".join(rng.choice(["alpha", "beta", "gamma", "delta",
+                                      "epsilon", "zeta", "eta", "theta"])
+                          for _ in range(12))) for i in range(40)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    fps = {r["id"]: r["simhash"] for r in simhash(df, "text", "doc_id").collect()}
+    for max_h in (2, 3):
+        got = {(r["a"], r["b"]) for r in
+               simhash_pairs(df, "text", "doc_id", max_hamming=max_h).collect()}
+        want = {(i, j) for i, j in itertools.combinations(sorted(fps), 2)
+                if bin(fps[i] ^ fps[j]).count("1") <= max_h}
+        assert got == want, f"max_hamming={max_h}"
+
+
+def test_near_duplicates_composed(spark, docs_df):
+    """LSH→Jaccard composition: results are exactly (LSH candidates ∩
+    Jaccard ≥ t), and never exceed the unbounded Jaccard join's answer."""
+    from spyglass_spark.ops.dedup import (minhash_lsh_pairs, near_duplicates,
+                                          ngram_jaccard_pairs)
+
+    got = {(r["a"], r["b"]): r["jacc"] for r in
+           near_duplicates(docs_df, "text", "doc_id", threshold=0.3).collect()}
+    cand = {(r["a"], r["b"]) for r in
+            minhash_lsh_pairs(docs_df, "text", "doc_id").collect()}
+    full = {(r["a"], r["b"]): r["jacc"] for r in
+            ngram_jaccard_pairs(docs_df, "text", "doc_id", threshold=0.3).collect()}
+    assert got == {p: j for p, j in full.items() if p in cand}
+    assert (0, 3) in got and got[(0, 3)] == 1.0
+
+
+def test_l2_topk(spark):
+    import numpy as np
+
+    from spyglass_spark.ops.similarity import l2_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(30, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[0]]
+    got = [(r["vec_id"], r["l2_dist"]) for r in
+           l2_topk(df, q, k=5, exclude_ids=(0,)).collect()]
+    dists = np.linalg.norm(vecs.astype("float64") - np.asarray(q), axis=1)
+    order = [i for i in np.argsort(dists, kind="stable") if i != 0][:5]
+    assert [g[0] for g in got] == [int(i) for i in order]
+    for (_, d), i in zip(got, order):
+        assert d == pytest.approx(round(float(dists[i]), 4), abs=1e-9)
+
+
+def test_train_centroids_kmeans(spark):
+    """Deterministic Lloyd k-means: converges to the 3 planted cluster
+    centers and IVF probe over the trained lists matches brute force."""
+    import numpy as np
+
+    from spyglass_spark.ops.similarity import (assign_ivf, cosine_topk,
+                                               ivf_cosine_topk,
+                                               train_centroids)
+
+    rng = np.random.default_rng(42)
+    centers = np.asarray([[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]])
+    pts = np.concatenate([c + rng.normal(scale=0.3, size=(40, 4))
+                          for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(len(pts))],
+        "vec_id long, embedding array<float>")
+    cents = train_centroids(df, k=3, iters=8)
+    assert len(cents) == 3 and all(len(c) == 4 for c in cents)
+    # every trained centroid is ~a planted center (cosine > 0.99)
+    for c in cents:
+        c = np.asarray(c)
+        best = max(float(np.dot(c, t) / (np.linalg.norm(c) * np.linalg.norm(t)))
+                   for t in centers)
+        assert best > 0.99
+    # each planted cluster maps to one list
+    assigned = assign_ivf(df, cents).collect()
+    by_list: dict = {}
+    for r in assigned:
+        by_list.setdefault(r["centroid"], []).append(r["vec_id"])
+    assert len(by_list) == 3
+    # probing the query's own list reproduces brute-force top-k
+    q = [float(x) for x in pts[5]]
+    ivf = [r["vec_id"] for r in
+           ivf_cosine_topk(df, q, cents, k=5, nprobe=1, exclude_ids=(5,)).collect()]
+    brute = [r["vec_id"] for r in
+             cosine_topk(df, q, k=5, exclude_ids=(5,)).collect()]
+    assert ivf == brute
+
+
 def test_cosine_topk_orders_by_similarity(spark):
     from spyglass_spark.ops.similarity import cosine_topk, lsh_cosine_topk
 

@@ -83,6 +83,65 @@ def test_rank_identity_with_filters_and_boosts(engine, built_index):
         _assert_matches(spark_rows, oracle_hits, f"f{qi}:{c['query']}")
 
 
+def test_rank_identity_date_range_filters(engine, built_index):
+    """Date-range Must filters over the published/lastmodified fast fields
+    (schema.rs:179-195): engine ≡ oracle, and the filter is selective."""
+    oracle = built_index["oracle"]
+    docs = built_index["docs"]
+    mids = sorted(d["lastmodified"] for d in docs)
+    mid_lm = mids[len(mids) // 2]
+    pubs = sorted(d["published"] for d in docs)
+    mid_pub = pubs[len(pubs) // 2]
+    cases = [
+        {"query": "index search", "filters": [("lastmodified_ge", mid_lm)]},
+        {"query": "parse token", "filters": [("published_le", mid_pub)]},
+        {"query": "fn", "filters": [("published_ge", pubs[10]),
+                                    ("lastmodified_le", mids[-10])]},
+    ]
+    res = engine.search_many(cases, k=10).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    any_nonempty = False
+    for qi, c in enumerate(cases):
+        spark_rows = sorted(by_q.get(qi, []), key=lambda r: r["rank"])
+        oracle_hits = oracle.search(c["query"], c["filters"], k=10)
+        _assert_matches(spark_rows, oracle_hits, f"d{qi}:{c['query']}")
+        any_nonempty = any_nonempty or len(spark_rows) > 0
+        # selectivity: the date filter must actually remove hits
+        unfiltered = oracle.search(c["query"], k=10)
+        assert len(oracle_hits) <= len(unfiltered)
+    assert any_nonempty  # the case set must not be vacuous
+
+
+def test_search_with_lenses_parity_nonempty(spark, engine, built_index):
+    """The full lens-search prep path (search.rs:23-129): lens names →
+    tag filters, query-token∩tag-value → 1.5-boosted tags — non-empty
+    results, rank/score-identical to the oracle given the same compiled
+    filter/boost lists."""
+    from spyglass_spark.ops.tags import (check_query_for_tags, resolve_lenses,
+                                         search_with_lenses)
+
+    oracle = built_index["oracle"]
+    tags_dim_df = spark.createDataFrame(built_index["tags_dim"]) \
+        .select("id", "label", "value")
+    # "rs" is both a lens value and a query token → exercises the boost path
+    query, lenses = "rs parse index", ["rs"]
+    got = search_with_lenses(engine, query, lenses, tags_dim_df, k=10).collect()
+
+    filt = [("tag", t) for t in resolve_lenses(lenses, tags_dim_df)]
+    boost_ids = sorted(int(r["id"])
+                       for r in check_query_for_tags(query, tags_dim_df).collect())
+    exp = oracle.search(query, filters=filt,
+                        boosts=[("tag", t) for t in boost_ids], k=10)
+    assert len(got) > 0, "lens search must not be vacuous"
+    _assert_matches(got, exp, "lens:rs")
+    rs_tag = next(t["id"] for t in built_index["tags_dim"]
+                  if t["label"] == "lens" and t["value"] == "rs")
+    for r in got:
+        assert rs_tag in (r["tags"] or []), "hits must carry their tags"
+
+
 def test_pagination_offset(engine, built_index):
     oracle = built_index["oracle"]
     full = oracle.search("index search", k=10)

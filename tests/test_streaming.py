@@ -71,6 +71,39 @@ def test_incremental_stream_indexing(spark, tmp_path):
         q.stop()
 
 
+def test_microbatch_epoch_replay_is_noop(spark, tmp_path):
+    """Checkpoint-replay protection: re-running a micro-batch with an
+    already-applied epoch_id must not add a generation or drift N/df/avgdl
+    (the round-1 exactly-once overstatement, ADVICE item 5)."""
+    from spyglass_spark.index.manifest import load_manifest
+    from spyglass_spark.streaming.incremental import index_microbatch
+
+    index_dir = str(tmp_path / "ridx")
+    b1 = spark.createDataFrame([_doc(i, f"gamma content {i}") for i in range(8)],
+                               SCHEMA)
+    index_microbatch(spark, b1, index_dir, num_partitions=2, epoch_id=0)
+    m1 = load_manifest(index_dir)
+    assert m1.applied_epochs == [0] and m1.num_docs == 8
+
+    # replay epoch 0 (same data) — must be a complete no-op
+    index_microbatch(spark, b1, index_dir, num_partitions=2, epoch_id=0)
+    m2 = load_manifest(index_dir)
+    assert m2.num_docs == 8
+    assert len(m2.gen_list()) == len(m1.gen_list())
+    assert m2.field_totals == m1.field_totals
+
+    # a NEW epoch with overlapping urls still upserts normally
+    b2 = spark.createDataFrame([_doc(0, "gamma replaced content")], SCHEMA)
+    index_microbatch(spark, b2, index_dir, num_partitions=2, epoch_id=1)
+    m3 = load_manifest(index_dir)
+    assert m3.applied_epochs == [0, 1]
+    assert m3.num_docs == 9  # tombstoned copy still counted (max_doc model)
+
+    # and replaying THAT epoch is again a no-op
+    index_microbatch(spark, b2, index_dir, num_partitions=2, epoch_id=1)
+    assert load_manifest(index_dir).num_docs == 9
+
+
 def test_windowed_event_counts_with_watermark(spark, tmp_path):
     """Streaming tumbling-window agg with watermark ≡ the equivalent batch
     aggregation once all data is processed."""
