@@ -35,6 +35,12 @@ def __getattr__(name):  # lazy imports keep `import spyglass_spark` light
         "build_tags_dim": ("spyglass_spark.corpus", "build_tags_dim"),
         "read_corpus": ("spyglass_spark.sources", "read_corpus"),
         "get_spark": ("spyglass_spark.session", "get_spark"),
+        "search_with_lenses": ("spyglass_spark.ops.tags", "search_with_lenses"),
+        "search_with_semantic_boost": ("spyglass_spark.ops.semantic",
+                                       "search_with_semantic_boost"),
+        "apply_lens": ("spyglass_spark.ops.lens_rules", "apply_lens"),
+        "start_incremental_indexer": ("spyglass_spark.streaming.incremental",
+                                      "start_incremental_indexer"),
     }
     if name in targets:
         mod, attr = targets[name]

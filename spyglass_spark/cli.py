@@ -45,7 +45,19 @@ def main(argv=None) -> int:
     s.add_argument("--tag", type=int, action="append", default=[],
                    help="tag-id filter (repeatable)")
     s.add_argument("--boost-tag", type=int, action="append", default=[])
+    s.add_argument("--modified-since-us", type=int, default=None,
+                   help="lastmodified >= µs-epoch fast-field filter")
+    s.add_argument("--modified-before-us", type=int, default=None)
+    s.add_argument("--published-since-us", type=int, default=None)
+    s.add_argument("--published-before-us", type=int, default=None)
     s.add_argument("--algo", default="auto", choices=["auto", "exhaustive"])
+
+    u = sub.add_parser("upsert", help="delete+re-add documents by url "
+                                      "(delta generation)")
+    u.add_argument("--corpus", required=True,
+                   help="corpus or documents shaped parquet of the new rows")
+    u.add_argument("--index", required=True)
+    u.add_argument("--partitions", type=int, default=16)
 
     st = sub.add_parser("stats", help="print the committed manifest")
     st.add_argument("--index", required=True)
@@ -101,11 +113,28 @@ def main(argv=None) -> int:
             m = build_index(spark, df, args.index,
                             num_partitions=args.partitions, waves=args.waves)
             print(m.to_json())
+        elif args.cmd == "upsert":
+            from spyglass_spark.corpus import to_documents
+            from spyglass_spark.index.builder import upsert_documents
+            from spyglass_spark.sources import read_corpus
+
+            df = read_corpus(spark, args.corpus)
+            if "url" not in df.columns:
+                df = to_documents(df)
+            m = upsert_documents(spark, df, args.index,
+                                 num_partitions=args.partitions)
+            print(m.to_json())
         elif args.cmd == "search":
             from spyglass_spark.query.executor import SearchEngine
 
             eng = SearchEngine(spark, args.index)
             filters = [("tag", t) for t in args.tag]
+            for kind, v in (("lastmodified_ge", args.modified_since_us),
+                            ("lastmodified_le", args.modified_before_us),
+                            ("published_ge", args.published_since_us),
+                            ("published_le", args.published_before_us)):
+                if v is not None:
+                    filters.append((kind, v))
             boosts = [("tag", t) for t in args.boost_tag]
             rows = eng.search(args.query, filters=filters, boosts=boosts,
                               k=args.k, offset=args.offset,

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from ..index.builder import (KIND_DOCMETA, KIND_FAST, KIND_NORMS,
                              KIND_POSTING, ORD_SHIFT, doc_meta_view,
                              read_store, tombstone_view)
-from ..index.codecs import decode_positions, decode_postings
+from ..index.codecs import decode_positions_selected, decode_postings
 from ..index.manifest import Manifest, load_manifest
 from .compiler import CompiledQuery, compile_query
 from .scoring import K1, idf, norm_cache, score_postings, sloppy_phrase_count
@@ -272,14 +272,14 @@ def _score_partition(plan: dict, postings_pdf: pd.DataFrame, norms_pdf: pd.DataF
                 if common.size == 0:
                     clause_results.append((common, np.empty(0, np.float32), spec))
                     continue
-                # decode positions only for common docs
+                # decode positions ONLY for the intersected docs (one
+                # vectorized stream pass + per-selected-posting slices)
                 pos_per_term = []
                 for tp in tps:
-                    docs_t = tp[0].astype(np.int64)
-                    row = tp[2]
-                    plists = decode_positions(row["pos_bytes"], docs_t.size)
+                    docs_t, tfs_t, row = tp[0].astype(np.int64), tp[1], tp[2]
                     sel = np.searchsorted(docs_t, common)
-                    pos_per_term.append([plists[i] for i in sel])
+                    pos_per_term.append(decode_positions_selected(
+                        row["pos_bytes"], tfs_t, sel))
                 offs = list(spec["positions"])
                 slop = spec["slop"]
                 tf_counts = np.fromiter(
@@ -483,11 +483,19 @@ class SearchEngine:
             return self._merge_driver(partial, len(compiled), k, offset)
         return self._merge_window(partial, k, offset)
 
+    # hit sets up to this size materialize doc_meta via a driver-side
+    # pyarrow pruned read (metadata-plane, no Spark job); larger sets go
+    # through the distributed join
+    _META_PYARROW_MAX = 512
+
     def _merge_driver(self, partial: DataFrame, nq: int, k: int, offset: int) -> DataFrame:
         """Global top-k merge on the driver: ONE Spark job collects the
         per-partition candidates (≤ parts×limit×queries tiny rows), numpy
-        resolves the global order, and the result frame joins the hit list
-        back to a part/ord-pruned doc_meta scan."""
+        resolves the global order, and the hit rows materialize their
+        stored fields from a part-pruned doc_meta read — driver-side
+        pyarrow for small hit sets (the doc-store-lookup analog: a
+        metadata-plane fetch, not a cluster job), a broadcast join above
+        the size guard."""
         rows = partial.collect()
         by_q: dict[int, list] = defaultdict(list)
         for r in rows:
@@ -502,6 +510,14 @@ class SearchEngine:
                 hits.append((int(qi), rank, int(ords[i]), float(scores[i])))
         if not hits:
             return self._empty_result()
+        if len(hits) <= self._META_PYARROW_MAX:
+            meta = self._doc_meta_pyarrow({h[2] for h in hits})
+            out = [(qid, rank, *meta[ord_], float(np.float32(score)), ord_)
+                   for qid, rank, ord_, score in sorted(hits)]
+            return self.spark.createDataFrame(
+                out, "query_id long, rank int, doc_id string, url string, "
+                     "domain string, title string, tags array<long>, "
+                     "score float, doc_ord long")
         hits_df = self.spark.createDataFrame(
             hits, "query_id long, rank int, doc_ord long, score float")
         parts = sorted({h[2] >> ORD_SHIFT for h in hits})
@@ -513,6 +529,36 @@ class SearchEngine:
                         "tags", F.col("score").cast("float").alias("score"),
                         "doc_ord")
                 .orderBy("query_id", "rank"))
+
+    def _doc_meta_pyarrow(self, ords: set[int]) -> dict[int, tuple]:
+        """doc_ord → (doc_id, url, domain, title, tags) via a pyarrow read
+        of the kind=3 store files pruned to the hit partitions (row-group
+        stats prune on part_id/local_ord inside each part file)."""
+        import pyarrow.dataset as pads
+
+        parts = sorted({o >> ORD_SHIFT for o in ords})
+        locs = sorted({o & ((1 << ORD_SHIFT) - 1) for o in ords})
+        flt = (pads.field("kind") == KIND_DOCMETA) \
+            & pads.field("part_id").isin(parts) \
+            & pads.field("local_ord").isin(locs)
+        out: dict[int, tuple] = {}
+        for g in self.gens:
+            ds = pads.dataset(f"{self.index_dir}/{g['prefix']}/store",
+                              format="parquet", partitioning="hive")
+            tbl = ds.to_table(columns=["part_id", "local_ord", "doc_id", "url",
+                                       "domain", "title", "tags"], filter=flt)
+            for p, lo, did, url, dom, ti, tags in zip(
+                    tbl.column("part_id").to_pylist(),
+                    tbl.column("local_ord").to_pylist(),
+                    tbl.column("doc_id").to_pylist(),
+                    tbl.column("url").to_pylist(),
+                    tbl.column("domain").to_pylist(),
+                    tbl.column("title").to_pylist(),
+                    tbl.column("tags").to_pylist()):
+                ord_ = (int(p) << ORD_SHIFT) + int(lo)
+                if ord_ in ords:
+                    out[ord_] = (did, url, dom, ti, tags)
+        return out
 
     def _merge_window(self, partial: DataFrame, k: int, offset: int) -> DataFrame:
         """Distributed global top-k (the scalable fallback): identical

@@ -232,34 +232,42 @@ def _score_segments(scoring_clauses, lo_arr, hi_arr, include, exclude):
 
 
 def _phrase_in_segments(cd: _ClauseData, lo_arr, hi_arr):
-    """Sloppy-phrase tf for docs inside the segments. Positions are decoded
-    lazily once per clause (full stream) and cached."""
-    from ..index.codecs import decode_positions, decode_postings
+    """Sloppy-phrase tf for docs inside the segments. Doc lists are decoded
+    lazily once per clause; POSITIONS are sliced per matched doc only
+    (decode_positions_selected — no full per-doc position walk)."""
+    from ..index.codecs import decode_postings, varint_decode
 
     if cd._pos_cache is None:
         cache = []
         for r in cd.rows:
-            docs, _ = decode_postings(r["doc_bytes"], r["tf_bytes"])
-            docs = docs.astype(np.int64)
-            plists = decode_positions(r["pos_bytes"], docs.size)
-            cache.append((docs, plists))
+            docs, tfs = decode_postings(r["doc_bytes"], r["tf_bytes"])
+            flat = varint_decode(r["pos_bytes"])
+            rec_starts = np.concatenate(
+                ([0], np.cumsum(tfs.astype(np.int64) + 1)))
+            cache.append((docs.astype(np.int64), tfs, flat, rec_starts))
         cd._pos_cache = cache
     docs0 = cd._pos_cache[0][0]
     mask = np.zeros(docs0.size, dtype=bool)
     for lo, hi in zip(lo_arr, hi_arr):
         mask |= (docs0 > lo) & (docs0 <= hi)
     common = docs0[mask]
-    for docs_t, _ in cd._pos_cache[1:]:
+    for docs_t, _, _, _ in cd._pos_cache[1:]:
         common = np.intersect1d(common, docs_t, assume_unique=True)
     if common.size == 0:
         return common, np.empty(0, np.int64)
     offs = list(cd.spec["positions"])
     slop = cd.spec["slop"]
+    # positions sliced per MATCHED doc only (record boundaries from tfs)
+    pos_per_term = []
+    for docs_t, tfs_t, flat, rec_starts in cd._pos_cache:
+        sel = np.searchsorted(docs_t, common)
+        pos_per_term.append(
+            [np.cumsum(flat[int(rec_starts[i]) + 1:
+                            int(rec_starts[i]) + 1 + int(tfs_t[i])],
+                       dtype=np.uint64) for i in sel])
     out_docs, out_counts = [], []
-    sels = [np.searchsorted(docs_t, common) for docs_t, _ in cd._pos_cache]
     for ci in range(common.size):
-        plists = [cd._pos_cache[ti][1][sels[ti][ci]]
-                  for ti in range(len(cd._pos_cache))]
+        plists = [pos_per_term[ti][ci] for ti in range(len(cd._pos_cache))]
         c = sloppy_phrase_count(plists, offs, slop)
         if c > 0:
             out_docs.append(int(common[ci]))

@@ -67,6 +67,24 @@ def test_positions_roundtrip():
         assert np.array_equal(a, b)
 
 
+def test_positions_selected_matches_full_decode():
+    """decode_positions_selected(sel) ≡ full decode then select, for any
+    selection — the phrase scorers rely on this equivalence."""
+    from spyglass_spark.index.codecs import decode_positions_selected
+
+    rng = np.random.default_rng(3)
+    plists = [np.cumsum(rng.integers(0, 9, size=rng.integers(1, 30)))
+              .astype(np.uint64) for _ in range(50)]
+    tfs = np.array([p.size for p in plists], dtype=np.uint64)
+    buf = encode_positions(plists)
+    full = decode_positions(buf, len(plists))
+    for sel in ([0], [49], [7, 7], list(range(50)), [3, 40, 12], []):
+        got = decode_positions_selected(buf, tfs, np.asarray(sel, dtype=np.int64))
+        assert len(got) == len(sel)
+        for g, i in zip(got, sel):
+            assert np.array_equal(g, full[i]), (sel, i)
+
+
 # --- fieldnorm goldens: exact 0..40, exponential buckets above -------------
 
 def test_fieldnorm_exact_below_41():

@@ -101,6 +101,21 @@ def test_query_vs_oracle(name, spark, duck, contract):
         f"oracle={d[mism[0]]}")
 
 
+def test_oracle_constant_range_bounds(duck):
+    """The DuckDB oracles use constant lateral ranges (DuckDB can't range
+    over a column): fingerprint windows range(0,200) with stride 10 cover
+    docs up to 2014 chars; shingle/bigram positions range(1,2000) cover up
+    to 2000 tokens. Assert the dataset stays strictly inside those bounds
+    so the truncation can never silently diverge from the unbounded Spark
+    side (round-1 ADVICE)."""
+    ml, mt = duck.execute(
+        "SELECT max(length(text)), "
+        "max(len(list_filter(regexp_split_to_array(lower(text), "
+        "'[^a-z0-9]+'), x -> x <> ''))) FROM documents").fetchone()
+    assert ml <= 2014, f"doc length {ml} exceeds fingerprint oracle coverage"
+    assert mt <= 2000, f"token count {mt} exceeds shingle/bigram oracle coverage"
+
+
 def test_entry_smoke(spark, contract):
     df = contract.entry(spark)
     rows = df.collect()

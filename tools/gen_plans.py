@@ -1,8 +1,11 @@
-import sys, io, re
+import io
 import os
+import sys
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from spyglass_spark.session import get_spark
 from pyspark.sql import functions as F
+
+from spyglass_spark.session import get_spark
 
 spark = get_spark("plans", master="local[4]", shuffle_partitions=8)
 spark.sparkContext.setLogLevel("ERROR")
@@ -13,6 +16,7 @@ from spyglass_spark.index import builder as B
 
 SF = "/root/testdata/sf0.001"
 eng = E._get_engine(spark, SF)
+
 
 def fmt_plan(df, max_lines=40):
     p = df._jdf.queryExecution().explainString(
@@ -26,24 +30,30 @@ def fmt_plan(df, max_lines=40):
             break
     return "\n".join(head)
 
+
 out = io.StringIO()
 out.write("""# PLANS — physical-plan audit (generated)
 
 `.explain("formatted")` captures for the engine's key operators, with the
 properties that matter at 100 TB called out. Regenerate with
-`python /tmp/gen_plans.py` style harness (see git history).
+`python tools/gen_plans.py`.
 
 """)
+
 
 def section(title, df, notes, max_lines=40):
     out.write(f"## {title}\n\n{notes}\n\n```\n{fmt_plan(df, max_lines)}\n```\n\n")
 
-postings = (spark.read.parquet(f"{eng.index_dir}/segments/postings")
-            .filter((F.col("field") == "content") & (F.col("term") == "spark")))
-section("Query-term postings scan", postings,
-        "- `PushedFilters` on (field, term) reach the Parquet scan; the\n"
-        "  store is term-sorted so row-group min/max stats prune chunks.\n"
-        "- ReadSchema carries only the scanned columns.")
+
+postings = eng._postings_base.filter(
+    (F.col("field") == "content") & (F.col("term") == "spark"))
+section("Query-term postings scan (kind-partitioned store)", postings,
+        "- Partition pruning on kind=0 (postings) via the directory layout;\n"
+        "  `PushedFilters` on (field, term) reach the Parquet scan, and the\n"
+        "  store is term-sorted PER PART with small row groups/pages, so\n"
+        "  min/max stats prune chunks inside every part file.\n"
+        "- ReadSchema carries only the scanned columns — payload bytes of\n"
+        "  other kinds/terms are never read.")
 
 section("SQL-form BM25 top-k (pure DataFrame plan)", E.q_bm25_topk_simple(spark, SF),
         "- Whole-stage codegen end to end — zero Python in the plan.\n"
@@ -56,19 +66,41 @@ section("MinHash-LSH dedup", E.q_dedup_minhash_lsh(spark, SF),
         "- The band join is a hash join on (band, sig); AQE may re-plan at runtime.", 60)
 
 docs = to_documents(load_corpus(spark, SF)).withColumn("part_id", B.part_id_col(8))
-stage1 = docs.groupBy("part_id").applyInPandas(B._build_segment, B.SEGMENT_SCHEMA)
-section("Index build stage 1 (tokenize + encode)", stage1,
-        "- Exactly ONE shuffle (hash on the deterministic part_id), then a\n"
-        "  single FlatMapGroupsInPandas (Arrow-batched) doing tokenize +\n"
+skeys = B.identity_shuffle_keys(8)
+docs = docs.withColumn("skey", F.element_at(
+    F.array(*[F.lit(k) for k in skeys]), F.col("part_id") + 1))
+stage1 = (docs.repartition(8, "skey").groupBy("skey")
+          .applyInPandas(B._build_segment, B.SEGMENT_SCHEMA))
+section("Index build stage 1 (tokenize + encode, identity exchange)", stage1,
+        "- Exactly ONE shuffle: Catalyst recognizes repartition(P, skey)\n"
+        "  satisfies the groupBy distribution, so no second exchange. The\n"
+        "  skey values are murmur3 preimages — hash(skey) % P is the\n"
+        "  IDENTITY map, one doc partition per task (uniform makespan).\n"
+        "- A single FlatMapGroupsInPandas (Arrow-batched) does tokenize +\n"
         "  posting construction + codec — the only Python in the build.\n"
         "- Upstream: scan + derivation stay in codegen; uuid5 is the one\n"
         "  ArrowEvalPython (vectorized).", 45)
 
-dm = spark.read.parquet(f"{eng.index_dir}/segments/doc_meta").select("doc_ord", "doc_id")
+dm = eng._doc_meta_base.select("doc_ord", "doc_id")
 section("doc_meta projection", dm,
-        "- Column pruning: ReadSchema contains only doc_ord, doc_id —\n"
-        "  display-only columns are never read for joins.", 18)
+        "- Column pruning: ReadSchema fetches only the projected columns\n"
+        "  (+ partition metadata) — display-only fields are never read for\n"
+        "  joins; kind=3 directory pruning skips the posting payloads.", 22)
 
-open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 'PLANS.md'), 'w').write(out.getvalue())
+section("Lens URL-rule filter", E.q_lens_url_filter(spark, SF),
+        "- The compiled allow/skip regexes collapse to one codegen'd RLIKE\n"
+        "  conjunction evaluated streaming in the scan stage — no shuffle,\n"
+        "  no Python, no materialization of non-matching rows.", 30)
+
+emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+qv = [0.1] * 64
+from spyglass_spark.ops.similarity import l2_topk
+
+section("ANN L2 top-k (semantic-boost distance source)", l2_topk(emb, qv, k=10),
+        "- zip_with/aggregate JVM expressions (no UDF); TakeOrderedAndProject\n"
+        "  keeps the top-k per partition then merges — no global sort.", 30)
+
+open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                  "PLANS.md"), "w").write(out.getvalue())
 print("written")
 spark.stop()

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Quiet-window scaling probe: cheap kernel-control first, full build legs
+only when the host actually scales. Appends one JSON line per attempt to
+quiet_bench_log.jsonl — the evidence trail for BASELINE.md's quiet-window
+numbers on this noisy shared host.
+
+Usage: python tools/quiet_probe.py [--loop] [--min-kernel-eff 0.7]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+LOG = os.path.join(REPO, "quiet_bench_log.jsonl")
+FLAG = "/tmp/quietbench.running"
+
+
+def loadavg() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def kernel_eff() -> tuple[float, float, float]:
+    import bench
+
+    k8 = bench._kernel_throughput(8)
+    k32 = bench._kernel_throughput(32)
+    return k8, k32, (k32 / k8) / 4.0
+
+
+def run_legs() -> dict:
+    import bench
+
+    out = {}
+    for cores in (32, 8):  # 32 first: it needs the quiet window most
+        leg = f"{bench.WORK_DIR}/leg_{cores}.json"
+        os.makedirs(bench.WORK_DIR, exist_ok=True)
+        subprocess.run([sys.executable, os.path.join(REPO, "bench.py"),
+                        "--build-leg", str(cores), leg],
+                       check=True, stdout=subprocess.DEVNULL)
+        with open(leg) as f:
+            out[cores] = json.load(f)
+        out[cores]["loadavg_after"] = loadavg()
+    return out
+
+
+def attempt(min_kernel_eff: float) -> dict:
+    rec: dict = {"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                 "loadavg_start": loadavg()}
+    k8, k32, keff = kernel_eff()
+    rec.update(kernel_8p=round(k8, 1), kernel_32p=round(k32, 1),
+               kernel_eff=round(keff, 3))
+    # absolute floor too: a noise spike during the 8p probe can fake a good
+    # RATIO while the box is saturated (memory-bandwidth neighbors squeeze
+    # tokenize-like work even when pure-CPU loops scale) — quiet windows
+    # historically deliver ≥15 M tok/s at 32p
+    if keff >= min_kernel_eff and k32 >= 12e6:
+        legs = run_legs()
+        eff = (legs[32]["docs_per_sec"] / legs[8]["docs_per_sec"]) / 4.0
+        rec.update(
+            build_sec_8c=round(legs[8]["build_sec"], 2),
+            build_sec_32c=round(legs[32]["build_sec"], 2),
+            docs_per_sec_8c=round(legs[8]["docs_per_sec"], 1),
+            docs_per_sec_32c=round(legs[32]["docs_per_sec"], 1),
+            stage1_sec_8c=legs[8].get("stage1_sec"),
+            stage1_sec_32c=legs[32].get("stage1_sec"),
+            marginal_8c=round(legs[8]["marginal_docs_per_sec"], 1),
+            marginal_32c=round(legs[32]["marginal_docs_per_sec"], 1),
+            scaling_efficiency=round(eff, 3),
+            marginal_efficiency=round(
+                (legs[32]["marginal_docs_per_sec"]
+                 / legs[8]["marginal_docs_per_sec"]) / 4.0, 3),
+            loadavg_after_32=legs[32]["loadavg_after"],
+            loadavg_after_8=legs[8]["loadavg_after"])
+        import shutil
+
+        shutil.rmtree("/dev/shm/spyglass_bench", ignore_errors=True)
+    return rec
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--loop", action="store_true")
+    ap.add_argument("--min-kernel-eff", type=float, default=0.7)
+    ap.add_argument("--quiet-load", type=float, default=3.0)
+    ap.add_argument("--sleep-noisy", type=int, default=120)
+    ap.add_argument("--sleep-after", type=int, default=600)
+    args = ap.parse_args()
+
+    while True:
+        if loadavg() < args.quiet_load and not os.path.exists(FLAG):
+            open(FLAG, "w").close()
+            try:
+                rec = attempt(args.min_kernel_eff)
+            finally:
+                os.unlink(FLAG)
+            with open(LOG, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(json.dumps(rec), flush=True)
+            if not args.loop:
+                return
+            if rec.get("scaling_efficiency", 0) >= 0.8 and \
+                    rec.get("kernel_eff", 0) >= 0.8:
+                return  # clean demonstration captured; stop burning the box
+            time.sleep(args.sleep_after)
+        else:
+            if not args.loop:
+                print(json.dumps({"skipped": True, "loadavg": loadavg()}))
+                return
+            time.sleep(args.sleep_noisy)
+
+
+if __name__ == "__main__":
+    main()
