@@ -458,6 +458,13 @@ class SearchEngine:
 
         postings = self._postings_base.filter(
             F.col("field").isin(fields) & F.col("term").isin(terms))
+        # positions are only decoded by phrase clauses — for term-only
+        # query batches, prune the pos_bytes column (the largest payload)
+        # out of the scan + cogroup shuffle entirely
+        needs_pos = any(s["kind"] == "phrase"
+                        for q in plan["queries"] for s in q["specs"])
+        if not needs_pos:
+            postings = postings.drop("pos_bytes")
         # ship ONLY the norm/fast arrays of partitions that actually hold
         # chunks of the query terms — at 10^12-doc scale the norms store is
         # huge and most queries touch a sliver of partitions
