@@ -388,6 +388,27 @@ def q_search_semantic_boost(spark, sf_dir):  # rows-only: BM25 + dist boosts
     return search_with_semantic_boost(eng, "spark merge join", distances, k=10)
 
 
+def q_search_more_like_this(spark, sf_dir):  # rows-only: tf·idf seed terms
+    """more-like-this: top tf·idf content terms of a seed doc become a
+    Should-group BM25 query, seed excluded (SURVEY §2.11 similarity)."""
+    eng = _get_engine(spark, sf_dir)
+    docs = to_documents(load_corpus(spark, sf_dir))
+    seed = docs.orderBy("url").limit(1).collect()[0]["doc_id"]
+    return eng.more_like_this(seed, docs, k=5)
+
+
+def q_docset_by_tag(spark, sf_dir):
+    """build_document_query analog (query.rs:184-231): full unscored match
+    set for one tag, no top-k. The 'rs' lens tag marks exactly the
+    lang='rs' corpus rows, so the docset has an exact SQL oracle."""
+    eng = _get_engine(spark, sf_dir)
+    dim = build_tags_dim(load_corpus(spark, sf_dir))
+    rs_tag = dim.filter((F.col("label") == "lens") & (F.col("value") == "rs")) \
+                .collect()[0]["id"]
+    return (eng.document_query(tags=[int(rs_tag)])
+            .select("url", "domain", "title"))
+
+
 def q_dedup_near_duplicates(spark, sf_dir):
     """Composed scale path: minhash-LSH candidates → exact Jaccard verify
     restricted to the candidate pairs."""
@@ -522,6 +543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": q_ann_ivf_trained,
         "search_semantic_boost": q_search_semantic_boost,
         "dedup_near_duplicates": q_dedup_near_duplicates,
+        "search_more_like_this": q_search_more_like_this,
+        "docset_by_tag": q_docset_by_tag,
     }
 
 
@@ -825,6 +848,12 @@ WITH cnt AS (SELECT user_id, event_type, count(*) AS cnt FROM events
 rn AS (SELECT *, CAST(row_number() OVER (PARTITION BY user_id
               ORDER BY cnt DESC, event_type) AS INT) AS rn FROM cnt)
 SELECT user_id, event_type, cnt, rn FROM rn WHERE rn <= 3
+""",
+        "docset_by_tag": f"""
+WITH {DUCK_CORPUS}
+SELECT concat('repo://', repo, '/', path, '@', commit) AS url,
+       repo AS "domain", path AS title
+FROM corpus WHERE lang = 'rs'
 """,
         "docs_modified_since": f"""
 WITH {DUCK_CORPUS},
