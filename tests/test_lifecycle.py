@@ -107,6 +107,36 @@ def test_manifest_version_guard(spark, built_index, tmp_path):
         SearchEngine(spark, idx2)
 
 
+def test_engine_refresh_sees_upserts(spark, corpus_rows, tmp_path):
+    """An open engine serves the generation it was opened on; refresh()
+    picks up another writer's upsert (tantivy reader-reload analog)."""
+    from spyglass_spark.index.builder import build_index, upsert_documents
+    from spyglass_spark.query.executor import SearchEngine
+    from spyglass_spark.testing import corpus_to_documents
+
+    docs, _ = corpus_to_documents(corpus_rows[:60])
+    idx = str(tmp_path / "ridx")
+    build_index(spark, spark.createDataFrame(docs), idx, num_partitions=4)
+    eng = SearchEngine(spark, idx)
+    assert eng.search("zzrefreshmarker", k=5).count() == 0
+
+    upd = dict(docs[0])
+    upd["content"] = "zzrefreshmarker appears here now"
+    import hashlib
+
+    upd["content_sha256"] = hashlib.sha256(upd["content"].encode()).hexdigest()
+    upsert_documents(spark, spark.createDataFrame([upd]), idx, num_partitions=2)
+
+    # stale engine: old manifest, no marker
+    assert eng.manifest.num_docs == 60
+    eng.refresh()
+    assert eng.manifest.num_docs == 61  # tombstoned copy still counted
+    hits = eng.search("zzrefreshmarker", k=5).collect()
+    assert len(hits) == 1 and hits[0]["url"] == upd["url"]
+    # the old copy is tombstoned: its previous content must not match twice
+    assert eng.search("zzrefreshmarker", k=5).count() == 1
+
+
 def test_more_like_this(spark, built_index):
     from spyglass_spark.query.executor import SearchEngine
 
