@@ -190,18 +190,33 @@ def near_duplicates(df: DataFrame, text_col: str, id_col: str,
 
 def embedding_cosine_pairs(emb: "DataFrame", threshold: float = 0.95,
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> "DataFrame":
+                           vec_col: str = "embedding",
+                           bucket_col: str | None = None) -> "DataFrame":
     """Embedding-cosine near-dup pairs: (a, b, cos_sim) with cosine ≥
-    threshold, a < b. Exact all-pairs within the given frame — at scale,
-    bound the candidate space first (LSH buckets / IVF lists from
-    ops.similarity) and run this inside each bucket."""
+    threshold, a < b.
+
+    With ``bucket_col`` the join is an EQUI-join on the bucket (the scale
+    path: assign LSH buckets / IVF lists from ops.similarity first, then
+    only same-bucket pairs are compared — candidate space bounded by the
+    largest bucket, never all-pairs). Without it the join is an exact
+    all-pairs cross product — correct, but a deliberate small-frame tool;
+    at corpus scale ALWAYS pass a bucket column."""
     from .similarity import _dot, _norm
 
     va = F.transform(F.col("l.v"), lambda x: x.cast("double"))
     vb = F.transform(F.col("r.v"), lambda x: x.cast("double"))
-    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    pairs = base.alias("l").join(base.alias("r"), F.col("l.id") < F.col("r.id"))
-    return (pairs.select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
-                         F.round(_dot(va, vb) / (_norm(va) * _norm(vb)), 4)
-                         .alias("cos_sim"))
-            .filter(F.col("cos_sim") >= threshold))
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if bucket_col is not None:
+        cols.append(F.col(bucket_col).alias("bk"))
+    base = emb.select(*cols)
+    cond = F.col("l.id") < F.col("r.id")
+    if bucket_col is not None:
+        cond = (F.col("l.bk") == F.col("r.bk")) & cond
+    pairs = base.alias("l").join(base.alias("r"), cond)
+    out = (pairs.select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                        F.round(_dot(va, vb) / (_norm(va) * _norm(vb)), 4)
+                        .alias("cos_sim"))
+           .filter(F.col("cos_sim") >= threshold))
+    # multi-probe bucketing can list a vector in several buckets → dedup;
+    # the unbucketed path is already unique (a < b), no extra shuffle
+    return out.distinct() if bucket_col is not None else out

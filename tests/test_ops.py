@@ -112,6 +112,30 @@ def test_near_duplicates_composed(spark, docs_df):
     assert (0, 3) in got and got[(0, 3)] == 1.0
 
 
+def test_embedding_pairs_bucketed(spark):
+    """bucket_col turns the all-pairs cross join into a per-bucket
+    equi-join: results == unbucketed pairs restricted to shared buckets."""
+    import numpy as np
+
+    from spyglass_spark.ops.dedup import embedding_cosine_pairs
+    from spyglass_spark.ops.similarity import hyperplane_signature
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 6))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    planes = [[1, 0, 0, 0, 0, 0], [0, 1, 0, 0, 0, 0]]
+    sigs = hyperplane_signature(df, planes).withColumnRenamed("_vec", "embedding")
+    got = {(r["a"], r["b"]) for r in embedding_cosine_pairs(
+        sigs, threshold=0.3, bucket_col="bucket").collect()}
+    full = {(r["a"], r["b"]) for r in embedding_cosine_pairs(
+        df, threshold=0.3).collect()}
+    bucket = {r["vec_id"]: r["bucket"] for r in sigs.collect()}
+    assert got == {(a, b) for a, b in full if bucket[a] == bucket[b]}
+    assert got and got < full  # bucketing actually restricted the space
+
+
 def test_l2_topk(spark):
     import numpy as np
 
