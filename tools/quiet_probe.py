@@ -109,6 +109,13 @@ def main() -> None:
         quiet = loadavg() < args.quiet_load and not os.path.exists(FLAG)
         if quiet:
             mini = mini_kernel_rate()
+            # time-series evidence: every bandwidth sample is logged, pass
+            # or fail — the distribution documents the neighbor pressure
+            with open(LOG, "a") as f:
+                f.write(json.dumps({
+                    "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                    "mini_rate": round(mini, 1),
+                    "loadavg": loadavg()}) + "\n")
             quiet = mini >= args.min_mini_rate
         if quiet:
             open(FLAG, "w").close()
