@@ -44,16 +44,26 @@ def mini_kernel_rate() -> float:
     return bench._kernel_throughput(1)
 
 
+PROBE_REPLICAS = int(os.environ.get("SPYGLASS_PROBE_REPLICAS", "256"))
+
+
 def run_legs() -> dict:
+    """Probe legs use a 4× corpus (1.28M docs) vs the per-round bench:
+    at 320k docs the ~6-8 s of per-build orchestration caps even a
+    perfectly quiet window near 0.55 efficiency; at 1.28M docs the
+    data-parallel stage dominates enough for the ≥0.8 target to be
+    measurable."""
     import bench
 
     out = {}
+    env = dict(os.environ)
+    env["SPYGLASS_BENCH_REPLICAS"] = str(PROBE_REPLICAS)
     for cores in (32, 8):  # 32 first: it needs the quiet window most
         leg = f"{bench.WORK_DIR}/leg_{cores}.json"
         os.makedirs(bench.WORK_DIR, exist_ok=True)
         subprocess.run([sys.executable, os.path.join(REPO, "bench.py"),
                         "--build-leg", str(cores), leg],
-                       check=True, stdout=subprocess.DEVNULL)
+                       check=True, env=env, stdout=subprocess.DEVNULL)
         with open(leg) as f:
             out[cores] = json.load(f)
         out[cores]["loadavg_after"] = loadavg()
@@ -74,6 +84,7 @@ def attempt(min_kernel_eff: float) -> dict:
         legs = run_legs()
         eff = (legs[32]["docs_per_sec"] / legs[8]["docs_per_sec"]) / 4.0
         rec.update(
+            replicas=PROBE_REPLICAS,
             build_sec_8c=round(legs[8]["build_sec"], 2),
             build_sec_32c=round(legs[32]["build_sec"], 2),
             docs_per_sec_8c=round(legs[8]["docs_per_sec"], 1),
