@@ -74,6 +74,15 @@ def test_compaction_drops_tombstones_and_generations(spark, corpus_rows, tmp_pat
         exp = oracle.search(q, k=8)
         assert [r["doc_id"] for r in got] == [h["doc_id"] for h in exp], q
 
+    # date fast fields survive the rebuild: a date-filtered search over the
+    # compacted index still matches the oracle
+    mids = sorted(d["lastmodified"] for d in final_docs.values())
+    cut = mids[len(mids) // 2]
+    got = eng.search("fn", filters=[("lastmodified_ge", cut)], k=8).collect()
+    exp = oracle.search("fn", filters=[("lastmodified_ge", cut)], k=8)
+    assert [r["doc_id"] for r in got] == [h["doc_id"] for h in exp]
+    assert len(exp) > 0
+
 
 def test_read_corpus_formats(spark, corpus_rows, tmp_path):
     from spyglass_spark.sources import read_corpus
