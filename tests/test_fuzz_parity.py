@@ -1,0 +1,94 @@
+"""Seeded randomized end-to-end parity fuzz: random small corpora and
+random query strings (with random filters/boosts/offsets) must be
+rank- AND score-identical to the pure-Python oracle. Casts a wider net
+than the fixed reference query set; deterministic seeds keep it stable."""
+
+import hashlib
+import random
+import uuid
+
+import numpy as np
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+WORDS = ["fn", "import", "merge", "merged", "merging", "parse", "parser",
+         "token", "tokens", "index", "search", "query", "the", "and", "i",
+         "was", "naïve", "café", "stream", "block", "wand", "hash",
+         "partition", "vector", "delta", "batch", "scan", "sort", "key",
+         "order", "fast", "slow", "alpha", "beta", "gamma", "zeta"]
+
+
+def _mk_docs(rng: random.Random, n: int):
+    from spyglass_spark.corpus import SPYGLASS_NS, lastmodified_py, published_py
+
+    docs = []
+    for i in range(n):
+        words = [rng.choice(WORDS) for _ in range(rng.randint(0, 60))]
+        content = " ".join(words)
+        url = f"repo://f{i % 5}/dir{i % 3}/file_{i}.rs@{'a' * 40}"
+        docs.append(dict(
+            doc_id=str(uuid.uuid5(SPYGLASS_NS, url)), url=url,
+            domain=f"f{i % 5}", title=f"dir{i % 3}/file_{i}.rs",
+            content=content, tags=[1 + i % 4, 10 + i % 2],
+            content_sha256=hashlib.sha256(content.encode()).hexdigest(),
+            published=published_py(url), lastmodified=lastmodified_py(url)))
+    return docs
+
+
+def _mk_query(rng: random.Random, docs):
+    q = " ".join(rng.choice(WORDS) for _ in range(rng.randint(1, 5)))
+    filters, boosts = [], []
+    if rng.random() < 0.4:
+        filters.append(("tag", rng.randint(1, 4)))
+    if rng.random() < 0.3:
+        mids = sorted(d["lastmodified"] for d in docs)
+        filters.append(("lastmodified_ge", mids[len(mids) // 3]))
+    if rng.random() < 0.3:
+        boosts.append(("tag", rng.randint(1, 4)))
+    if rng.random() < 0.25:
+        seed = rng.choice(docs)
+        boosts.append(("docid", seed["doc_id"], round(rng.uniform(0.0, 3.0), 3)))
+    offset = rng.choice([0, 0, 0, 2])
+    return q, filters, boosts, offset
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_randomized_rank_identity(spark, tmp_path, seed):
+    from spyglass_spark.index.builder import build_index
+    from spyglass_spark.oracle.engine import OracleIndex
+    from spyglass_spark.query.executor import SearchEngine
+
+    rng = random.Random(seed)
+    docs = _mk_docs(rng, rng.randint(40, 90))
+    P = rng.choice([2, 4, 8])
+    idx = str(tmp_path / f"fz{seed}")
+    build_index(spark, spark.createDataFrame(docs), idx, num_partitions=P,
+                waves=rng.choice([1, 2]))
+    oracle = OracleIndex.build(docs, num_partitions=P)
+    eng = SearchEngine(spark, idx)
+
+    cases = [_mk_query(rng, docs) for _ in range(8)]
+    batch = [{"query": q, "filters": f, "boosts": b} for q, f, b, _ in cases]
+    res = eng.search_many(batch, k=7).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    nonempty = 0
+    for qi, (q, f, b, _off) in enumerate(cases):
+        got = sorted(by_q.get(qi, []), key=lambda r: r["rank"])
+        exp = oracle.search(q, f, b, k=7)
+        assert [r["doc_id"] for r in got] == [h["doc_id"] for h in exp], (seed, q, f, b)
+        for r, h in zip(got, exp):
+            assert np.isclose(np.float32(r["score"]), np.float32(h["score"]),
+                              rtol=1e-5), (seed, q, r["score"], h["score"])
+        nonempty += bool(exp)
+    assert nonempty >= 3  # the fuzz must actually exercise matches
+
+    # offset pagination on one non-trivial query
+    for q, f, b, off in cases:
+        exp = oracle.search(q, f, b, k=5, offset=off)
+        if off and exp:
+            got = eng.search(q, filters=f, boosts=b, k=5, offset=off).collect()
+            assert [r["doc_id"] for r in got] == [h["doc_id"] for h in exp]
+            break
