@@ -474,6 +474,16 @@ def q_events_topk_window(spark, sf_dir):
     return cnt.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (batch form of the applyInPandasWithState
+    streaming operator; the stateful variant is pytest-gated)."""
+    from spyglass_spark.streaming.sessions import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter(F.col("user_id") < 40)
+    return sessionize_batch(ev, gap="30 minutes")
+
+
 def q_search_bm25(spark, sf_dir):  # rows-only: stemmed analyzer + quantized BM25
     return _get_engine(spark, sf_dir).search("spark merge join", k=10)
 
@@ -545,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_duplicates": q_dedup_near_duplicates,
         "search_more_like_this": q_search_more_like_this,
         "docset_by_tag": q_docset_by_tag,
+        "events_sessionize": q_events_sessionize,
     }
 
 
@@ -848,6 +859,18 @@ WITH cnt AS (SELECT user_id, event_type, count(*) AS cnt FROM events
 rn AS (SELECT *, CAST(row_number() OVER (PARTITION BY user_id
               ORDER BY cnt DESC, event_type) AS INT) AS rn FROM cnt)
 SELECT user_id, event_type, cnt, rn FROM rn WHERE rn <= 3
+""",
+        "events_sessionize": """
+WITH ev AS (SELECT user_id, ts, value FROM events WHERE user_id < 40),
+m AS (SELECT user_id, ts, value,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+      FROM ev),
+s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING) AS sess_id FROM m)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 3) AS sum_value
+FROM s GROUP BY user_id, sess_id
 """,
         "docset_by_tag": f"""
 WITH {DUCK_CORPUS}

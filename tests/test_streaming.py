@@ -104,6 +104,47 @@ def test_microbatch_epoch_replay_is_noop(spark, tmp_path):
     assert load_manifest(index_dir).num_docs == 9
 
 
+def test_sessionize_stateful_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization ≡ the batch sessionizer for
+    every CLOSED session (open sessions at the head of the stream close via
+    the event-time timeout once the watermark passes last+gap)."""
+    from pyspark.sql import functions as F
+
+    from spyglass_spark.streaming.sessions import (sessionize_batch,
+                                                   sessionize_events)
+
+    src = str(tmp_path / "sess_ev")
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .filter(F.col("user_id") < 30))
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    sess = sessionize_events(stream, gap="30 minutes", watermark="1 hour")
+    q = (sess.writeStream.outputMode("append")
+         .format("memory").queryName("sessout").start())
+    try:
+        q.processAllAvailable()
+        got = {(r["user_id"], r["session_start"], r["session_end"]):
+               (r["n_events"], r["sum_value"])
+               for r in spark.sql("SELECT * FROM sessout").collect()}
+        batch = {(r["user_id"], r["session_start"], r["session_end"]):
+                 (r["n_events"], r["sum_value"])
+                 for r in sessionize_batch(ev, gap="30 minutes").collect()}
+        assert got, "no sessions emitted"
+        # every emitted session must be a batch session, values identical
+        for k, v in got.items():
+            assert batch[k] == v, k
+        # sessions whose close point is safely inside the watermark must
+        # all have been emitted
+        max_ts = ev.agg(F.max("ts")).collect()[0][0].timestamp()
+        horizon = max_ts - 3600 - 1800  # watermark delay + gap
+        expected_closed = {k for k in batch if k[2].timestamp() < horizon}
+        missing = expected_closed - set(got)
+        assert not missing, f"{len(missing)} closed sessions not emitted"
+    finally:
+        q.stop()
+
+
 def test_windowed_event_counts_with_watermark(spark, tmp_path):
     """Streaming tumbling-window agg with watermark ≡ the equivalent batch
     aggregation once all data is processed."""
