@@ -56,10 +56,10 @@ LEG_ROUNDS = int(os.environ.get("SPYGLASS_BENCH_LEG_RUNS", "2"))
 CONTENT_REPEAT = int(os.environ.get("SPYGLASS_BENCH_CONTENT_REPEAT", "16"))
 NUM_PARTS = int(os.environ.get("SPYGLASS_BENCH_PARTS", "128"))
 QUIET_LOAD = float(os.environ.get("SPYGLASS_BENCH_QUIET_LOAD", "6"))
-QUIET_WAIT_SEC = int(os.environ.get("SPYGLASS_BENCH_QUIET_WAIT", "180"))
+QUIET_WAIT_SEC = int(os.environ.get("SPYGLASS_BENCH_QUIET_WAIT", "120"))
 # soft wall-clock budget for the scaling legs: once exceeded, remaining
 # rounds are skipped (keep whatever best-of was captured so far)
-BUDGET_SEC = int(os.environ.get("SPYGLASS_BENCH_BUDGET_SEC", "1200"))
+BUDGET_SEC = int(os.environ.get("SPYGLASS_BENCH_BUDGET_SEC", "900"))
 WORK_DIR = os.environ.get("SPYGLASS_BENCH_DIR",
                           "/dev/shm/spyglass_bench"
                           if os.path.isdir("/dev/shm") else "/tmp/spyglass_bench")
