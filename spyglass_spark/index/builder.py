@@ -646,6 +646,29 @@ def delete_by_ids(index_dir: str, doc_ids: list[str]) -> Manifest:
     return m
 
 
+def delete_by_urls(spark: SparkSession, index_dir: str,
+                   urls: list[str]) -> Manifest:
+    """index.delete_document_by_url analog (spyglass-rpc/src/lib.rs:51-52):
+    tombstone every live copy of the given urls by ORDINAL, written as a
+    parquet side table cluster-side (same mechanism as upsert tombstones —
+    nothing collected to the driver)."""
+    m = load_manifest(index_dir)
+    if m is None or not m.committed:
+        raise FileNotFoundError(f"no committed index at {index_dir}")
+    gen_id = max(g["gen"] for g in m.gen_list()) + 1
+    tomb_rel = f"tombstones/url_del{gen_id}"
+    url_df = spark.createDataFrame([(u,) for u in urls], "url string")
+    (doc_meta_view(spark, index_dir, m.gen_list())
+     .join(F.broadcast(url_df), "url", "leftsemi")
+     .select("part_id", "doc_ord")
+     .coalesce(1)
+     .sortWithinPartitions("part_id", "doc_ord")
+     .write.mode("overwrite").parquet(f"{index_dir}/{tomb_rel}"))
+    m.tombstone_dirs = sorted(set(m.tombstone_dirs) | {tomb_rel})
+    commit_manifest(index_dir, m)
+    return m
+
+
 def compact_index(spark: SparkSession, documents: DataFrame, index_dir: str,
                   num_partitions: int | None = None) -> Manifest:
     """Whole-index rewrite merge: collapse all generations into one and

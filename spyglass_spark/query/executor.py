@@ -620,6 +620,12 @@ class SearchEngine:
         return (hits.filter(F.col("doc_id") != doc_id)
                 .orderBy("rank").limit(k))
 
+    def is_document_indexed(self, url: str) -> bool:
+        """index.is_document_indexed RPC analog (spyglass-rpc/src/lib.rs:43-44):
+        a live (non-tombstoned) doc with this exact url exists."""
+        dm = self._doc_meta_base.filter(F.col("url") == url)
+        return not self._anti_tombstone(dm).isEmpty()
+
     def get_documents(self, doc_ids: list[str]) -> DataFrame:
         """Doc-store get-by-id (client/local.rs:71-95 analog): fetch the
         stored fields for exact doc ids. Tombstoned ids are excluded."""

@@ -116,6 +116,30 @@ def test_manifest_version_guard(spark, built_index, tmp_path):
         SearchEngine(spark, idx2)
 
 
+def test_is_indexed_and_delete_by_url(spark, corpus_rows, tmp_path):
+    """is_document_indexed + delete_document_by_url RPC analogs
+    (spyglass-rpc/src/lib.rs:43-52): url-existence flips after a url-level
+    tombstone; searches stop returning the doc; stats keep counting it."""
+    from spyglass_spark.index.builder import build_index, delete_by_urls
+    from spyglass_spark.query.executor import SearchEngine
+    from spyglass_spark.testing import corpus_to_documents
+
+    docs, _ = corpus_to_documents(corpus_rows[:50])
+    idx = str(tmp_path / "durl")
+    build_index(spark, spark.createDataFrame(docs), idx, num_partitions=4)
+    eng = SearchEngine(spark, idx)
+    target = docs[7]
+    assert eng.is_document_indexed(target["url"]) is True
+    assert eng.is_document_indexed("repo://nope/never@" + "0" * 40) is False
+
+    delete_by_urls(spark, idx, [target["url"]])
+    eng.refresh()
+    assert eng.is_document_indexed(target["url"]) is False
+    assert eng.manifest.num_docs == 50  # N keeps counting (max_doc model)
+    got = eng.document_query(urls=[target["url"]]).collect()
+    assert got == []
+
+
 def test_engine_refresh_sees_upserts(spark, corpus_rows, tmp_path):
     """An open engine serves the generation it was opened on; refresh()
     picks up another writer's upsert (tantivy reader-reload analog)."""
