@@ -270,6 +270,14 @@ def main() -> None:
         [{"query": q} for q in ["spark", "merge join", "window filter agg",
                                 "the fast key", "scan table", "batch stream",
                                 "customer line", "hash part"]], k=10).collect())
+    # throughput path: 64 distinct queries in ONE job (8 templates × 8
+    # deterministic word pairings)
+    words = ["spark", "merge", "join", "filter", "scan", "sort", "key",
+             "order", "batch", "stream", "hash", "part", "fast", "table",
+             "window", "agg"]
+    batch64 = [{"query": f"{words[i % 16]} {words[(i * 7 + 3) % 16]}"}
+               for i in range(64)]
+    timed("search_batch64", lambda: eng.search_many(batch64, k=10).collect())
     timed("bm25_sql_oracle_form",
           lambda: E.q_bm25_topk_simple(spark, SF_DIR).collect())
     timed("dedup_minhash_lsh",

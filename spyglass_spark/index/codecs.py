@@ -267,3 +267,25 @@ def decode_positions(buf: bytes, ndocs: int) -> list[np.ndarray]:
         out.append(np.cumsum(flat[i : i + cnt], dtype=np.uint64))
         i += cnt
     return out
+
+
+def phrase_position_keys(flat: np.ndarray, rec_starts: np.ndarray,
+                         tfs: np.ndarray, sel: np.ndarray) -> np.ndarray:
+    """Build the batched phrase counter's keyed positions for the SELECTED
+    posting records: ``cand_idx·2^40 + position`` — one vectorized gather
+    over the decoded flat stream (records are [count, delta positions...];
+    per-record cumsum restored via a segmented-prefix trick)."""
+    lens = tfs[sel].astype(np.int64) if sel.size else np.empty(0, np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    starts = rec_starts[sel].astype(np.int64) + 1  # skip the count slot
+    cum = np.concatenate(([0], np.cumsum(lens)))
+    out_idx = (np.repeat(starts, lens)
+               + (np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], lens)))
+    deltas = flat[out_idx].astype(np.int64)
+    g = np.cumsum(deltas)
+    base = (g - deltas)[cum[:-1]]  # exclusive global prefix at record start
+    pos = g - np.repeat(base, lens)
+    cand_idx = np.repeat(np.arange(sel.size, dtype=np.int64), lens)
+    return (cand_idx << 40) + pos

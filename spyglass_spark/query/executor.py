@@ -42,10 +42,12 @@ from pyspark.sql import functions as F
 from ..index.builder import (KIND_DOCMETA, KIND_FAST, KIND_NORMS,
                              KIND_POSTING, ORD_SHIFT, doc_meta_view,
                              read_store, tombstone_view)
-from ..index.codecs import decode_positions_selected, decode_postings
+from ..index.codecs import (decode_postings, phrase_position_keys,
+                            varint_decode)
 from ..index.manifest import Manifest, load_manifest
 from .compiler import CompiledQuery, compile_query
-from .scoring import K1, idf, norm_cache, score_postings, sloppy_phrase_count
+from .scoring import (K1, idf, norm_cache, score_postings,
+                      sloppy_phrase_counts_batch)
 
 RESULT_SCHEMA = "query_id long, doc_ord long, score float"
 HIT_COLUMNS = ["query_id", "rank", "doc_id", "url", "domain", "title",
@@ -76,11 +78,14 @@ def _wand_eligible(specs) -> bool:
     return any(s["role"] == "should" for s in specs)
 
 
-def _run_wand(q, payload, caches, norm_arrays, limit, local_tomb):
+def _run_wand(q, payload, caches, norm_arrays, limit, local_tomb,
+              shared=None):
     """Execute one query via block-max WAND. Returns (local_ords, scores)
-    or None to fall back (e.g. a filter term longer than this chunk)."""
+    or None to fall back (e.g. a filter term longer than this chunk).
+    ``shared`` carries cross-query decode caches for batch mode."""
     from .wand import _ClauseData, wand_top_k
 
+    wand_shared = shared["wand"] if shared is not None else {}
     scoring = []
     for spec in q["specs"]:
         if spec["role"] != "should":
@@ -89,23 +94,37 @@ def _run_wand(q, payload, caches, norm_arrays, limit, local_tomb):
         if any(r is None for r in rows):
             continue  # clause can't match in this part
         scoring.append(_ClauseData(spec, rows, caches[spec["field"]],
-                                   norm_arrays.get(spec["field"])))
+                                   norm_arrays.get(spec["field"]),
+                                   wand_shared))
     if not scoring:
         return np.empty(0, np.int64), np.empty(0, np.float32)
+
+    def filter_docs(field, term):
+        key = (field, term)
+        if shared is not None and key in shared["post"]:
+            hit = shared["post"][key]
+            return None if hit is None else hit[0].astype(np.int64)
+        row = payload.get(key)
+        if row is None:
+            if shared is not None:
+                shared["post"][key] = None
+            return None
+        docs, tfs = decode_postings(row["doc_bytes"], row["tf_bytes"])
+        if shared is not None:
+            shared["post"][key] = (docs, tfs, row)
+        return docs.astype(np.int64)
 
     include = None
     exclude = local_tomb
     for spec in q["specs"]:
         if spec["role"] == "must":
-            row = payload.get((spec["field"], spec["terms"][0]))
-            m = (np.empty(0, np.int64) if row is None else
-                 decode_postings(row["doc_bytes"], row["tf_bytes"])[0].astype(np.int64))
+            m = filter_docs(spec["field"], spec["terms"][0])
+            m = np.empty(0, np.int64) if m is None else m
             include = m if include is None else np.intersect1d(
                 include, m, assume_unique=True)
         elif spec["role"] == "must_not":
-            row = payload.get((spec["field"], spec["terms"][0]))
-            if row is not None:
-                m = decode_postings(row["doc_bytes"], row["tf_bytes"])[0].astype(np.int64)
+            m = filter_docs(spec["field"], spec["terms"][0])
+            if m is not None:
                 exclude = m if exclude is None else np.union1d(exclude, m)
     if include is not None and include.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.float32)
@@ -210,17 +229,28 @@ def _score_partition(plan: dict, postings_pdf: pd.DataFrame, norms_pdf: pd.DataF
     algo = plan.get("algo", "auto")
     local_tomb = _local_tombstones(plan, part_id)
     out_q, out_d, out_s = [], [], []
+    # decode caches SHARED ACROSS the batch's queries (a 64-query batch
+    # re-touches the same hot terms; decode each chunk once per partition)
+    shared = {"post": {}, "pos": {}, "wand": {}}
 
     def term_postings(field, term):
-        row = payload.get((field, term))
+        key = (field, term)
+        hit = shared["post"].get(key)
+        if hit is not None:
+            return hit
+        row = payload.get(key)
         if row is None:
+            shared["post"][key] = None
             return None
         docs, tfs = decode_postings(row["doc_bytes"], row["tf_bytes"])
-        return docs, tfs, row
+        hit = (docs, tfs, row)
+        shared["post"][key] = hit
+        return hit
 
     for q in plan["queries"]:
         if algo != "exhaustive" and _wand_eligible(q["specs"]):
-            res = _run_wand(q, payload, caches, norm_arrays, limit, local_tomb)
+            res = _run_wand(q, payload, caches, norm_arrays, limit, local_tomb,
+                            shared)
             if res is not None:
                 ords_w, scores_w = res
                 if ords_w.size:
@@ -272,20 +302,26 @@ def _score_partition(plan: dict, postings_pdf: pd.DataFrame, norms_pdf: pd.DataF
                 if common.size == 0:
                     clause_results.append((common, np.empty(0, np.float32), spec))
                     continue
-                # decode positions ONLY for the intersected docs (one
-                # vectorized stream pass + per-selected-posting slices)
-                pos_per_term = []
-                for tp in tps:
+                # positions decoded ONLY for the intersected docs; the flat
+                # stream + record boundaries are cached per (field, term)
+                # across the batch's queries, and the sloppy-phrase count
+                # runs vectorized ACROSS all candidate docs at once
+                keyed = []
+                for t_name, tp in zip(spec["terms"], tps):
                     docs_t, tfs_t, row = tp[0].astype(np.int64), tp[1], tp[2]
+                    pkey = (field, t_name)
+                    hit = shared["pos"].get(pkey)
+                    if hit is None:
+                        flat = varint_decode(row["pos_bytes"])
+                        rec_starts = np.concatenate(
+                            ([0], np.cumsum(tfs_t.astype(np.int64) + 1)))
+                        hit = shared["pos"][pkey] = (flat, rec_starts)
+                    flat, rec_starts = hit
                     sel = np.searchsorted(docs_t, common)
-                    pos_per_term.append(decode_positions_selected(
-                        row["pos_bytes"], tfs_t, sel))
-                offs = list(spec["positions"])
-                slop = spec["slop"]
-                tf_counts = np.fromiter(
-                    (sloppy_phrase_count([pos_per_term[ti][ci] for ti in range(len(tps))],
-                                         offs, slop)
-                     for ci in range(common.size)), dtype=np.int64, count=common.size)
+                    keyed.append(phrase_position_keys(flat, rec_starts,
+                                                      tfs_t, sel))
+                tf_counts = sloppy_phrase_counts_batch(
+                    keyed, list(spec["positions"]), spec["slop"], common.size)
                 mask = tf_counts > 0
                 ords_m = common[mask]
                 nids = norms[ords_m] if norms is not None else np.zeros(ords_m.size, np.uint8)

@@ -103,3 +103,40 @@ def sloppy_phrase_count(position_lists: list[np.ndarray], offsets: list[int], sl
         if not ok.any():
             return 0
     return int(ok.sum())
+
+
+# doc-key stride for the batched phrase counter: candidate index lives in
+# the high bits, token position in the low 40 (positions ≪ 2^40)
+PHRASE_KEY_SHIFT = 40
+
+
+def sloppy_phrase_counts_batch(keyed_positions: list[np.ndarray],
+                               offsets: list[int], slop: int,
+                               n_cand: int) -> np.ndarray:
+    """``sloppy_phrase_count`` vectorized ACROSS candidate docs.
+
+    keyed_positions[i] = int64 array of ``cand_idx·2^40 + position`` for
+    term i, concatenated doc-major over the n_cand candidates (per-doc
+    position order preserved → globally sorted). The greedy
+    earliest-admissible walk runs over ALL docs' anchors at once; a
+    searchsorted landing in the next doc's block fails the ``≤ target+slop``
+    bound exactly like running off a single doc's list (block stride ≫
+    max position + slop). Returns int64 match counts per candidate."""
+    if any(k.size == 0 for k in keyed_positions):
+        return np.zeros(n_cand, dtype=np.int64)
+    first = keyed_positions[0]
+    anchors = first - np.int64(offsets[0])
+    prev = first.copy()
+    ok = np.ones(first.size, dtype=bool)
+    for pl, off in zip(keyed_positions[1:], offsets[1:]):
+        target = anchors + np.int64(off)
+        lo = np.maximum(target - slop, prev + 1)
+        idx = np.searchsorted(pl, lo)
+        valid = idx < pl.size
+        cand = pl[np.minimum(idx, pl.size - 1)]
+        ok &= valid & (cand <= target + slop)
+        prev = np.where(ok, cand, prev)
+        if not ok.any():
+            return np.zeros(n_cand, dtype=np.int64)
+    doc_of = (first >> PHRASE_KEY_SHIFT)[ok]
+    return np.bincount(doc_of, minlength=n_cand).astype(np.int64)

@@ -29,24 +29,34 @@ from __future__ import annotations
 import numpy as np
 
 from ..index.codecs import decode_block, decode_block_meta
-from .scoring import sloppy_phrase_count
 
 
 class _ClauseData:
-    """Decoded-on-demand posting access for one clause in one partition."""
+    """Decoded-on-demand posting access for one clause in one partition.
+    ``shared`` (optional) is a cross-query cache keyed by (field, term):
+    block metas, decoded blocks and position streams decode once per
+    partition even when a batch's queries repeat terms."""
 
-    __slots__ = ("spec", "rows", "metas", "ubs", "last_docs", "cache", "norms",
-                 "_block_cache", "_full", "_pos_cache")
+    __slots__ = ("spec", "rows", "keys", "metas", "ubs", "last_docs",
+                 "cache", "norms", "shared", "_full", "_pos_cache")
 
-    def __init__(self, spec, rows, cache, norms):
+    def __init__(self, spec, rows, cache, norms, shared=None):
         self.spec = spec
         self.rows = rows  # list of one payload row per term (term clauses: 1)
+        self.keys = [(spec["field"], t) for t in spec["terms"]]
         self.cache = cache
         self.norms = norms
-        self.metas = [decode_block_meta(r["meta_bytes"]) for r in rows]
-        self._block_cache: dict[tuple[int, int], tuple] = {}
+        self.shared = shared if shared is not None else {}
         self._full = None
         self._pos_cache = None
+        self.metas = []
+        for key, r in zip(self.keys, rows):
+            mkey = ("meta", key)
+            m = self.shared.get(mkey)
+            if m is None:
+                m = decode_block_meta(r["meta_bytes"])
+                self.shared[mkey] = m
+            self.metas.append(m)
         # per-term block upper bounds (weight folded in by caller)
         self.ubs = []
         self.last_docs = []
@@ -58,13 +68,13 @@ class _ClauseData:
             self.last_docs.append(m["last_doc"].astype(np.int64))
 
     def block(self, term_idx: int, block_idx: int):
-        key = (term_idx, block_idx)
-        hit = self._block_cache.get(key)
+        key = ("blk", self.keys[term_idx], block_idx)
+        hit = self.shared.get(key)
         if hit is None:
             r = self.rows[term_idx]
             hit = decode_block(r["doc_bytes"], r["tf_bytes"], self.metas[term_idx],
                                block_idx)
-            self._block_cache[key] = hit
+            self.shared[key] = hit
         return hit
 
     def docs_tfs_in_range(self, term_idx: int, lo: int, hi: int):
@@ -239,12 +249,17 @@ def _phrase_in_segments(cd: _ClauseData, lo_arr, hi_arr):
 
     if cd._pos_cache is None:
         cache = []
-        for r in cd.rows:
-            docs, tfs = decode_postings(r["doc_bytes"], r["tf_bytes"])
-            flat = varint_decode(r["pos_bytes"])
-            rec_starts = np.concatenate(
-                ([0], np.cumsum(tfs.astype(np.int64) + 1)))
-            cache.append((docs.astype(np.int64), tfs, flat, rec_starts))
+        for key, r in zip(cd.keys, cd.rows):
+            skey = ("posw", key)
+            ent = cd.shared.get(skey)
+            if ent is None:
+                docs, tfs = decode_postings(r["doc_bytes"], r["tf_bytes"])
+                flat = varint_decode(r["pos_bytes"])
+                rec_starts = np.concatenate(
+                    ([0], np.cumsum(tfs.astype(np.int64) + 1)))
+                ent = (docs.astype(np.int64), tfs, flat, rec_starts)
+                cd.shared[skey] = ent
+            cache.append(ent)
         cd._pos_cache = cache
     docs0 = cd._pos_cache[0][0]
     mask = np.zeros(docs0.size, dtype=bool)
@@ -255,22 +270,16 @@ def _phrase_in_segments(cd: _ClauseData, lo_arr, hi_arr):
         common = np.intersect1d(common, docs_t, assume_unique=True)
     if common.size == 0:
         return common, np.empty(0, np.int64)
-    offs = list(cd.spec["positions"])
-    slop = cd.spec["slop"]
-    # positions sliced per MATCHED doc only (record boundaries from tfs)
-    pos_per_term = []
+    # positions decoded for MATCHED docs only, phrase counting vectorized
+    # across all candidates at once
+    from ..index.codecs import phrase_position_keys
+    from .scoring import sloppy_phrase_counts_batch
+
+    keyed = []
     for docs_t, tfs_t, flat, rec_starts in cd._pos_cache:
         sel = np.searchsorted(docs_t, common)
-        pos_per_term.append(
-            [np.cumsum(flat[int(rec_starts[i]) + 1:
-                            int(rec_starts[i]) + 1 + int(tfs_t[i])],
-                       dtype=np.uint64) for i in sel])
-    out_docs, out_counts = [], []
-    for ci in range(common.size):
-        plists = [pos_per_term[ti][ci] for ti in range(len(cd._pos_cache))]
-        c = sloppy_phrase_count(plists, offs, slop)
-        if c > 0:
-            out_docs.append(int(common[ci]))
-            out_counts.append(c)
-    return (np.asarray(out_docs, dtype=np.int64),
-            np.asarray(out_counts, dtype=np.int64))
+        keyed.append(phrase_position_keys(flat, rec_starts, tfs_t, sel))
+    counts = sloppy_phrase_counts_batch(keyed, list(cd.spec["positions"]),
+                                        cd.spec["slop"], common.size)
+    mask = counts > 0
+    return common[mask], counts[mask]

@@ -54,3 +54,41 @@ def test_exact_phrase_basics():
     a = np.array([0, 5, 9], dtype=np.uint64)
     b = np.array([1, 6], dtype=np.uint64)
     assert sloppy_phrase_count([a, b], [0, 1], 0) == 2
+
+
+def test_batch_counter_equals_scalar():
+    """sloppy_phrase_counts_batch ≡ per-doc sloppy_phrase_count for random
+    multi-doc position sets, offsets (with holes) and every slop 0..3."""
+    import random
+
+    import numpy as np
+
+    from spyglass_spark.query.scoring import (sloppy_phrase_count,
+                                              sloppy_phrase_counts_batch)
+
+    rng = random.Random(77)
+    for trial in range(60):
+        nterms = rng.randint(2, 4)
+        # query offsets strictly increasing, possibly with stopword holes
+        offs = [rng.randint(0, 2)]
+        for _ in range(nterms - 1):
+            offs.append(offs[-1] + rng.randint(1, 3))
+        slop = rng.randint(0, 3)
+        ndocs = rng.randint(1, 12)
+        per_doc = []  # per doc: list per term of sorted unique positions
+        for _ in range(ndocs):
+            per_doc.append([sorted(rng.sample(range(0, 40),
+                                              rng.randint(1, 10)))
+                            for _ in range(nterms)])
+        expected = np.array(
+            [sloppy_phrase_count([np.asarray(p, dtype=np.uint64)
+                                  for p in doc], offs, slop)
+             for doc in per_doc], dtype=np.int64)
+        keyed = []
+        for ti in range(nterms):
+            parts = [(np.int64(di) << 40) + np.asarray(per_doc[di][ti],
+                                                       dtype=np.int64)
+                     for di in range(ndocs)]
+            keyed.append(np.concatenate(parts))
+        got = sloppy_phrase_counts_batch(keyed, offs, slop, ndocs)
+        assert np.array_equal(got, expected), (trial, offs, slop)

@@ -77,7 +77,8 @@ def test_wand_equals_exhaustive_and_prunes(big_part):
     # pruning proof: the common term must not have all blocks decoded
     common_cd = clauses[2]
     total_blocks = len(common_cd.metas[0])
-    decoded = len(common_cd._block_cache)
+    decoded = sum(1 for k in common_cd.shared
+                  if k[0] == "blk" and k[1] == common_cd.keys[0])
     assert decoded < total_blocks, (decoded, total_blocks)
 
 
