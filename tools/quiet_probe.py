@@ -110,7 +110,7 @@ def main() -> None:
     ap.add_argument("--loop", action="store_true")
     ap.add_argument("--min-kernel-eff", type=float, default=0.7)
     ap.add_argument("--quiet-load", type=float, default=4.0)
-    ap.add_argument("--min-mini-rate", type=float, default=1.15e6,
+    ap.add_argument("--min-mini-rate", type=float, default=1.0e6,
                     help="single-proc tokenize tok/s floor (quiet ≈ 1.3-1.6 M)")
     ap.add_argument("--sleep-noisy", type=int, default=90)
     ap.add_argument("--sleep-after", type=int, default=240)
