@@ -44,7 +44,7 @@ def mini_kernel_rate() -> float:
     return bench._kernel_throughput(1)
 
 
-PROBE_REPLICAS = int(os.environ.get("SPYGLASS_PROBE_REPLICAS", "256"))
+PROBE_REPLICAS = int(os.environ.get("SPYGLASS_PROBE_REPLICAS", "192"))
 
 
 def run_legs() -> dict:
@@ -115,6 +115,15 @@ def main() -> None:
     ap.add_argument("--sleep-noisy", type=int, default=90)
     ap.add_argument("--sleep-after", type=int, default=240)
     args = ap.parse_args()
+
+    # clear a stale flag left by a killed run (the supervising task has a
+    # hard wall-clock cap; an attempt interrupted mid-leg must not block
+    # every future attempt)
+    try:
+        if os.path.exists(FLAG) and time.time() - os.path.getmtime(FLAG) > 900:
+            os.unlink(FLAG)
+    except OSError:
+        pass
 
     while True:
         quiet = loadavg() < args.quiet_load and not os.path.exists(FLAG)
