@@ -331,7 +331,10 @@ def main() -> None:
                     rec = json.loads(line)
                 except ValueError:
                     continue
-                if rec.get("scaling_efficiency") is not None:
+                # only windows whose kernel control shows real capacity
+                # (≥12 M tok/s at 32p) are interpretable
+                if rec.get("scaling_efficiency") is not None and \
+                        rec.get("kernel_32p", 0) >= 12e6:
                     cands.append(rec)
         if cands:
             result["quiet_window_best"] = max(
