@@ -207,7 +207,48 @@ def _local_tombstones(plan: dict, part_id: int):
     return np.unique(np.concatenate(out)) if len(out) > 1 else np.sort(out[0])
 
 
-def _score_partition(plan: dict, postings_pdf: pd.DataFrame, norms_pdf: pd.DataFrame):
+# per-python-worker resident cache of norm/fast-field arrays: workers
+# persist across tasks and queries, so hot partitions keep their fieldnorms
+# in memory like tantivy's resident per-segment norms. Bounded crudely.
+_NORM_CACHE: dict = {}
+_NORM_CACHE_MAX = 8192
+
+
+def _load_part_arrays(store_dirs: tuple, part_id: int, epoch: str):
+    """(norm_arrays, fast_arrays) for one partition, read DIRECTLY from the
+    kind=1/kind=4 store files (executor-side pyarrow, part-pruned) — the
+    segment-reader pattern: no norms scan/semijoin/cogroup in the plan.
+    ``epoch`` (the manifest commit stamp) versions the worker cache so a
+    compaction's directory swap can't serve stale listings."""
+    key = (store_dirs, epoch, part_id)
+    hit = _NORM_CACHE.get(key)
+    if hit is None:
+        import pyarrow.dataset as pads
+
+        norm_arrays: dict = {}
+        fast_arrays: dict = {}
+        flt = (pads.field("kind").isin([KIND_NORMS, KIND_FAST])
+               & (pads.field("part_id") == part_id))
+        for d in store_dirs:
+            ds = _NORM_CACHE.get(("ds", d, epoch))
+            if ds is None:  # dataset handle holds the file listing — reuse
+                ds = _NORM_CACHE[("ds", d, epoch)] = pads.dataset(
+                    d, format="parquet", partitioning="hive")
+            tbl = ds.to_table(columns=["kind", "term", "doc_bytes"], filter=flt)
+            for k, t, b in zip(tbl.column("kind").to_pylist(),
+                               tbl.column("term").to_pylist(),
+                               tbl.column("doc_bytes").to_pylist()):
+                if int(k) == KIND_NORMS:
+                    norm_arrays[t] = np.frombuffer(b, dtype=np.uint8)
+                else:
+                    fast_arrays[t] = np.frombuffer(b, dtype=np.int64)
+        if len(_NORM_CACHE) >= _NORM_CACHE_MAX:
+            _NORM_CACHE.clear()
+        hit = _NORM_CACHE[key] = (norm_arrays, fast_arrays)
+    return hit
+
+
+def _score_partition(plan: dict, postings_pdf: pd.DataFrame):
     """Score every query of ``plan`` against one doc partition. Returns
     (query_id, doc_ord, score) rows for the per-partition top candidates."""
     if len(postings_pdf) == 0:
@@ -215,13 +256,8 @@ def _score_partition(plan: dict, postings_pdf: pd.DataFrame, norms_pdf: pd.DataF
             {"query_id": "int64", "doc_ord": "int64", "score": "float32"})
     part_id = int(postings_pdf["part_id"].iloc[0])
     base = np.uint64(part_id) << np.uint64(ORD_SHIFT)
-    norm_arrays = {}
-    fast_arrays = {}
-    for _, r in norms_pdf.iterrows():
-        if int(r["kind"]) == KIND_NORMS:
-            norm_arrays[r["term"]] = np.frombuffer(r["doc_bytes"], dtype=np.uint8)
-        else:  # KIND_FAST: date columns as little-endian i64 arrays
-            fast_arrays[r["term"]] = np.frombuffer(r["doc_bytes"], dtype=np.int64)
+    norm_arrays, fast_arrays = _load_part_arrays(
+        tuple(plan["store_dirs"]), part_id, plan.get("store_epoch", ""))
     # posting payloads for this part, keyed (field, term)
     payload = {(r["field"], r["term"]): r for _, r in postings_pdf.iterrows()}
     caches = plan["caches"]
@@ -422,9 +458,6 @@ class SearchEngine:
             F.col("kind") == KIND_POSTING).select(
             "part_id", "field", "term", "df_part", "cf_part", "n_local",
             "doc_bytes", "tf_bytes", "pos_bytes", "meta_bytes")
-        self._norms_base = fresh_store().filter(
-            F.col("kind").isin([KIND_NORMS, KIND_FAST])).select(
-            "part_id", "kind", "term", "doc_bytes")
         self._doc_meta_base = doc_meta_view(self.spark, self.index_dir, self.gens)
         self._df_cache: dict[tuple[str, str], int] = {}
         self._tomb_cache = None
@@ -489,6 +522,13 @@ class SearchEngine:
             "caches": caches,
             "limit": k + offset,
             "algo": algo,
+            # norm/fast-field arrays are read DIRECTLY by the scoring UDF
+            # (part-pruned pyarrow over kind=1/kind=4, cached per worker) —
+            # no norms scan, no touched-parts semijoin, no cogroup: the
+            # whole search is scan → one exchange → score
+            "store_dirs": [f"{self.index_dir}/{g['prefix']}/store"
+                           for g in self.gens],
+            "store_epoch": m.created_utc,
         }
         plan.update(self._tombstone_plan())
 
@@ -496,28 +536,16 @@ class SearchEngine:
             F.col("field").isin(fields) & F.col("term").isin(terms))
         # positions are only decoded by phrase clauses — for term-only
         # query batches, prune the pos_bytes column (the largest payload)
-        # out of the scan + cogroup shuffle entirely
+        # out of the scan + shuffle entirely
         needs_pos = any(s["kind"] == "phrase"
                         for q in plan["queries"] for s in q["specs"])
         if not needs_pos:
             postings = postings.drop("pos_bytes")
-        # ship ONLY the norm/fast arrays of partitions that actually hold
-        # chunks of the query terms — at 10^12-doc scale the norms store is
-        # huge and most queries touch a sliver of partitions
-        touched_parts = postings.select("part_id").distinct()
-        need_norms = ((F.col("kind") == KIND_NORMS) & F.col("term").isin(fields))
-        if range_fields:
-            need_norms = need_norms | (
-                (F.col("kind") == KIND_FAST)
-                & F.col("term").isin(sorted(range_fields)))
-        norms = (self._norms_base.filter(need_norms)
-                 .join(touched_parts, "part_id", "leftsemi"))
 
-        def run(pkey, post_pdf, norm_pdf):
-            return _score_partition(plan, post_pdf, norm_pdf)
+        def run(pdf):
+            return _score_partition(plan, pdf)
 
         partial = (postings.groupBy("part_id")
-                   .cogroup(norms.groupBy("part_id"))
                    .applyInPandas(run, RESULT_SCHEMA))
 
         total_parts = sum(g["num_partitions"] for g in self.gens)
