@@ -260,8 +260,9 @@ def main() -> None:
         fn()
         timings[name] = round(time.time() - t0, 3)
 
-    # warmup python workers + parquet footers
-    eng.search("warmupterm", k=5).collect()
+    # warmup python workers + parquet footers + per-worker norm caches
+    # (a matching term touches every partition; a miss warms nothing)
+    eng.search("spark table", k=5).collect()
 
     timed("search_hot_term", lambda: eng.search("join", k=10).collect())
     timed("search_multi_phrase",
