@@ -294,6 +294,22 @@ def q_multimodal_frames(spark, sf_dir):  # rows-only (mapInPandas stub kernel)
     return MM.extract_frames(assets, frames_per_asset=2)
 
 
+def q_multimodal_resize(spark, sf_dir):  # rows-only (mapInPandas stub kernel)
+    assets = MM.attach_binary_payload(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 50), "text", "doc_id")
+    return MM.resize_images(assets, height=4, width=4)
+
+
+def q_multimodal_embed(spark, sf_dir):  # rows-only (stub kernel, real plumbing)
+    """payload → embedding → ANN: the multimodal feature-extract output
+    feeds the similarity ops directly."""
+    assets = MM.attach_binary_payload(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 200), "text", "doc_id")
+    emb = MM.extract_embeddings(assets, dim=16)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return S.cosine_topk(emb, list(qv), k=10, exclude_ids=(0,))
+
+
 def q_query_tag_boost_rewrite(spark, sf_dir):
     """Query-token ∩ tag-value equijoin (tag.rs:372-383): tokens of the
     query that name a tag value → boostable tag ids."""
@@ -534,6 +550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_embed": q_multimodal_embed,
         "query_tag_boost_rewrite": q_query_tag_boost_rewrite,
         "unsynced_docs_predicate": q_unsynced_docs_predicate,
         "search_with_lenses": q_search_with_lenses,

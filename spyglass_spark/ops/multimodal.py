@@ -70,6 +70,58 @@ def extract_frames(assets: DataFrame, frames_per_asset: int = 2,
     return assets.select("asset_id", "payload").mapInPandas(run, FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = "asset_id long, height int, width int, pixels binary"
+
+
+def resize_images(assets: DataFrame, height: int = 4, width: int = 4,
+                  deterministic_fake: bool = True) -> DataFrame:
+    """Nearest-neighbor resize over binary payloads via mapInPandas. The
+    index arithmetic (the real resize semantics) is genuine numpy; only the
+    byte→image decode is the environment stub."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _fake_decode if deterministic_fake else decode_image
+        ys = None
+        for pdf in batches:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = decode(bytes(payload))
+                if ys is None or ys[0].size != height:
+                    ys = (np.minimum((np.arange(height) * img.shape[0]) // height,
+                                     img.shape[0] - 1),
+                          np.minimum((np.arange(width) * img.shape[1]) // width,
+                                     img.shape[1] - 1))
+                resized = img[np.ix_(ys[0], ys[1])]
+                out.append((int(aid), height, width, resized.tobytes()))
+            yield pd.DataFrame(out, columns=["asset_id", "height", "width",
+                                             "pixels"])
+
+    return assets.select("asset_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
+def extract_embeddings(assets: DataFrame, dim: int = 16,
+                       deterministic_fake: bool = True) -> DataFrame:
+    """Feature-extract: payload → unit-norm float32 embedding (the vector
+    that feeds ops.similarity ANN / ops.dedup.embedding_cosine_pairs). The
+    kernel here is a deterministic byte-histogram fake; the plumbing —
+    Arrow batches in, array<float> column out — is the real contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(b % dim, minlength=dim).astype(np.float64) \
+                    if b.size else np.ones(dim, dtype=np.float64)
+                norm = float(np.linalg.norm(hist)) or 1.0
+                ids.append(int(aid))
+                vecs.append([float(x) for x in hist / norm])
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, "vec_id long, embedding array<float>")
+
+
 def payload_metadata(assets: DataFrame) -> DataFrame:
     """Metadata-only scan: never reads the payload column (verify with
     .explain → ReadSchema excludes 'payload')."""

@@ -254,6 +254,36 @@ def test_multimodal_frames_deterministic(spark, docs_df):
     assert all(r["height"] == 8 and r["width"] == 8 for r in f1)
 
 
+def test_multimodal_resize_and_embeddings(spark, docs_df):
+    import numpy as np
+
+    from spyglass_spark.ops.multimodal import (_fake_decode,
+                                               attach_binary_payload,
+                                               extract_embeddings,
+                                               resize_images)
+    from spyglass_spark.ops.similarity import cosine_topk
+
+    assets = attach_binary_payload(docs_df, "text", "doc_id")
+    rows = {r["asset_id"]: r for r in resize_images(assets, 4, 4).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    for r in rows.values():
+        assert (r["height"], r["width"]) == (4, 4)
+        assert len(r["pixels"]) == 16
+    # deterministic: matches a local numpy nearest-neighbor resize
+    src = docs_df.filter("doc_id = 2").collect()[0]["text"].encode()
+    img = _fake_decode(src)
+    ys = np.minimum((np.arange(4) * 8) // 4, 7)
+    assert bytes(rows[2]["pixels"]) == img[np.ix_(ys, ys)].tobytes()
+
+    # embeddings: unit-norm, deterministic, and consumable by the ANN ops
+    emb = extract_embeddings(assets, dim=8)
+    got = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    assert all(abs(np.linalg.norm(v) - 1.0) < 1e-5 for v in got.values())
+    assert got[0] == got[3]  # identical payloads → identical vectors
+    top = cosine_topk(emb, list(got[0]), k=1, exclude_ids=(0,)).collect()
+    assert top[0]["vec_id"] == 3  # the exact dup is the nearest neighbor
+
+
 def test_multimodal_decode_stub_raises():
     from spyglass_spark.ops.multimodal import decode_image
 
