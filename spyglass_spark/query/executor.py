@@ -11,21 +11,24 @@ re-expressed Spark-first):
    term dictionary: a metadata-plane lookup, NOT a Spark job. Results are
    memoized per engine (df is an index property). N, avgdl come from the
    manifest. BM25 weights are computed once per query in float32.
-3. Scan ONLY the query terms' posting chunks (field/term predicate pushdown
-   + row-group/page pruning inside each part file of the kind-partitioned
-   store), cogroup them with the per-partition fieldnorm + date fast-field
-   arrays on part_id — posting chunks of all query terms for the same doc
-   range land together, so scoring (incl. positional phrase matching,
-   date-range fast-field filters and block-max WAND pruning) runs
-   vectorized per partition with NO doc-level shuffle.
+3. ONE Spark job: scan ONLY the query terms' posting chunks (field/term
+   predicate pushdown + row-group/page pruning inside each part file of
+   the kind-partitioned store; pos_bytes dropped for term-only batches),
+   ONE exchange grouping chunks by part_id, then the scoring UDF — which
+   reads its partition's fieldnorm + date fast-field arrays DIRECTLY via
+   part-pruned pyarrow with a per-worker resident cache (the tantivy
+   segment-reader pattern: no norms scan, no semijoin, no cogroup).
+   Scoring (BM25, positional phrases via the doc-vectorized batch counter,
+   date-range masks, block-max WAND) runs vectorized per partition with
+   cross-query decode caches and NO doc-level shuffle.
 4. Each partition emits its local top-(k+offset); the global top-k merge
    runs DRIVER-SIDE over ≤ parts×(k+offset)×queries tiny rows collected
    from the single scoring job (the TopDocs heap analog). Above a size
    guard the merge falls back to a distributed window — same ordering.
-5. Hits join back to doc_meta (broadcast literal, part/ord-pruned scan)
-   for display fields incl. tags (RetrievedDocument{..tags}, lib.rs:130-139);
-   score > 0 post-filter per client/local.rs:138; tie-break
-   (score desc, doc_ord asc).
+5. Small hit sets materialize doc_meta display fields incl. tags
+   (RetrievedDocument{..tags}, lib.rs:130-139) via a driver-side pyarrow
+   pruned read; larger sets broadcast-join. score > 0 post-filter per
+   client/local.rs:138; tie-break (score desc, ord asc).
 """
 
 from __future__ import annotations
@@ -499,10 +502,8 @@ class SearchEngine:
         spark = self.spark
         m = self.manifest
         keys = set()
-        range_fields = set()
         for cq in compiled:
             keys |= cq.term_keys()
-            range_fields |= {f for f, _, _ in getattr(cq, "range_musts", ())}
         if not keys:
             return self._empty_result()
 

@@ -38,7 +38,7 @@ class _ClauseData:
     partition even when a batch's queries repeat terms."""
 
     __slots__ = ("spec", "rows", "keys", "metas", "ubs", "last_docs",
-                 "cache", "norms", "shared", "_full", "_pos_cache")
+                 "cache", "norms", "shared", "_pos_cache")
 
     def __init__(self, spec, rows, cache, norms, shared=None):
         self.spec = spec
@@ -47,7 +47,6 @@ class _ClauseData:
         self.cache = cache
         self.norms = norms
         self.shared = shared if shared is not None else {}
-        self._full = None
         self._pos_cache = None
         self.metas = []
         for key, r in zip(self.keys, rows):
@@ -244,7 +243,7 @@ def _score_segments(scoring_clauses, lo_arr, hi_arr, include, exclude):
 def _phrase_in_segments(cd: _ClauseData, lo_arr, hi_arr):
     """Sloppy-phrase tf for docs inside the segments. Doc lists are decoded
     lazily once per clause; POSITIONS are sliced per matched doc only
-    (decode_positions_selected — no full per-doc position walk)."""
+    (shared flat streams + the doc-vectorized batch counter)."""
     from ..index.codecs import decode_postings, varint_decode
 
     if cd._pos_cache is None:
