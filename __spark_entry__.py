@@ -91,7 +91,7 @@ def _get_engine(spark: SparkSession, sf_dir: str):
 
     # layout marker in the cache key: a layout change invalidates indexes
     # cached by previous revisions
-    tag = hashlib.md5(f"v2:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:10]
+    tag = hashlib.md5(f"v3:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:10]
     index_dir = os.path.join(os.environ.get("SPYGLASS_INDEX_CACHE", "/tmp/spyglass_idx"),
                              tag)
     m = load_manifest(index_dir)

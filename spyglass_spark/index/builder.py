@@ -89,8 +89,8 @@ SEGMENT_SCHEMA = (
     "kind int, part_id int, field string, term string, df_part long, cf_part long, "
     "n_local int, doc_bytes binary, tf_bytes binary, pos_bytes binary, "
     "meta_bytes binary, doc_id string, url string, domain string, "
-    "title string, content_sha256 string, local_ord int, tags array<long>, "
-    "published long, lastmodified long"
+    "title string, description string, content_sha256 string, local_ord int, "
+    "tags array<long>, published long, lastmodified long"
 )
 
 KIND_POSTING, KIND_NORMS, KIND_LINEAGE, KIND_DOCMETA, KIND_FAST = 0, 1, 2, 3, 4
@@ -156,8 +156,9 @@ def identity_shuffle_keys(P: int) -> list[int]:
 
 _OUT_COLUMNS = ["kind", "part_id", "field", "term", "df_part", "cf_part", "n_local",
                 "doc_bytes", "tf_bytes", "pos_bytes", "meta_bytes",
-                "doc_id", "url", "domain", "title", "content_sha256", "local_ord",
-                "tags", "published", "lastmodified"]
+                "doc_id", "url", "domain", "title", "description",
+                "content_sha256", "local_ord", "tags", "published",
+                "lastmodified"]
 
 
 def _field_frame(field: str, by_term: dict, norms_f: np.ndarray,
@@ -196,8 +197,8 @@ def _field_frame(field: str, by_term: dict, norms_f: np.ndarray,
         "doc_bytes": doc_b, "tf_bytes": tf_b, "pos_bytes": pos_b,
         "meta_bytes": meta_b,
         "doc_id": None, "url": None, "domain": None, "title": None,
-        "content_sha256": None, "local_ord": None, "tags": None,
-        "published": None, "lastmodified": None})
+        "description": None, "content_sha256": None, "local_ord": None,
+        "tags": None, "published": None, "lastmodified": None})
 
 
 def _marker_frame(kind: int, part_id: int, **cols) -> pd.DataFrame:
@@ -209,8 +210,9 @@ def _marker_frame(kind: int, part_id: int, **cols) -> pd.DataFrame:
         "field": None, "term": None, "df_part": 0, "cf_part": 0,
         "n_local": 0, "doc_bytes": b"", "tf_bytes": b"", "pos_bytes": b"",
         "meta_bytes": b"", "doc_id": None, "url": None, "domain": None,
-        "title": None, "content_sha256": None, "local_ord": None,
-        "tags": None, "published": None, "lastmodified": None}
+        "title": None, "description": None, "content_sha256": None,
+        "local_ord": None, "tags": None, "published": None,
+        "lastmodified": None}
     base.update(cols)
     return pd.DataFrame(base)[_OUT_COLUMNS]
 
@@ -354,6 +356,8 @@ def _build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         n_local=[n] * n,
         doc_id=pdf["doc_id"].values, url=pdf["url"].values,
         domain=pdf["domain"].values, title=pdf["title"].values,
+        description=(pdf["description"].values
+                     if "description" in pdf.columns else None),
         content_sha256=(pdf["content_sha256"].values
                         if "content_sha256" in pdf.columns else None),
         local_ord=np.arange(n, dtype=np.int32),
@@ -391,7 +395,7 @@ def doc_meta_view(spark: SparkSession, index_dir: str, gens: list[dict]) -> Data
     dm = reduce(DataFrame.unionByName, frames)
     return dm.select(
         "part_id", "local_ord", "doc_id", "url", "domain", "title",
-        "content_sha256", "tags", "published", "lastmodified",
+        "description", "content_sha256", "tags", "published", "lastmodified",
         (F.col("part_id").cast("long") * F.lit(1 << ORD_SHIFT)
          + F.col("local_ord")).alias("doc_ord"))
 

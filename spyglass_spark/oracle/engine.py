@@ -253,6 +253,7 @@ class OracleIndex:
             d = self.docs[o]
             out.append({"rank": rank, "doc_id": d["doc_id"], "url": d["url"],
                         "domain": d["domain"], "title": d["title"],
+                        "description": d.get("description"),
                         "tags": sorted(int(t) for t in (d.get("tags") or [])),
                         "score": s, "doc_ord": o})
         return out

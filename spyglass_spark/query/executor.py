@@ -54,7 +54,7 @@ from .scoring import (K1, idf, norm_cache, score_postings,
 
 RESULT_SCHEMA = "query_id long, doc_ord long, score float"
 HIT_COLUMNS = ["query_id", "rank", "doc_id", "url", "domain", "title",
-               "tags", "score", "doc_ord"]
+               "description", "tags", "score", "doc_ord"]
 
 # Above this many candidate rows (parts × limit × queries) the global top-k
 # merge runs as a distributed window instead of a driver-side heap.
@@ -588,8 +588,8 @@ class SearchEngine:
                    for qid, rank, ord_, score in sorted(hits)]
             return self.spark.createDataFrame(
                 out, "query_id long, rank int, doc_id string, url string, "
-                     "domain string, title string, tags array<long>, "
-                     "score float, doc_ord long")
+                     "domain string, title string, description string, "
+                     "tags array<long>, score float, doc_ord long")
         hits_df = self.spark.createDataFrame(
             hits, "query_id long, rank int, doc_ord long, score float")
         parts = sorted({h[2] >> ORD_SHIFT for h in hits})
@@ -598,12 +598,13 @@ class SearchEngine:
             F.col("part_id").isin(parts) & F.col("doc_ord").isin(ords_all))
         return (dm.join(F.broadcast(hits_df), "doc_ord")
                 .select("query_id", "rank", "doc_id", "url", "domain", "title",
-                        "tags", F.col("score").cast("float").alias("score"),
+                        "description", "tags",
+                        F.col("score").cast("float").alias("score"),
                         "doc_ord")
                 .orderBy("query_id", "rank"))
 
     def _doc_meta_pyarrow(self, ords: set[int]) -> dict[int, tuple]:
-        """doc_ord → (doc_id, url, domain, title, tags) via a pyarrow read
+        """doc_ord → (doc_id, url, domain, title, description, tags) via a pyarrow read
         of the kind=3 store files pruned to the hit partitions (row-group
         stats prune on part_id/local_ord inside each part file)."""
         import pyarrow.dataset as pads
@@ -618,18 +619,20 @@ class SearchEngine:
             ds = pads.dataset(f"{self.index_dir}/{g['prefix']}/store",
                               format="parquet", partitioning="hive")
             tbl = ds.to_table(columns=["part_id", "local_ord", "doc_id", "url",
-                                       "domain", "title", "tags"], filter=flt)
-            for p, lo, did, url, dom, ti, tags in zip(
+                                       "domain", "title", "description",
+                                       "tags"], filter=flt)
+            for p, lo, did, url, dom, ti, desc, tags in zip(
                     tbl.column("part_id").to_pylist(),
                     tbl.column("local_ord").to_pylist(),
                     tbl.column("doc_id").to_pylist(),
                     tbl.column("url").to_pylist(),
                     tbl.column("domain").to_pylist(),
                     tbl.column("title").to_pylist(),
+                    tbl.column("description").to_pylist(),
                     tbl.column("tags").to_pylist()):
                 ord_ = (int(p) << ORD_SHIFT) + int(lo)
                 if ord_ in ords:
-                    out[ord_] = (did, url, dom, ti, tags)
+                    out[ord_] = (did, url, dom, ti, desc, tags)
         return out
 
     def _merge_window(self, partial: DataFrame, k: int, offset: int) -> DataFrame:
@@ -646,9 +649,11 @@ class SearchEngine:
         dm = (self._doc_meta_base.filter(F.col("part_id").isin(hit_parts))
               if hit_parts else self._doc_meta_base)
         return (topk.join(dm.select("doc_ord", "doc_id", "url", "domain",
-                                    "title", "tags"), "doc_ord", "left")
+                                    "title", "description", "tags"),
+                          "doc_ord", "left")
                 .select("query_id", "rank", "doc_id", "url", "domain", "title",
-                        "tags", F.col("score").cast("float").alias("score"),
+                        "description", "tags",
+                        F.col("score").cast("float").alias("score"),
                         "doc_ord")
                 .orderBy("query_id", "rank"))
 
@@ -696,7 +701,8 @@ class SearchEngine:
         stored fields for exact doc ids. Tombstoned ids are excluded."""
         dm = self._doc_meta_base.filter(F.col("doc_id").isin(list(doc_ids)))
         dm = self._anti_tombstone(dm)
-        return dm.select("doc_id", "url", "domain", "title", "tags", "doc_ord")
+        return dm.select("doc_id", "url", "domain", "title", "description",
+                         "tags", "doc_ord")
 
     def document_query(self, urls=(), ids=(), tags=(), exclude_tags=()) -> DataFrame:
         """Unscored document-set query (build_document_query +
@@ -835,5 +841,5 @@ class SearchEngine:
     def _empty_result(self) -> DataFrame:
         return self.spark.createDataFrame(
             [], "query_id long, rank int, doc_id string, url string, "
-                "domain string, title string, tags array<long>, score float, "
-                "doc_ord long")
+                "domain string, title string, description string, "
+                "tags array<long>, score float, doc_ord long")

@@ -42,6 +42,7 @@ def _assert_matches(spark_rows, oracle_hits, qlabel, check_scores=True):
         assert sr["doc_id"] == oh["doc_id"], (
             f"{qlabel}: rank {oh['rank']} doc {sr['doc_id']} != {oh['doc_id']} "
             f"(spark score {sr['score']}, oracle {oh['score']})")
+        assert (sr["description"] or None) == (oh.get("description") or None)
         if check_scores:
             assert np.isclose(np.float32(sr["score"]), np.float32(oh["score"]),
                               rtol=1e-5), (
