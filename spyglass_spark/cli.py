@@ -22,7 +22,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+if __package__ in (None, ""):  # run as a bare script (spark-submit cli.py)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None) -> int:
