@@ -82,6 +82,23 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _contract_hits(df: DataFrame) -> DataFrame:
+    """Driver-contract shaping for search hit rows.
+
+    The engine's Python API returns ``tags`` as a typed array<long>
+    (RetrievedDocument parity, lib.rs:130-139); the driver's harness
+    canonicalizer sorts columns with pandas ``sort_values``, where a
+    list-valued object column is unhashable. Serialize the array to a
+    deterministic comma-joined string — the tag ids are already sorted at
+    build time (index/builder.py doc_meta ordering) so the string is a
+    stable total encoding of the array.
+    """
+    if "tags" in df.columns:
+        df = df.withColumn(
+            "tags", F.concat_ws(",", F.col("tags").cast("array<string>")))
+    return df
+
+
 def _get_engine(spark: SparkSession, sf_dir: str):
     """Build (once, cached on disk) the full inverted index for sf_dir and
     return a SearchEngine."""
@@ -109,7 +126,7 @@ def _get_engine(spark: SparkSession, sf_dir: str):
 def entry(spark: SparkSession) -> DataFrame:
     """Build the index over the sf0.001 corpus, answer a BM25 top-k query."""
     eng = _get_engine(spark, "/root/testdata/sf0.001")
-    return eng.search("spark merge join", k=10)
+    return _contract_hits(eng.search("spark merge join", k=10))
 
 
 # ---------------------------------------------------------------------------
@@ -336,7 +353,8 @@ def q_search_with_lenses(spark, sf_dir):  # rows-only: full search prep path
 
     eng = _get_engine(spark, sf_dir)
     dim = build_tags_dim(load_corpus(spark, sf_dir))
-    return search_with_lenses(eng, "rs fast key order", ["rs"], dim, k=10)
+    return _contract_hits(
+        search_with_lenses(eng, "rs fast key order", ["rs"], dim, k=10))
 
 
 def q_docs_modified_since(spark, sf_dir):
@@ -349,8 +367,9 @@ def q_docs_modified_since(spark, sf_dir):
 
 def q_search_date_range(spark, sf_dir):  # rows-only: BM25 + date-range Must
     eng = _get_engine(spark, sf_dir)
-    return eng.search("spark merge join",
-                      filters=[("lastmodified_ge", DATE_CUTOFF_US)], k=10)
+    return _contract_hits(
+        eng.search("spark merge join",
+                   filters=[("lastmodified_ge", DATE_CUTOFF_US)], k=10))
 
 
 def q_lens_url_filter(spark, sf_dir):
@@ -401,7 +420,8 @@ def q_search_semantic_boost(spark, sf_dir):  # rows-only: BM25 + dist boosts
                    F.regexp_extract(F.col("path"), r"file_(\d+)_", 1)
                    .cast("long").alias("vec_id"))
     distances = dist.join(ids, "vec_id").select("doc_id", "distance")
-    return search_with_semantic_boost(eng, "spark merge join", distances, k=10)
+    return _contract_hits(
+        search_with_semantic_boost(eng, "spark merge join", distances, k=10))
 
 
 def q_search_more_like_this(spark, sf_dir):  # rows-only: tf·idf seed terms
@@ -410,7 +430,7 @@ def q_search_more_like_this(spark, sf_dir):  # rows-only: tf·idf seed terms
     eng = _get_engine(spark, sf_dir)
     docs = to_documents(load_corpus(spark, sf_dir))
     seed = docs.orderBy("url").limit(1).collect()[0]["doc_id"]
-    return eng.more_like_this(seed, docs, k=5)
+    return _contract_hits(eng.more_like_this(seed, docs, k=5))
 
 
 def q_docset_by_tag(spark, sf_dir):
@@ -501,7 +521,8 @@ def q_events_sessionize(spark, sf_dir):
 
 
 def q_search_bm25(spark, sf_dir):  # rows-only: stemmed analyzer + quantized BM25
-    return _get_engine(spark, sf_dir).search("spark merge join", k=10)
+    return _contract_hits(
+        _get_engine(spark, sf_dir).search("spark merge join", k=10))
 
 
 def q_search_phrase_tag_filter(spark, sf_dir):  # rows-only
@@ -509,17 +530,18 @@ def q_search_phrase_tag_filter(spark, sf_dir):  # rows-only
     dim = build_tags_dim(load_corpus(spark, sf_dir))
     rs_tag = dim.filter((F.col("label") == "lens") & (F.col("value") == "rs")) \
                 .collect()[0]["id"]
-    return eng.search("key order sort", filters=[("tag", int(rs_tag))], k=10)
+    return _contract_hits(
+        eng.search("key order sort", filters=[("tag", int(rs_tag))], k=10))
 
 
 def q_search_batch(spark, sf_dir):  # rows-only
     eng = _get_engine(spark, sf_dir)
-    return eng.search_many([
+    return _contract_hits(eng.search_many([
         {"query": "spark"},
         {"query": "window merge sort"},
         {"query": "the fast key"},
         {"query": "nonexistentzzz"},
-    ], k=5)
+    ], k=5))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

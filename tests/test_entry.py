@@ -116,6 +116,20 @@ def test_oracle_constant_range_bounds(duck):
     assert mt <= 2000, f"token count {mt} exceeds shingle/bigram oracle coverage"
 
 
+def test_no_array_columns_in_contract_output(spark, contract):
+    """The driver harness canonicalizer (pandas sort_values) cannot sort
+    list-valued columns (round-2 regression: tags array<long> broke all 7
+    search_* rows). Every queries() entry must emit only scalar columns."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for name, fn in contract.queries().items():
+        df = fn(spark, SF_DIR)
+        for f in df.schema.fields:
+            assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), (
+                f"{name}: column {f.name} has non-scalar type {f.dataType} — "
+                "driver canonicalizer cannot sort it")
+
+
 def test_entry_smoke(spark, contract):
     df = contract.entry(spark)
     rows = df.collect()
