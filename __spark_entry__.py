@@ -146,7 +146,10 @@ def q_sha256_invariant(spark, sf_dir):
               .otherwise(0)).cast("long").alias("n_match"))
 
 
-def q_doc_ids_uuid5(spark, sf_dir):  # rows-only (no sha1/uuid5 in DuckDB)
+def q_doc_ids_uuid5(spark, sf_dir):
+    """doc_id = UUIDv5(SPYGLASS_NS, url) (schema.rs:112-119). DuckDB 1.0
+    has no sha1, so the oracle joins a precomputed fixture parquet
+    (tools/make_uuid5_fixture.py) — UUIDv5 is a pure function of url."""
     corpus = load_corpus(spark, sf_dir)
     url = F.concat(F.lit("repo://"), F.col("repo"), F.lit("/"), F.col("path"),
                    F.lit("@"), F.col("commit"))
@@ -617,6 +620,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM corpus",
         "sha256_invariant": f"WITH {DUCK_CORPUS} "
             "SELECT count(*) AS n_rows, CAST(count(*) AS BIGINT) AS n_match FROM corpus",
+        "doc_ids_uuid5": f"WITH {DUCK_CORPUS}, "
+            "urls AS (SELECT concat('repo://', repo, '/', path, '@', commit) AS url "
+            "         FROM corpus) "
+            "SELECT u.url, f.doc_id FROM urls u "
+            "JOIN '/root/repo/fixtures/uuid5_urls.parquet' f USING (url)",
         "docs_per_domain": f"WITH {DUCK_CORPUS} "
             "SELECT repo AS domain, count(*) AS n_docs FROM corpus GROUP BY repo",
         "tags_dim": f"WITH {DUCK_CORPUS}, tagvals AS ("
