@@ -308,21 +308,23 @@ def q_multimodal_meta(spark, sf_dir):
     return MM.payload_metadata(assets)
 
 
-def q_multimodal_frames(spark, sf_dir):  # rows-only (mapInPandas stub kernel)
+def q_multimodal_frames(spark, sf_dir):
+    """Real decode path: payload (P5 PPM) → decode_image → frame roll →
+    features, exact-checked against byte arithmetic in the oracle."""
     assets = MM.attach_binary_payload(
         _docs(spark, sf_dir).filter(F.col("doc_id") < 50), "text", "doc_id")
     return MM.extract_frames(assets, frames_per_asset=2)
 
 
-def q_multimodal_resize(spark, sf_dir):  # rows-only (mapInPandas stub kernel)
+def q_multimodal_resize(spark, sf_dir):
     assets = MM.attach_binary_payload(
         _docs(spark, sf_dir).filter(F.col("doc_id") < 50), "text", "doc_id")
     return MM.resize_images(assets, height=4, width=4)
 
 
-def q_multimodal_embed(spark, sf_dir):  # rows-only (stub kernel, real plumbing)
-    """payload → embedding → ANN: the multimodal feature-extract output
-    feeds the similarity ops directly."""
+def q_multimodal_embed(spark, sf_dir):
+    """payload → decode → histogram embedding → ANN: the multimodal
+    feature-extract output feeds the similarity ops directly."""
     assets = MM.attach_binary_payload(
         _docs(spark, sf_dir).filter(F.col("doc_id") < 200), "text", "doc_id")
     emb = MM.extract_embeddings(assets, dim=16)
@@ -854,9 +856,65 @@ FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
 """,
         "multimodal_meta": """
 SELECT CAST(doc_id AS BIGINT) AS asset_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       'application/octet-stream' AS mime
+       CAST(10 + length(CAST(4 + length(text) % 9 AS VARCHAR))
+            + 8 * (4 + length(text) % 9) AS BIGINT) AS n_bytes,
+       'image/x-portable-graymap' AS mime
 FROM documents
+""",
+        # synthesized P5 payload: 8×w gray, w = 4 + len % 9, pixel(r,c) =
+        # text byte (r*w+c) mod n (ASCII ⇒ ord == byte). Frames are row
+        # rolls: frame[r] = img[(r - fi) mod 8].
+        "multimodal_frames": """
+WITH geo AS (SELECT doc_id, text, length(text) AS n,
+                    CAST(4 + length(text) % 9 AS INT) AS w
+             FROM documents WHERE doc_id < 50),
+px AS (SELECT g.doc_id, g.w, CAST(fi AS INT) AS fi, r, c,
+              ord(substr(g.text,
+                  CAST(((((r - fi + 8) % 8) * g.w + c) % g.n) + 1 AS INT), 1)) AS p
+       FROM geo g CROSS JOIN range(0, 2) ff(fi) CROSS JOIN range(0, 8) rr(r)
+            CROSS JOIN range(0, 12) cc(c)
+       WHERE c < g.w)
+SELECT doc_id AS asset_id, fi AS frame_idx, CAST(8 AS INT) AS height,
+       w AS width, avg(CAST(p AS DOUBLE)) AS feat_mean,
+       md5(string_agg(CAST(p AS VARCHAR), ',' ORDER BY r, c)) AS feat_hash
+FROM px GROUP BY doc_id, fi, w
+""",
+        # nearest-neighbor 4×4: src row = 2y, src col = min((x*w)//4, w-1)
+        "multimodal_resize": """
+WITH geo AS (SELECT doc_id, text, length(text) AS n,
+                    CAST(4 + length(text) % 9 AS INT) AS w
+             FROM documents WHERE doc_id < 50),
+px AS (SELECT g.doc_id, y, x,
+              ord(substr(g.text,
+                  CAST((((y * 2) * g.w
+                         + least(CAST((x * g.w) // 4 AS INT), g.w - 1))
+                        % g.n) + 1 AS INT), 1)) AS p
+       FROM geo g CROSS JOIN range(0, 4) yy(y) CROSS JOIN range(0, 4) xx(x))
+SELECT doc_id AS asset_id, CAST(4 AS INT) AS height, CAST(4 AS INT) AS width,
+       string_agg(lpad(lower(to_hex(p)), 2, '0'), '' ORDER BY y, x) AS pixels_hex
+FROM px GROUP BY doc_id
+""",
+        # pixel histogram (mod 16) → unit-norm vector → cosine vs doc 0
+        "multimodal_embed": """
+WITH geo AS (SELECT doc_id, text, length(text) AS n,
+                    CAST(4 + length(text) % 9 AS INT) AS w
+             FROM documents WHERE doc_id < 200),
+px AS (SELECT g.doc_id,
+              ord(substr(g.text, CAST(((r * g.w + c) % g.n) + 1 AS INT), 1)) AS p
+       FROM geo g CROSS JOIN range(0, 8) rr(r) CROSS JOIN range(0, 12) cc(c)
+       WHERE c < g.w),
+hist AS (SELECT doc_id, p % 16 AS b, CAST(count(*) AS DOUBLE) AS cnt
+         FROM px GROUP BY doc_id, p % 16),
+nrm AS (SELECT doc_id, sqrt(sum(cnt * cnt)) AS nrm FROM hist GROUP BY doc_id),
+v AS (SELECT h.doc_id, h.b, h.cnt / n.nrm AS x FROM hist h JOIN nrm n USING (doc_id)),
+q AS (SELECT b, x FROM v WHERE doc_id = 0),
+na AS (SELECT doc_id, sqrt(sum(x * x)) AS na FROM v GROUP BY doc_id),
+nq AS (SELECT sqrt(sum(x * x)) AS nq FROM q),
+dots AS (SELECT v.doc_id, sum(v.x * q.x) AS dot FROM v JOIN q USING (b)
+         WHERE v.doc_id <> 0 GROUP BY v.doc_id)
+SELECT d.doc_id AS vec_id, round(d.dot / (na.na * nq.nq), 4) AS cos_sim
+FROM dots d JOIN na USING (doc_id) CROSS JOIN nq
+ORDER BY cos_sim DESC, vec_id LIMIT 10
 """,
         "query_tag_boost_rewrite": f"WITH {DUCK_CORPUS}, tagvals AS ("
             "  SELECT DISTINCT 'lens' AS label, lang AS value FROM corpus"

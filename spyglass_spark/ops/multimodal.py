@@ -1,128 +1,278 @@
-"""Multimodal column plumbing: image/audio/video as opaque ``binary``
-columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-The decode/feature-extraction kernels are STUBS in this container (no
-image/audio libs available — see DETERMINISTIC_FAKE) but the Spark-side
-plumbing is real and tested: schema contracts, batch iteration shape,
-partition-size control, and the metadata fast-path that never touches the
-payload bytes (column pruning keeps the binary column out of metadata-only
-scans).
+The decode kernels are REAL pure-numpy decoders for uncompressed formats
+(PPM P5/P6 images, 24-bit BMP, PCM-16 WAV) — no imaging library needed.
+The reference parses richer formats through external libs
+(/root/reference/crates/spyglass-processor/src/parser/mod.rs:15-81); the
+uncompressed container formats here exercise the identical pipeline shape:
+bytes → header parse → typed ndarray → feature kernels, over Arrow batches
+with the binary column staying columnar end-to-end.
+
+Payload synthesis (`attach_binary_payload`) builds a genuine P5 PPM per
+row JVM-side (header + cyclic text bytes — ASCII, so string ops are byte
+ops), which keeps the metadata fast path UDF-free and makes every kernel
+output reproducible in ANSI SQL (ord(substr(text, ...)) arithmetic) — the
+driver oracle checks frames/resize/embed exactly.
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-FRAME_SCHEMA = ("asset_id long, frame_idx int, height int, width int, "
-                "feat_mean double, feat_hash string")
+# ---------------------------------------------------------------------------
+# real codecs (pure numpy)
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Encode a uint8 image as binary PPM: P5 for (h,w) gray, P6 for
+    (h,w,3) RGB."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        h, w = img.shape
+        return b"P5\n%d %d\n255\n" % (w, h) + img.tobytes()
+    if img.ndim == 3 and img.shape[2] == 3:
+        h, w, _ = img.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+    raise ValueError(f"unsupported image shape {img.shape}")
+
+
+def _ppm_tokens(payload: bytes, start: int, count: int) -> tuple[list[int], int]:
+    """Read `count` whitespace-separated ASCII ints from a PNM header,
+    skipping '#' comments. Returns (values, index of first pixel byte)."""
+    vals: list[int] = []
+    i = start
+    n = len(payload)
+    while len(vals) < count:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if i < n and payload[i] == 0x23:  # '#' comment to end of line
+            while i < n and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PNM header")
+        vals.append(int(payload[i:j]))
+        i = j
+    return vals, i + 1  # exactly one whitespace byte after maxval
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed image payload to a uint8 ndarray.
+
+    Supports PPM P5 (→ (h,w)), PPM P6 (→ (h,w,3)) and uncompressed
+    24-bit BMP (→ (h,w,3), RGB). Pure numpy — no external imaging lib.
+    """
+    if payload[:2] in (b"P5", b"P6"):
+        (w, h, maxval), off = _ppm_tokens(payload, 2, 3)
+        if maxval > 255:
+            raise ValueError("16-bit PNM not supported")
+        ch = 1 if payload[:2] == b"P5" else 3
+        need = h * w * ch
+        arr = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+        return arr.reshape(h, w) if ch == 1 else arr.reshape(h, w, 3)
+    if payload[:2] == b"BM":
+        off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+        flip = h > 0  # positive height → bottom-up row order
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride,
+                             offset=off).reshape(h, stride)[:, : w * 3]
+        img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+        return img[::-1].copy() if flip else img.copy()
+    raise ValueError(f"unsupported image magic {payload[:2]!r}")
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode a (h,w,3) uint8 RGB image as an uncompressed bottom-up
+    24-bit BMP (for decoder round-trip tests and interchange)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pix = body.tobytes()
+    header = (b"BM" + (54 + len(pix)).to_bytes(4, "little") + b"\0\0\0\0"
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + len(pix).to_bytes(4, "little")
+              + (2835).to_bytes(4, "little") * 2
+              + (0).to_bytes(4, "little") * 2)
+    return header + pix
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Encode int16 mono samples as a PCM-16 WAV."""
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    hdr = (b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+           + b"data" + len(data).to_bytes(4, "little"))
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM-16 mono WAV to (int16 samples, sample_rate). Walks the
+    RIFF chunk list (fmt may not be the first chunk)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, rate, samples = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        sz = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"fmt ":
+            fmt = int.from_bytes(payload[i + 8 : i + 10], "little")
+            bits = int.from_bytes(payload[i + 22 : i + 24], "little")
+            if fmt != 1 or bits != 16:
+                raise ValueError("only PCM-16 WAV supported")
+            rate = int.from_bytes(payload[i + 12 : i + 16], "little")
+        elif cid == b"data":
+            samples = np.frombuffer(payload, dtype="<i2", count=sz // 2,
+                                    offset=i + 8)
+        i += 8 + sz + (sz & 1)
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return samples, rate
+
+
+# ---------------------------------------------------------------------------
+# payload synthesis + metadata fast path
+# ---------------------------------------------------------------------------
+
+PAYLOAD_H = 8  # synthesized image height (rows)
+MIME_PGM = "image/x-portable-graymap"
 
 
 def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Synthesize an opaque binary payload column + typed metadata from a
-    text table (deterministic stand-in for real image/audio bytes)."""
+    """Synthesize a REAL binary image payload per row: a P5 (grayscale)
+    PPM of height 8 and width 4 + len(text) % 9, whose pixel bytes are the
+    text bytes repeated cyclically. Built entirely JVM-side (the text is
+    ASCII, so string ops are byte ops) — deterministic, decodable by
+    `decode_image`, and reproducible in ANSI SQL for the driver oracle.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    w = (F.lit(4) + n % 9).cast("int")
+    npix = (F.lit(PAYLOAD_H) * w).cast("int")
+    base = F.when(n > 0, t).otherwise(F.lit(" "))
+    reps = F.ceil(npix.cast("double") / F.greatest(n, F.lit(1))).cast("int")
+    body = F.substring(F.repeat(base, reps), F.lit(1), npix)
+    header = F.concat(F.lit("P5\n"), w.cast("string"),
+                      F.lit(f" {PAYLOAD_H}\n255\n"))
+    payload = F.encode(F.concat(header, body), "utf-8")
     return df.select(
         F.col(id_col).cast("long").alias("asset_id"),
-        F.encode(F.col(text_col), "utf-8").alias("payload"),
-        F.length(F.encode(F.col(text_col), "utf-8")).cast("long").alias("n_bytes"),
-        F.lit("application/octet-stream").alias("mime"),
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.lit(MIME_PGM).alias("mime"),
     )
-
-
-def decode_image(payload: bytes) -> "np.ndarray":
-    """Real decode requires an imaging library not present in this
-    container. The pipeline substitutes _fake_decode under test."""
-    raise NotImplementedError(
-        "image decode requires an imaging library (e.g. Pillow); "
-        "not available in this environment — use deterministic_fake=True")
-
-
-def _fake_decode(payload: bytes) -> np.ndarray:
-    """Deterministic fake: payload bytes → pseudo 8×8 'image'."""
-    arr = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
-    return arr.reshape(8, 8)
-
-
-def extract_frames(assets: DataFrame, frames_per_asset: int = 2,
-                   deterministic_fake: bool = True) -> DataFrame:
-    """Frame-sample + feature-extract over binary payloads via mapInPandas
-    (Arrow batches; the binary column stays columnar end-to-end)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
-        decode = _fake_decode if deterministic_fake else decode_image
-        for pdf in batches:
-            out = []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                img = decode(bytes(payload))
-                for fi in range(frames_per_asset):
-                    frame = np.roll(img, fi, axis=0)
-                    out.append((int(aid), fi, frame.shape[0], frame.shape[1],
-                                float(frame.mean()),
-                                hashlib.md5(frame.tobytes()).hexdigest()))
-            yield pd.DataFrame(out, columns=["asset_id", "frame_idx", "height",
-                                             "width", "feat_mean", "feat_hash"])
-
-    return assets.select("asset_id", "payload").mapInPandas(run, FRAME_SCHEMA)
-
-
-RESIZE_SCHEMA = "asset_id long, height int, width int, pixels binary"
-
-
-def resize_images(assets: DataFrame, height: int = 4, width: int = 4,
-                  deterministic_fake: bool = True) -> DataFrame:
-    """Nearest-neighbor resize over binary payloads via mapInPandas. The
-    index arithmetic (the real resize semantics) is genuine numpy; only the
-    byte→image decode is the environment stub."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decode = _fake_decode if deterministic_fake else decode_image
-        ys = None
-        for pdf in batches:
-            out = []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                img = decode(bytes(payload))
-                if ys is None or ys[0].size != height:
-                    ys = (np.minimum((np.arange(height) * img.shape[0]) // height,
-                                     img.shape[0] - 1),
-                          np.minimum((np.arange(width) * img.shape[1]) // width,
-                                     img.shape[1] - 1))
-                resized = img[np.ix_(ys[0], ys[1])]
-                out.append((int(aid), height, width, resized.tobytes()))
-            yield pd.DataFrame(out, columns=["asset_id", "height", "width",
-                                             "pixels"])
-
-    return assets.select("asset_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
-
-
-def extract_embeddings(assets: DataFrame, dim: int = 16,
-                       deterministic_fake: bool = True) -> DataFrame:
-    """Feature-extract: payload → unit-norm float32 embedding (the vector
-    that feeds ops.similarity ANN / ops.dedup.embedding_cosine_pairs). The
-    kernel here is a deterministic byte-histogram fake; the plumbing —
-    Arrow batches in, array<float> column out — is the real contract."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, vecs = [], []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                b = np.frombuffer(bytes(payload), dtype=np.uint8)
-                hist = np.bincount(b % dim, minlength=dim).astype(np.float64) \
-                    if b.size else np.ones(dim, dtype=np.float64)
-                norm = float(np.linalg.norm(hist)) or 1.0
-                ids.append(int(aid))
-                vecs.append([float(x) for x in hist / norm])
-            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
-
-    return assets.select("asset_id", "payload").mapInPandas(
-        run, "vec_id long, embedding array<float>")
 
 
 def payload_metadata(assets: DataFrame) -> DataFrame:
     """Metadata-only scan: never reads the payload column (verify with
     .explain → ReadSchema excludes 'payload')."""
     return assets.select("asset_id", "n_bytes", "mime")
+
+
+# ---------------------------------------------------------------------------
+# kernels (real decode → feature extract), Arrow-batched
+# ---------------------------------------------------------------------------
+
+FRAME_SCHEMA = ("asset_id long, frame_idx int, height int, width int, "
+                "feat_mean double, feat_hash string")
+
+
+def _gray(img: np.ndarray) -> np.ndarray:
+    """Collapse RGB to gray by channel mean (uint8); gray passes through."""
+    return img if img.ndim == 2 else (img.astype(np.uint16).mean(axis=2)
+                                      .astype(np.uint8))
+
+
+def extract_frames(assets: DataFrame, frames_per_asset: int = 2) -> DataFrame:
+    """Frame-sample + feature-extract: decode each payload, derive
+    `frames_per_asset` frames (row-rotations — the video frame-step
+    stand-in), and emit per-frame features. feat_hash is md5 over the
+    comma-joined pixel ints so an SQL oracle can recompute it exactly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = _gray(decode_image(bytes(payload)))
+                for fi in range(frames_per_asset):
+                    frame = np.roll(img, fi, axis=0)
+                    sig = hashlib.md5(
+                        ",".join(map(str, frame.ravel().tolist())).encode()
+                    ).hexdigest()
+                    out.append((int(aid), fi, frame.shape[0], frame.shape[1],
+                                float(frame.mean()), sig))
+            yield pd.DataFrame(out, columns=["asset_id", "frame_idx", "height",
+                                             "width", "feat_mean", "feat_hash"])
+
+    return assets.select("asset_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = "asset_id long, height int, width int, pixels_hex string"
+
+
+def resize_images(assets: DataFrame, height: int = 4, width: int = 4) -> DataFrame:
+    """Nearest-neighbor resize over decoded payloads. Output pixels are
+    hex-encoded (row-major) so the driver oracle can rebuild them from
+    byte arithmetic in SQL."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = _gray(decode_image(bytes(payload)))
+                ys = np.minimum((np.arange(height) * img.shape[0]) // height,
+                                img.shape[0] - 1)
+                xs = np.minimum((np.arange(width) * img.shape[1]) // width,
+                                img.shape[1] - 1)
+                resized = img[np.ix_(ys, xs)]
+                out.append((int(aid), height, width,
+                            resized.tobytes().hex()))
+            yield pd.DataFrame(out, columns=["asset_id", "height", "width",
+                                             "pixels_hex"])
+
+    return assets.select("asset_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
+def extract_embeddings(assets: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature-extract: decoded pixel histogram (mod dim) → unit-norm
+    float64 embedding, consumable by ops.similarity ANN and
+    ops.dedup.embedding_cosine_pairs. Double precision so the SQL oracle
+    (exact integer counts → same divisions) matches bit-for-bit."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                px = _gray(decode_image(bytes(payload))).ravel()
+                hist = np.bincount(px % dim, minlength=dim).astype(np.float64)
+                norm = float(np.linalg.norm(hist)) or 1.0
+                ids.append(int(aid))
+                vecs.append([float(x) for x in hist / norm])
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, "vec_id long, embedding array<double>")

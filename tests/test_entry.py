@@ -114,6 +114,13 @@ def test_oracle_constant_range_bounds(duck):
         "'[^a-z0-9]+'), x -> x <> ''))) FROM documents").fetchone()
     assert ml <= 2014, f"doc length {ml} exceeds fingerprint oracle coverage"
     assert mt <= 2000, f"token count {mt} exceeds shingle/bigram oracle coverage"
+    mn, nonascii = duck.execute(
+        "SELECT min(length(text)), "
+        "sum(CASE WHEN octet_length(encode(text)) <> length(text) THEN 1 "
+        "ELSE 0 END) FROM documents").fetchone()
+    assert mn >= 1, "empty doc would break the multimodal payload oracles"
+    assert nonascii == 0, ("non-ASCII text breaks the ord()==byte assumption "
+                           "in the multimodal oracles")
 
 
 def test_no_array_columns_in_contract_output(spark, contract):

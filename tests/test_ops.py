@@ -242,7 +242,12 @@ def test_langid_markers(spark):
 
 
 def test_multimodal_frames_deterministic(spark, docs_df):
-    from spyglass_spark.ops.multimodal import attach_binary_payload, extract_frames
+    import hashlib
+
+    import numpy as np
+
+    from spyglass_spark.ops.multimodal import (attach_binary_payload,
+                                               decode_image, extract_frames)
 
     assets = attach_binary_payload(docs_df, "text", "doc_id")
     f1 = sorted(extract_frames(assets, 2).collect(),
@@ -251,14 +256,26 @@ def test_multimodal_frames_deterministic(spark, docs_df):
                 key=lambda r: (r["asset_id"], r["frame_idx"]))
     assert [r["feat_hash"] for r in f1] == [r["feat_hash"] for r in f2]
     assert len(f1) == 5 * 2
-    assert all(r["height"] == 8 and r["width"] == 8 for r in f1)
+    # width tracks the synthesized geometry: 4 + len(text) % 9
+    texts = {r["doc_id"]: r["text"] for r in docs_df.collect()}
+    for r in f1:
+        assert r["height"] == 8
+        assert r["width"] == 4 + len(texts[r["asset_id"]]) % 9
+    # frame 1 of doc 0 equals a local decode + roll, hashed the same way
+    payload = assets.filter("asset_id = 0").collect()[0]["payload"]
+    img = decode_image(bytes(payload))
+    frame = np.roll(img, 1, axis=0)
+    want = hashlib.md5(",".join(map(str, frame.ravel().tolist())).encode()).hexdigest()
+    got = next(r for r in f1 if r["asset_id"] == 0 and r["frame_idx"] == 1)
+    assert got["feat_hash"] == want
+    assert got["feat_mean"] == float(frame.mean())
 
 
 def test_multimodal_resize_and_embeddings(spark, docs_df):
     import numpy as np
 
-    from spyglass_spark.ops.multimodal import (_fake_decode,
-                                               attach_binary_payload,
+    from spyglass_spark.ops.multimodal import (attach_binary_payload,
+                                               decode_image,
                                                extract_embeddings,
                                                resize_images)
     from spyglass_spark.ops.similarity import cosine_topk
@@ -268,27 +285,55 @@ def test_multimodal_resize_and_embeddings(spark, docs_df):
     assert set(rows) == {0, 1, 2, 3, 4}
     for r in rows.values():
         assert (r["height"], r["width"]) == (4, 4)
-        assert len(r["pixels"]) == 16
-    # deterministic: matches a local numpy nearest-neighbor resize
-    src = docs_df.filter("doc_id = 2").collect()[0]["text"].encode()
-    img = _fake_decode(src)
-    ys = np.minimum((np.arange(4) * 8) // 4, 7)
-    assert bytes(rows[2]["pixels"]) == img[np.ix_(ys, ys)].tobytes()
+        assert len(r["pixels_hex"]) == 32
+    # deterministic: matches a local decode + numpy nearest-neighbor resize
+    payload = assets.filter("asset_id = 2").collect()[0]["payload"]
+    img = decode_image(bytes(payload))
+    ys = np.minimum((np.arange(4) * img.shape[0]) // 4, img.shape[0] - 1)
+    xs = np.minimum((np.arange(4) * img.shape[1]) // 4, img.shape[1] - 1)
+    assert rows[2]["pixels_hex"] == img[np.ix_(ys, xs)].tobytes().hex()
 
     # embeddings: unit-norm, deterministic, and consumable by the ANN ops
     emb = extract_embeddings(assets, dim=8)
     got = {r["vec_id"]: r["embedding"] for r in emb.collect()}
-    assert all(abs(np.linalg.norm(v) - 1.0) < 1e-5 for v in got.values())
+    assert all(abs(np.linalg.norm(v) - 1.0) < 1e-9 for v in got.values())
     assert got[0] == got[3]  # identical payloads → identical vectors
     top = cosine_topk(emb, list(got[0]), k=1, exclude_ids=(0,)).collect()
     assert top[0]["vec_id"] == 3  # the exact dup is the nearest neighbor
 
 
-def test_multimodal_decode_stub_raises():
-    from spyglass_spark.ops.multimodal import decode_image
+def test_image_codec_roundtrip():
+    import numpy as np
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+    from spyglass_spark.ops.multimodal import (decode_image, encode_bmp,
+                                               encode_ppm)
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, size=(5, 9), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_ppm(gray)), gray)
+    rgb = rng.integers(0, 256, size=(6, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_ppm(rgb)), rgb)
+    # BMP: padded strides (w=7 → stride 24), bottom-up rows, BGR order
+    assert np.array_equal(decode_image(encode_bmp(rgb)), rgb)
+    # PNM comment + multi-whitespace headers parse too
+    hdr = b"P5\n# a comment\n9 5\n255\n" + gray.tobytes()
+    assert np.array_equal(decode_image(hdr), gray)
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG....")
+
+
+def test_wav_codec_roundtrip():
+    import numpy as np
+
+    from spyglass_spark.ops.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(11)
+    samples = rng.integers(-32768, 32767, size=777, dtype=np.int16)
+    out, rate = decode_wav(encode_wav(samples, rate=8000))
+    assert rate == 8000
+    assert np.array_equal(out, samples)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxABCD")
 
 
 # --- physical plan quality --------------------------------------------
