@@ -712,3 +712,233 @@ def compact_index(spark: SparkSession, documents: DataFrame, index_dir: str,
     os.rename(tmp_dir, index_dir)
     shutil.rmtree(old_dir, ignore_errors=True)
     return new
+
+
+# ---------------------------------------------------------------------------
+# incremental generation-pair merge
+# ---------------------------------------------------------------------------
+
+def _merge_part_factory(dead_kind_docmeta: int):
+    """Build the cogrouped merge kernel (captures only constants so Spark
+    can pickle it cheaply)."""
+    from .codecs import (decode_positions_selected, decode_postings,
+                         encode_positions, encode_postings)
+
+    def _merge_part(key, store_pdf: pd.DataFrame, tomb_pdf: pd.DataFrame
+                    ) -> pd.DataFrame:
+        store_pdf = store_pdf[_OUT_COLUMNS]
+        dead = (np.unique(tomb_pdf["local_ord"].to_numpy(np.int64))
+                if len(tomb_pdf) else np.empty(0, np.int64))
+        if dead.size == 0:
+            return store_pdf  # untouched part: byte-identical pass-through
+
+        kind = store_pdf["kind"].to_numpy()
+        norms_rows = store_pdf[kind == KIND_NORMS]
+        norms_by_field = {
+            r.term: np.frombuffer(r.doc_bytes, dtype=np.uint8)
+            for r in norms_rows.itertuples()}
+
+        removed_cf: dict[str, int] = defaultdict(int)
+        post = store_pdf[kind == KIND_POSTING]
+        keep_idx: list[int] = []
+        rewritten: list[dict] = []
+        for r in post.itertuples():
+            ords, tfs = decode_postings(r.doc_bytes, r.tf_bytes)
+            mask = ~np.isin(ords.astype(np.int64), dead)
+            if mask.all():
+                keep_idx.append(r.Index)
+                continue
+            kept = np.flatnonzero(mask)
+            removed_cf[r.field] += int(tfs.sum() - tfs[kept].sum())
+            if kept.size == 0:
+                continue  # term's last docs died → drop the chunk
+            new_ords, new_tfs = ords[kept], tfs[kept]
+            positions = decode_positions_selected(r.pos_bytes, tfs, kept)
+            narr = norms_by_field[r.field]
+            doc_b, tf_b, meta_b = encode_postings(
+                new_ords, new_tfs, narr[new_ords.astype(np.int64)])
+            d = r._asdict()
+            d.pop("Index", None)
+            d.update(df_part=int(kept.size), cf_part=int(new_tfs.sum()),
+                     doc_bytes=doc_b, tf_bytes=tf_b,
+                     pos_bytes=encode_positions(positions), meta_bytes=meta_b)
+            rewritten.append(d)
+
+        dm = store_pdf[kind == dead_kind_docmeta]
+        dm_keep = dm[~dm["local_ord"].isin(dead)]
+        n_dropped = len(dm) - len(dm_keep)
+
+        norms_out = norms_rows.copy()
+        norms_out["cf_part"] = [
+            int(r.cf_part) - removed_cf.get(r.term, 0)
+            for r in norms_rows.itertuples()]
+
+        lin = store_pdf[kind == KIND_LINEAGE].copy()
+        if len(lin):
+            total_removed = int(sum(removed_cf.values()))
+            lin["df_part"] = lin["df_part"] - n_dropped
+            lin["cf_part"] = lin["cf_part"] - total_removed
+            lin["term"] = [
+                json.dumps({**json.loads(t), "n_docs": int(d_),
+                            "n_postings": int(c_), "merged": True})
+                for t, d_, c_ in zip(lin["term"], lin["df_part"],
+                                     lin["cf_part"])]
+
+        frames = [post.loc[keep_idx]]
+        if rewritten:
+            frames.append(pd.DataFrame(rewritten)[_OUT_COLUMNS])
+        frames += [norms_out, lin, store_pdf[kind == KIND_FAST], dm_keep]
+        return pd.concat(frames, ignore_index=True)[_OUT_COLUMNS]
+
+    return _merge_part
+
+
+def merge_generations(spark: SparkSession, index_dir: str,
+                      gen_ids: list[int] | None = None) -> Manifest:
+    """Incremental compaction: merge two (or more) generations into one,
+    physically dropping their tombstone-covered docs and pruning the
+    applied tombstone side tables — the pairwise analog of tantivy's
+    background segment merges (IndexWriter merge policy,
+    /root/reference/crates/spyglass-searcher/src/client/local.rs:191-203).
+
+    Unlike ``compact_index`` this needs NO external row store: it rewrites
+    the segment stores themselves, preserving every surviving doc's
+    ordinal (part_id/local_ord unchanged — tombstones created later still
+    resolve). Posting chunks with no dead docs pass through byte-identical;
+    chunks with dead docs are decoded, filtered, re-encoded with the same
+    codecs as the build (so block-max WAND metadata stays exact). Global
+    stats (num_docs / field_totals / df / cf) stop counting the dropped
+    docs, matching tantivy's merge semantics (deleted docs leave the
+    stats at merge time, not before).
+
+    Scale shape: one cogrouped shuffle of the two stores keyed by part_id
+    (the same key they were written with), one stats aggregation over
+    pruned columns — no driver state proportional to data.
+    """
+    import shutil
+
+    m = load_manifest(index_dir)
+    if m is None or not m.committed:
+        raise FileNotFoundError(f"no committed index at {index_dir}")
+    gens = sorted(m.gen_list(), key=lambda g: g["gen"])
+    if len(gens) < 2:
+        return m
+    if gen_ids is None:
+        sel = gens[:2]  # the two oldest
+    else:
+        sel = [g for g in gens if g["gen"] in set(gen_ids)]
+        if len(sel) < 2:
+            raise ValueError(f"need ≥2 generations to merge, got {sel}")
+    rest = [g for g in gens if g not in sel]
+
+    # merged part space must be contiguous (offsets are allocated
+    # sequentially, so consecutive generations always are)
+    span_lo = min(g["part_offset"] for g in sel)
+    span_hi = max(g["part_offset"] + g["num_partitions"] for g in sel)
+    covered = sorted(x for g in sel
+                     for x in range(g["part_offset"],
+                                    g["part_offset"] + g["num_partitions"]))
+    if covered != list(range(span_lo, span_hi)):
+        raise ValueError("selected generations are not contiguous in part "
+                         f"space: {sel}")
+
+    gen_id = max(g["gen"] for g in gens) + 1
+    prefix = f"segments_m{gen_id}"
+
+    store = reduce(DataFrame.unionByName,
+                   [read_store(spark, index_dir, g["prefix"]).select(_OUT_COLUMNS)
+                    for g in sel])
+
+    # every tombstone ordinal that lands in the merged part range, from the
+    # side tables plus the doc_id-keyed manifest tombstones
+    LOCAL_MASK = (1 << ORD_SHIFT) - 1
+    tomb_frames = []
+    tv = tombstone_view(spark, index_dir, m)
+    if tv is not None:
+        tomb_frames.append(tv.select("part_id", "doc_ord"))
+    if m.tombstones:
+        tomb_frames.append(
+            doc_meta_view(spark, index_dir, sel)
+            .filter(F.col("doc_id").isin(list(m.tombstones)))
+            .select("part_id", "doc_ord"))
+    if tomb_frames:
+        tomb = (reduce(DataFrame.unionByName, tomb_frames)
+                .filter((F.col("part_id") >= span_lo) & (F.col("part_id") < span_hi))
+                .select("part_id",
+                        F.col("doc_ord").bitwiseAND(F.lit(LOCAL_MASK))
+                        .cast("long").alias("local_ord")))
+    else:
+        tomb = spark.createDataFrame([], "part_id int, local_ord long")
+
+    store_dir = f"{index_dir}/{prefix}/store"
+    stats_dir = f"{index_dir}/{prefix}/term_stats"
+    (store.groupby("part_id").cogroup(tomb.groupby("part_id"))
+          .applyInPandas(_merge_part_factory(KIND_DOCMETA), SEGMENT_SCHEMA)
+          .write.mode("overwrite")
+          .option("parquet.block.size", str(STORE_BLOCK_BYTES))
+          .option("parquet.page.size", str(STORE_PAGE_BYTES))
+          .partitionBy("kind")
+          .parquet(f"{store_dir}/wave=0"))
+
+    merged_store = spark.read.parquet(store_dir)
+    (merged_store.filter(F.col("kind") == KIND_POSTING)
+     .select("field", "term", "df_part", "cf_part")
+     .groupBy("field", "term")
+     .agg(F.sum("df_part").alias("df"), F.sum("cf_part").alias("cf"),
+          F.count("*").alias("n_chunks"))
+     .repartitionByRange(max(spark.sparkContext.defaultParallelism // 2, 1),
+                         "field", "term")
+     .sortWithinPartitions("field", "term")
+     .write.mode("overwrite")
+     .option("parquet.block.size", str(4 * 1024 * 1024))
+     .parquet(stats_dir))
+
+    # stats deltas: old selected-gen totals vs merged totals, per field
+    def _totals(paths: list[str]) -> dict[str, int]:
+        st = spark.read.parquet(*paths)
+        return {r["field"]: int(r["t"]) for r in
+                st.groupBy("field").agg(F.sum("cf").alias("t")).collect()}
+
+    old_totals = _totals([f"{index_dir}/{g['prefix']}/term_stats" for g in sel])
+    new_totals = _totals([stats_dir])
+    new_docs = int(merged_store.filter(F.col("kind") == KIND_LINEAGE)
+                   .agg(F.sum("df_part")).collect()[0][0] or 0)
+    old_docs = sum(g["num_docs"] for g in sel)
+
+    # prune applied tombstones: keep only rows outside the merged range
+    new_tomb_dirs: list[str] = []
+    if tv is not None:
+        remaining = tv.filter((F.col("part_id") < span_lo)
+                              | (F.col("part_id") >= span_hi))
+        if not remaining.isEmpty():
+            rel = f"tombstones/postmerge{gen_id}"
+            (remaining.coalesce(1).sortWithinPartitions("part_id", "doc_ord")
+             .write.mode("overwrite").parquet(f"{index_dir}/{rel}"))
+            new_tomb_dirs = [rel]
+    old_tomb_dirs = list(m.tombstone_dirs)
+
+    merged_entry = {"gen": gen_id, "prefix": prefix, "part_offset": span_lo,
+                    "num_partitions": span_hi - span_lo, "num_docs": new_docs}
+    m.generations = sorted(rest + [merged_entry], key=lambda g: g["gen"])
+    m.num_docs += new_docs - old_docs
+    for f_ in set(old_totals) | set(new_totals):
+        m.field_totals[f_] = (m.field_totals.get(f_, 0)
+                              - old_totals.get(f_, 0) + new_totals.get(f_, 0))
+    m.tombstone_dirs = new_tomb_dirs
+    if not rest:
+        # every generation is merged → doc_id tombstones are now physical
+        m.tombstones = []
+    m.metrics[f"merge_gen{gen_id}"] = {
+        "merged": [g["gen"] for g in sel],
+        "docs_dropped": old_docs - new_docs,
+    }
+    commit_manifest(index_dir, m)
+
+    # old generation dirs + applied tombstone tables are garbage after the
+    # atomic manifest commit; a crash before this point leaves them in
+    # place (still referenced by the previous manifest — safe either way)
+    for g in sel:
+        shutil.rmtree(os.path.join(index_dir, g["prefix"]), ignore_errors=True)
+    for d in old_tomb_dirs:
+        shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+    return m

@@ -180,3 +180,105 @@ def test_more_like_this(spark, built_index):
     assert 1 <= len(out) <= 5
     assert all(r["doc_id"] != seed["doc_id"] for r in out)
     assert all(r["score"] > 0 for r in out)
+
+
+def test_merge_generations_no_tombstones_bitwise(spark, corpus_rows, tmp_path):
+    """Merging generations with no dead docs must be a pure re-layout:
+    search results (scores, ordinals, order) bitwise identical, generation
+    count reduced, empty tombstone side tables pruned."""
+    from spyglass_spark.index.builder import (build_index, merge_generations,
+                                              upsert_documents)
+    from spyglass_spark.query.executor import SearchEngine
+    from spyglass_spark.testing import corpus_to_documents
+
+    docs, _ = corpus_to_documents(corpus_rows[:80])
+    idx = str(tmp_path / "mrg0")
+    build_index(spark, spark.createDataFrame(docs[:60]), idx,
+                num_partitions=8, waves=1)
+    # disjoint urls → the upsert's tombstone table is empty
+    upsert_documents(spark, spark.createDataFrame(docs[60:]), idx,
+                     num_partitions=4)
+    pre = SearchEngine(spark, idx).search("fn index", k=20).collect()
+    assert len(pre) > 0
+
+    m = merge_generations(spark, idx)
+    assert len(m.gen_list()) == 1
+    assert m.gen_list()[0]["num_partitions"] == 12  # contiguous span 8+4
+    assert not m.tombstone_dirs
+    assert m.num_docs == 80
+
+    post = SearchEngine(spark, idx).search("fn index", k=20).collect()
+    key = lambda r: (r["doc_id"], r["score"], r["doc_ord"], r["url"])
+    assert [key(r) for r in pre] == [key(r) for r in post]
+
+
+def test_merge_generations_applies_tombstones(spark, corpus_rows, tmp_path):
+    """N upserts + a doc_id delete → merge: dead docs leave the postings
+    AND the stats (tantivy merge semantics), surviving ordinals are
+    preserved, tombstone tables and old generation dirs are pruned, and
+    search equals a fresh build over the live system-of-record."""
+    import hashlib
+    import os
+
+    from spyglass_spark.index.builder import (build_index, delete_by_ids,
+                                              doc_meta_view,
+                                              merge_generations,
+                                              upsert_documents)
+    from spyglass_spark.index.manifest import load_manifest
+    from spyglass_spark.query.executor import SearchEngine
+    from spyglass_spark.testing import corpus_to_documents
+
+    docs, _ = corpus_to_documents(corpus_rows[:100])
+    idx = str(tmp_path / "mrg1")
+    build_index(spark, spark.createDataFrame(docs), idx,
+                num_partitions=8, waves=1)
+
+    replaced = []
+    for d in docs[:8]:
+        nd = dict(d)
+        nd["content"] = (d["content"] or "") + " mergemarker"
+        nd["content_sha256"] = hashlib.sha256(nd["content"].encode()).hexdigest()
+        replaced.append(nd)
+    upsert_documents(spark, spark.createDataFrame(replaced), idx,
+                     num_partitions=4)
+    deleted_ids = [docs[50]["doc_id"], docs[51]["doc_id"]]
+    delete_by_ids(idx, deleted_ids)
+
+    # survivors' ordinals before the merge
+    m0 = load_manifest(idx)
+    pre_ords = {r["url"]: r["doc_ord"]
+                for r in doc_meta_view(spark, idx, m0.gen_list()).collect()}
+
+    m = merge_generations(spark, idx)
+    assert len(m.gen_list()) == 1
+    assert m.num_docs == 98  # 100 + 8 re-adds − 8 tombstoned − 2 deleted
+    assert not m.tombstone_dirs and not m.tombstones
+    assert not os.path.isdir(os.path.join(idx, "segments"))  # old gen gone
+    assert not os.path.isdir(os.path.join(idx, "tombstones/gen1"))
+
+    # ordinal preservation: every surviving doc keeps its pre-merge doc_ord
+    post_ords = {r["url"]: r["doc_ord"]
+                 for r in doc_meta_view(spark, idx, m.gen_list()).collect()}
+    assert len(post_ords) == 98
+    for url, o in post_ords.items():
+        assert pre_ords[url] == o
+
+    # live system-of-record = originals, replaced contents, minus deletes
+    final = {d["url"]: d for d in docs}
+    for d in replaced:
+        final[d["url"]] = d
+    live = [d for d in final.values() if d["doc_id"] not in set(deleted_ids)]
+
+    fresh_idx = str(tmp_path / "mrg1_fresh")
+    build_index(spark, spark.createDataFrame(live), fresh_idx,
+                num_partitions=8, waves=1)
+    eng = SearchEngine(spark, idx)
+    eng_fresh = SearchEngine(spark, fresh_idx)
+    for q in ["mergemarker", "fn", "index search"]:
+        got = sorted((round(r["score"], 4), r["url"])
+                     for r in eng.search(q, k=200).collect())
+        want = sorted((round(r["score"], 4), r["url"])
+                      for r in eng_fresh.search(q, k=200).collect())
+        assert got == want and len(got) > 0, q
+    # the deleted docs are unreachable
+    assert eng.get_documents(deleted_ids).count() == 0
