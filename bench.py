@@ -183,25 +183,12 @@ sys.path.insert(0, {repo!r})
 import duckdb, numpy as np
 texts = [r[0]*{rep} for r in duckdb.sql(
     "SELECT text FROM '{sf}/documents.parquet'").fetchall()]
-from spyglass_spark.analysis.analyzer import tokenize_en
+from spyglass_spark.analysis.analyzer import tokenize_arrays
 from spyglass_spark.index.codecs import bulk_encode_postings
-from collections import defaultdict
-t0 = time.time(); n = 0
-by_term = defaultdict(lambda: ([], [], []))
-for ord_, t in enumerate(texts):
-    toks = tokenize_en(t); n += len(toks)
-    d = defaultdict(list)
-    for pos, term in toks:
-        d[term].append(pos)
-    for term, ps in d.items():
-        e = by_term[term]; e[0].append(ord_); e[1].append(len(ps)); e[2].extend(ps)
-dfs = np.array([len(v[0]) for v in by_term.values()], dtype=np.int64)
-starts = np.concatenate(([0], np.cumsum(dfs)))
-ords = np.fromiter((o for v in by_term.values() for o in v[0]), dtype=np.uint64)
-tfs = np.fromiter((x for v in by_term.values() for x in v[1]), dtype=np.uint64)
-pos = np.fromiter((p for v in by_term.values() for p in v[2]), dtype=np.uint64)
+t0 = time.time()
+vocab, starts, ords, tfs, pos, counts = tokenize_arrays(texts, "en")
 bulk_encode_postings(starts, ords, tfs, np.ones(ords.size, np.uint8), pos)
-print(n / (time.time() - t0))
+print(int(counts.sum()) / (time.time() - t0))
 """
 
 

@@ -58,7 +58,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..analysis.analyzer import analyze
+from ..analysis.analyzer import ANALYZER_KIND, tokenize_arrays
 from .codecs import bulk_encode_postings
 from .fieldnorm import fieldnorm_to_id
 from .manifest import (Manifest, commit_manifest, load_checkpoint,
@@ -201,6 +201,33 @@ def _field_frame(field: str, by_term: dict, norms_f: np.ndarray,
         "tags": None, "published": None, "lastmodified": None})
 
 
+def _field_frame_arrays(field: str, vocab: list, term_starts: np.ndarray,
+                        ords: np.ndarray, tfs: np.ndarray,
+                        pos_concat: np.ndarray, norms_f: np.ndarray,
+                        part_id: int, n: int) -> pd.DataFrame:
+    """_field_frame over the vectorized tokenizer's array outputs (same
+    bulk codec, byte-identical postings — no per-token dict stage)."""
+    if not vocab:
+        return pd.DataFrame(columns=_OUT_COLUMNS)
+    norm_ids = norms_f[ords.astype(np.int64)]
+    doc_b, tf_b, pos_b, meta_b = bulk_encode_postings(
+        term_starts, ords, tfs, norm_ids, pos_concat)
+    dfs = np.diff(term_starts)
+    cfs = (np.add.reduceat(tfs, term_starts[:-1]) if ords.size else
+           np.zeros(0, dtype=np.uint64))
+    return pd.DataFrame({
+        "kind": np.full(len(vocab), 0, dtype=np.int32),
+        "part_id": np.full(len(vocab), part_id, dtype=np.int32),
+        "field": field, "term": vocab,
+        "df_part": dfs.astype(np.int64), "cf_part": cfs.astype(np.int64),
+        "n_local": np.full(len(vocab), n, dtype=np.int32),
+        "doc_bytes": doc_b, "tf_bytes": tf_b, "pos_bytes": pos_b,
+        "meta_bytes": meta_b,
+        "doc_id": None, "url": None, "domain": None, "title": None,
+        "description": None, "content_sha256": None, "local_ord": None,
+        "tags": None, "published": None, "lastmodified": None})
+
+
 def _marker_frame(kind: int, part_id: int, **cols) -> pd.DataFrame:
     """A non-posting row frame with the shared output schema."""
     n = len(next(iter(cols.values())))
@@ -235,29 +262,19 @@ def _build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
     n_postings = 0
     n_terms = 0
 
-    # positional text fields: term -> ([ords], [tfs], [flat positions])
+    # positional text fields: vectorized whole-batch tokenize → posting
+    # arrays (one C regex pass + factorize + numpy sorts; the filter chain
+    # runs over unique tokens only — no per-token Python)
     for field in positional_fields:
         col = pdf[{**TEXT_FIELDS, **OPTIONAL_TEXT_FIELDS}[field]].tolist()
-        by_term: dict[str, tuple[list, list, list]] = {}
-        counts = np.zeros(n, dtype=np.int64)
-        for ord_ in range(n):
-            toks = analyze(field, col[ord_] or "")
-            counts[ord_] = len(toks)
-            doc_terms: dict[str, list[int]] = defaultdict(list)
-            for pos, term in toks:
-                doc_terms[term].append(pos)
-            for term, positions in doc_terms.items():
-                ent = by_term.get(term)
-                if ent is None:
-                    ent = by_term[term] = ([], [], [])
-                ent[0].append(ord_)
-                ent[1].append(len(positions))
-                ent[2].extend(positions)
+        vocab, term_starts, ords_, tfs_, pos_, counts = tokenize_arrays(
+            col, ANALYZER_KIND[field])
         totals[field] = int(counts.sum())
         norms[field][:] = fieldnorm_to_id(counts)
-        n_postings += sum(sum(v[1]) for v in by_term.values())
-        n_terms += len(by_term)
-        frames.append(_field_frame(field, by_term, norms[field], True, part_id, n))
+        n_postings += int(tfs_.sum())
+        n_terms += len(vocab)
+        frames.append(_field_frame_arrays(field, vocab, term_starts, ords_,
+                                          tfs_, pos_, norms[field], part_id, n))
 
     # untokenized STRING fields: one term per doc, tf=1, position 0
     for field in ("id", "domain", "url"):

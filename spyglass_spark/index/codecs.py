@@ -24,6 +24,9 @@ def varint_encode(values: np.ndarray) -> bytes:
     a = np.ascontiguousarray(values, dtype=np.uint64)
     if a.size == 0:
         return b""
+    if a.max() < 128:
+        # every value fits one LEB128 byte — identical output, one cast
+        return a.astype(np.uint8).tobytes()
     # bytes needed per value: ceil(bitlen/7), min 1
     nbytes = np.ones(a.shape, dtype=np.int64)
     for j in range(1, 10):
@@ -38,6 +41,30 @@ def varint_encode(values: np.ndarray) -> bytes:
         cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
         out[offsets[mask] + j] = vals.astype(np.uint8) | cont
     return out.tobytes()
+
+
+def _encode_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """varint_encode + cumulative byte offsets (n+1) in one pass — the
+    bulk encoder needs both; computing nbytes twice was ~1/3 of its cost.
+    When every value < 128 the stream is a raw uint8 cast and offsets are
+    simply arange."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return b"", np.zeros(1, dtype=np.int64)
+    if a.max() < 128:
+        return (a.astype(np.uint8).tobytes(),
+                np.arange(a.size + 1, dtype=np.int64))
+    nb = _varint_nbytes(a)
+    offs = np.concatenate(([0], np.cumsum(nb)))
+    out = np.zeros(int(offs[-1]), dtype=np.uint8)
+    for j in range(10):
+        mask = nb > j
+        if not mask.any():
+            break
+        vals = (a[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nb[mask] - 1 > j).astype(np.uint8) << 7
+        out[offs[:-1][mask] + j] = vals.astype(np.uint8) | cont
+    return out.tobytes(), offs
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
@@ -71,6 +98,8 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
 
 
 def _varint_nbytes(a: np.ndarray) -> np.ndarray:
+    if a.size and a.max() < 16384:  # ≤2-byte varints: one compare
+        return 1 + (a >= 128).astype(np.int64)
     nbytes = np.ones(a.shape, dtype=np.int64)
     for j in range(1, 10):
         nbytes += (a >= np.uint64(1) << np.uint64(7 * j)).astype(np.int64)
@@ -145,10 +174,8 @@ def bulk_encode_postings(term_starts: np.ndarray, ords: np.ndarray,
         gaps[0] = ords[0]
         np.subtract(ords[1:], ords[:-1], out=gaps[1:])
         gaps[starts] = ords[starts]
-    doc_stream = varint_encode(gaps)
-    doc_nb = np.concatenate(([0], np.cumsum(_varint_nbytes(gaps))))
-    tf_stream = varint_encode(tfs)
-    tf_nb = np.concatenate(([0], np.cumsum(_varint_nbytes(tfs))))
+    doc_stream, doc_nb = _encode_with_offsets(gaps)
+    tf_stream, tf_nb = _encode_with_offsets(tfs)
 
     # positions flat stream: per posting [count, delta positions...]
     if pos_concat is None:
@@ -171,8 +198,7 @@ def bulk_encode_postings(term_starts: np.ndarray, ords: np.ndarray,
         shift = np.repeat(rec_starts[:-1] + 1 - pos_starts[:-1],
                           tfs.astype(np.int64))
         flat[np.arange(total_pos, dtype=np.int64) + shift] = pgaps
-    pos_stream = varint_encode(flat)
-    pos_nb = np.concatenate(([0], np.cumsum(_varint_nbytes(flat))))
+    pos_stream, pos_nb = _encode_with_offsets(flat)
 
     # single-block meta for the common case df <= BLOCK_SIZE, bulk-built
     meta_bulk = np.zeros(T, dtype=_BLOCK_META_DTYPE)

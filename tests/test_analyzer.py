@@ -61,3 +61,63 @@ def test_unicode_tokens():
     # unicode alphanumerics stay as one token, then fold
     toks = tokenize_en("naïve café_über")
     assert toks == [(0, "naiv"), (1, "cafe"), (2, "uber")]
+
+
+def test_tokenize_arrays_matches_scalar_path():
+    """The vectorized batch tokenizer (factorize + numpy sorts) must
+    reproduce the scalar tokenize_en/tokenize_default postings exactly:
+    same sorted vocab, same (term→[(ord, tf, positions)]) structure, same
+    per-doc surviving counts — stopword holes and all."""
+    import numpy as np
+
+    from spyglass_spark.analysis.analyzer import (tokenize_arrays,
+                                                  tokenize_default,
+                                                  tokenize_en)
+
+    texts = [
+        "The quick brown Fox jumps over the lazy dog the fox",
+        "",
+        None,
+        "Füße naïve Grüße straße über café — ß æ œ",
+        "x" * 45 + " ok " + "y" * 39 + " end",   # long-token boundary (39 vs 45)
+        "spark spark spark merge JOIN join filter a an and I i",
+        "snake_case splits_here but digits123 stay456 mixed",
+        "repeated doc " * 50,
+    ]
+    for kind, fn in (("en", tokenize_en), ("default", tokenize_default)):
+        # chunk_chars=30 forces many chunks → exercises the growing-vocab
+        # remap and cross-chunk concatenation
+        vocab, ts, ords, tfs, pos, counts = tokenize_arrays(
+            list(texts), kind, chunk_chars=30)
+        full = tokenize_arrays(list(texts), kind)
+        assert vocab == full[0] and counts.tolist() == full[5].tolist()
+        assert (ts.tolist() == full[1].tolist()
+                and ords.tolist() == full[2].tolist()
+                and tfs.tolist() == full[3].tolist()
+                and pos.tolist() == full[4].tolist())
+        # scalar reconstruction
+        by_term: dict = {}
+        scounts = []
+        for ord_, t in enumerate(texts):
+            toks = fn(t or "")
+            scounts.append(len(toks))
+            d: dict = {}
+            for p, term in toks:
+                d.setdefault(term, []).append(p)
+            for term, ps in d.items():
+                by_term.setdefault(term, []).append((ord_, len(ps), ps))
+        svocab = sorted(by_term)
+        assert vocab == svocab, kind
+        assert counts.tolist() == scounts, kind
+        s_ords, s_tfs, s_pos, s_starts = [], [], [], [0]
+        for term in svocab:
+            posts = by_term[term]  # already ord-ascending
+            s_starts.append(s_starts[-1] + len(posts))
+            for o, tf, ps in posts:
+                s_ords.append(o)
+                s_tfs.append(tf)
+                s_pos.extend(ps)
+        assert ts.tolist() == s_starts, kind
+        assert ords.tolist() == s_ords, kind
+        assert tfs.tolist() == s_tfs, kind
+        assert pos.tolist() == s_pos, kind

@@ -38,7 +38,7 @@ def mini_kernel_rate() -> float:
     """Single-process tokenize+encode rate (~5-15 s): the REAL quiet
     signal on this host — hypervisor neighbors saturate memory bandwidth
     without showing in loadavg. One cold process over the sf corpus runs
-    ≈1.3-1.6 M tok/s quiet, 0.2-0.9 M under neighbor pressure."""
+    ≈3.8-4.3 M tok/s quiet with the round-3 vectorized kernel (0.9-1.8 M under neighbor pressure); the scalar kernel it replaced ran 1.3-1.6 M quiet."""
     import bench
 
     return bench._kernel_throughput(1)
@@ -80,7 +80,7 @@ def attempt(min_kernel_eff: float) -> dict:
     # RATIO while the box is saturated (memory-bandwidth neighbors squeeze
     # tokenize-like work even when pure-CPU loops scale) — quiet windows
     # historically deliver ≥15 M tok/s at 32p
-    if keff >= min_kernel_eff and k32 >= 12e6:
+    if keff >= min_kernel_eff and k32 >= 30e6:
         legs = run_legs()
         eff = (legs[32]["docs_per_sec"] / legs[8]["docs_per_sec"]) / 4.0
         rec.update(
@@ -110,8 +110,10 @@ def main() -> None:
     ap.add_argument("--loop", action="store_true")
     ap.add_argument("--min-kernel-eff", type=float, default=0.7)
     ap.add_argument("--quiet-load", type=float, default=4.0)
-    ap.add_argument("--min-mini-rate", type=float, default=1.0e6,
-                    help="single-proc tokenize tok/s floor (quiet ≈ 1.3-1.6 M)")
+    ap.add_argument("--min-mini-rate", type=float, default=2.5e6,
+                    help="single-proc tokenize tok/s floor (quiet ≈ 3.8-4.3 M "
+                         "with the vectorized kernel; pre-r3 scalar kernel "
+                         "was 1.3-1.6 M)")
     ap.add_argument("--sleep-noisy", type=int, default=90)
     ap.add_argument("--sleep-after", type=int, default=240)
     args = ap.parse_args()
