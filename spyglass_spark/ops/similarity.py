@@ -97,61 +97,60 @@ def l2_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
 def train_centroids(emb: DataFrame, k: int, iters: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     sample_limit: int = 100_000) -> list[list[float]]:
-    """Deterministic Lloyd k-means for IVF lists. Init = farthest-first
-    traversal (the lowest-id vector, then repeatedly the vector minimizing
-    max-cosine to the chosen set — deterministic, no RNG, one tiny Spark
-    job per seed); each Lloyd iteration is one Spark job: assign to
-    max-cosine centroid, average per list driver-side over the k
-    aggregated sums (k×dim doubles — tiny).
+    """Deterministic Lloyd k-means for IVF lists, ONE Spark job total.
 
-    At 100 TB the standard recipe is exactly this on a bounded sample
-    (``sample_limit`` rows by ascending id — deterministic): k-means
-    quality needs only a representative sample, never the full corpus;
-    the full corpus is then assigned in one pass via ``assign_ivf``."""
+    The bounded sample (``sample_limit`` rows by ascending id —
+    deterministic) is collected once (≤ 100k×dim doubles — driver-trivial);
+    seeding and Lloyd then run in chunked numpy: farthest-first traversal
+    (lowest-id vector first, then repeatedly the vector minimizing
+    max-cosine to the chosen set, ties → lowest id — no RNG), and each
+    Lloyd iteration assigns sample rows to their max-cosine centroid in
+    row blocks (bounded memory at k in the thousands).
+
+    At 100 TB the standard recipe is exactly this: k-means quality needs
+    only a representative sample, never the full corpus — the previous
+    revision seeded with k−1 sequential tiny Spark jobs (4095 round trips
+    at k=4096); the job count is now O(1), and the full corpus is
+    assigned in one distributed pass via ``assign_ivf``."""
     import numpy as np
 
-    sample = (emb.orderBy(F.asc(id_col)).limit(sample_limit)
-              .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
-    sample = sample.cache()
-    try:
-        first = sample.orderBy(F.asc("id")).limit(1).collect()[0]
-        seeds = [list(first["v"])]
-        vec = F.transform(F.col("v"), lambda x: x.cast("double"))
-        for _ in range(1, k):
-            coss = []
-            for c in seeds:
-                cv = F.array(*[F.lit(float(x)).cast("double") for x in c])
-                coss.append(_dot(vec, cv) / (_norm(vec) * _norm(cv)))
-            far = (sample.select("id", "v",
-                                 F.greatest(*coss).alias("mc") if len(coss) > 1
-                                 else coss[0].alias("mc"))
-                   .orderBy(F.asc("mc"), F.asc("id")).limit(1).collect()[0])
-            seeds.append(list(far["v"]))
-        cents = np.asarray(seeds, dtype=np.float64)
-        for _ in range(iters):
-            assigned = assign_ivf(sample, [list(c) for c in cents],
-                                  id_col="id", vec_col="v")
-            dim = cents.shape[1]
-            sums = (assigned.select(
-                        "centroid",
-                        F.transform(F.col("_vec"), lambda x: x.cast("double"))
-                        .alias("v"))
-                    .groupBy("centroid")
-                    .agg(F.count("*").alias("n"),
-                         *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
-                           for i in range(dim)])
-                    .collect())
-            new = cents.copy()  # empty lists keep their previous centroid
-            for r in sums:
-                cid = int(r["centroid"])
-                new[cid] = [float(r[f"s{i}"]) / int(r["n"]) for i in range(dim)]
-            if np.allclose(new, cents, atol=1e-12):
-                cents = new
-                break
+    rows = (emb.orderBy(F.asc(id_col)).limit(sample_limit)
+            .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .collect())
+    X = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    n, dim = X.shape
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+
+    BLOCK = 8192
+    # farthest-first: track each row's max-cosine to the chosen set
+    max_cos = np.full(n, -np.inf)
+    seed_idx = [0]  # rows are id-ascending → index 0 is the lowest id
+    for _ in range(1, min(k, n)):
+        c = Xn[seed_idx[-1]]
+        np.maximum(max_cos, Xn @ c, out=max_cos)
+        max_cos[seed_idx] = np.inf  # never re-pick a seed
+        seed_idx.append(int(np.argmin(max_cos)))  # argmin ties → lowest id
+    cents = X[seed_idx].copy()
+
+    for _ in range(iters):
+        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True),
+                                1e-300)
+        sums = np.zeros_like(cents)
+        cnts = np.zeros(len(cents), dtype=np.int64)
+        for lo in range(0, n, BLOCK):
+            blk = slice(lo, min(lo + BLOCK, n))
+            # max-cosine centroid, ties → lowest centroid id (argmax)
+            a = np.argmax(Xn[blk] @ cn.T, axis=1)
+            np.add.at(sums, a, X[blk])
+            cnts += np.bincount(a, minlength=len(cents))
+        new = cents.copy()  # empty lists keep their previous centroid
+        nz = cnts > 0
+        new[nz] = sums[nz] / cnts[nz, None]
+        if np.allclose(new, cents, atol=1e-12):
             cents = new
-        return [list(map(float, c)) for c in cents]
-    finally:
-        sample.unpersist()
+            break
+        cents = new
+    return [list(map(float, c)) for c in cents]
 
 
 def assign_ivf(emb: DataFrame, centroids: list[list[float]],

@@ -668,7 +668,11 @@ class SearchEngine:
         from ..analysis.analyzer import tokenize_en
         from .scoring import idf as idf_fn
 
-        row = (documents.filter(F.col("doc_id") == doc_id)
+        from ..sources import filter_by_doc_ids
+
+        # bucket-pruned when ``documents`` is a write_row_store layout
+        # (1/256 partition read instead of a full scan at scale)
+        row = (filter_by_doc_ids(documents, [doc_id])
                .select("content").collect())
         if not row:
             return self._empty_result().drop("query_id")

@@ -8,6 +8,7 @@ pipeline; here any table-like source that yields the corpus shape
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 CORPUS_COLUMNS = {"repo", "path", "commit", "lang", "content"}
 DOCUMENT_COLUMNS = {"doc_id", "url", "domain", "title", "content", "tags"}
@@ -36,3 +37,36 @@ def read_corpus(spark: SparkSession, path: str, fmt: str | None = None,
             f"shape {sorted(CORPUS_COLUMNS)} or documents shape "
             f"{sorted(DOCUMENT_COLUMNS)}")
     return df
+
+
+# --- doc_id-pruned row store -------------------------------------------
+# The system-of-record documents table backs point lookups (get-by-id,
+# more-like-this seed reads, compaction). At 100 TB an unbucketed
+# `filter(doc_id == x)` is a full scan; partitioning by the first 2 hex
+# chars of the UUIDv5 doc_id (256 uniform buckets — sha1-derived ids are
+# uniform by construction) turns it into a 1/256 partition-pruned read.
+
+DOC_BUCKET_COL = "doc_bucket"
+
+
+def write_row_store(docs: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write the documents table partitioned for doc_id point lookups."""
+    (docs.withColumn(DOC_BUCKET_COL, F.substring("doc_id", 1, 2))
+         .write.mode(mode).partitionBy(DOC_BUCKET_COL).parquet(path))
+
+
+def read_row_store(spark: SparkSession, path: str) -> DataFrame:
+    """Read a row store written by ``write_row_store`` (the doc_bucket
+    partition column is discovered from the layout)."""
+    return spark.read.parquet(path)
+
+
+def filter_by_doc_ids(documents: DataFrame, doc_ids: list[str]) -> DataFrame:
+    """``doc_id IN (...)`` that adds the partition-pruning bucket
+    predicate when the frame carries the row-store bucket column; plain
+    frames filter unchanged."""
+    ids = [str(d) for d in doc_ids]
+    cond = F.col("doc_id").isin(ids)
+    if DOC_BUCKET_COL in documents.columns:
+        cond = F.col(DOC_BUCKET_COL).isin(sorted({d[:2] for d in ids})) & cond
+    return documents.filter(cond)

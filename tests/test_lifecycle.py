@@ -282,3 +282,33 @@ def test_merge_generations_applies_tombstones(spark, corpus_rows, tmp_path):
         assert got == want and len(got) > 0, q
     # the deleted docs are unreachable
     assert eng.get_documents(deleted_ids).count() == 0
+
+
+def test_row_store_doc_id_pruning(spark, built_index, tmp_path):
+    """write_row_store buckets by doc_id prefix; a point lookup must prune
+    to the matching partition (PartitionFilters in the scan) and
+    more_like_this over the bucketed store matches the plain frame."""
+    from spyglass_spark.query.executor import SearchEngine
+    from spyglass_spark.sources import (filter_by_doc_ids, read_row_store,
+                                        write_row_store)
+
+    docs_df = spark.createDataFrame(built_index["docs"])
+    p = str(tmp_path / "rowstore")
+    write_row_store(docs_df, p)
+    store = read_row_store(spark, p)
+    assert store.count() == len(built_index["docs"])
+
+    seed = built_index["docs"][0]["doc_id"]
+    plan = (filter_by_doc_ids(store, [seed])
+            ._jdf.queryExecution().executedPlan().toString())
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "doc_bucket" in pf  # pruning predicate reached the scan
+
+    eng = SearchEngine(spark, built_index["index_dir"])
+    mseed = next(d for d in built_index["docs"]
+                 if len((d["content"] or "").split()) > 30)["doc_id"]
+    plain = [(r["doc_id"], r["score"])
+             for r in eng.more_like_this(mseed, docs_df, k=5).collect()]
+    bucketed = [(r["doc_id"], r["score"])
+                for r in eng.more_like_this(mseed, store, k=5).collect()]
+    assert plain == bucketed and len(plain) > 0
