@@ -70,11 +70,19 @@ def main(argv=None) -> int:
     d.add_argument("--index", required=True)
     d.add_argument("--doc-id", action="append", required=True)
 
-    c = sub.add_parser("compact", help="merge generations, drop tombstones")
+    c = sub.add_parser("compact", help="full rewrite: collapse ALL "
+                                       "generations from the row store")
     c.add_argument("--index", required=True)
     c.add_argument("--corpus", required=True,
                    help="system-of-record table (corpus or documents shape)")
     c.add_argument("--partitions", type=int, default=None)
+
+    mg = sub.add_parser("merge", help="incremental merge of the two oldest "
+                                      "generations (no row store needed)")
+    mg.add_argument("--index", required=True)
+    mg.add_argument("--gen", type=int, action="append", default=None,
+                    help="generation ids to merge (repeatable; default: "
+                         "the two oldest)")
 
     args = p.parse_args(argv)
 
@@ -106,6 +114,11 @@ def main(argv=None) -> int:
                 df = to_documents(df)
             m = compact_index(spark, df, args.index,
                               num_partitions=args.partitions)
+            print(m.to_json())
+        elif args.cmd == "merge":
+            from spyglass_spark.index.builder import merge_generations
+
+            m = merge_generations(spark, args.index, gen_ids=args.gen)
             print(m.to_json())
         elif args.cmd == "build":
             from spyglass_spark.corpus import to_documents
