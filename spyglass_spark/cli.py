@@ -29,7 +29,9 @@ if __package__ in (None, ""):  # run as a bare script (spark-submit cli.py)
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(argv=None) -> int:
+def main(argv=None, spark=None) -> int:
+    """CLI entry. ``spark`` may be injected (tests); an injected session
+    is not stopped on exit."""
     p = argparse.ArgumentParser(prog="spyglass-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -99,10 +101,12 @@ def main(argv=None) -> int:
         print(json.dumps({"tombstones": len(m.tombstones)}))
         return 0
 
-    from spyglass_spark.session import get_spark
+    owns_session = spark is None
+    if owns_session:
+        from spyglass_spark.session import get_spark
 
-    spark = get_spark(f"spyglass-{args.cmd}")
-    spark.sparkContext.setLogLevel("WARN")
+        spark = get_spark(f"spyglass-{args.cmd}")
+        spark.sparkContext.setLogLevel("WARN")
     try:
         if args.cmd == "compact":
             from spyglass_spark.corpus import to_documents
@@ -160,7 +164,8 @@ def main(argv=None) -> int:
                 print(json.dumps({"rank": r["rank"], "doc_id": r["doc_id"],
                                   "url": r["url"], "score": float(r["score"])}))
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
     return 0
 
 

@@ -1,0 +1,63 @@
+"""spark-submit CLI surface: build → search → upsert → merge → stats →
+delete run end-to-end in-process (the session is injected so the CLI
+doesn't stop the shared pytest session; the spark-submit wiring itself is
+driven by the verify skill)."""
+
+import json
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+
+def _run(capsys, spark, argv):
+    from spyglass_spark.cli import main
+
+    assert main(argv, spark=spark) == 0
+    return capsys.readouterr().out
+
+
+def test_cli_lifecycle(spark, corpus_rows, tmp_path, capsys):
+    corpus = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(corpus_rows[:60]).write.parquet(corpus)
+    idx = str(tmp_path / "cliidx")
+
+    out = _run(capsys, spark, ["build", "--corpus", corpus, "--index", idx,
+                               "--partitions", "8", "--waves", "1"])
+    m = json.loads(out)
+    assert m["committed"] and m["num_docs"] == 60
+
+    out = _run(capsys, spark, ["search", "--index", idx,
+                               "--query", "fn index", "--k", "3"])
+    hits = [json.loads(x) for x in out.strip().splitlines()]
+    assert 1 <= len(hits) <= 3
+    assert hits[0]["rank"] == 1 and hits[0]["score"] > 0
+
+    # upsert a changed doc, then merge the two generations back into one
+    upd = str(tmp_path / "upd.parquet")
+    row = dict(corpus_rows[0])
+    row["content"] = (row["content"] or "") + " climarker"
+    spark.createDataFrame([row]).write.parquet(upd)
+    out = _run(capsys, spark, ["upsert", "--corpus", upd, "--index", idx,
+                               "--partitions", "4"])
+    m = json.loads(out)
+    assert len(m["generations"]) == 2
+
+    out = _run(capsys, spark, ["merge", "--index", idx])
+    m = json.loads(out)
+    assert len(m["generations"]) == 1 and m["num_docs"] == 60
+
+    out = _run(capsys, spark, ["search", "--index", idx,
+                               "--query", "climarker", "--k", "3"])
+    hits = [json.loads(x) for x in out.strip().splitlines()]
+    assert len(hits) == 1
+
+    out = _run(capsys, spark, ["stats", "--index", idx])
+    assert json.loads(out)["num_docs"] == 60
+
+    out = _run(capsys, spark, ["delete", "--index", idx,
+                               "--doc-id", hits[0]["doc_id"]])
+    assert json.loads(out)["tombstones"] == 1
+    out = _run(capsys, spark, ["search", "--index", idx,
+                               "--query", "climarker", "--k", "3"])
+    assert out.strip() == ""
