@@ -20,16 +20,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..index.builder import build_index, upsert_documents
+from ..index.builder import build_index, merge_generations, upsert_documents
 from ..index.manifest import load_manifest
 
 
 def index_microbatch(spark: SparkSession, batch_df: DataFrame, index_dir: str,
-                     num_partitions: int = 8, epoch_id: int | None = None) -> None:
+                     num_partitions: int = 8, epoch_id: int | None = None,
+                     max_generations: int | None = None) -> None:
     """Index one micro-batch: first batch bootstraps the index, later
     batches append delta generations via upsert (delete+re-add by url).
     When ``epoch_id`` is given, an epoch the manifest already records is a
-    no-op (checkpoint-replay protection)."""
+    no-op (checkpoint-replay protection).
+
+    ``max_generations`` is the merge policy (tantivy's background segment
+    merge, client/local.rs:191-203): after an upsert pushes the generation
+    count above the threshold, the two oldest generations fold into one
+    via ``merge_generations`` (tombstone-covered docs dropped physically,
+    side tables pruned). Inline here for determinism; a production
+    deployment can equally run it out-of-band — it takes no lock beyond
+    the atomic manifest commit."""
     if batch_df.isEmpty():
         return
     m = load_manifest(index_dir)
@@ -39,24 +48,29 @@ def index_microbatch(spark: SparkSession, batch_df: DataFrame, index_dir: str,
         build_index(spark, batch_df, index_dir,
                     num_partitions=num_partitions, waves=1,
                     applied_epoch=epoch_id)
-    else:
-        upsert_documents(spark, batch_df, index_dir,
+        return
+    m = upsert_documents(spark, batch_df, index_dir,
                          num_partitions=num_partitions,
                          applied_epoch=epoch_id)
+    while max_generations and len(m.gen_list()) > max_generations:
+        m = merge_generations(spark, index_dir)
 
 
 def start_incremental_indexer(stream_df: DataFrame, index_dir: str,
                               checkpoint_dir: str,
-                              num_partitions: int = 8):
+                              num_partitions: int = 8,
+                              max_generations: int | None = None):
     """Attach the incremental indexer to a streaming DataFrame of document
     rows (doc_id, url, domain, title, content, tags[, ...]). Returns the
     StreamingQuery; use ``query.processAllAvailable()`` (tests) or let the
-    trigger run continuously."""
+    trigger run continuously. ``max_generations`` bounds generation count
+    via pairwise merges (see index_microbatch)."""
     spark = stream_df.sparkSession
 
     def _batch(df: DataFrame, epoch_id: int) -> None:
         index_microbatch(spark, df, index_dir, num_partitions,
-                         epoch_id=int(epoch_id))
+                         epoch_id=int(epoch_id),
+                         max_generations=max_generations)
 
     return (stream_df.writeStream
             .foreachBatch(_batch)

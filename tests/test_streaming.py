@@ -177,3 +177,36 @@ def test_windowed_event_counts_with_watermark(spark, tmp_path):
             assert batch_map[k] == v
     finally:
         q.stop()
+
+
+def test_stream_merge_policy_bounds_generations(spark, tmp_path):
+    """max_generations folds old generations during streaming ingest
+    (tantivy background-merge analog): after many micro-batches the index
+    holds <= max_generations generations, all re-sent docs resolve to
+    their newest content, and replaced copies are physically gone."""
+    from spyglass_spark.index.manifest import load_manifest
+    from spyglass_spark.query.executor import SearchEngine
+    from spyglass_spark.streaming.incremental import index_microbatch
+
+    index_dir = str(tmp_path / "midx")
+    # 6 micro-batches: each adds 10 new docs and replaces one older doc
+    for b in range(6):
+        rows = [_doc(b * 10 + i, f"gen content number {b * 10 + i} word")
+                for i in range(10)]
+        if b > 0:
+            rows.append(_doc(0, f"replacedmarker revision {b}"))
+        df = spark.createDataFrame(rows, SCHEMA)
+        index_microbatch(spark, df, index_dir, num_partitions=4,
+                         epoch_id=b, max_generations=2)
+
+    m = load_manifest(index_dir)
+    assert len(m.gen_list()) <= 2
+    # 60 distinct urls live; 5 replaced copies were merged away: num_docs
+    # counts live docs plus any still-unmerged tombstoned copies (< 65)
+    assert 60 <= m.num_docs <= 61  # at most the newest delta's tombstone
+
+    eng = SearchEngine(spark, index_dir)
+    hits = eng.search("replacedmarker", k=10).collect()
+    assert len(hits) == 1  # only the newest revision of doc 0 matches
+    got = eng.search("gen word", k=100).collect()
+    assert all(r["score"] > 0 for r in got)
