@@ -332,6 +332,15 @@ def q_multimodal_embed(spark, sf_dir):
     return S.cosine_topk(emb, list(qv), k=10, exclude_ids=(0,))
 
 
+def q_multimodal_audio(spark, sf_dir):
+    """Audio pipeline: synth PCM-16 WAV (sample i = (byte_i - 128)·256) →
+    real RIFF decode → duration/RMS/zero-crossing features, exact-checked
+    by ord() arithmetic in the oracle."""
+    assets = MM.attach_audio_payload(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 100), "text", "doc_id")
+    return MM.audio_features(assets)
+
+
 def q_query_tag_boost_rewrite(spark, sf_dir):
     """Query-token ∩ tag-value equijoin (tag.rs:372-383): tokens of the
     query that name a tag value → boostable tag ids."""
@@ -579,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_embed": q_multimodal_embed,
+        "multimodal_audio": q_multimodal_audio,
         "query_tag_boost_rewrite": q_query_tag_boost_rewrite,
         "unsynced_docs_predicate": q_unsynced_docs_predicate,
         "search_with_lenses": q_search_with_lenses,
@@ -893,6 +903,27 @@ px AS (SELECT g.doc_id, y, x,
 SELECT doc_id AS asset_id, CAST(4 AS INT) AS height, CAST(4 AS INT) AS width,
        string_agg(lpad(lower(to_hex(p)), 2, '0'), '' ORDER BY y, x) AS pixels_hex
 FROM px GROUP BY doc_id
+""",
+        # PCM-16 samples are (byte-128)*256; sign(sample) == (byte < 128)
+        "multimodal_audio": """
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+           WHERE doc_id < 100),
+s AS (SELECT d.doc_id, i,
+             (ord(substr(d.text, CAST(i AS INT), 1)) - 128) * 256 AS v
+      FROM d CROSS JOIN range(1, 2014) r(i) WHERE i <= d.n),
+lagged AS (SELECT doc_id, v,
+                  lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+           FROM s),
+agg AS (SELECT doc_id, count(*) AS n,
+               sqrt(avg(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS rms,
+               sum(CASE WHEN pv IS NOT NULL AND (v < 0) <> (pv < 0)
+                        THEN 1 ELSE 0 END) AS zc
+        FROM lagged GROUP BY doc_id)
+SELECT doc_id AS asset_id, CAST(n AS BIGINT) AS n_samples,
+       CAST(8000 AS INT) AS sample_rate,
+       1000.0 * n / 8000 AS duration_ms, rms,
+       CAST(zc AS BIGINT) AS zero_crossings
+FROM agg
 """,
         # pixel histogram (mod 16) → unit-norm vector → cosine vs doc 0
         "multimodal_embed": """

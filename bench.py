@@ -297,6 +297,9 @@ def main() -> None:
             "marginal_docs_per_sec_8c": round(leg8["marginal_docs_per_sec"], 1),
             "marginal_docs_per_sec_32c": round(leg32["marginal_docs_per_sec"], 1),
             "scaling_efficiency_marginal_8_to_32": round(marginal_eff, 3),
+            # window-noise gauge: quiet ≈ 3.8-4.3 M with the r3 vectorized
+            # kernel; readings far below mean neighbor bandwidth pressure
+            "kernel_tokens_per_sec_1p": round(_kernel_throughput(1), 1),
             "kernel_tokens_per_sec_8p": round(kbest[8], 1),
             "kernel_tokens_per_sec_32p": round(kbest[32], 1),
             "kernel_scaling_efficiency_8_to_32": round(kernel_eff, 3),

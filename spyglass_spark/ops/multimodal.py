@@ -257,6 +257,57 @@ def resize_images(assets: DataFrame, height: int = 4, width: int = 4) -> DataFra
     return assets.select("asset_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
 
 
+def attach_audio_payload(df: DataFrame, text_col: str, id_col: str,
+                         rate: int = 8000) -> DataFrame:
+    """Synthesize a REAL PCM-16 WAV payload per row: sample i =
+    (text_byte[i] - 128) * 256 (int16, one sample per char). Decodable by
+    `decode_wav` and feature-reproducible in SQL via ord() arithmetic."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, text in zip(pdf["asset_id"], pdf["text"]):
+                b = np.frombuffer((text or " ").encode("ascii", "replace"),
+                                  dtype=np.uint8)
+                samples = ((b.astype(np.int16) - 128) * 256).astype(np.int16)
+                out.append((int(aid), encode_wav(samples, rate=rate)))
+            yield pd.DataFrame(out, columns=["asset_id", "payload"])
+
+    src = df.select(F.col(id_col).cast("long").alias("asset_id"),
+                    F.col(text_col).alias("text"))
+    return src.mapInPandas(run, "asset_id long, payload binary")
+
+
+AUDIO_SCHEMA = ("asset_id long, n_samples long, sample_rate int, "
+                "duration_ms double, rms double, zero_crossings long")
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    """Decode WAV payloads (real RIFF parse) and extract the classic
+    quick-triage features: length, duration, RMS level, zero-crossing
+    count — the audio analog of the image kernels, same mapInPandas
+    shape. All features are exact integer/double arithmetic over the
+    samples, so an SQL oracle can verify them bit-for-bit."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                s, rate = decode_wav(bytes(payload))
+                sd = s.astype(np.float64)
+                neg = s < 0
+                zc = int(np.count_nonzero(neg[1:] != neg[:-1]))
+                out.append((int(aid), int(s.size), int(rate),
+                            1000.0 * s.size / rate,
+                            float(np.sqrt(np.mean(sd * sd))) if s.size else 0.0,
+                            zc))
+            yield pd.DataFrame(out, columns=["asset_id", "n_samples",
+                                             "sample_rate", "duration_ms",
+                                             "rms", "zero_crossings"])
+
+    return assets.select("asset_id", "payload").mapInPandas(run, AUDIO_SCHEMA)
+
+
 def extract_embeddings(assets: DataFrame, dim: int = 16) -> DataFrame:
     """Feature-extract: decoded pixel histogram (mod dim) → unit-norm
     float64 embedding, consumable by ops.similarity ANN and

@@ -322,6 +322,31 @@ def test_image_codec_roundtrip():
         decode_image(b"\x89PNG....")
 
 
+def test_audio_features_pipeline(spark, docs_df):
+    import numpy as np
+
+    from spyglass_spark.ops.multimodal import (attach_audio_payload,
+                                               audio_features, decode_wav)
+
+    assets = attach_audio_payload(docs_df, "text", "doc_id", rate=8000)
+    rows = {r["asset_id"]: r for r in audio_features(assets).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs_df.collect()}
+    assert set(rows) == set(texts)
+    for aid, r in rows.items():
+        b = np.frombuffer(texts[aid].encode(), dtype=np.uint8)
+        s = ((b.astype(np.int16) - 128) * 256).astype(np.int16)
+        assert r["n_samples"] == s.size and r["sample_rate"] == 8000
+        assert r["duration_ms"] == 1000.0 * s.size / 8000
+        sd = s.astype(np.float64)
+        assert abs(r["rms"] - float(np.sqrt(np.mean(sd * sd)))) < 1e-9
+        neg = s < 0
+        assert r["zero_crossings"] == int(np.count_nonzero(neg[1:] != neg[:-1]))
+    # payloads decode with the real RIFF parser
+    payload = assets.filter("asset_id = 0").collect()[0]["payload"]
+    out, rate = decode_wav(bytes(payload))
+    assert rate == 8000 and out.size == len(texts[0])
+
+
 def test_wav_codec_roundtrip():
     import numpy as np
 
