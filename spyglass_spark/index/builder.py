@@ -811,7 +811,8 @@ def _merge_part_factory(dead_kind_docmeta: int):
 
 
 def merge_generations(spark: SparkSession, index_dir: str,
-                      gen_ids: list[int] | None = None) -> Manifest:
+                      gen_ids: list[int] | None = None,
+                      fail_before_commit: bool = False) -> Manifest:
     """Incremental compaction: merge two (or more) generations into one,
     physically dropping their tombstone-covered docs and pruning the
     applied tombstone side tables — the pairwise analog of tantivy's
@@ -933,6 +934,10 @@ def merge_generations(spark: SparkSession, index_dir: str,
              .write.mode("overwrite").parquet(f"{index_dir}/{rel}"))
             new_tomb_dirs = [rel]
     old_tomb_dirs = list(m.tombstone_dirs)
+
+    if fail_before_commit:  # crash-safety test hook: everything is
+        # written but the manifest still references the old generations
+        raise RuntimeError("injected failure before merge commit")
 
     merged_entry = {"gen": gen_id, "prefix": prefix, "part_offset": span_lo,
                     "num_partitions": span_hi - span_lo, "num_docs": new_docs}

@@ -312,3 +312,45 @@ def test_row_store_doc_id_pruning(spark, built_index, tmp_path):
     bucketed = [(r["doc_id"], r["score"])
                 for r in eng.more_like_this(mseed, store, k=5).collect()]
     assert plain == bucketed and len(plain) > 0
+
+
+def test_merge_crash_before_commit_is_harmless(spark, corpus_rows, tmp_path):
+    """A merge that dies after writing its new store but BEFORE the
+    atomic manifest commit leaves the index exactly as it was (old
+    generations still referenced, identical search results); retrying
+    the merge then succeeds over the leftover directories."""
+    import hashlib
+
+    from spyglass_spark.index.builder import (build_index, merge_generations,
+                                              upsert_documents)
+    from spyglass_spark.index.manifest import load_manifest
+    from spyglass_spark.query.executor import SearchEngine
+    from spyglass_spark.testing import corpus_to_documents
+
+    docs, _ = corpus_to_documents(corpus_rows[:60])
+    idx = str(tmp_path / "mrgcrash")
+    build_index(spark, spark.createDataFrame(docs), idx,
+                num_partitions=4, waves=1)
+    upd = dict(docs[0])
+    upd["content"] = (docs[0]["content"] or "") + " crashmarker"
+    upd["content_sha256"] = hashlib.sha256(upd["content"].encode()).hexdigest()
+    upsert_documents(spark, spark.createDataFrame([upd]), idx,
+                     num_partitions=2)
+
+    key = lambda rows: [(r["doc_id"], r["score"], r["doc_ord"]) for r in rows]
+    pre = key(SearchEngine(spark, idx).search("crashmarker fn", k=10).collect())
+
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="injected failure"):
+        merge_generations(spark, idx, fail_before_commit=True)
+
+    m = load_manifest(idx)
+    assert len(m.gen_list()) == 2  # old manifest still in force
+    assert m.tombstone_dirs  # side table untouched
+    mid = key(SearchEngine(spark, idx).search("crashmarker fn", k=10).collect())
+    assert mid == pre
+
+    m = merge_generations(spark, idx)  # retry over leftover dirs
+    assert len(m.gen_list()) == 1 and not m.tombstone_dirs
+    post = key(SearchEngine(spark, idx).search("crashmarker fn", k=10).collect())
+    assert [p[0] for p in post] == [p[0] for p in pre]  # same docs ranked
