@@ -702,9 +702,36 @@ class SearchEngine:
 
     def get_documents(self, doc_ids: list[str]) -> DataFrame:
         """Doc-store get-by-id (client/local.rs:71-95 analog): fetch the
-        stored fields for exact doc ids. Tombstoned ids are excluded."""
-        dm = self._doc_meta_base.filter(F.col("doc_id").isin(list(doc_ids)))
-        dm = self._anti_tombstone(dm)
+        stored fields for exact doc ids. Tombstoned ids are excluded.
+
+        Scale path: the untokenized ``id`` field is indexed, so the
+        lookup is a term fetch on the TERM-SORTED postings store (row
+        groups prune on the term min/max stats) resolving to exact
+        (part_id, local_ord) addresses; doc_meta is then read with both
+        pushed down. A plain ``doc_id IN (...)`` over doc_meta cannot
+        prune — doc_meta is url-sorted, so UUID stats span every row
+        group."""
+        ids = sorted({str(d) for d in doc_ids})
+        if not ids:
+            return self._doc_meta_base.filter(F.lit(False)).select(
+                "doc_id", "url", "domain", "title", "description",
+                "tags", "doc_ord")
+        post = (self._postings_base
+                .filter((F.col("field") == "id") & F.col("term").isin(ids))
+                .select("part_id", "doc_bytes").collect())
+        conds = []
+        for r in post:
+            ords, _ = decode_postings(r["doc_bytes"], b"")
+            for o in ords:
+                conds.append((F.col("part_id") == int(r["part_id"]))
+                             & (F.col("local_ord") == int(o)))
+        if not conds:
+            return self._doc_meta_base.filter(F.lit(False)).select(
+                "doc_id", "url", "domain", "title", "description",
+                "tags", "doc_ord")
+        dm = self._doc_meta_base.filter(reduce(lambda a, b: a | b, conds))
+        # doc_id recheck is belt-and-braces (ordinal addresses are exact)
+        dm = self._anti_tombstone(dm.filter(F.col("doc_id").isin(ids)))
         return dm.select("doc_id", "url", "domain", "title", "description",
                          "tags", "doc_ord")
 
