@@ -341,6 +341,37 @@ def q_multimodal_audio(spark, sf_dir):
     return MM.audio_features(assets)
 
 
+def q_curation_lm_score(spark, sf_dir):
+    """Perplexity-filter analog: per-doc mean conditional log-prob under
+    the corpus's own char-bigram model (C4/RefinedWeb quality step)."""
+    from spyglass_spark.ops.curation import lm_quality_score
+
+    return lm_quality_score(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def q_curation_decontam(spark, sf_dir):
+    """Benchmark decontamination: the shifted dup copies play the role of
+    a leaked eval set; originals sharing 3-gram shingles are flagged."""
+    from spyglass_spark.ops.curation import decontaminate
+
+    dup = _dup_docs(spark, sf_dir)
+    docs = dup.filter(F.col("doc_id") < 100000)
+    bench = dup.filter(F.col("doc_id") >= 100000)
+    return decontaminate(docs, bench, "text", "doc_id", n=3, min_overlap=1)
+
+
+def q_curation_sample(spark, sf_dir):
+    """Deterministic stratified sampling (data mixing): per-source keep
+    rates, reproducible across runs and engines — no RNG."""
+    from spyglass_spark.ops.curation import stratified_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    out = stratified_sample(d, "source", "doc_id",
+                            rates={"src1": 0.8, "src2": 0.5, "src3": 0.25},
+                            default_rate=0.1)
+    return out.select("doc_id", "source")
+
+
 def q_query_tag_boost_rewrite(spark, sf_dir):
     """Query-token ∩ tag-value equijoin (tag.rs:372-383): tokens of the
     query that name a tag value → boostable tag ids."""
@@ -589,6 +620,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_embed": q_multimodal_embed,
         "multimodal_audio": q_multimodal_audio,
+        "curation_lm_score": q_curation_lm_score,
+        "curation_decontam": q_curation_decontam,
+        "curation_sample": q_curation_sample,
         "query_tag_boost_rewrite": q_query_tag_boost_rewrite,
         "unsynced_docs_predicate": q_unsynced_docs_predicate,
         "search_with_lenses": q_search_with_lenses,
@@ -903,6 +937,45 @@ px AS (SELECT g.doc_id, y, x,
 SELECT doc_id AS asset_id, CAST(4 AS INT) AS height, CAST(4 AS INT) AS width,
        string_agg(lpad(lower(to_hex(p)), 2, '0'), '' ORDER BY y, x) AS pixels_hex
 FROM px GROUP BY doc_id
+""",
+        "curation_lm_score": """
+WITH bg AS (SELECT substr(text, CAST(i AS INT), 2) AS bigram
+            FROM documents CROSS JOIN range(1, 2014) r(i)
+            WHERE i <= length(text) - 1),
+counts AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram),
+tot AS (SELECT sum(cnt) AS total FROM counts),
+docbg AS (SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bigram
+          FROM documents CROSS JOIN range(1, 2014) r(i)
+          WHERE i <= length(text) - 1),
+scored AS (SELECT doc_id, count(*) AS n_bigrams,
+                  round(avg(ln(CAST(cnt AS DOUBLE) / total)), 4)
+                    AS lm_logprob
+           FROM docbg JOIN counts USING (bigram) CROSS JOIN tot
+           GROUP BY doc_id)
+SELECT d.doc_id AS id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+       coalesce(s.lm_logprob, 0.0) AS lm_logprob
+FROM documents d LEFT JOIN scored s USING (doc_id)
+""",
+        "curation_decontam": f"""
+WITH {DUCK_DUP},
+dtok AS (SELECT doc_id AS id, list_filter(regexp_split_to_array(lower(text),
+           '[^a-z0-9]+'), x -> x <> '') AS t FROM dup WHERE doc_id < 100000),
+btok AS (SELECT doc_id AS id, list_filter(regexp_split_to_array(lower(text),
+           '[^a-z0-9]+'), x -> x <> '') AS t FROM dup WHERE doc_id >= 100000),
+dsh AS (SELECT DISTINCT id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS shingle
+        FROM dtok, range(1, 2000) r(i) WHERE i + 2 <= len(t)),
+bsh AS (SELECT DISTINCT concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS shingle
+        FROM btok, range(1, 2000) r(i) WHERE i + 2 <= len(t))
+SELECT id, count(*) AS n_overlap
+FROM dsh JOIN bsh USING (shingle)
+GROUP BY id HAVING count(*) >= 1
+""",
+        "curation_sample": """
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 1000000
+    < CASE source WHEN 'src1' THEN 800000 WHEN 'src2' THEN 500000
+                  WHEN 'src3' THEN 250000 ELSE 100000 END
 """,
         # PCM-16 samples are (byte-128)*256; sign(sample) == (byte < 128)
         "multimodal_audio": """

@@ -1,0 +1,99 @@
+"""Corpus-curation operators for LLM training-data pipelines: LM quality
+scoring (the perplexity-filter step), benchmark decontamination, and
+deterministic stratified sampling/mixing.
+
+All pure DataFrame plans (JVM expressions, no Python UDFs) built on
+md5/sha256/string builtins that exist identically in Spark SQL and DuckDB,
+so each has an exact cross-engine oracle.
+
+100-TB posture:
+- LM scoring: the bigram model is O(charset²) rows → broadcast join; the
+  doc pass is a narrow explode + one agg.
+- Decontamination: the benchmark (eval-set) shingle side is tiny next to
+  the corpus → broadcast equi-join; cost ∝ corpus shingles.
+- Sampling: a pure hash predicate in the scan stage — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import shingles
+
+
+def _bigrams(text_col: str):
+    """Character bigrams of the raw text as an array column. The inner
+    greatest(…, 1) guards Spark's sequence(1, 0), which would generate a
+    DESCENDING [1, 0]; the length filter then drops the <2-char tails of
+    empty/1-char docs."""
+    return F.expr(
+        f"filter(transform(sequence(1, greatest(length({text_col}) - 1, 1)), "
+        f"i -> substring({text_col}, i, 2)), b -> length(b) = 2)")
+
+
+def char_bigram_model(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus character-bigram model: (bigram, cnt, total) — total is the
+    corpus-wide bigram count, so cnt/total is the joint probability."""
+    bg = (df.select(F.explode(_bigrams(text_col)).alias("bigram"))
+          .groupBy("bigram").agg(F.count("*").alias("cnt")))
+    return bg.crossJoin(F.broadcast(bg.agg(F.sum("cnt").alias("total"))))
+
+
+def lm_quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc mean JOINT log-probability of its character bigrams under
+    the corpus's own bigram model — the cheap stand-in for the perplexity
+    filter of C4/RefinedWeb-style pipelines: documents made of bigrams
+    the corpus rarely produces (mojibake, binary spill, exotic
+    boilerplate) score far below the corpus mean. (Joint, not
+    conditional: P(c2|c1) would score a unique-prefix garbage char as
+    perfectly predictable.) Returns (id, n_bigrams, lm_logprob) with
+    lm_logprob = round(avg ln(cnt/total), 4); docs shorter than 2 chars
+    score 0.0 over 0 bigrams.
+
+    The model side is O(charset²) rows → broadcast; scoring is one
+    explode + one broadcast join + one agg.
+    """
+    model = char_bigram_model(df, text_col)
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(_bigrams(text_col)).alias("bigram"))
+    scored = (toks.join(F.broadcast(model), "bigram")
+              .groupBy("id")
+              .agg(F.count("*").alias("n_bigrams"),
+                   F.round(F.avg(F.log(F.col("cnt").cast("double")
+                                       / F.col("total"))), 4)
+                   .alias("lm_logprob")))
+    base = df.select(F.col(id_col).alias("id"))
+    return (base.join(scored, "id", "left")
+            .select("id",
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.coalesce("lm_logprob", F.lit(0.0)).alias("lm_logprob")))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, text_col: str,
+                  id_col: str, n: int = 3, min_overlap: int = 1) -> DataFrame:
+    """Benchmark decontamination (GPT-3/The-Pile style): flag corpus docs
+    sharing >= ``min_overlap`` distinct word n-gram shingles with ANY
+    benchmark (eval-set) document. Returns (id, n_overlap) for flagged
+    docs. The benchmark shingle set is tiny → broadcast equi-join."""
+    doc_sh = shingles(docs, text_col, id_col, n=n)
+    bench_sh = (shingles(benchmark, text_col, id_col, n=n)
+                .select("shingle").distinct())
+    return (doc_sh.join(F.broadcast(bench_sh), "shingle")
+            .groupBy("id").agg(F.count("*").alias("n_overlap"))
+            .filter(F.col("n_overlap") >= min_overlap))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, key_col: str,
+                      rates: dict, default_rate: float = 0.0) -> DataFrame:
+    """Deterministic per-stratum sampling — the data-mixing step: keep a
+    row iff sha256(key) lands under its stratum's rate. Pure predicate in
+    the scan stage (no shuffle, no RNG, reproducible across runs and
+    engines). ``rates`` maps stratum value → keep fraction in [0, 1]."""
+    h = (F.conv(F.substring(F.sha2(F.col(key_col).cast("string"), 256),
+                            1, 15), 16, 10)
+         .cast("long") % F.lit(1_000_000))
+    rate = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(float(r))) \
+            .otherwise(rate)
+    return df.filter(h < (rate * 1_000_000).cast("long"))

@@ -412,3 +412,58 @@ def test_dedup_ops_are_udf_free(spark, docs_df):
                quality_stats(docs_df, "text", "doc_id")):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan, plan[:500]
+
+
+def test_curation_lm_score_flags_garbage(spark):
+    """The corpus-bigram LM must score natural-looking repeated English
+    far above a high-entropy garbage doc (the perplexity-filter use)."""
+    from spyglass_spark.ops.curation import lm_quality_score
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog again") for i in range(8)]
+    rows.append((8, "xq7#zk9@vw2$pl5^mj3&qz8*xc1%"))
+    rows.append((9, ""))  # empty doc → 0 bigrams, score 0.0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in lm_quality_score(df, "text", "doc_id").collect()}
+    assert out[9]["n_bigrams"] == 0 and out[9]["lm_logprob"] == 0.0
+    assert out[8]["lm_logprob"] < out[0]["lm_logprob"] - 1.0
+    # determinism
+    again = {r["id"]: r["lm_logprob"]
+             for r in lm_quality_score(df, "text", "doc_id").collect()}
+    assert again == {k: v["lm_logprob"] for k, v in out.items()}
+
+
+def test_curation_decontaminate_finds_planted(spark):
+    from spyglass_spark.ops.curation import decontaminate
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"),
+         (1, "one two three four five six seven"),
+         (2, "totally unrelated content words here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "xx alpha beta gamma yy"), (101, "nothing shared at all")],
+        "doc_id long, text string")
+    got = {r["id"]: r["n_overlap"]
+           for r in decontaminate(docs, bench, "text", "doc_id").collect()}
+    assert got == {0: 1}  # only 'alpha beta gamma' overlaps
+
+
+def test_curation_stratified_sample_deterministic(spark):
+    from spyglass_spark.ops.curation import stratified_sample
+
+    rows = [(i, "src1" if i % 2 == 0 else "src2") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out1 = stratified_sample(df, "source", "doc_id",
+                             rates={"src1": 0.5, "src2": 0.1})
+    ids1 = sorted(r["doc_id"] for r in out1.collect())
+    ids2 = sorted(r["doc_id"] for r in stratified_sample(
+        df, "source", "doc_id", rates={"src1": 0.5, "src2": 0.1}).collect())
+    assert ids1 == ids2  # deterministic, no RNG
+    kept = {"src1": 0, "src2": 0}
+    for r in out1.collect():
+        kept[r["source"]] += 1
+    assert 400 <= kept["src1"] <= 600   # ≈50% of 1000
+    assert 50 <= kept["src2"] <= 160    # ≈10% of 1000
+    # the plan is a pure scan-stage predicate: no shuffle, no UDF
+    plan = out1._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
