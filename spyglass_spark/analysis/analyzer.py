@@ -275,7 +275,11 @@ def _chunk_rows(chunk: list[str], first_doc: int, kind: str, gdict: dict):
         map_code = np.fromiter(
             ((gdict.setdefault(m, len(gdict)) if m is not None else -1)
              for m in mapped), np.int64, count=len(mapped))
-        term_of = np.where(inverse >= 0, map_code[inverse], -1)
+        if map_code.size:
+            term_of = np.where(inverse >= 0,
+                               map_code[np.maximum(inverse, 0)], -1)
+        else:  # every run was >= MAX_TOKEN_BYTES → all dropped
+            term_of = np.full(inverse.size, -1, dtype=np.int64)
         keep = term_of >= 0
         arrs.append((term_of[keep], doc_of[keep], pos_of[keep]))
     for i in other:  # non-ASCII docs: C regex per doc (rare)

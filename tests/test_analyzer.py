@@ -121,3 +121,60 @@ def test_tokenize_arrays_matches_scalar_path():
         assert ords.tolist() == s_ords, kind
         assert tfs.tolist() == s_tfs, kind
         assert pos.tolist() == s_pos, kind
+
+
+def test_tokenize_arrays_property_fuzz():
+    """Property: the vectorized batch tokenizer equals the scalar path on
+    arbitrary inputs — exercises the u64-pack tier boundary (8/9 bytes),
+    the RemoveLong boundary (39/40), the S40 tier, the non-ASCII regex
+    fallback, and multi-chunk splits."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spyglass_spark.analysis.analyzer import (tokenize_arrays,
+                                                  tokenize_default,
+                                                  tokenize_en)
+
+    token = st.one_of(
+        st.text(alphabet="abcXYZ019", min_size=1, max_size=12),
+        st.text(alphabet="a", min_size=7, max_size=10),    # 8-byte boundary
+        st.text(alphabet="k", min_size=38, max_size=42),   # 40-byte boundary
+        st.sampled_from(["the", "and", "I", "was", "über", "naïve", "日本",
+                         "mixé", "ß"]),
+    )
+    doc = st.lists(token, min_size=0, max_size=25).map(" ".join)
+    docs = st.lists(st.one_of(doc, st.none()), min_size=0, max_size=8)
+
+    @settings(max_examples=120, deadline=None)
+    @given(docs=docs, kind=st.sampled_from(["en", "default"]),
+           chunk=st.sampled_from([25, 10_000]))
+    def check(docs, kind, chunk):
+        fn = tokenize_en if kind == "en" else tokenize_default
+        vocab, ts, ords, tfs, pos, counts = tokenize_arrays(
+            list(docs), kind, chunk_chars=chunk)
+        by_term: dict = {}
+        scounts = []
+        for ord_, t in enumerate(docs):
+            toks = fn(t or "")
+            scounts.append(len(toks))
+            d: dict = {}
+            for p, term in toks:
+                d.setdefault(term, []).append(p)
+            for term, ps in d.items():
+                by_term.setdefault(term, []).append((ord_, len(ps), ps))
+        assert vocab == sorted(by_term)
+        assert counts.tolist() == scounts
+        s_ords, s_tfs, s_pos, s_starts = [], [], [], [0]
+        for term in sorted(by_term):
+            posts = by_term[term]
+            s_starts.append(s_starts[-1] + len(posts))
+            for o, tf, ps in posts:
+                s_ords.append(o)
+                s_tfs.append(tf)
+                s_pos.extend(ps)
+        assert ts.tolist() == s_starts
+        assert ords.tolist() == s_ords
+        assert tfs.tolist() == s_tfs
+        assert pos.tolist() == s_pos
+
+    check()
