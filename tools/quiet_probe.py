@@ -110,7 +110,7 @@ def main() -> None:
     ap.add_argument("--loop", action="store_true")
     ap.add_argument("--min-kernel-eff", type=float, default=0.7)
     ap.add_argument("--quiet-load", type=float, default=4.0)
-    ap.add_argument("--min-mini-rate", type=float, default=2.0e6,
+    ap.add_argument("--min-mini-rate", type=float, default=1.5e6,
                     help="single-proc tokenize tok/s floor (quiet ≈ 3.8-4.3 M "
                          "with the vectorized kernel; pre-r3 scalar kernel "
                          "was 1.3-1.6 M)")
