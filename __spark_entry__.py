@@ -7,9 +7,12 @@ queries()      — one entry per implemented operator (SURVEY.md §2 + the
 oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible query
                  (same column names/types; floats rounded identically).
                  Search-engine queries that need the stemmed analyzer +
-                 quantized BM25 are non-SQL-expressible → rows-only checks;
-                 their correctness gate is tests/test_search_parity.py
-                 (rank-identity vs the pure-Python oracle).
+                 quantized BM25 are non-SQL-expressible, so their oracles
+                 SELECT from fixture parquets precomputed by the scalar
+                 oracle (tools/make_search_fixtures.py, the doc_ids_uuid5
+                 pattern), keyed on corpus size so one fixture serves every
+                 sf; the rank-identity gate vs the pure-Python oracle is
+                 tests/test_search_parity.py + test_search_fixtures.py.
 """
 
 from __future__ import annotations
@@ -389,7 +392,7 @@ def q_unsynced_docs_predicate(spark, sf_dir):
             .filter(F.col("url").like("repo://src1%") & (F.col("n_chars") < 300)))
 
 
-def q_search_with_lenses(spark, sf_dir):  # rows-only: full search prep path
+def q_search_with_lenses(spark, sf_dir):  # fixture-oracle: full search prep path
     # a SINGLE lens — the reference treats each lens tag as a Must, so two
     # lenses AND to the empty set (round-1's vacuous 0-row check); the
     # parity gate is tests/test_search_parity.py::
@@ -410,7 +413,7 @@ def q_docs_modified_since(spark, sf_dir):
             .select("url", "published", "lastmodified"))
 
 
-def q_search_date_range(spark, sf_dir):  # rows-only: BM25 + date-range Must
+def q_search_date_range(spark, sf_dir):  # fixture-oracle: BM25 + date-range Must
     eng = _get_engine(spark, sf_dir)
     return _contract_hits(
         eng.search("spark merge join",
@@ -447,7 +450,7 @@ def q_ann_ivf_trained(spark, sf_dir):  # rows-only: iterative k-means trainer
                              exclude_ids=(0,))
 
 
-def q_search_semantic_boost(spark, sf_dir):  # rows-only: BM25 + dist boosts
+def q_search_semantic_boost(spark, sf_dir):  # fixture-oracle: BM25 + dist boosts
     """search.rs:66-123: L2 top-10 under distance<25 → min-max-normalized
     DocId boosts blended into the BM25 query."""
     from spyglass_spark.ops.semantic import search_with_semantic_boost
@@ -469,7 +472,7 @@ def q_search_semantic_boost(spark, sf_dir):  # rows-only: BM25 + dist boosts
         search_with_semantic_boost(eng, "spark merge join", distances, k=10))
 
 
-def q_search_more_like_this(spark, sf_dir):  # rows-only: tf·idf seed terms
+def q_search_more_like_this(spark, sf_dir):  # fixture-oracle: tf·idf seed terms
     """more-like-this: top tf·idf content terms of a seed doc become a
     Should-group BM25 query, seed excluded (SURVEY §2.11 similarity)."""
     eng = _get_engine(spark, sf_dir)
@@ -565,12 +568,12 @@ def q_events_sessionize(spark, sf_dir):
     return sessionize_batch(ev, gap="30 minutes")
 
 
-def q_search_bm25(spark, sf_dir):  # rows-only: stemmed analyzer + quantized BM25
+def q_search_bm25(spark, sf_dir):  # fixture-oracle: stemmed analyzer + quantized BM25
     return _contract_hits(
         _get_engine(spark, sf_dir).search("spark merge join", k=10))
 
 
-def q_search_phrase_tag_filter(spark, sf_dir):  # rows-only
+def q_search_phrase_tag_filter(spark, sf_dir):  # fixture-oracle
     eng = _get_engine(spark, sf_dir)
     dim = build_tags_dim(load_corpus(spark, sf_dir))
     rs_tag = dim.filter((F.col("label") == "lens") & (F.col("value") == "rs")) \
@@ -579,7 +582,7 @@ def q_search_phrase_tag_filter(spark, sf_dir):  # rows-only
         eng.search("key order sort", filters=[("tag", int(rs_tag))], k=10))
 
 
-def q_search_batch(spark, sf_dir):  # rows-only
+def q_search_batch(spark, sf_dir):  # fixture-oracle
     eng = _get_engine(spark, sf_dir)
     return _contract_hits(eng.search_many([
         {"query": "spark"},
@@ -658,9 +661,34 @@ _STOPLIST = ("'a','about','an','and','are','as','at','be','but','by','com','for'
              "'was','what','when','where','who','will','with','www'")
 
 
+_HIT_COLS = ("rank, doc_id, url, domain, title, description, tags, score, "
+             "doc_ord")
+
+
+def _fixture_sql(name: str, with_query_id: bool = False) -> str:
+    """Expected search hits precomputed by the scalar oracle into a
+    parquet fixture (tools/make_search_fixtures.py); ``corpus_key`` =
+    sum(length(text)) identifies WHICH sf corpus a row belongs to (the sf
+    dirs share row counts, not contents), so one fixture answers at every
+    precomputed sf. Scores are raw float32 — engine ≡ oracle bitwise
+    (float32 clause-order summation on both sides)."""
+    cols = ("query_id, " if with_query_id else "") + _HIT_COLS
+    return (f"SELECT {cols} "
+            f"FROM '/root/repo/fixtures/search_expected_{name}.parquet' "
+            f"WHERE corpus_key = "
+            f"(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)")
+
+
 def oracle_sql() -> dict[str, str]:
     qterms = ",".join(f"('{t}')" for t in BM25_QUERY_TERMS)
     return {
+        "search_bm25": _fixture_sql("search_bm25"),
+        "search_phrase_tag_filter": _fixture_sql("search_phrase_tag_filter"),
+        "search_batch": _fixture_sql("search_batch", with_query_id=True),
+        "search_date_range": _fixture_sql("search_date_range"),
+        "search_with_lenses": _fixture_sql("search_with_lenses"),
+        "search_semantic_boost": _fixture_sql("search_semantic_boost"),
+        "search_more_like_this": _fixture_sql("search_more_like_this"),
         "corpus_derive": f"WITH {DUCK_CORPUS} "
             "SELECT repo, path, commit, lang, content, sha256(content) AS content_sha256 "
             "FROM corpus",

@@ -1,0 +1,80 @@
+"""Fixture-oracle gate for the search_* driver queries: the LIVE
+distributed engine's hit rows must match the scalar-oracle-precomputed
+parquet fixtures (tools/make_search_fixtures.py) at EVERY precomputed sf
+— rows, schema, and order-insensitive canonical values, exactly the
+driver's CORRECTNESS comparison. This closes the self-certification loop:
+the fixtures are generated WITHOUT the distributed builder/executor, and
+this test drives the real engine against them."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+FIXTURE_QUERIES = [
+    "search_bm25",
+    "search_phrase_tag_filter",
+    "search_batch",
+    "search_date_range",
+    "search_with_lenses",
+    "search_semantic_boost",
+    "search_more_like_this",
+]
+
+
+def _canon(val):
+    if val is None:
+        return None
+    if isinstance(val, float):
+        return "nan" if math.isnan(val) else round(val, 6)
+    return val
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+@pytest.mark.parametrize("name", FIXTURE_QUERIES)
+def test_engine_matches_fixture(name, sf_dir, spark):
+    import __spark_entry__ as E
+
+    sdf = E.queries()[name](spark, sf_dir)
+    spark_rows = sdf.collect()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    res = con.execute(E.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+    assert sorted(sdf.columns) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}@{sf_dir}: {len(spark_rows)} rows != fixture {len(duck_rows)}")
+    s = _rowset(sdf.columns, [[r[c] for c in sdf.columns] for r in spark_rows])
+    d = _rowset(duck_cols, duck_rows)
+    mism = [i for i, (a, b) in enumerate(zip(s, d)) if a != b]
+    assert not mism, (
+        f"{name}@{sf_dir}: {len(mism)} mismatched rows; "
+        f"first: spark={s[mism[0]]} fixture={d[mism[0]]}")
+
+
+@pytest.mark.parametrize("name", FIXTURE_QUERIES)
+def test_fixture_nonvacuous(name):
+    """Every fixture must carry hit rows for every precomputed corpus —
+    an empty fixture would green-light an engine returning nothing."""
+    con = duckdb.connect()
+    counts = con.execute(
+        f"SELECT corpus_key, count(*) FROM "
+        f"'/root/repo/fixtures/search_expected_{name}.parquet' "
+        f"GROUP BY 1").fetchall()
+    con.close()
+    assert len(counts) == len(SF_DIRS)
+    assert all(c > 0 for _, c in counts)
