@@ -290,6 +290,27 @@ def q_ann_ivf_topk(spark, sf_dir):
                              exclude_ids=tuple(range(9)))
 
 
+def q_ann_ivf_indexed(spark, sf_dir):
+    """IVF ANN over the PERSISTED centroid-partitioned list table (the
+    vector-sidecar analog, similarity.rs:26-60): one assignment pass
+    writes hive-partitioned lists; the probe reads ONLY its nprobe
+    partitions (partition pruning proven in tests/test_ops.py). Same
+    centroids as ann_ivf_topk → same SQL oracle."""
+    e = _emb(spark, sf_dir)
+    rows = e.filter(F.col("vec_id") <= 8).orderBy("vec_id") \
+            .select("vec_id", "embedding").collect()
+    qv = list(next(r["embedding"] for r in rows if r["vec_id"] == 0))
+    centroids = [list(r["embedding"]) for r in rows if 1 <= r["vec_id"] <= 8]
+    tag = hashlib.md5(f"ivf1:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:10]
+    lists_dir = os.path.join(
+        os.environ.get("SPYGLASS_INDEX_CACHE", "/tmp/spyglass_idx"),
+        f"ivf_{tag}")
+    if not os.path.exists(os.path.join(lists_dir, "_SUCCESS")):
+        S.write_ivf_lists(e, centroids, lists_dir)
+    return S.ivf_cosine_topk_indexed(spark, lists_dir, qv, k=10, nprobe=2,
+                                     exclude_ids=tuple(range(9)))
+
+
 def q_textstats_quality(spark, sf_dir):
     return T.quality_stats(_docs(spark, sf_dir), "text", "doc_id")
 
@@ -614,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
         "textstats_quality": q_textstats_quality,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -660,6 +682,34 @@ _STOPLIST = ("'a','about','an','and','are','as','at','be','but','by','com','for'
              "'such','that','the','their','then','there','these','they','this','to',"
              "'was','what','when','where','who','will','with','www'")
 
+
+_ANN_IVF_SQL = """
+WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+               WHERE vec_id BETWEEN 1 AND 8),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+dots AS (SELECT e.vec_id, c.cid,
+    sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+        * CAST(c.cv[CAST(i AS INT)] AS DOUBLE)) AS dot,
+    sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) ^ 2) AS ne,
+    sum(CAST(c.cv[CAST(i AS INT)] AS DOUBLE) ^ 2) AS nc
+  FROM embeddings e CROSS JOIN cents c CROSS JOIN range(1, 65) r(i)
+  GROUP BY e.vec_id, c.cid),
+assign AS (SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dot/(sqrt(ne)*sqrt(nc)) DESC, cid) AS rn
+           FROM dots),
+probe AS (SELECT cid FROM assign WHERE vec_id = 0 AND rn <= 2),
+cand AS (SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid
+         WHERE a.rn = 1 AND a.vec_id NOT IN (0,1,2,3,4,5,6,7,8)),
+parts AS (SELECT e.vec_id,
+    sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.qv[CAST(i AS INT)] AS DOUBLE)) AS dot,
+    sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) ^ 2) AS na,
+    sum(CAST(q.qv[CAST(i AS INT)] AS DOUBLE) ^ 2) AS nb
+  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q CROSS JOIN range(1, 65) r(i)
+  GROUP BY e.vec_id)
+SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+FROM parts ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
 
 _HIT_COLS = ("rank, doc_id, url, domain, title, description, tags, score, "
              "doc_ord")
@@ -853,33 +903,8 @@ parts AS (SELECT e.vec_id,
 SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
 FROM parts ORDER BY cos_sim DESC, vec_id LIMIT 10
 """,
-        "ann_ivf_topk": """
-WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-               WHERE vec_id BETWEEN 1 AND 8),
-q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-dots AS (SELECT e.vec_id, c.cid,
-    sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
-        * CAST(c.cv[CAST(i AS INT)] AS DOUBLE)) AS dot,
-    sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) ^ 2) AS ne,
-    sum(CAST(c.cv[CAST(i AS INT)] AS DOUBLE) ^ 2) AS nc
-  FROM embeddings e CROSS JOIN cents c CROSS JOIN range(1, 65) r(i)
-  GROUP BY e.vec_id, c.cid),
-assign AS (SELECT vec_id, cid,
-                  row_number() OVER (PARTITION BY vec_id
-                       ORDER BY dot/(sqrt(ne)*sqrt(nc)) DESC, cid) AS rn
-           FROM dots),
-probe AS (SELECT cid FROM assign WHERE vec_id = 0 AND rn <= 2),
-cand AS (SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid
-         WHERE a.rn = 1 AND a.vec_id NOT IN (0,1,2,3,4,5,6,7,8)),
-parts AS (SELECT e.vec_id,
-    sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.qv[CAST(i AS INT)] AS DOUBLE)) AS dot,
-    sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) ^ 2) AS na,
-    sum(CAST(q.qv[CAST(i AS INT)] AS DOUBLE) ^ 2) AS nb
-  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q CROSS JOIN range(1, 65) r(i)
-  GROUP BY e.vec_id)
-SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
-FROM parts ORDER BY cos_sim DESC, vec_id LIMIT 10
-""",
+        "ann_ivf_topk": _ANN_IVF_SQL,
+        "ann_ivf_indexed": _ANN_IVF_SQL,
         "textstats_quality": f"""
 WITH {DUCK_TOKS},
 agg AS (SELECT doc_id, count(*) AS n_tok,

@@ -171,12 +171,34 @@ def assign_ivf(emb: DataFrame, centroids: list[list[float]],
                       (-best["neg_cid"]).cast("int").alias("centroid"))
 
 
-def ivf_cosine_topk(emb: DataFrame, query_vec: list[float],
-                    centroids: list[list[float]], k: int = 10, nprobe: int = 2,
-                    id_col: str = "vec_id", vec_col: str = "embedding",
-                    exclude_ids: tuple = ()) -> DataFrame:
-    """IVF ANN: probe the nprobe centroids nearest the query; exact cosine
-    top-k inside the probed lists only."""
+def write_ivf_lists(emb: DataFrame, centroids: list[list[float]],
+                    lists_dir: str, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Persist the IVF list table partitioned by centroid — the scale
+    path analog of the reference's vector sidecar
+    (crates/spyglass-searcher/src/similarity.rs:26-60). One distributed
+    assignment pass writes hive-partitioned parquet; every probe after
+    that reads ONLY its nprobe list directories (Catalyst partition
+    pruning on the ``centroid`` partition column — plan-asserted in
+    tests/test_ops.py). Centroids ride along under ``_centroids`` (the
+    leading underscore hides the sidecar from parquet discovery)."""
+    assign_ivf(emb, centroids, id_col, vec_col) \
+        .write.mode("overwrite").partitionBy("centroid").parquet(lists_dir)
+    spark = emb.sparkSession
+    cent_rows = [(cid, [float(x) for x in c]) for cid, c in enumerate(centroids)]
+    (spark.createDataFrame(cent_rows, "cid int, centroid array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(f"{lists_dir}/_centroids"))
+
+
+def read_ivf_centroids(spark, lists_dir: str) -> list[list[float]]:
+    rows = (spark.read.parquet(f"{lists_dir}/_centroids")
+            .orderBy("cid").collect())
+    return [list(r["centroid"]) for r in rows]
+
+
+def _probe_ids(query_vec: list[float], centroids: list[list[float]],
+               nprobe: int) -> list[int]:
+    """The nprobe max-cosine centroid ids for a query (ties → lowest id)."""
     import numpy as np
 
     q = np.asarray(query_vec, dtype=np.float64)
@@ -185,8 +207,42 @@ def ivf_cosine_topk(emb: DataFrame, query_vec: list[float],
     for cid, c in enumerate(centroids):
         cv = np.asarray(c, dtype=np.float64)
         sims.append((float(np.dot(q, cv)) / (qn * float(np.linalg.norm(cv))), -cid))
-    probed = [-ncid for _, ncid in sorted(sims, reverse=True)[:nprobe]]
+    return [-ncid for _, ncid in sorted(sims, reverse=True)[:nprobe]]
 
+
+def ivf_cosine_topk_indexed(spark, lists_dir: str, query_vec: list[float],
+                            k: int = 10, nprobe: int = 2,
+                            exclude_ids: tuple = ()) -> DataFrame:
+    """IVF ANN over a PERSISTED list table (write_ivf_lists): the probe
+    filter sits on the ``centroid`` partition column, so the scan touches
+    only the nprobe probed directories — per-query cost is
+    O(list_size·nprobe), not O(N) (the unindexed ``ivf_cosine_topk``
+    recomputes the full assignment per query and cannot prune)."""
+    centroids = read_ivf_centroids(spark, lists_dir)
+    probed = _probe_ids(query_vec, centroids, nprobe)
+    lists = spark.read.parquet(lists_dir)
+    cand = lists.filter(F.col("centroid").isin(probed))
+    qarr = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    vec = F.transform(F.col("_vec"), lambda x: x.cast("double"))
+    out = cand.select(
+        "vec_id",
+        F.round(_dot(vec, qarr) / (_norm(vec) * _norm(qarr)), 4).alias("cos_sim"))
+    if exclude_ids:
+        out = out.filter(~F.col("vec_id").isin(list(exclude_ids)))
+    return out.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
+
+
+def ivf_cosine_topk(emb: DataFrame, query_vec: list[float],
+                    centroids: list[list[float]], k: int = 10, nprobe: int = 2,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    exclude_ids: tuple = ()) -> DataFrame:
+    """IVF ANN, unindexed form: probe the nprobe centroids nearest the
+    query; exact cosine top-k inside the probed lists only. The
+    assignment is recomputed over ``emb`` per call — correct but
+    unprunable (the filter sits on a computed column); at scale use
+    ``write_ivf_lists`` + ``ivf_cosine_topk_indexed``, where the same
+    filter hits a partition column and prunes the scan."""
+    probed = _probe_ids(query_vec, centroids, nprobe)
     lists = assign_ivf(emb, centroids, id_col, vec_col)
     cand = lists.filter(F.col("centroid").isin(probed))
     qarr = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])

@@ -195,6 +195,59 @@ def test_train_centroids_kmeans(spark):
     assert ivf == brute
 
 
+def test_ivf_indexed_partition_pruning(spark, tmp_path):
+    """The persisted IVF list table must answer probes by scanning ONLY
+    the probed centroid partitions (Catalyst partition pruning on the
+    hive partition column) and return exactly the unindexed results."""
+    import numpy as np
+
+    from spyglass_spark.ops.similarity import (ivf_cosine_topk,
+                                               ivf_cosine_topk_indexed,
+                                               write_ivf_lists)
+
+    rng = np.random.default_rng(7)
+    centers = np.asarray([[10.0, 0, 0, 0], [0, 10.0, 0, 0],
+                          [0, 0, 10.0, 0], [0, 0, 0, 10.0]])
+    pts = np.concatenate([c + rng.normal(scale=0.3, size=(30, 4))
+                          for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(len(pts))],
+        "vec_id long, embedding array<float>")
+    cents = [[float(x) for x in c] for c in centers]
+    lists_dir = str(tmp_path / "ivf_lists")
+    write_ivf_lists(df, cents, lists_dir)
+
+    q = [float(x) for x in pts[3]]
+    indexed = ivf_cosine_topk_indexed(spark, lists_dir, q, k=5, nprobe=1,
+                                      exclude_ids=(3,))
+    unindexed = ivf_cosine_topk(df, q, cents, k=5, nprobe=1, exclude_ids=(3,))
+    assert [r.asDict() for r in indexed.collect()] == \
+        [r.asDict() for r in unindexed.collect()]
+
+    # plan quality: the probe filter lands as a PartitionFilter on the
+    # hive partition column (NOT a post-scan filter)
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "centroid" in plan.split("PartitionFilters")[1][:200]
+
+    # functional pruning proof: corrupt every NON-probed list directory;
+    # the probe still answers (it never opens those files), while an
+    # all-lists probe now fails
+    import glob
+    import os
+
+    for f in glob.glob(f"{lists_dir}/centroid=*/part-*"):
+        if "centroid=0" not in f:
+            with open(f, "wb") as fh:
+                fh.write(b"not a parquet file")
+    still = ivf_cosine_topk_indexed(spark, lists_dir, q, k=5, nprobe=1,
+                                    exclude_ids=(3,)).collect()
+    assert [r.asDict() for r in still] == [r.asDict() for r in unindexed.collect()]
+    with pytest.raises(Exception):
+        ivf_cosine_topk_indexed(spark, lists_dir, q, k=5, nprobe=4).collect()
+    assert os.path.isdir(f"{lists_dir}/centroid=0")
+
+
 def test_cosine_topk_orders_by_similarity(spark):
     from spyglass_spark.ops.similarity import cosine_topk, lsh_cosine_topk
 

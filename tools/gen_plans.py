@@ -100,6 +100,16 @@ section("ANN L2 top-k (semantic-boost distance source)", l2_topk(emb, qv, k=10),
         "- zip_with/aggregate JVM expressions (no UDF); TakeOrderedAndProject\n"
         "  keeps the top-k per partition then merges — no global sort.", 30)
 
+section("IVF ANN probe over persisted lists (partition-pruned)",
+        E.q_ann_ivf_indexed(spark, SF),
+        "- The list table is hive-partitioned by centroid\n"
+        "  (write_ivf_lists); the nprobe filter lands as PartitionFilters\n"
+        "  on the scan, so only the probed list directories are read —\n"
+        "  per-query cost O(nprobe x list size), not O(N). The unindexed\n"
+        "  ivf_cosine_topk recomputes assignment per query and cannot\n"
+        "  prune; tests/test_ops.py proves the pruning functionally\n"
+        "  (non-probed partitions corrupted, probe still answers).", 30)
+
 open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                   "PLANS.md"), "w").write(out.getvalue())
 print("written")
