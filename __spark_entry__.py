@@ -93,8 +93,10 @@ def _contract_hits(df: DataFrame) -> DataFrame:
     canonicalizer sorts columns with pandas ``sort_values``, where a
     list-valued object column is unhashable. Serialize the array to a
     deterministic comma-joined string — the tag ids are already sorted at
-    build time (index/builder.py doc_meta ordering) so the string is a
-    stable total encoding of the array.
+    build time (index/builder.py doc_meta ordering) so the encoding is
+    stable. NULL and [] both serialize to "" (concat_ws semantics) — an
+    accepted collision: the harness only compares counts/hashes and the
+    engine never emits NULL tags.
     """
     if "tags" in df.columns:
         df = df.withColumn(

@@ -64,6 +64,10 @@ def main(argv=None, spark=None) -> int:
                    help="corpus or documents shaped parquet of the new rows")
     u.add_argument("--index", required=True)
     u.add_argument("--partitions", type=int, default=16)
+    u.add_argument("--max-generations", type=int, default=None,
+                   help="auto-merge policy: fold oldest generation pairs "
+                        "until at most this many remain (tantivy "
+                        "background-merge analog)")
 
     st = sub.add_parser("stats", help="print the committed manifest")
     st.add_argument("--index", required=True)
@@ -143,7 +147,8 @@ def main(argv=None, spark=None) -> int:
             if "url" not in df.columns:
                 df = to_documents(df)
             m = upsert_documents(spark, df, args.index,
-                                 num_partitions=args.partitions)
+                                 num_partitions=args.partitions,
+                                 max_generations=args.max_generations)
             print(m.to_json())
         elif args.cmd == "search":
             from spyglass_spark.query.executor import SearchEngine

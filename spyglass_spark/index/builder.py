@@ -228,6 +228,31 @@ def _field_frame_arrays(field: str, vocab: list, term_starts: np.ndarray,
         "tags": None, "published": None, "lastmodified": None})
 
 
+def _group_single_terms(values: np.ndarray, ords: np.ndarray):
+    """Group (value, ord) pairs into sorted-vocab posting arrays for
+    single-occurrence fields (tf=1): factorize(sort=True) gives the
+    vocab in sorted() order; the stable argsort of the codes keeps ords
+    ascending within each term — exactly the order the old per-row
+    dict-append produced, with no per-row Python."""
+    if len(values) == 0:
+        return [], np.zeros(1, dtype=np.int64), np.zeros(0, dtype=np.uint64)
+    codes, uniques = pd.factorize(values, sort=True)
+    order = np.argsort(codes, kind="stable")
+    dfs = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+    term_starts = np.concatenate(([0], np.cumsum(dfs)))
+    return [str(u) for u in uniques], term_starts, \
+        ords[order].astype(np.uint64)
+
+
+def _untokenized_frame(field: str, vocab: list, term_starts: np.ndarray,
+                       ords: np.ndarray, norms_f: np.ndarray,
+                       part_id: int, n: int) -> pd.DataFrame:
+    """_field_frame_arrays for tf=1 fields (id/domain/url/tags/custom)."""
+    tfs = np.ones(len(ords), dtype=np.uint64)
+    return _field_frame_arrays(field, vocab, term_starts, ords, tfs, None,
+                               norms_f, part_id, n)
+
+
 def _marker_frame(kind: int, part_id: int, **cols) -> pd.DataFrame:
     """A non-posting row frame with the shared output schema."""
     n = len(next(iter(cols.values())))
@@ -276,70 +301,67 @@ def _build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         frames.append(_field_frame_arrays(field, vocab, term_starts, ords_,
                                           tfs_, pos_, norms[field], part_id, n))
 
-    # untokenized STRING fields: one term per doc, tf=1, position 0
+    # untokenized STRING fields: one term per doc, tf=1, position 0.
+    # factorize(sort=True) + stable argsort replaces the per-row
+    # dict-append loop: vocab comes out in the same sorted() order and
+    # ords stay ascending within each term (byte-identical postings,
+    # pinned by test_index_build/test_codecs)
     for field in ("id", "domain", "url"):
-        col = pdf[TEXT_FIELDS[field]].tolist()
-        by_term = {}
-        counts = np.zeros(n, dtype=np.int64)
-        for ord_ in range(n):
-            v = col[ord_]
-            if not v:
-                continue
-            counts[ord_] = 1
-            ent = by_term.get(v)
-            if ent is None:
-                ent = by_term[v] = ([], None, None)
-            ent[0].append(ord_)
+        s = pdf[TEXT_FIELDS[field]]
+        mask = (s.notna() & (s != "")).to_numpy()
+        ords_all = np.nonzero(mask)[0]
+        vocab, term_starts, ords_ = _group_single_terms(
+            s.to_numpy()[mask], ords_all)
+        counts = mask.astype(np.int64)
         totals[field] = int(counts.sum())
         norms[field][:] = fieldnorm_to_id(counts)
         n_postings += totals[field]
-        n_terms += len(by_term)
-        frames.append(_field_frame(field, by_term, norms[field], False, part_id, n))
+        n_terms += len(vocab)
+        frames.append(_untokenized_frame(field, vocab, term_starts, ords_,
+                                         norms[field], part_id, n))
 
-    # tags: u64 multi-value → decimal-string terms, tf=1
-    tag_col = pdf["tags"].tolist()
-    by_term = {}
-    tag_counts = np.zeros(n, dtype=np.int64)
-    clean_tags = []
-    for ord_ in range(n):
-        tags = tag_col[ord_]
-        tags = sorted(set(int(t) for t in tags)) if tags is not None else []
-        clean_tags.append(tags)
-        tag_counts[ord_] = len(tags)
-        for t in tags:
-            key = str(t)
-            ent = by_term.get(key)
-            if ent is None:
-                ent = by_term[key] = ([], None, None)
-            ent[0].append(ord_)
+    # tags: u64 multi-value → decimal-string terms, tf=1. explode +
+    # lexsort dedupe replaces the per-row set/sort loop
+    tag_e = pdf["tags"].explode()
+    tmask = tag_e.notna().to_numpy()
+    t_ords = tag_e.index.to_numpy()[tmask]
+    t_vals = np.asarray(tag_e.to_numpy()[tmask], dtype=np.int64)
+    # dedupe (ord, value) pairs, value-ascending within each ord
+    order = np.lexsort((t_vals, t_ords))
+    t_ords, t_vals = t_ords[order], t_vals[order]
+    if len(t_ords):
+        keep = np.ones(len(t_ords), dtype=bool)
+        keep[1:] = (t_ords[1:] != t_ords[:-1]) | (t_vals[1:] != t_vals[:-1])
+        t_ords, t_vals = t_ords[keep], t_vals[keep]
+    tag_counts = np.bincount(t_ords, minlength=n).astype(np.int64)
+    bounds = np.cumsum(tag_counts)[:-1]
+    clean_tags = [a.tolist() for a in np.split(t_vals, bounds)]
+    vocab, term_starts, ords_ = _group_single_terms(
+        t_vals.astype("U21"), t_ords)
     totals["tags"] = int(tag_counts.sum())
     norms["tags"][:] = fieldnorm_to_id(tag_counts)
     n_postings += totals["tags"]
-    n_terms += len(by_term)
-    frames.append(_field_frame("tags", by_term, norms["tags"], False, part_id, n))
+    n_terms += len(vocab)
+    frames.append(_untokenized_frame("tags", vocab, term_starts, ords_,
+                                     norms["tags"], part_id, n))
 
     # custom u64 fields (columns named cf_<field>): each value → one
     # decimal-string term, tf=1 — Boost::CustomField parity
     for col_name in custom_fields:
         field = col_name[3:]
-        vals = pdf[col_name].tolist()
-        by_term = {}
-        counts = np.zeros(n, dtype=np.int64)
-        for ord_ in range(n):
-            v = vals[ord_]
-            if v is None or (isinstance(v, float) and np.isnan(v)):
-                continue
-            counts[ord_] = 1
-            key = str(int(v))
-            ent = by_term.get(key)
-            if ent is None:
-                ent = by_term[key] = ([], None, None)
-            ent[0].append(ord_)
+        s = pd.to_numeric(pdf[col_name], errors="coerce")
+        mask = s.notna().to_numpy()
+        ords_all = np.nonzero(mask)[0]
+        ints = s.to_numpy()[mask].astype(np.int64)
+        vocab, term_starts, ords_ = _group_single_terms(
+            ints.astype("U21"), ords_all)
+        counts = mask.astype(np.int64)
         totals[field] = int(counts.sum())
         norms[field][:] = fieldnorm_to_id(counts)
         n_postings += totals[field]
-        n_terms += len(by_term)
-        frames.append(_field_frame(field, by_term, norms[field], False, part_id, n))
+        n_terms += len(vocab)
+        frames.append(_untokenized_frame(field, vocab, term_starts, ords_,
+                                         norms[field], part_id, n))
 
     # norms rows
     frames.append(_marker_frame(
@@ -602,7 +624,8 @@ def build_index(spark: SparkSession, documents: DataFrame, index_dir: str,
 
 def upsert_documents(spark: SparkSession, documents: DataFrame, index_dir: str,
                      num_partitions: int = 16,
-                     applied_epoch: int | None = None) -> Manifest:
+                     applied_epoch: int | None = None,
+                     max_generations: int | None = None) -> Manifest:
     """Upsert = delete existing docs with the same url, then index the new
     versions as a fresh delta generation (the reference's
     process_crawl_results: find-by-URL → delete_many_by_id → re-add,
@@ -612,7 +635,15 @@ def upsert_documents(spark: SparkSession, documents: DataFrame, index_dir: str,
     the same UUIDv5 doc_id); the ordinals are written to a parquet side
     table by the cluster (never collected to the driver) and anti-joined /
     masked during scoring. Global stats N / df / avgdl keep counting the
-    tombstoned docs until a merge, matching tantivy's max_doc model."""
+    tombstoned docs until a merge, matching tantivy's max_doc model.
+
+    ``max_generations`` is the auto-merge policy (tantivy's background
+    segment merge, client/local.rs:191-203): after the delta commits, the
+    two oldest generations pairwise-merge until the count is back at the
+    threshold — the ONE knob shared by the Python API, the CLI
+    (``upsert --max-generations``) and the streaming micro-batcher. Each
+    merge is itself an atomic manifest commit, so a crash mid-policy
+    leaves a committed, searchable index with a few extra generations."""
     m = load_manifest(index_dir)
     if m is None or not m.committed:
         raise FileNotFoundError(f"no committed index at {index_dir}")
@@ -649,6 +680,8 @@ def upsert_documents(spark: SparkSession, documents: DataFrame, index_dir: str,
         # can never publish the generation without its epoch marker
         m.applied_epochs = sorted(set(m.applied_epochs) | {int(applied_epoch)})
     commit_manifest(index_dir, m)
+    while max_generations and len(m.gen_list()) > max_generations:
+        m = merge_generations(spark, index_dir)
     return m
 
 

@@ -96,4 +96,7 @@ def stratified_sample(df: DataFrame, strata_col: str, key_col: str,
     for value, r in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == value, F.lit(float(r))) \
             .otherwise(rate)
-    return df.filter(h < (rate * 1_000_000).cast("long"))
+    # round() — not a truncating cast — so a rate whose double product is
+    # fractionally under the intended integer (0.567 → 566999.999…) still
+    # maps to the exact threshold an oracle computes with round()
+    return df.filter(h < F.round(rate * 1_000_000).cast("long"))

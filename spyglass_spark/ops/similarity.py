@@ -117,6 +117,11 @@ def train_centroids(emb: DataFrame, k: int, iters: int = 5,
     rows = (emb.orderBy(F.asc(id_col)).limit(sample_limit)
             .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
             .collect())
+    if not rows:
+        raise ValueError("train_centroids: empty embedding sample")
+    dims = {len(r["v"]) for r in rows}
+    if len(dims) != 1:
+        raise ValueError(f"train_centroids: ragged embedding lengths {sorted(dims)}")
     X = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
     n, dim = X.shape
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)

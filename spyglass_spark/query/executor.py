@@ -66,12 +66,14 @@ TOMBSTONE_SHIP_MAX = 1_000_000
 
 def _wand_eligible(specs) -> bool:
     """Block-max WAND handles the standard search shape: a scoring Should
-    group + zero-boost single-term Must filters (+ MustNots). Scoring
-    musts / favorite-Should extras / phrase-or-multiterm musts / range
-    filters fall back to the exhaustive scorer (WAND is a pruning strategy
-    only — results must be bitwise identical)."""
+    group + zero-boost single-term Must filters, MustNots, and date-range
+    Musts (the fast-field mask feeds wand_top_k's filter_include, so
+    pruning still skips unscored blocks). Scoring musts / favorite-Should
+    extras / phrase-or-multiterm musts fall back to the exhaustive scorer
+    (WAND is a pruning strategy only — results must be bitwise
+    identical)."""
     for s in specs:
-        if s["role"] in ("should_extra", "extra_group", "must_range"):
+        if s["role"] in ("should_extra", "extra_group"):
             return False
         if s["role"] in ("must", "must_not") and (
                 s["kind"] != "term" or len(s["terms"]) != 1):
@@ -81,8 +83,8 @@ def _wand_eligible(specs) -> bool:
     return any(s["role"] == "should" for s in specs)
 
 
-def _run_wand(q, payload, caches, norm_arrays, limit, local_tomb,
-              shared=None):
+def _run_wand(q, payload, caches, norm_arrays, fast_arrays, limit,
+              local_tomb, shared=None):
     """Execute one query via block-max WAND. Returns (local_ords, scores)
     or None to fall back (e.g. a filter term longer than this chunk).
     ``shared`` carries cross-query decode caches for batch mode."""
@@ -123,6 +125,22 @@ def _run_wand(q, payload, caches, norm_arrays, limit, local_tomb,
         if spec["role"] == "must":
             m = filter_docs(spec["field"], spec["terms"][0])
             m = np.empty(0, np.int64) if m is None else m
+            include = m if include is None else np.intersect1d(
+                include, m, assume_unique=True)
+        elif spec["role"] == "must_range":
+            # date fast-field mask as a WAND include filter — identical
+            # semantics to the exhaustive path's range clause (missing
+            # fast field or -1 sentinel never matches)
+            arr = fast_arrays.get(spec["field"])
+            if arr is None:
+                m = np.empty(0, np.int64)
+            else:
+                mask = arr >= 0
+                if spec["ge"] is not None:
+                    mask &= arr >= spec["ge"]
+                if spec["le"] is not None:
+                    mask &= arr <= spec["le"]
+                m = np.nonzero(mask)[0].astype(np.int64)
             include = m if include is None else np.intersect1d(
                 include, m, assume_unique=True)
         elif spec["role"] == "must_not":
@@ -288,8 +306,8 @@ def _score_partition(plan: dict, postings_pdf: pd.DataFrame):
 
     for q in plan["queries"]:
         if algo != "exhaustive" and _wand_eligible(q["specs"]):
-            res = _run_wand(q, payload, caches, norm_arrays, limit, local_tomb,
-                            shared)
+            res = _run_wand(q, payload, caches, norm_arrays, fast_arrays,
+                            limit, local_tomb, shared)
             if res is not None:
                 ords_w, scores_w = res
                 if ords_w.size:
@@ -719,17 +737,23 @@ class SearchEngine:
         post = (self._postings_base
                 .filter((F.col("field") == "id") & F.col("term").isin(ids))
                 .select("part_id", "doc_bytes").collect())
-        conds = []
+        # flat IN-lists (part_id for pruning, packed doc_ord for the exact
+        # addresses) instead of an OR-reduced per-ordinal expression tree —
+        # a large id list would otherwise build a Catalyst tree deep enough
+        # to risk analyzer stack overflow
+        addrs, parts = [], set()
         for r in post:
             ords, _ = decode_postings(r["doc_bytes"], b"")
+            p = int(r["part_id"])
+            parts.add(p)
             for o in ords:
-                conds.append((F.col("part_id") == int(r["part_id"]))
-                             & (F.col("local_ord") == int(o)))
-        if not conds:
+                addrs.append((p << ORD_SHIFT) + int(o))
+        if not addrs:
             return self._doc_meta_base.filter(F.lit(False)).select(
                 "doc_id", "url", "domain", "title", "description",
                 "tags", "doc_ord")
-        dm = self._doc_meta_base.filter(reduce(lambda a, b: a | b, conds))
+        dm = self._doc_meta_base.filter(
+            F.col("part_id").isin(sorted(parts)) & F.col("doc_ord").isin(addrs))
         # doc_id recheck is belt-and-braces (ordinal addresses are exact)
         dm = self._anti_tombstone(dm.filter(F.col("doc_id").isin(ids)))
         return dm.select("doc_id", "url", "domain", "title", "description",

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..index.builder import build_index, merge_generations, upsert_documents
+from ..index.builder import build_index, upsert_documents
 from ..index.manifest import load_manifest
 
 
@@ -49,11 +49,10 @@ def index_microbatch(spark: SparkSession, batch_df: DataFrame, index_dir: str,
                     num_partitions=num_partitions, waves=1,
                     applied_epoch=epoch_id)
         return
-    m = upsert_documents(spark, batch_df, index_dir,
-                         num_partitions=num_partitions,
-                         applied_epoch=epoch_id)
-    while max_generations and len(m.gen_list()) > max_generations:
-        m = merge_generations(spark, index_dir)
+    upsert_documents(spark, batch_df, index_dir,
+                     num_partitions=num_partitions,
+                     applied_epoch=epoch_id,
+                     max_generations=max_generations)
 
 
 def start_incremental_indexer(stream_df: DataFrame, index_dir: str,

