@@ -51,6 +51,7 @@ import json
 import os
 import time
 from collections import defaultdict
+from itertools import chain
 from functools import reduce
 
 import numpy as np
@@ -244,6 +245,27 @@ def _group_single_terms(values: np.ndarray, ords: np.ndarray):
         ords[order].astype(np.uint64)
 
 
+def _group_int_terms(vals: np.ndarray, ords: np.ndarray):
+    """_group_single_terms for int-valued terms (tags / custom u64):
+    numeric np.unique does the heavy grouping; only the (tiny) unique set
+    is converted to decimal strings and re-ranked into the lexicographic
+    vocab order the sorted-string term layout requires ("10" < "2")."""
+    if len(vals) == 0:
+        return [], np.zeros(1, dtype=np.int64), np.zeros(0, dtype=np.uint64)
+    uvals, inverse, counts = np.unique(vals, return_inverse=True,
+                                       return_counts=True)
+    ustrs = uvals.astype("U21")
+    str_order = np.argsort(ustrs, kind="stable")  # numeric-id -> string rank
+    rank = np.empty_like(str_order)
+    rank[str_order] = np.arange(len(str_order))
+    codes = rank[inverse]
+    order = np.argsort(codes, kind="stable")
+    dfs = counts[str_order].astype(np.int64)
+    term_starts = np.concatenate(([0], np.cumsum(dfs)))
+    return [str(u) for u in ustrs[str_order]], term_starts, \
+        ords[order].astype(np.uint64)
+
+
 def _untokenized_frame(field: str, vocab: list, term_starts: np.ndarray,
                        ords: np.ndarray, norms_f: np.ndarray,
                        part_id: int, n: int) -> pd.DataFrame:
@@ -320,12 +342,16 @@ def _build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         frames.append(_untokenized_frame(field, vocab, term_starts, ords_,
                                          norms[field], part_id, n))
 
-    # tags: u64 multi-value → decimal-string terms, tf=1. explode +
-    # lexsort dedupe replaces the per-row set/sort loop
-    tag_e = pdf["tags"].explode()
-    tmask = tag_e.notna().to_numpy()
-    t_ords = tag_e.index.to_numpy()[tmask]
-    t_vals = np.asarray(tag_e.to_numpy()[tmask], dtype=np.int64)
+    # tags: u64 multi-value → decimal-string terms, tf=1. A flat
+    # chain/repeat explode + lexsort dedupe replaces the per-row
+    # set/sort/dict-append loop
+    tag_col = pdf["tags"].to_numpy()
+    t_lens = np.fromiter((0 if t is None else len(t) for t in tag_col),
+                         dtype=np.int64, count=n)
+    t_vals = np.fromiter(
+        chain.from_iterable(t for t in tag_col if t is not None),
+        dtype=np.int64, count=int(t_lens.sum()))
+    t_ords = np.repeat(np.arange(n, dtype=np.int64), t_lens)
     # dedupe (ord, value) pairs, value-ascending within each ord
     order = np.lexsort((t_vals, t_ords))
     t_ords, t_vals = t_ords[order], t_vals[order]
@@ -334,10 +360,12 @@ def _build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         keep[1:] = (t_ords[1:] != t_ords[:-1]) | (t_vals[1:] != t_vals[:-1])
         t_ords, t_vals = t_ords[keep], t_vals[keep]
     tag_counts = np.bincount(t_ords, minlength=n).astype(np.int64)
-    bounds = np.cumsum(tag_counts)[:-1]
-    clean_tags = [a.tolist() for a in np.split(t_vals, bounds)]
-    vocab, term_starts, ords_ = _group_single_terms(
-        t_vals.astype("U21"), t_ords)
+    # per-doc tag lists for doc_meta: plain-list slicing (one bulk
+    # tolist), ~3x cheaper than np.split into 200k tiny arrays
+    _vals_list = t_vals.tolist()
+    _starts = np.concatenate(([0], np.cumsum(tag_counts))).tolist()
+    clean_tags = [_vals_list[_starts[i]:_starts[i + 1]] for i in range(n)]
+    vocab, term_starts, ords_ = _group_int_terms(t_vals, t_ords)
     totals["tags"] = int(tag_counts.sum())
     norms["tags"][:] = fieldnorm_to_id(tag_counts)
     n_postings += totals["tags"]
@@ -353,8 +381,7 @@ def _build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         mask = s.notna().to_numpy()
         ords_all = np.nonzero(mask)[0]
         ints = s.to_numpy()[mask].astype(np.int64)
-        vocab, term_starts, ords_ = _group_single_terms(
-            ints.astype("U21"), ords_all)
+        vocab, term_starts, ords_ = _group_int_terms(ints, ords_all)
         counts = mask.astype(np.int64)
         totals[field] = int(counts.sum())
         norms[field][:] = fieldnorm_to_id(counts)
