@@ -329,6 +329,19 @@ def q_langid(spark, sf_dir):
     return T.langid_ngram(_docs(spark, sf_dir), "text", "doc_id")
 
 
+def q_textstats_repetition(spark, sf_dir):
+    """Gopher repetition rules: per-doc char fraction covered by the top
+    token 2-gram / 3-gram (boilerplate/spam signal)."""
+    return T.repetition_stats(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def q_dedup_passages(spark, sf_dir):
+    """Passage-level exact dedup: 10-token chunks hashed; chunks shared
+    across docs (the injected shifted dups) are flagged."""
+    return D.passage_duplicates(_dup_docs(spark, sf_dir), "text", "doc_id",
+                                window=10)
+
+
 def q_multimodal_meta(spark, sf_dir):
     assets = MM.attach_binary_payload(_docs(spark, sf_dir), "text", "doc_id")
     return MM.payload_metadata(assets)
@@ -642,6 +655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "langid": q_langid,
+        "textstats_repetition": q_textstats_repetition,
+        "dedup_passages": q_dedup_passages,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
@@ -952,6 +967,46 @@ SELECT d.doc_id AS id,
        CASE WHEN b.h > 0 THEN b.lang ELSE 'und' END AS pred_lang,
        CAST(coalesce(b.h, 0) AS BIGINT) AS marker_hits
 FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+""",
+        "textstats_repetition": f"""
+WITH {DUCK_TOKS},
+tl AS (SELECT doc_id, t,
+              list_sum(list_transform(t, x -> length(x))) AS char_total
+       FROM toks),
+g2 AS (SELECT doc_id, concat(t[i], ' ', t[i+1]) AS gram
+       FROM tl, range(1, 2000) r(i) WHERE i + 1 <= len(t)),
+c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+t2 AS (SELECT doc_id, cnt, gram,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY cnt DESC, gram) AS rn FROM c2),
+g3 AS (SELECT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS gram
+       FROM tl, range(1, 2000) r(i) WHERE i + 2 <= len(t)),
+c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2),
+t3 AS (SELECT doc_id, cnt, gram,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY cnt DESC, gram) AS rn FROM c3)
+SELECT tl.doc_id AS id,
+       coalesce(round(t2.cnt * (length(t2.gram) - 1)
+                      / CAST(tl.char_total AS DOUBLE), 4), 0.0)
+         AS top2gram_char_frac,
+       coalesce(round(t3.cnt * (length(t3.gram) - 2)
+                      / CAST(tl.char_total AS DOUBLE), 4), 0.0)
+         AS top3gram_char_frac
+FROM tl
+LEFT JOIN (SELECT * FROM t2 WHERE rn = 1) t2 USING (doc_id)
+LEFT JOIN (SELECT * FROM t3 WHERE rn = 1) t3 USING (doc_id)
+""",
+        "dedup_passages": f"""
+WITH {DUCK_DUP},
+toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+           '[^a-z0-9]+'), x -> x <> '') AS t FROM dup),
+chunks AS (SELECT doc_id,
+                  md5(array_to_string(
+                      list_slice(t, CAST(i * 10 + 1 AS INT),
+                                 CAST(i * 10 + 10 AS INT)), ' ')) AS passage_hash
+           FROM toks, range(0, 200) r(i) WHERE (i + 1) * 10 <= len(t))
+SELECT passage_hash, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper
+FROM chunks GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
 """,
         "multimodal_meta": """
 SELECT CAST(doc_id AS BIGINT) AS asset_id,

@@ -220,3 +220,33 @@ def embedding_cosine_pairs(emb: "DataFrame", threshold: float = 0.95,
     # multi-probe bucketing can list a vector in several buckets → dedup;
     # the unbucketed path is already unique (a < b), no extra shuffle
     return out.distinct() if bucket_col is not None else out
+
+
+def passage_duplicates(df: DataFrame, text_col: str, id_col: str,
+                       window: int = 10) -> DataFrame:
+    """Passage-level exact dedup (the paragraph-dedup step of C4-style
+    pipelines, applied to token streams): the token stream is chunked
+    into fixed ``window``-token passages, each hashed; passages appearing
+    in more than one doc come back as (passage_hash, n_docs, keeper =
+    min id). Catching cross-document boilerplate that document-level
+    hashing misses.
+
+    Scale shape: chunking is transform/sequence inside codegen (no
+    shuffle); ONE groupBy on the passage hash — identical passages
+    co-locate, everything else partial-aggregates map-side. At 100 TB
+    this is the same single-shuffle profile as exact_duplicates, with
+    #passages ≈ tokens/window rows entering the exchange."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda t: t != "")
+    n_chunks = F.floor(F.size(toks) / window).cast("int")
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.md5(F.concat_ws(
+                        " ", F.slice(toks, i * window + 1, window))))
+    ).otherwise(F.array().cast("array<string>"))
+    flat = df.select(F.col(id_col).alias("id"), F.explode(chunks).alias("passage_hash"))
+    return (flat.groupBy("passage_hash")
+            .agg(F.countDistinct("id").alias("n_docs"),
+                 F.min("id").alias("keeper"))
+            .filter(F.col("n_docs") > 1))

@@ -4,7 +4,7 @@ DataFrame expressions with exact DuckDB-SQL oracles."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..analysis.analyzer import STOP_WORDS
 
@@ -80,3 +80,55 @@ def langid_ngram(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col).alias("id"),
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
         best["hits"].cast("long").alias("marker_hits"))
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, §A1.1): per doc,
+    the fraction of alphanumeric characters covered by the single most
+    frequent token 2-gram and 3-gram (count x gram-char-length /
+    total-token-chars; ties broken by gram text ascending). High values
+    mark boilerplate/spam for corpus filtering.
+
+    JVM-only plan: the n-gram arrays are built with transform/sequence
+    inside codegen; one partial-aggregated groupBy per doc-gram — keys
+    are doc-local so the shuffle has no skew and the combine collapses
+    each doc's grams map-side."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda t: t != "")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("t"),
+                     F.aggregate(toks, F.lit(0).cast("long"),
+                                 lambda acc, x: acc + F.length(x))
+                     .alias("char_total"))
+
+    def gram_structs(n: int):
+        arr = F.when(
+            F.size("t") >= n,
+            F.transform(F.sequence(F.lit(0), F.size("t") - n),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, n)))
+        ).otherwise(F.array().cast("array<string>"))
+        return F.transform(arr, lambda g: F.struct(F.lit(n).alias("n"),
+                                                   g.alias("gram")))
+
+    # BOTH gram sizes ride one explode → one groupBy → one window: a
+    # single corpus scan and two shuffles total, no caching needed
+    exploded = base.select(
+        "id", "char_total",
+        F.explode(F.concat(gram_structs(2), gram_structs(3))).alias("g"))
+    counts = (exploded
+              .select("id", "char_total", F.col("g.n").alias("n"),
+                      F.col("g.gram").alias("gram"))
+              .groupBy("id", "char_total", "n", "gram")
+              .agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("id", "n").orderBy(F.desc("cnt"), F.asc("gram"))
+    top = (counts.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .withColumn("frac",
+                       F.round((F.col("cnt") * (F.length("gram") - (F.col("n") - 1)))
+                               / F.col("char_total"), 4)))
+    fracs = top.groupBy("id").agg(
+        F.max(F.when(F.col("n") == 2, F.col("frac"))).alias("f2"),
+        F.max(F.when(F.col("n") == 3, F.col("frac"))).alias("f3"))
+    return (base.select("id").join(fracs, "id", "left")
+            .select("id",
+                    F.coalesce("f2", F.lit(0.0)).alias("top2gram_char_frac"),
+                    F.coalesce("f3", F.lit(0.0)).alias("top3gram_char_frac")))

@@ -520,3 +520,45 @@ def test_curation_stratified_sample_deterministic(spark):
     # the plan is a pure scan-stage predicate: no shuffle, no UDF
     plan = out1._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from spyglass_spark.ops.textstats import repetition_stats
+
+    rows = [
+        (0, "buy now " * 50),                       # one bigram dominates
+        (1, "all tokens here are fully distinct words okay"),
+        (2, "x"),                                   # single token: no grams
+        (3, ""),                                    # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in
+           repetition_stats(df, "text", "doc_id").collect()}
+    assert len(out) == 4
+    assert out[0]["top2gram_char_frac"] > 0.4
+    assert out[0]["top3gram_char_frac"] > 0.4
+    assert out[1]["top2gram_char_frac"] < 0.3
+    assert out[2]["top2gram_char_frac"] == 0.0
+    assert out[3]["top2gram_char_frac"] == 0.0 and out[3]["top3gram_char_frac"] == 0.0
+    plan = (repetition_stats(df, "text", "doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan
+
+
+def test_passage_duplicates_finds_shared_chunks(spark):
+    from spyglass_spark.ops.dedup import passage_duplicates
+
+    boiler = " ".join(f"w{i}" for i in range(10))
+    rows = [
+        (0, boiler + " unique tail zero alpha beta gamma delta eps zeta eta"),
+        (1, boiler + " other ending one two three four five six seven eight"),
+        (2, "completely different text " + " ".join(f"q{i}" for i in range(10))),
+        (3, "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = passage_duplicates(df, "text", "doc_id", window=10).collect()
+    assert len(out) == 1  # only the shared leading 10-token chunk
+    assert out[0]["n_docs"] == 2 and out[0]["keeper"] == 0
+    plan = (passage_duplicates(df, "text", "doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan
