@@ -382,9 +382,11 @@ def main() -> None:
                 except ValueError:
                     continue
                 # only windows whose kernel control shows real capacity
-                # (≥12 M tok/s at 32p) are interpretable
+                # are interpretable (≥12 M tok/s at 32p, or ≥12 M at 16p
+                # for the 4→16 N→4N fallback pair)
                 if rec.get("scaling_efficiency") is not None and \
-                        rec.get("kernel_32p", 0) >= 12e6:
+                        max(rec.get("kernel_32p", 0),
+                            rec.get("kernel_16p", 0)) >= 12e6:
                     cands.append(rec)
         if cands:
             result["quiet_window_best"] = max(
