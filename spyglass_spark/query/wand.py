@@ -94,6 +94,39 @@ class _ClauseData:
             return np.empty(0, np.int64), np.empty(0, np.uint64)
         return np.concatenate(outs_d), np.concatenate(outs_t)
 
+    def full_arrays(self, term_idx: int):
+        """Whole-posting (docs int64, tfs) for one term, decoded ONCE per
+        (field, term) per partition and shared across the batch's queries
+        — for segment batches it beats per-block decoding: one vectorized
+        varint pass instead of per-(segment, block) Python calls."""
+        key = ("full", self.keys[term_idx])
+        hit = self.shared.get(key)
+        if hit is None:
+            from ..index.codecs import decode_postings
+
+            r = self.rows[term_idx]
+            docs, tfs = decode_postings(r["doc_bytes"], r["tf_bytes"])
+            hit = self.shared[key] = (docs.astype(np.int64), tfs)
+        return hit
+
+    def docs_tfs_in_ranges(self, term_idx: int, lo_arr, hi_arr):
+        """(docs, tfs) of term_idx within the UNION of (lo, hi] ranges —
+        the batched form of docs_tfs_in_range over the full decoded
+        posting (ranges are disjoint; output follows range order)."""
+        docs, tfs = self.full_arrays(term_idx)
+        starts = np.searchsorted(docs, lo_arr, side="right")
+        ends = np.searchsorted(docs, hi_arr, side="right")
+        n = int((ends - starts).sum())
+        if n == 0:
+            return np.empty(0, np.int64), np.empty(0, tfs.dtype)
+        if n == docs.size and len(lo_arr) and starts[0] == 0:
+            # fast path: the ranges cover the entire posting in order
+            if np.all(starts[1:] == ends[:-1]):
+                return docs, tfs
+        outs_d = [docs[s:e] for s, e in zip(starts, ends) if e > s]
+        outs_t = [tfs[s:e] for s, e in zip(starts, ends) if e > s]
+        return np.concatenate(outs_d), np.concatenate(outs_t)
+
 
 def wand_top_k(scoring_clauses, filter_include, filter_exclude, k,
                batch_segments: int = 16):
@@ -183,13 +216,7 @@ def _score_segments(scoring_clauses, lo_arr, hi_arr, include, exclude):
     for cd in scoring_clauses:
         spec = cd.spec
         if spec["kind"] == "term":
-            ds, ts = [], []
-            for lo, hi in zip(lo_arr, hi_arr):
-                d, t = cd.docs_tfs_in_range(0, int(lo), int(hi))
-                ds.append(d)
-                ts.append(t)
-            docs = np.concatenate(ds) if ds else np.empty(0, np.int64)
-            tfs = np.concatenate(ts) if ts else np.empty(0, np.uint64)
+            docs, tfs = cd.docs_tfs_in_ranges(0, lo_arr, hi_arr)
             if docs.size and not np.all(np.diff(docs) > 0):
                 o = np.argsort(docs, kind="stable")
                 docs, tfs = docs[o], tfs[o]
@@ -261,10 +288,14 @@ def _phrase_in_segments(cd: _ClauseData, lo_arr, hi_arr):
             cache.append(ent)
         cd._pos_cache = cache
     docs0 = cd._pos_cache[0][0]
-    mask = np.zeros(docs0.size, dtype=bool)
-    for lo, hi in zip(lo_arr, hi_arr):
-        mask |= (docs0 > lo) & (docs0 <= hi)
-    common = docs0[mask]
+    # union of (lo, hi] ranges as an interval-difference mask: two
+    # searchsorteds + cumsum instead of one full-array compare per segment
+    starts = np.searchsorted(docs0, lo_arr, side="right")
+    ends = np.searchsorted(docs0, hi_arr, side="right")
+    delta = np.zeros(docs0.size + 1, dtype=np.int32)
+    np.add.at(delta, starts, 1)
+    np.add.at(delta, ends, -1)
+    common = docs0[np.cumsum(delta[:-1]) > 0]
     for docs_t, _, _, _ in cd._pos_cache[1:]:
         common = np.intersect1d(common, docs_t, assume_unique=True)
     if common.size == 0:
