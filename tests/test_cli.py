@@ -43,6 +43,16 @@ def test_cli_lifecycle(spark, corpus_rows, tmp_path, capsys):
     m = json.loads(out)
     assert len(m["generations"]) == 2
 
+    # a second upsert under the auto-merge policy folds back to <= 2 gens
+    upd2 = str(tmp_path / "upd2.parquet")
+    row2 = dict(corpus_rows[1])
+    row2["content"] = (row2["content"] or "") + " climarker2"
+    spark.createDataFrame([row2]).write.parquet(upd2)
+    out = _run(capsys, spark, ["upsert", "--corpus", upd2, "--index", idx,
+                               "--partitions", "4", "--max-generations", "2"])
+    m = json.loads(out)
+    assert len(m["generations"]) <= 2
+
     out = _run(capsys, spark, ["merge", "--index", idx])
     m = json.loads(out)
     assert len(m["generations"]) == 1 and m["num_docs"] == 60
