@@ -203,24 +203,71 @@ def _open_parquet_dirs(dirs):
     return children[0] if len(children) == 1 else pads.dataset(children)
 
 
+def _part_fragment_map(ds_list, cache: dict, cache_key) -> dict:
+    """part_id -> owning parquet fragments, from row-group statistics —
+    ONE bounded metadata pass per worker per (dirs, epoch), after which a
+    per-part read touches only the file(s) that contain the part. Files
+    without part_id stats land under the None key (always read)."""
+    pmap = cache.get(cache_key)
+    if pmap is not None:
+        return pmap
+    pmap = {}
+    for ds in ds_list:
+        for frag in ds.get_fragments():
+            for rg in frag.row_groups:
+                st = (rg.statistics or {}).get("part_id")
+                if not st:
+                    lst = pmap.setdefault(None, [])
+                    if not lst or lst[-1] is not frag:
+                        lst.append(frag)
+                    continue
+                for p in range(int(st["min"]), int(st["max"]) + 1):
+                    lst = pmap.setdefault(p, [])
+                    if not lst or lst[-1] is not frag:
+                        lst.append(frag)
+    cache[cache_key] = pmap
+    return pmap
+
+
 def _local_tombstones(plan: dict, part_id: int):
     """This partition's tombstoned local ordinals (int64) or None.
     Small sets arrive in the plan payload; large sets are read from the
     parquet side tables pruned to this part (executor-side, no driver
-    materialization)."""
+    materialization; part->fragment map + per-part result cached
+    per-worker, epoch-versioned like the norm cache)."""
     out = []
     tomb = plan.get("tombstone_ords")
     if tomb is not None and tomb.size:
         lt = tomb[(tomb >> ORD_SHIFT) == part_id] & ((1 << ORD_SHIFT) - 1)
         if lt.size:
             out.append(lt.astype(np.int64))
-    dirs = plan.get("tombstone_dirs") or ()
+    dirs = tuple(plan.get("tombstone_dirs") or ())
     if dirs:
-        import pyarrow.dataset as pads
+        epoch = plan.get("store_epoch", "")
+        pkey = ("tombp", dirs, epoch, part_id)
+        arr = _NORM_CACHE.get(pkey)
+        if arr is None:
+            import pyarrow.dataset as pads
 
-        tbl = _open_parquet_dirs(list(dirs)).to_table(
-            columns=["doc_ord"], filter=pads.field("part_id") == part_id)
-        arr = tbl.column("doc_ord").to_numpy()
+            dskey = ("tombds", dirs, epoch)
+            ds_list = _NORM_CACHE.get(dskey)
+            if ds_list is None:
+                ds_list = _NORM_CACHE[dskey] = [
+                    pads.dataset(d, format="parquet") for d in dirs]
+            pmap = _part_fragment_map(ds_list, _NORM_CACHE,
+                                      ("tombmap", dirs, epoch))
+            chunks = []
+            for frag in pmap.get(part_id, []) + pmap.get(None, []):
+                tbl = frag.to_table(columns=["doc_ord"],
+                                    filter=pads.field("part_id") == part_id)
+                a = tbl.column("doc_ord").to_numpy()
+                if a.size:
+                    chunks.append(a)
+            arr = (np.concatenate(chunks) if chunks
+                   else np.empty(0, np.int64))
+            if len(_NORM_CACHE) >= _NORM_CACHE_MAX:
+                _NORM_CACHE.clear()
+            _NORM_CACHE[pkey] = arr
         if arr.size:
             out.append((arr & ((1 << ORD_SHIFT) - 1)).astype(np.int64))
     if not out:
