@@ -203,17 +203,19 @@ def _open_parquet_dirs(dirs):
     return children[0] if len(children) == 1 else pads.dataset(children)
 
 
-def _part_fragment_map(ds_list, cache: dict, cache_key) -> dict:
+def _part_fragment_map(ds_list, cache: dict, cache_key, frag_filter=None) -> dict:
     """part_id -> owning parquet fragments, from row-group statistics —
     ONE bounded metadata pass per worker per (dirs, epoch), after which a
     per-part read touches only the file(s) that contain the part. Files
-    without part_id stats land under the None key (always read)."""
+    without part_id stats land under the None key (always read).
+    ``frag_filter`` prunes fragments by partition expression (e.g. the
+    kind hive directory) before footers are touched."""
     pmap = cache.get(cache_key)
     if pmap is not None:
         return pmap
     pmap = {}
     for ds in ds_list:
-        for frag in ds.get_fragments():
+        for frag in ds.get_fragments(frag_filter):
             for rg in frag.row_groups:
                 st = (rg.statistics or {}).get("part_id")
                 if not st:
@@ -300,27 +302,16 @@ def _load_part_arrays(store_dirs: tuple, part_id: int, epoch: str):
         # miss reads exactly the one or two files that contain the part
         # (~2 ms). One bounded metadata pass per worker, amortized across
         # every subsequent query.
-        pmap_key = ("pmap", store_dirs, epoch)
-        pmap = _NORM_CACHE.get(pmap_key)
-        if pmap is None:
-            pmap = {}
-            kind_flt = pads.field("kind").isin([KIND_NORMS, KIND_FAST])
-            for d in store_dirs:
-                ds = _NORM_CACHE.get(("ds", d, epoch))
-                if ds is None:  # dataset handle holds the file listing
-                    ds = _NORM_CACHE[("ds", d, epoch)] = pads.dataset(
-                        d, format="parquet", partitioning="hive")
-                for frag in ds.get_fragments(kind_flt):
-                    for rg in frag.row_groups:
-                        st = (rg.statistics or {}).get("part_id")
-                        if not st:
-                            pmap.setdefault(None, []).append(frag)
-                            continue
-                        for p in range(int(st["min"]), int(st["max"]) + 1):
-                            lst = pmap.setdefault(p, [])
-                            if not lst or lst[-1] is not frag:
-                                lst.append(frag)
-            _NORM_CACHE[pmap_key] = pmap
+        ds_list = []
+        for d in store_dirs:
+            ds = _NORM_CACHE.get(("ds", d, epoch))
+            if ds is None:  # dataset handle holds the file listing
+                ds = _NORM_CACHE[("ds", d, epoch)] = pads.dataset(
+                    d, format="parquet", partitioning="hive")
+            ds_list.append(ds)
+        pmap = _part_fragment_map(
+            ds_list, _NORM_CACHE, ("pmap", store_dirs, epoch),
+            frag_filter=pads.field("kind").isin([KIND_NORMS, KIND_FAST]))
         norm_arrays: dict = {}
         fast_arrays: dict = {}
         # fragment-level read: `kind` is a hive partition (virtual) column
