@@ -67,3 +67,62 @@ def test_lineage_rows_cover_all_parts(spark, built_index):
            .select("part_id", "df_part").collect())
     assert {int(r["part_id"]) for r in lin} == set(range(built_index["P"]))
     assert sum(int(r["df_part"]) for r in lin) == built_index["manifest"].num_docs
+
+
+def test_group_single_terms_matches_dict_reference():
+    """Property: the vectorized grouping (factorize/argsort) produces the
+    exact (sorted vocab, df layout, ord order) the per-row dict-append
+    formulation defines — over random strings incl. dupes and gaps."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spyglass_spark.index.builder import _group_single_terms
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.sampled_from(["a", "b", "aa", "z9", "0", "yy", "q"]),
+                    max_size=40))
+    def check(vals):
+        ords = np.arange(len(vals), dtype=np.int64)
+        vocab, starts, out_ords = _group_single_terms(
+            np.asarray(vals, dtype=object), ords)
+        # dict reference
+        by_term: dict = {}
+        for o, v in zip(ords, vals):
+            by_term.setdefault(v, []).append(int(o))
+        terms = sorted(by_term)
+        assert vocab == terms
+        exp_ords = [o for t in terms for o in by_term[t]]
+        assert out_ords.tolist() == exp_ords
+        assert starts.tolist() == list(np.cumsum(
+            [0] + [len(by_term[t]) for t in terms]))
+
+    check()
+
+
+def test_group_int_terms_matches_dict_reference():
+    """Same property for the int-term path — string-lexicographic vocab
+    order ('10' < '2') with numeric grouping underneath."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spyglass_spark.index.builder import _group_int_terms
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=120), max_size=60))
+    def check(vals):
+        ords = np.arange(len(vals), dtype=np.int64)
+        vocab, starts, out_ords = _group_int_terms(
+            np.asarray(vals, dtype=np.int64), ords)
+        by_term: dict = {}
+        for o, v in zip(ords, vals):
+            by_term.setdefault(str(int(v)), []).append(int(o))
+        terms = sorted(by_term)
+        assert vocab == terms
+        exp_ords = [o for t in terms for o in by_term[t]]
+        assert out_ords.tolist() == exp_ords
+        assert starts.tolist() == list(np.cumsum(
+            [0] + [len(by_term[t]) for t in terms]))
+
+    check()
