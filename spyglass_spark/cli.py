@@ -131,8 +131,11 @@ def main(argv=None, spark=None) -> int:
         elif args.cmd == "build":
             from spyglass_spark.corpus import to_documents
             from spyglass_spark.index.builder import build_index
+            from spyglass_spark.sources import read_corpus
 
-            df = spark.read.parquet(args.corpus)
+            # read_corpus validates shape and synthesizes the corpus from
+            # the raw testdata table when given one
+            df = read_corpus(spark, args.corpus)
             if "url" not in df.columns:  # corpus shape → documents shape
                 df = to_documents(df)
             m = build_index(spark, df, args.index,

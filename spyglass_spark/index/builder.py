@@ -162,52 +162,15 @@ _OUT_COLUMNS = ["kind", "part_id", "field", "term", "df_part", "cf_part", "n_loc
                 "lastmodified"]
 
 
-def _field_frame(field: str, by_term: dict, norms_f: np.ndarray,
-                 positional: bool, part_id: int, n: int) -> pd.DataFrame:
-    """Encode one field's whole term dict via the bulk codec into a
-    postings DataFrame (byte-identical to per-term encoding). Terms are
-    emitted SORTED so parquet row-group/page stats are tight per part."""
-    if not by_term:
-        return pd.DataFrame(columns=_OUT_COLUMNS)
-    terms = sorted(by_term.keys())
-    vals = [by_term[t] for t in terms]
-    dfs = np.fromiter((len(v[0]) for v in vals), dtype=np.int64,
-                      count=len(terms))
-    term_starts = np.concatenate(([0], np.cumsum(dfs)))
-    ords = np.fromiter((o for v in vals for o in v[0]),
-                       dtype=np.uint64, count=int(dfs.sum()))
-    if positional:
-        tfs = np.fromiter((t for v in vals for t in v[1]),
-                          dtype=np.uint64, count=int(dfs.sum()))
-        pos_concat = np.fromiter((p for v in vals for p in v[2]),
-                                 dtype=np.uint64)
-    else:
-        tfs = np.ones(int(dfs.sum()), dtype=np.uint64)
-        pos_concat = None
-    norm_ids = norms_f[ords.astype(np.int64)]
-    doc_b, tf_b, pos_b, meta_b = bulk_encode_postings(
-        term_starts, ords, tfs, norm_ids, pos_concat)
-    cfs = (np.add.reduceat(tfs, term_starts[:-1]) if ords.size else
-           np.zeros(0, dtype=np.uint64))
-    return pd.DataFrame({
-        "kind": np.full(len(terms), 0, dtype=np.int32),
-        "part_id": np.full(len(terms), part_id, dtype=np.int32),
-        "field": field, "term": terms,
-        "df_part": dfs, "cf_part": cfs.astype(np.int64),
-        "n_local": np.full(len(terms), n, dtype=np.int32),
-        "doc_bytes": doc_b, "tf_bytes": tf_b, "pos_bytes": pos_b,
-        "meta_bytes": meta_b,
-        "doc_id": None, "url": None, "domain": None, "title": None,
-        "description": None, "content_sha256": None, "local_ord": None,
-        "tags": None, "published": None, "lastmodified": None})
-
-
 def _field_frame_arrays(field: str, vocab: list, term_starts: np.ndarray,
                         ords: np.ndarray, tfs: np.ndarray,
                         pos_concat: np.ndarray, norms_f: np.ndarray,
                         part_id: int, n: int) -> pd.DataFrame:
-    """_field_frame over the vectorized tokenizer's array outputs (same
-    bulk codec, byte-identical postings — no per-token dict stage)."""
+    """Encode one field's grouped posting arrays (sorted vocab,
+    ``term_starts`` slicing ``ords``/``tfs``/``pos_concat`` per term) via
+    the bulk codec into a postings DataFrame — byte-identical to per-term
+    encoding, no per-token dict stage. Terms are emitted SORTED so
+    parquet row-group/page stats are tight per part."""
     if not vocab:
         return pd.DataFrame(columns=_OUT_COLUMNS)
     norm_ids = norms_f[ords.astype(np.int64)]
@@ -737,7 +700,11 @@ def delete_by_urls(spark: SparkSession, index_dir: str,
     if m is None or not m.committed:
         raise FileNotFoundError(f"no committed index at {index_dir}")
     gen_id = max(g["gen"] for g in m.gen_list()) + 1
-    tomb_rel = f"tombstones/url_del{gen_id}"
+    # dir name carries the manifest's commit counter: gen_id alone does
+    # NOT advance on delete, so two delete_by_urls in a row would
+    # mode(overwrite) the SAME dir and the second would destroy the first
+    # delete's ordinals on disk (its docs would silently resurface)
+    tomb_rel = f"tombstones/url_del{gen_id}_{getattr(m, 'commit_seq', 0)}"
     url_df = spark.createDataFrame([(u,) for u in urls], "url string")
     (doc_meta_view(spark, index_dir, m.gen_list())
      .join(F.broadcast(url_df), "url", "leftsemi")

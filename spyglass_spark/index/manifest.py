@@ -45,6 +45,12 @@ class Manifest:
     applied_epochs: list = field(default_factory=list)
     metrics: dict = field(default_factory=dict)
     created_utc: str = ""
+    # monotonic commit counter: bumped by EVERY commit_manifest call.
+    # Per-worker caches version on this, NOT on created_utc — two commits
+    # inside the same wall-clock second (e.g. back-to-back delete_by_urls
+    # overwriting the same tombstone dir) must still change the cache key
+    # or warmed executors would serve the first commit's cached ordinals.
+    commit_seq: int = 0
     committed: bool = False
 
     def gen_list(self) -> list[dict]:
@@ -83,6 +89,11 @@ def commit_manifest(index_dir: str, manifest: Manifest) -> None:
     writer.commit(), local.rs:173-177)."""
     manifest.committed = True
     manifest.created_utc = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    # monotonic vs whatever is on disk (the in-memory object may be a
+    # fresh Manifest that never saw the previous commits)
+    prev = load_manifest(index_dir)
+    manifest.commit_seq = max(manifest.commit_seq,
+                              prev.commit_seq if prev else 0) + 1
     tmp = manifest_path(index_dir) + ".tmp"
     os.makedirs(index_dir, exist_ok=True)
     with open(tmp, "w") as f:

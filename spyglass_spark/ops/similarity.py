@@ -10,7 +10,13 @@ external randomness.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
+
+# Written by write_ivf_lists AFTER the centroid sidecar — the only file
+# whose presence proves the whole list table (lists + _centroids) landed.
+IVF_COMPLETE_SENTINEL = "_IVF_COMPLETE"
 
 
 def _dot(a, b):
@@ -193,6 +199,12 @@ def write_ivf_lists(emb: DataFrame, centroids: list[list[float]],
     cent_rows = [(cid, [float(x) for x in c]) for cid, c in enumerate(centroids)]
     (spark.createDataFrame(cent_rows, "cid int, centroid array<double>")
      .coalesce(1).write.mode("overwrite").parquet(f"{lists_dir}/_centroids"))
+    # Completion sentinel, written LAST: the parquet writer drops its own
+    # _SUCCESS before the centroid sidecar lands, so a crash between the
+    # two would otherwise leave a half-built cache that readers trust.
+    # Cache gates must check THIS file, not the writer's _SUCCESS.
+    with open(os.path.join(lists_dir, IVF_COMPLETE_SENTINEL), "w") as f:
+        f.write("ok\n")
 
 
 def read_ivf_centroids(spark, lists_dir: str) -> list[list[float]]:

@@ -616,7 +616,12 @@ class SearchEngine:
             # whole search is scan → one exchange → score
             "store_dirs": [f"{self.index_dir}/{g['prefix']}/store"
                            for g in self.gens],
-            "store_epoch": m.created_utc,
+            # commit_seq (monotonic, bumped per commit) versions the
+            # per-worker norm/tombstone caches: created_utc alone is
+            # 1-second-granular, so two delete commits in the same second
+            # overwriting the same tombstone dir would leave warmed
+            # executors serving the first commit's cached ordinals
+            "store_epoch": f"{m.created_utc}#{getattr(m, 'commit_seq', 0)}",
         }
         plan.update(self._tombstone_plan())
 

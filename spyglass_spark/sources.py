@@ -12,6 +12,9 @@ from pyspark.sql import functions as F
 
 CORPUS_COLUMNS = {"repo", "path", "commit", "lang", "content"}
 DOCUMENT_COLUMNS = {"doc_id", "url", "domain", "title", "content", "tags"}
+# the driver's raw testdata table ({sf}/documents.parquet): the corpus
+# shape is synthesized from it via corpus.corpus_sql
+RAW_TESTDATA_COLUMNS = {"doc_id", "text", "source", "lang"}
 
 _FORMATS = {"parquet": "parquet", "pq": "parquet", "json": "json",
             "jsonl": "json", "ndjson": "json", "csv": "csv", "orc": "orc"}
@@ -31,12 +34,20 @@ def read_corpus(spark: SparkSession, path: str, fmt: str | None = None,
         reader = reader.option(k, v)
     df = reader.format(fmt).load(path)
     cols = set(df.columns)
-    if not (CORPUS_COLUMNS <= cols or DOCUMENT_COLUMNS - {"tags"} <= cols):
-        raise ValueError(
-            f"source {path} has columns {sorted(cols)}; expected the corpus "
-            f"shape {sorted(CORPUS_COLUMNS)} or documents shape "
-            f"{sorted(DOCUMENT_COLUMNS)}")
-    return df
+    if CORPUS_COLUMNS <= cols or DOCUMENT_COLUMNS - {"tags"} <= cols:
+        return df
+    if RAW_TESTDATA_COLUMNS <= cols:
+        # raw driver testdata (doc_id, text, source, lang, …): synthesize
+        # the corpus shape with the same derivation the driver oracle uses
+        from spyglass_spark.corpus import corpus_sql
+
+        df.createOrReplaceTempView("__sg_read_corpus_raw")
+        return spark.sql(corpus_sql("__sg_read_corpus_raw", "spark", 1))
+    raise ValueError(
+        f"source {path} has columns {sorted(cols)}; expected the corpus "
+        f"shape {sorted(CORPUS_COLUMNS)}, documents shape "
+        f"{sorted(DOCUMENT_COLUMNS)}, or raw testdata shape "
+        f"{sorted(RAW_TESTDATA_COLUMNS)}")
 
 
 # --- doc_id-pruned row store -------------------------------------------

@@ -140,6 +140,42 @@ def test_is_indexed_and_delete_by_url(spark, corpus_rows, tmp_path):
     assert got == []
 
 
+def test_back_to_back_deletes_same_second(spark, corpus_rows, tmp_path):
+    """Two delete_by_urls commits in the same wall-clock second: gen_id
+    does not advance on delete, so before the commit_seq fix both deletes
+    wrote the SAME tombstone dir (the second overwrite destroyed the
+    first delete's ordinals on disk) and the 1-second-granular
+    created_utc cache epoch let warmed executors keep serving the first
+    delete's cached ordinals. Both deletes must stick."""
+    from spyglass_spark.index.builder import build_index, delete_by_urls
+    from spyglass_spark.index.manifest import load_manifest
+    from spyglass_spark.query.executor import SearchEngine
+    from spyglass_spark.testing import corpus_to_documents
+
+    docs, _ = corpus_to_documents(corpus_rows[:50])
+    idx = str(tmp_path / "ddel")
+    build_index(spark, spark.createDataFrame(docs), idx, num_partitions=4)
+    seq0 = load_manifest(idx).commit_seq
+    eng = SearchEngine(spark, idx)
+    a, b = docs[3], docs[11]
+
+    delete_by_urls(spark, idx, [a["url"]])
+    eng.refresh()
+    # warm the per-worker tombstone caches with the first delete's epoch
+    eng.search("the", k=5).collect()
+    assert eng.is_document_indexed(a["url"]) is False
+
+    delete_by_urls(spark, idx, [b["url"]])  # same second as the first
+    eng.refresh()
+    assert eng.is_document_indexed(a["url"]) is False  # first delete sticks
+    assert eng.is_document_indexed(b["url"]) is False
+    assert eng.document_query(urls=[a["url"], b["url"]]).collect() == []
+
+    m = load_manifest(idx)
+    assert len(m.tombstone_dirs) == 2  # distinct dirs, nothing overwritten
+    assert m.commit_seq == seq0 + 2  # monotonic, one bump per commit
+
+
 def test_engine_refresh_sees_upserts(spark, corpus_rows, tmp_path):
     """An open engine serves the generation it was opened on; refresh()
     picks up another writer's upsert (tantivy reader-reload analog)."""

@@ -217,6 +217,12 @@ def test_ivf_indexed_partition_pruning(spark, tmp_path):
     lists_dir = str(tmp_path / "ivf_lists")
     write_ivf_lists(df, cents, lists_dir)
 
+    # the completion sentinel lands LAST (after the centroid sidecar) —
+    # cache gates key on it, not the parquet writer's earlier _SUCCESS
+    from spyglass_spark.ops.similarity import IVF_COMPLETE_SENTINEL
+    import os as _os
+    assert _os.path.exists(_os.path.join(lists_dir, IVF_COMPLETE_SENTINEL))
+
     q = [float(x) for x in pts[3]]
     indexed = ivf_cosine_topk_indexed(spark, lists_dir, q, k=5, nprobe=1,
                                       exclude_ids=(3,))

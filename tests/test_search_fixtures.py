@@ -13,7 +13,8 @@ import sys
 import duckdb
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
@@ -73,7 +74,7 @@ def test_fixture_nonvacuous(name):
     con = duckdb.connect()
     counts = con.execute(
         f"SELECT corpus_key, count(*) FROM "
-        f"'/root/repo/fixtures/search_expected_{name}.parquet' "
+        f"'{REPO}/fixtures/search_expected_{name}.parquet' "
         f"GROUP BY 1").fetchall()
     con.close()
     assert len(counts) == len(SF_DIRS)
