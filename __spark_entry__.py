@@ -971,6 +971,15 @@ SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
 FROM parts ORDER BY cos_sim DESC, vec_id LIMIT 10
 """,
         "ann_ivf_topk": _ANN_IVF_SQL,
+        # the k-means trainer is iterative (not DuckDB-expressible), but
+        # fully deterministic — expected rows precomputed WITHOUT Spark by
+        # tools/make_ivf_fixture.py (sequential-fold float64 mirror of the
+        # distributed assign/probe/topk), keyed like the search fixtures
+        "ann_ivf_trained":
+            f"SELECT vec_id, cos_sim "
+            f"FROM '{FIXTURES_DIR}/ann_ivf_trained_expected.parquet' "
+            f"WHERE corpus_key = "
+            f"(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)",
         "ann_ivf_indexed": _ANN_IVF_SQL,
         "textstats_quality": f"""
 WITH {DUCK_TOKS},

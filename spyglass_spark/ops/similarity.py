@@ -129,6 +129,16 @@ def train_centroids(emb: DataFrame, k: int, iters: int = 5,
     if len(dims) != 1:
         raise ValueError(f"train_centroids: ragged embedding lengths {sorted(dims)}")
     X = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    return train_centroids_np(X, k, iters)
+
+
+def train_centroids_np(X, k: int, iters: int = 5) -> list[list[float]]:
+    """The pure-numpy trainer core over an id-ascending sample matrix —
+    shared by the Spark wrapper above and the fixture generator
+    (tools/make_ivf_fixture.py), the same scalar-semantics-shared /
+    distributed-plumbing-verified split as the search oracle."""
+    import numpy as np
+
     n, dim = X.shape
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
 
