@@ -813,9 +813,9 @@ def _merge_part_factory(dead_kind_docmeta: int):
         n_dropped = len(dm) - len(dm_keep)
 
         norms_out = norms_rows.copy()
-        norms_out["cf_part"] = [
-            int(r.cf_part) - removed_cf.get(r.term, 0)
-            for r in norms_rows.itertuples()]
+        norms_out["cf_part"] = (
+            norms_rows["cf_part"]
+            - norms_rows["term"].map(dict(removed_cf)).fillna(0)).astype("int64")
 
         lin = store_pdf[kind == KIND_LINEAGE].copy()
         if len(lin):

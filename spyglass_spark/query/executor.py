@@ -66,19 +66,19 @@ TOMBSTONE_SHIP_MAX = 1_000_000
 
 def _wand_eligible(specs) -> bool:
     """Block-max WAND handles the standard search shape: a scoring Should
-    group + zero-boost single-term Must filters, MustNots, and date-range
-    Musts (the fast-field mask feeds wand_top_k's filter_include, so
-    pruning still skips unscored blocks). Scoring musts / favorite-Should
-    extras / phrase-or-multiterm musts fall back to the exhaustive scorer
-    (WAND is a pruning strategy only — results must be bitwise
-    identical)."""
+    group + single-term Must clauses (zero-boost filters AND scoring
+    Musts — a scoring Must is both an include filter and a scoring clause
+    appended after the Should group, preserving the float32 clause sum
+    order), MustNots, and date-range Musts (the fast-field mask feeds
+    wand_top_k's filter_include, so pruning still skips unscored blocks).
+    Favorite-Should extras / phrase-or-multiterm musts fall back to the
+    exhaustive scorer (WAND is a pruning strategy only — results must be
+    bitwise identical)."""
     for s in specs:
         if s["role"] in ("should_extra", "extra_group"):
             return False
         if s["role"] in ("must", "must_not") and (
                 s["kind"] != "term" or len(s["terms"]) != 1):
-            return False
-        if s["role"] == "must" and s["scoring"]:
             return False
     return any(s["role"] == "should" for s in specs)
 
@@ -92,16 +92,24 @@ def _run_wand(q, payload, caches, norm_arrays, fast_arrays, limit,
 
     wand_shared = shared["wand"] if shared is not None else {}
     scoring = []
+    any_should = False
     for spec in q["specs"]:
-        if spec["role"] != "should":
+        # scoring clauses in SPEC order (should group, then scoring
+        # musts) — the float32 accumulation order the oracle pins. A
+        # scoring Must is also an include filter below; candidates still
+        # come from Should clauses only (exhaustive-path parity).
+        if not (spec["role"] == "should"
+                or (spec["role"] == "must" and spec["scoring"])):
             continue
         rows = [payload.get((spec["field"], t)) for t in spec["terms"]]
         if any(r is None for r in rows):
             continue  # clause can't match in this part
+        if spec["role"] == "should":
+            any_should = True
         scoring.append(_ClauseData(spec, rows, caches[spec["field"]],
                                    norm_arrays.get(spec["field"]),
                                    wand_shared))
-    if not scoring:
+    if not any_should:
         return np.empty(0, np.int64), np.empty(0, np.float32)
 
     def filter_docs(field, term):
@@ -575,11 +583,26 @@ class SearchEngine:
         t0 = time.time()
         compiled = [compile_query(q["query"], q.get("filters", ()), q.get("boosts", ()))
                     for q in queries]
-        out = self._execute_compiled(compiled, k=k, offset=offset, algo=algo)
+        sc = self.spark.sparkContext
+        self._qseq = getattr(self, "_qseq", 0) + 1
+        group = f"spyglass-search-{id(self)}-{self._qseq}"
+        sc.setJobGroup(group, "spyglass search")
+        try:
+            out = self._execute_compiled(compiled, k=k, offset=offset, algo=algo)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
         self.last_meta = {
             "queries": [q["query"] for q in queries],
             "num_docs": self.manifest.num_docs,
             "term_counts": [cq.term_count for cq in compiled],
+            # jobs launched DURING execution (the driver-merge path fully
+            # materializes inside, so this is the whole query for the
+            # common shape: 1 = the single scoring pass; the returned
+            # LocalRelation adds zero jobs at collect)
+            "spark_jobs": len(sc.statusTracker().getJobIdsForGroup(group)),
+            # how many of the batch's queries took the WAND pruning path
+            # (algo='auto'); the rest fell back to the exhaustive scorer
+            "wand_eligible": getattr(self, "_last_wand_eligible", 0),
             "wall_time_ms": round((time.time() - t0) * 1000.0, 1),
         }
         return out
@@ -592,6 +615,7 @@ class SearchEngine:
         for cq in compiled:
             keys |= cq.term_keys()
         if not keys:
+            self._last_wand_eligible = 0
             return self._empty_result()
 
         fields = sorted({f for f, _ in keys})
@@ -607,6 +631,13 @@ class SearchEngine:
         plan = {
             "queries": [{"query_id": qi, "specs": _clause_specs(cq, dfs, m.num_docs)}
                         for qi, cq in enumerate(compiled)],
+        }
+        # eligibility is a pure function of the specs — recorded so
+        # last_meta can report how many of the batch's queries took the
+        # WAND pruning path (vs exhaustive fallback)
+        self._last_wand_eligible = sum(
+            1 for q in plan["queries"] if _wand_eligible(q["specs"]))
+        plan |= {
             "caches": caches,
             "limit": k + offset,
             "algo": algo,
@@ -644,7 +675,23 @@ class SearchEngine:
         total_parts = sum(g["num_partitions"] for g in self.gens)
         bound = total_parts * (k + offset) * len(compiled)
         if bound <= MERGE_COLLECT_MAX:
-            return self._merge_driver(partial, len(compiled), k, offset)
+            # AQE is a net loss for this fixed scan→exchange→score shape:
+            # it runs the shuffle stage as its OWN job (a barrier between
+            # two scheduling rounds) and coalesces the tiny-byte posting
+            # shuffle down to a handful of tasks — serializing the
+            # CPU-heavy scoring stage that the bytes don't predict.
+            # Disabling it for the scoring collect makes a search exactly
+            # ONE fixed-parallelism Spark job (measured 2.2s → 0.7s warm
+            # hot-term at sf0.1 bench scale). Session-level toggle:
+            # restored in finally; a concurrent query planned in the
+            # window would only lose an optimization, never correctness.
+            conf = self.spark.conf
+            prev = conf.get("spark.sql.adaptive.enabled", "true")
+            conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                return self._merge_driver(partial, len(compiled), k, offset)
+            finally:
+                conf.set("spark.sql.adaptive.enabled", prev)
         return self._merge_window(partial, k, offset)
 
     # hit sets up to this size materialize doc_meta via a driver-side
@@ -678,10 +725,7 @@ class SearchEngine:
             meta = self._doc_meta_pyarrow({h[2] for h in hits})
             out = [(qid, rank, *meta[ord_], float(np.float32(score)), ord_)
                    for qid, rank, ord_, score in sorted(hits)]
-            return self.spark.createDataFrame(
-                out, "query_id long, rank int, doc_id string, url string, "
-                     "domain string, title string, description string, "
-                     "tags array<long>, score float, doc_ord long")
+            return self._local_hits_df(out)
         hits_df = self.spark.createDataFrame(
             hits, "query_id long, rank int, doc_ord long, score float")
         parts = sorted({h[2] >> ORD_SHIFT for h in hits})
@@ -967,8 +1011,50 @@ class SearchEngine:
             }
         return self._tomb_cache
 
-    def _empty_result(self) -> DataFrame:
-        return self.spark.createDataFrame(
-            [], "query_id long, rank int, doc_id string, url string, "
+    _HIT_SELECT = ("CAST(col1 AS LONG) AS query_id, CAST(col2 AS INT) AS rank, "
+                   "col3 AS doc_id, col4 AS url, col5 AS domain, "
+                   "col6 AS title, CAST(col7 AS STRING) AS description, "
+                   "col8 AS tags, col9 AS score, CAST(col10 AS LONG) AS doc_ord")
+
+    def _local_hits_df(self, rows: list[tuple]) -> DataFrame:
+        """Driver-resident hit rows → DataFrame WITHOUT a Spark job.
+
+        ``spark.createDataFrame`` parallelizes python rows into an RDD, so
+        the caller's ``collect()`` launches a (defaultParallelism-task) job
+        just to read back ≤k local rows — ~0.3-0.9 s of pure scheduling on
+        a warm local[32]. A literal VALUES inline table becomes a Catalyst
+        LocalRelation instead: ``collect()`` is a driver-local read, zero
+        jobs — the whole search stays at ONE Spark job (the scoring pass).
+        Strings are SQL-escaped; rows with characters the parser can't
+        round-trip (NUL) fall back to a single-slice parallelize."""
+        if any(isinstance(v, str) and "\x00" in v for r in rows for v in r):
+            return self.spark.createDataFrame(
+                self.spark.sparkContext.parallelize(rows, 1),
+                "query_id long, rank int, doc_id string, url string, "
                 "domain string, title string, description string, "
                 "tags array<long>, score float, doc_ord long")
+
+        def s(v):  # string literal ('' and \ escaped; backslash-escape mode)
+            if v is None:
+                return "CAST(NULL AS STRING)"
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+        vals = []
+        for qid, rank, did, url, dom, ti, desc, tags, score, ord_ in rows:
+            tl = ("CAST(array() AS ARRAY<LONG>)" if not tags else
+                  "array(" + ",".join(f"{int(t)}L" for t in tags) + ")")
+            vals.append(
+                f"({int(qid)},{int(rank)},{s(did)},{s(url)},{s(dom)},{s(ti)},"
+                f"{s(desc)},{tl},CAST({float(score)!r} AS FLOAT),{int(ord_)}L)")
+        return self.spark.sql(
+            f"SELECT {self._HIT_SELECT} FROM (VALUES {','.join(vals)})")
+
+    def _empty_result(self) -> DataFrame:
+        # literal empty relation (LocalRelation — collect() runs no job)
+        return self.spark.sql(
+            "SELECT CAST(NULL AS LONG) AS query_id, CAST(NULL AS INT) AS rank, "
+            "CAST(NULL AS STRING) AS doc_id, CAST(NULL AS STRING) AS url, "
+            "CAST(NULL AS STRING) AS domain, CAST(NULL AS STRING) AS title, "
+            "CAST(NULL AS STRING) AS description, "
+            "CAST(NULL AS ARRAY<LONG>) AS tags, CAST(NULL AS FLOAT) AS score, "
+            "CAST(NULL AS LONG) AS doc_ord WHERE 1=0")

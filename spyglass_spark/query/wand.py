@@ -245,7 +245,12 @@ def _score_segments(scoring_clauses, lo_arr, hi_arr, include, exclude):
 
     if not per_clause:
         return np.empty(0, np.int64), np.empty(0, np.float32)
-    nonempty = [d for d, _ in per_clause if d.size]
+    # candidates come from SHOULD clauses only — a scoring Must in the
+    # list contributes score mass but cannot nominate docs (the
+    # exhaustive path intersects union(should) with the must sets, so a
+    # doc matching only the must is not a hit)
+    nonempty = [d for (d, _), cd in zip(per_clause, scoring_clauses)
+                if d.size and cd.spec["role"] == "should"]
     if not nonempty:
         return np.empty(0, np.int64), np.empty(0, np.float32)
     cand = np.unique(np.concatenate(nonempty))

@@ -142,3 +142,57 @@ def test_upsert_delete_readd_parity(spark, corpus_rows, tmp_path):
     hits = eng.search("upsertedmarker", k=20).collect()
     assert len(hits) == 10
     assert {h["url"] for h in hits} == replaced_urls
+
+
+def test_high_p_manifest_and_resume(spark, corpus_rows, tmp_path):
+    """P=4096 / waves=8 smoke (SCALING.md's 10^12-doc claim is P≈2^20 with
+    wave-bounded memory): driver state must stay O(generations), NOT O(P) —
+    manifest + checkpoint are small constants; crash-after-wave-3 resumes
+    from the checkpoint without redoing completed waves; search over the
+    4096-part index answers correctly and the driver-merge guard routes the
+    top-k through the distributed window path (4096 parts × k exceeds no
+    bound here, but the partial rows stay parts×k tiny)."""
+    import json
+    import os
+    import time
+
+    from spyglass_spark.index.builder import build_index
+    from spyglass_spark.index.manifest import load_checkpoint, load_manifest
+    from spyglass_spark.query.executor import SearchEngine
+    from spyglass_spark.testing import corpus_to_documents
+
+    docs, _ = corpus_to_documents(corpus_rows[:120])
+    sdf = spark.createDataFrame(docs)
+    idx = str(tmp_path / "highp")
+    P, WAVES = 4096, 8
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(spark, sdf, idx, num_partitions=P, waves=WAVES,
+                    fail_after_wave=3)
+    ckpt = load_checkpoint(idx)
+    # fail_after_wave=3 raises after wave index 3 commits → waves 0-3 done
+    assert len(ckpt["completed_waves_segments"]) == 4
+    # checkpoint is O(waves), not O(P)
+    assert os.path.getsize(os.path.join(idx, "checkpoint.json")) < 4096
+
+    m = build_index(spark, sdf, idx, num_partitions=P, waves=WAVES)
+    assert m.committed and m.num_docs == len(docs)
+    assert m.num_partitions == P
+
+    # manifest stays O(generations): a handful of KB regardless of P
+    man_bytes = os.path.getsize(os.path.join(idx, "manifest.json"))
+    assert man_bytes < 16_384, f"manifest grew with P: {man_bytes} bytes"
+    man = json.load(open(os.path.join(idx, "manifest.json")))
+    assert len(man["generations"]) == 1  # per-partition lineage is parquet,
+    # not manifest rows
+
+    eng = SearchEngine(spark, idx)
+    t0 = time.time()
+    hits = eng.search("fn", k=5).collect()
+    first_latency = time.time() - t0
+    assert len(hits) > 0
+    ranks = [h["rank"] for h in hits]
+    assert ranks == sorted(ranks)
+    # sanity bound, generous for the shared noisy host: a 4096-part index
+    # over 120 docs must not degenerate into minutes of per-part overhead
+    assert first_latency < 120, f"search took {first_latency:.1f}s at P={P}"
