@@ -721,13 +721,18 @@ class SearchEngine:
                 hits.append((int(qi), rank, int(ords[i]), float(scores[i])))
         if not hits:
             return self._empty_result()
-        if len(hits) <= self._META_PYARROW_MAX:
-            meta = self._doc_meta_pyarrow({h[2] for h in hits})
+        # gate on DISTINCT docs, not hit rows: a 64-query batch's hits
+        # overlap heavily (640 rows ≈ 150 docs), and the pyarrow read cost
+        # scales with docs while the VALUES result handles any row count
+        uniq = {h[2] for h in hits}
+        if len(uniq) <= self._META_PYARROW_MAX:
+            meta = self._doc_meta_pyarrow(uniq)
             out = [(qid, rank, *meta[ord_], float(np.float32(score)), ord_)
                    for qid, rank, ord_, score in sorted(hits)]
             return self._local_hits_df(out)
         hits_df = self.spark.createDataFrame(
-            hits, "query_id long, rank int, doc_ord long, score float")
+            self.spark.sparkContext.parallelize(hits, 1),
+            "query_id long, rank int, doc_ord long, score float")
         parts = sorted({h[2] >> ORD_SHIFT for h in hits})
         ords_all = [h[2] for h in hits]
         dm = self._doc_meta_base.filter(
