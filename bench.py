@@ -461,12 +461,18 @@ def main() -> None:
                     rec = json.loads(line)
                 except ValueError:
                     continue
-                # only windows whose kernel control shows real capacity
-                # are interpretable (≥12 M tok/s at 32p, or ≥12 M at 16p
-                # for the 4→16 N→4N fallback pair)
-                if rec.get("scaling_efficiency") is not None and \
-                        max(rec.get("kernel_32p", 0),
-                            rec.get("kernel_16p", 0)) >= 12e6:
+                # interpretable windows: kernel control shows real
+                # capacity (≥12 M tok/s at 32p / 16p), OR the capture is
+                # control-BRACKETED — the kernel ratio held ≥0.7 both
+                # immediately before and immediately after the legs
+                # (stationary window), even under partial neighbor load
+                if rec.get("scaling_efficiency") is None:
+                    continue
+                capacity_ok = max(rec.get("kernel_32p", 0),
+                                  rec.get("kernel_16p", 0)) >= 12e6
+                bracketed = rec.get("controls_bracketed") and \
+                    min(rec.get("keff_pre", 0), rec.get("keff_after", 0)) >= 0.7
+                if capacity_ok or bracketed:
                     cands.append(rec)
         if cands:
             result["quiet_window_best"] = max(

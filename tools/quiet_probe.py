@@ -83,22 +83,35 @@ def attempt(min_kernel_eff: float) -> dict:
     # tokenize-like work even when pure-CPU loops scale) — quiet windows
     # historically deliver ≥15 M tok/s at 32p
     pair = None
+    keff_pre = None
     if keff >= min_kernel_eff and k32 >= 30e6:
-        pair = (8, 32)
+        pair, keff_pre = (8, 32), keff
     else:
-        # N→4N fallback at half the bandwidth demand: 4→16 procs. Only
-        # taken when ITS kernel control scales AND the 16p absolute floor
-        # (half the 32p floor) holds — same honesty gates, smaller bus
-        # footprint.
+        # N→4N fallback at half the bandwidth demand: 4→16 procs. Taken
+        # when ITS kernel control scales; the absolute floor is relaxed to
+        # 9 M (neighbors often cap the bus near 14 M — a 4→16 pair still
+        # fits the available envelope) because non-stationary noise is
+        # instead caught by the POST-leg control re-measure below: a
+        # capture only counts as bracketed when the kernel ratio holds
+        # BOTH immediately before and immediately after the legs.
         k4, k16, keff2 = kernel_eff(4, 16)
         rec.update(kernel_4p=round(k4, 1), kernel_16p=round(k16, 1),
                    kernel_eff_4_16=round(keff2, 3))
-        if keff2 >= min_kernel_eff and k16 >= 15e6:
-            pair = (4, 16)
+        if keff2 >= min_kernel_eff and k16 >= 9e6:
+            pair, keff_pre = (4, 16), keff2
     if pair:
         lo, hi = pair
         legs = run_legs(lo, hi)
         eff = (legs[hi]["docs_per_sec"] / legs[lo]["docs_per_sec"]) / 4.0
+        # post-leg control: same pair, re-measured AFTER the legs — the
+        # stationarity bracket (bench.py's quiet_window_best accepts
+        # bracketed captures below the old absolute floor)
+        _, khi2, keff_after = kernel_eff(lo, hi)
+        rec.update(keff_pre=round(keff_pre, 3),
+                   keff_after=round(keff_after, 3),
+                   kernel_hi_after=round(khi2, 1),
+                   controls_bracketed=bool(min(keff_pre, keff_after)
+                                           >= min_kernel_eff))
         rec.update(
             pair=[lo, hi],
             replicas=PROBE_REPLICAS,
