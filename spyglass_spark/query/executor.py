@@ -71,11 +71,14 @@ def _wand_eligible(specs) -> bool:
     appended after the Should group, preserving the float32 clause sum
     order), MustNots, and date-range Musts (the fast-field mask feeds
     wand_top_k's filter_include, so pruning still skips unscored blocks).
-    Favorite-Should extras / phrase-or-multiterm musts fall back to the
-    exhaustive scorer (WAND is a pruning strategy only — results must be
-    bitwise identical)."""
+    Favorite should-extras are score-only clauses (the reference wraps the
+    main Should group in a Must, so an extra Should can never nominate a
+    doc by itself) — they join the scoring list after the musts, exactly
+    the exhaustive float32 order. Only document-query extra_groups /
+    phrase-or-multiterm musts fall back to the exhaustive scorer (WAND is
+    a pruning strategy only — results must be bitwise identical)."""
     for s in specs:
-        if s["role"] in ("should_extra", "extra_group"):
+        if s["role"] == "extra_group":
             return False
         if s["role"] in ("must", "must_not") and (
                 s["kind"] != "term" or len(s["terms"]) != 1):
@@ -94,12 +97,14 @@ def _run_wand(q, payload, caches, norm_arrays, fast_arrays, limit,
     scoring = []
     any_should = False
     for spec in q["specs"]:
-        # scoring clauses in SPEC order (should group, then scoring
-        # musts) — the float32 accumulation order the oracle pins. A
-        # scoring Must is also an include filter below; candidates still
-        # come from Should clauses only (exhaustive-path parity).
+        # scoring clauses in SPEC order (should group, scoring musts,
+        # favorite should-extras) — the float32 accumulation order the
+        # oracle pins. A scoring Must is also an include filter below;
+        # should_extras are score-only; candidates still come from Should
+        # clauses only (exhaustive-path parity).
         if not (spec["role"] == "should"
-                or (spec["role"] == "must" and spec["scoring"])):
+                or (spec["role"] in ("must", "should_extra")
+                    and spec["scoring"])):
             continue
         rows = [payload.get((spec["field"], t)) for t in spec["terms"]]
         if any(r is None for r in rows):

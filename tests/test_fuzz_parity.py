@@ -49,6 +49,12 @@ def _mk_query(rng: random.Random, docs):
     if rng.random() < 0.25:
         seed = rng.choice(docs)
         boosts.append(("docid", seed["doc_id"], round(rng.uniform(0.0, 3.0), 3)))
+    # favorite shapes: score-only Should-extra and scoring Must — both
+    # WAND-eligible since round 5, so the fuzz must hit them
+    if rng.random() < 0.25:
+        filters.append(("favorite", rng.randint(1, 4)))
+    if rng.random() < 0.2:
+        filters.append(("favorite_required", rng.randint(1, 4)))
     offset = rng.choice([0, 0, 0, 2])
     return q, filters, boosts, offset
 

@@ -205,6 +205,47 @@ def test_engine_wand_scoring_must(spark, built_index):
                [np.float32(h["score"]) for h in ohits]
 
 
+def test_engine_wand_favorite_extra(spark, built_index):
+    """Plain favorite filters (Should-extra: score-only tag boost outside
+    the Must-wrapped Should group) also run inside WAND now — the extra
+    clause joins the scoring list after the musts (float32 clause order)
+    but never nominates candidates. Bitwise auto == exhaustive == scalar
+    oracle."""
+    from spyglass_spark.query.compiler import compile_query
+    from spyglass_spark.query.executor import SearchEngine, _clause_specs, _wand_eligible
+
+    eng = SearchEngine(spark, built_index["index_dir"])
+    tags_dim = built_index["tags_dim"]
+    tag_ids = sorted(tags_dim.values()) if isinstance(tags_dim, dict) else \
+        sorted(t["id"] for t in tags_dim)
+    queries = [
+        {"query": "parse token stream", "filters": [("favorite", tag_ids[0])]},
+        {"query": "fn", "filters": [("favorite", tag_ids[1]),
+                                    ("tag", tag_ids[0])]},
+    ]
+    for q in queries:
+        cq = compile_query(q["query"], q["filters"])
+        dfs = eng._term_dfs(cq.term_keys())
+        specs = _clause_specs(cq, dfs, eng.manifest.num_docs)
+        assert any(s["role"] == "should_extra" and s["scoring"] for s in specs)
+        assert _wand_eligible(specs)
+    a = eng.search_many(queries, k=8, algo="auto").collect()
+    b = eng.search_many(queries, k=8, algo="exhaustive").collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    a, b = sorted(a, key=key), sorted(b, key=key)
+    assert len(a) == len(b) and len(a) > 0
+    for ra, rb in zip(a, b):
+        assert (ra["query_id"], ra["rank"], ra["doc_id"], ra["score"]) == \
+               (rb["query_id"], rb["rank"], rb["doc_id"], rb["score"])
+    oracle = built_index["oracle"]
+    for qi, q in enumerate(queries):
+        ohits = oracle.search(q["query"], q["filters"], k=8)
+        spark_rows = [r for r in a if r["query_id"] == qi]
+        assert [r["doc_id"] for r in spark_rows] == [h["doc_id"] for h in ohits]
+        assert [np.float32(r["score"]) for r in spark_rows] == \
+               [np.float32(h["score"]) for h in ohits]
+
+
 def test_wand_tie_at_k_boundary(big_part):
     """Docs with IDENTICAL scores straddling the k-th boundary: the
     smaller ordinals must win the tie-break even when their segments' UB
