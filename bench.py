@@ -285,6 +285,9 @@ def run_headline_queries(spark, eng, best_of: int = 1) -> dict:
     eng.search("spark table", k=5).collect()
 
     timed("search_hot_term", lambda: eng.search("join", k=10).collect())
+    # jobs-per-search evidence (round-5 target: ONE scoring job, result
+    # returned as a LocalRelation → caller collect launches none)
+    timings["_single_search_spark_jobs"] = eng.last_meta.get("spark_jobs")
     timed("search_multi_phrase",
           lambda: eng.search("the fast key order sort", k=10).collect())
     timed("search_batch8", lambda: eng.search_many(
@@ -349,7 +352,8 @@ def spot_queries() -> None:
            "replicas": REPLICAS, "content_repeat": CONTENT_REPEAT,
            "built_now": built_now, "build_sec_32c": build_sec,
            "queries": timings,
-           "total_sec": round(sum(timings.values()), 3)}
+           "total_sec": round(sum(v for k2, v in timings.items()
+                                  if not k2.startswith("_")), 3)}
     with open(SPOT_LOG, "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec))
@@ -401,7 +405,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     eng = SearchEngine(spark, leg32["index_dir"])
     timings = run_headline_queries(spark, eng)
-    total = round(sum(timings.values()), 3)
+    total = round(sum(v for k2, v in timings.items()
+                      if not k2.startswith("_")), 3)
     result = {
         "metric": "headline_suite_wall_sec",
         "value": total,
