@@ -564,6 +564,40 @@ class SearchEngine:
         self._doc_meta_base = doc_meta_view(self.spark, self.index_dir, self.gens)
         self._df_cache: dict[tuple[str, str], int] = {}
         self._tomb_cache = None
+        self._scan_aligned = self._compute_scan_aligned()
+
+    def _compute_scan_aligned(self) -> bool:
+        """True when the kind=0 store layout guarantees whole-part input
+        splits: stage 1 writes exactly one posting file per doc partition
+        (identity shuffle keys → one task per part), so as long as no
+        file exceeds half of spark.sql.files.maxPartitionBytes Spark will
+        never split one across tasks — every scan task sees COMPLETE
+        parts and the pre-scoring groupBy exchange is pure waste (the
+        data is already co-located on disk). Falls back to the shuffled
+        path automatically when a part's postings outgrow the bound (the
+        100 TB regime with huge parts)."""
+        import os
+
+        try:
+            max_bytes = int(self.spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", str(128 << 20)))
+        except ValueError:
+            max_bytes = 128 << 20
+        biggest = 0
+        nfiles = 0
+        for g in self.gens:
+            store = f"{self.index_dir}/{g['prefix']}/store"
+            for root, _, files in os.walk(store):
+                if "kind=0" not in root:
+                    continue
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        nfiles += 1
+                        biggest = max(biggest, os.path.getsize(
+                            os.path.join(root, fn)))
+        self._posting_file_count = nfiles
+        self._max_partition_bytes = max_bytes
+        return 0 < biggest <= max_bytes // 2
 
     def _paths(self, name: str) -> list[str]:
         return [f"{self.index_dir}/{g['prefix']}/{name}" for g in self.gens]
@@ -671,11 +705,28 @@ class SearchEngine:
         if not needs_pos:
             postings = postings.drop("pos_bytes")
 
-        def run(pdf):
-            return _score_partition(plan, pdf)
+        if self._scan_aligned:
+            # ZERO-SHUFFLE scoring: one posting file per doc partition
+            # means every scan task already holds complete parts — group
+            # per part INSIDE the task and score, no exchange at all.
+            # (On a 1000-executor cluster this removes the per-query
+            # all-to-all; locally it removes the shuffle stage barrier.)
+            def run_map(batches):
+                chunks = [pdf for pdf in batches if len(pdf)]
+                if not chunks:
+                    return
+                pdf = (pd.concat(chunks, ignore_index=True)
+                       if len(chunks) > 1 else chunks[0])
+                for _, g in pdf.groupby("part_id", sort=True):
+                    yield _score_partition(plan, g)
 
-        partial = (postings.groupBy("part_id")
-                   .applyInPandas(run, RESULT_SCHEMA))
+            partial = postings.mapInPandas(run_map, RESULT_SCHEMA)
+        else:
+            def run(pdf):
+                return _score_partition(plan, pdf)
+
+            partial = (postings.groupBy("part_id")
+                       .applyInPandas(run, RESULT_SCHEMA))
 
         total_parts = sum(g["num_partitions"] for g in self.gens)
         bound = total_parts * (k + offset) * len(compiled)
@@ -692,11 +743,24 @@ class SearchEngine:
             # window would only lose an optimization, never correctness.
             conf = self.spark.conf
             prev = conf.get("spark.sql.adaptive.enabled", "true")
+            prev_cost = conf.get("spark.sql.files.openCostInBytes", "4194304")
             conf.set("spark.sql.adaptive.enabled", "false")
+            if self._scan_aligned:
+                # size open-cost so the per-part files pack into ≈cores
+                # tasks: the default 4 MB packs them into a handful
+                # (serializing the CPU-heavy scoring), while 1 file/task
+                # costs a Python-worker round trip per PART (measured
+                # ~0.7 s of pure invocation overhead at P=128). Each task
+                # still holds only COMPLETE parts.
+                cores = max(self.spark.sparkContext.defaultParallelism, 1)
+                per_task = max(1, -(-self._posting_file_count // cores))
+                conf.set("spark.sql.files.openCostInBytes",
+                         str(max(4 << 20, self._max_partition_bytes // per_task)))
             try:
                 return self._merge_driver(partial, len(compiled), k, offset)
             finally:
                 conf.set("spark.sql.adaptive.enabled", prev)
+                conf.set("spark.sql.files.openCostInBytes", prev_cost)
         return self._merge_window(partial, k, offset)
 
     # hit sets up to this size materialize doc_meta via a driver-side
