@@ -705,28 +705,7 @@ class SearchEngine:
         if not needs_pos:
             postings = postings.drop("pos_bytes")
 
-        if self._scan_aligned:
-            # ZERO-SHUFFLE scoring: one posting file per doc partition
-            # means every scan task already holds complete parts — group
-            # per part INSIDE the task and score, no exchange at all.
-            # (On a 1000-executor cluster this removes the per-query
-            # all-to-all; locally it removes the shuffle stage barrier.)
-            def run_map(batches):
-                chunks = [pdf for pdf in batches if len(pdf)]
-                if not chunks:
-                    return
-                pdf = (pd.concat(chunks, ignore_index=True)
-                       if len(chunks) > 1 else chunks[0])
-                for _, g in pdf.groupby("part_id", sort=True):
-                    yield _score_partition(plan, g)
-
-            partial = postings.mapInPandas(run_map, RESULT_SCHEMA)
-        else:
-            def run(pdf):
-                return _score_partition(plan, pdf)
-
-            partial = (postings.groupBy("part_id")
-                       .applyInPandas(run, RESULT_SCHEMA))
+        partial = self._partial_frame(plan, postings)
 
         total_parts = sum(g["num_partitions"] for g in self.gens)
         bound = total_parts * (k + offset) * len(compiled)
@@ -762,6 +741,33 @@ class SearchEngine:
                 conf.set("spark.sql.adaptive.enabled", prev)
                 conf.set("spark.sql.files.openCostInBytes", prev_cost)
         return self._merge_window(partial, k, offset)
+
+    def _partial_frame(self, plan: dict, postings: DataFrame) -> DataFrame:
+        """Per-partition scoring frame (query_id, doc_ord, score).
+
+        Scan-aligned (the common case): one posting file per doc
+        partition means every scan task already holds complete parts —
+        group per part INSIDE the task and score, ZERO shuffle. On a
+        1000-executor cluster this removes the per-query all-to-all;
+        locally it removes the shuffle stage barrier. Falls back to the
+        groupBy exchange when a part's postings could split across scan
+        tasks (oversized files — see _compute_scan_aligned)."""
+        if self._scan_aligned:
+            def run_map(batches):
+                chunks = [pdf for pdf in batches if len(pdf)]
+                if not chunks:
+                    return
+                pdf = (pd.concat(chunks, ignore_index=True)
+                       if len(chunks) > 1 else chunks[0])
+                for _, g in pdf.groupby("part_id", sort=True):
+                    yield _score_partition(plan, g)
+
+            return postings.mapInPandas(run_map, RESULT_SCHEMA)
+
+        def run(pdf):
+            return _score_partition(plan, pdf)
+
+        return postings.groupBy("part_id").applyInPandas(run, RESULT_SCHEMA)
 
     # hit sets up to this size materialize doc_meta via a driver-side
     # pyarrow pruned read (metadata-plane, no Spark job); larger sets go

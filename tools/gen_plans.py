@@ -55,6 +55,18 @@ section("Query-term postings scan (kind-partitioned store)", postings,
         "- ReadSchema carries only the scanned columns — payload bytes of\n"
         "  other kinds/terms are never read.")
 
+scoring = eng._partial_frame(
+    {"queries": [], "caches": {}, "limit": 10, "algo": "auto",
+     "store_dirs": [], "store_epoch": ""},
+    postings.drop("pos_bytes"))
+section("Search scoring stage (zero-shuffle, scan-aligned)", scoring,
+        "- ONE stage, NO exchange: stage 1 wrote one posting file per doc\n"
+        "  partition, so every scan task already holds complete parts and\n"
+        "  the scoring MapInPandas groups per part inside the task. On a\n"
+        "  multi-executor cluster a query never does an all-to-all.\n"
+        "- Falls back to groupBy+applyInPandas automatically when a part's\n"
+        "  posting file could split across scan tasks (oversized parts).", 30)
+
 section("SQL-form BM25 top-k (pure DataFrame plan)", E.q_bm25_topk_simple(spark, SF),
         "- Whole-stage codegen end to end — zero Python in the plan.\n"
         "- Partial (map-side) aggregation before both shuffles; the tiny\n"
