@@ -261,3 +261,36 @@ def test_edge_cases_parity(spark, tmp_path):
         for r, h in zip(got, exp):
             assert np.isclose(np.float32(r["score"]), np.float32(h["score"]),
                               rtol=1e-5), (q, r["score"], h["score"])
+
+
+def test_local_hits_values_roundtrip(engine):
+    """The VALUES-LocalRelation result path must round-trip every string
+    the parser can represent (quotes, backslashes, control chars,
+    unicode) bitwise, fall back to parallelize for NUL, and launch ZERO
+    Spark jobs on collect for the literal path."""
+    nasty = [
+        (0, 1, "d'x", 'u"\\z', "dom\nnl", "ti\tq", None, [1, 2],
+         1.5, 42),
+        (0, 2, "π—émoji🎉", "u%s$", "d", "t", "desc with 'quotes'",
+         [], 0.25, 7),
+        (1, 1, "\\\\double", "-- not a comment", "d;e", "t/*x*/",
+         "a\rb", [3], 0.125, 9),
+    ]
+    sc = engine.spark.sparkContext
+    sc.setJobGroup("values-rt", "test")
+    try:
+        got = [tuple(r) for r in engine._local_hits_df(nasty).collect()]
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert got == nasty
+    assert sc.statusTracker().getJobIdsForGroup("values-rt") == []
+
+    nul = [(0, 1, "a\x00b", "u", "d", "t", None, [1], 1.0, 9)]
+    assert [tuple(r) for r in engine._local_hits_df(nul).collect()] == nul
+
+    # empty result is a LocalRelation too — schema intact, no job
+    empty = engine._empty_result()
+    assert empty.collect() == []
+    assert [f.name for f in empty.schema.fields] == [
+        "query_id", "rank", "doc_id", "url", "domain", "title",
+        "description", "tags", "score", "doc_ord"]
