@@ -72,9 +72,13 @@ def main(argv=None, spark=None) -> int:
     st = sub.add_parser("stats", help="print the committed manifest")
     st.add_argument("--index", required=True)
 
-    d = sub.add_parser("delete", help="tombstone doc ids")
+    d = sub.add_parser("delete", help="tombstone doc ids or urls "
+                                      "(delete_document_by_url RPC analog)")
     d.add_argument("--index", required=True)
-    d.add_argument("--doc-id", action="append", required=True)
+    d.add_argument("--doc-id", action="append", default=[])
+    d.add_argument("--url", action="append", default=[],
+                   help="tombstone every live copy of this url by ordinal "
+                        "(cluster-side side table, nothing collected)")
 
     c = sub.add_parser("compact", help="full rewrite: collapse ALL "
                                        "generations from the row store")
@@ -99,11 +103,16 @@ def main(argv=None, spark=None) -> int:
         print(m.to_json() if m else "{}")
         return 0
     if args.cmd == "delete":
-        from spyglass_spark.index.builder import delete_by_ids
+        if not args.doc_id and not args.url:
+            p.error("delete: provide --doc-id and/or --url")
+        if args.doc_id:
+            from spyglass_spark.index.builder import delete_by_ids
 
-        m = delete_by_ids(args.index, args.doc_id)
-        print(json.dumps({"tombstones": len(m.tombstones)}))
-        return 0
+            m = delete_by_ids(args.index, args.doc_id)
+            if not args.url:
+                print(json.dumps({"tombstones": len(m.tombstones)}))
+                return 0
+        # url deletes need a session (ordinals resolved cluster-side)
 
     owns_session = spark is None
     if owns_session:
@@ -128,6 +137,12 @@ def main(argv=None, spark=None) -> int:
 
             m = merge_generations(spark, args.index, gen_ids=args.gen)
             print(m.to_json())
+        elif args.cmd == "delete":  # --url path (ids handled above)
+            from spyglass_spark.index.builder import delete_by_urls
+
+            m = delete_by_urls(spark, args.index, args.url)
+            print(json.dumps({"tombstones": len(m.tombstones),
+                              "tombstone_dirs": m.tombstone_dirs}))
         elif args.cmd == "build":
             from spyglass_spark.corpus import to_documents
             from spyglass_spark.index.builder import build_index

@@ -71,3 +71,16 @@ def test_cli_lifecycle(spark, corpus_rows, tmp_path, capsys):
     out = _run(capsys, spark, ["search", "--index", idx,
                                "--query", "climarker", "--k", "3"])
     assert out.strip() == ""
+
+    # delete-by-url (delete_document_by_url RPC analog): the climarker2
+    # doc goes away by its url, via an ordinal side table
+    out = _run(capsys, spark, ["search", "--index", idx,
+                               "--query", "climarker2", "--k", "3"])
+    hits2 = [json.loads(x) for x in out.strip().splitlines()]
+    assert len(hits2) == 1
+    out = _run(capsys, spark, ["delete", "--index", idx,
+                               "--url", hits2[0]["url"]])
+    assert json.loads(out)["tombstone_dirs"]
+    out = _run(capsys, spark, ["search", "--index", idx,
+                               "--query", "climarker2", "--k", "3"])
+    assert out.strip() == ""
