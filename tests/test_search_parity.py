@@ -294,3 +294,47 @@ def test_local_hits_values_roundtrip(engine):
     assert [f.name for f in empty.schema.fields] == [
         "query_id", "rank", "doc_id", "url", "domain", "title",
         "description", "tags", "score", "doc_ord"]
+
+
+def test_scan_aligned_ab_parity(spark, built_index):
+    """Zero-shuffle scoring (scan-aligned mapInPandas over whole-part
+    input splits) vs the shuffled groupBy→applyInPandas fallback must be
+    bitwise identical — the layout optimization is a physical-plan
+    choice only, never a semantics change. Runs the SAME engine with
+    _scan_aligned toggled, covering single, phrase, filtered and batch
+    shapes."""
+    from spyglass_spark.query.executor import SearchEngine
+
+    eng = SearchEngine(spark, built_index["index_dir"])
+    assert eng._scan_aligned, \
+        "test index should qualify for the zero-shuffle path (tiny files)"
+    queries = [{"query": "salinas"}, {"query": "fn"},
+               {"query": "import sys"}, {"query": "parse token stream"},
+               {"query": "the parsing of tokens"}]
+    a = eng.search_many(queries, k=8).collect()
+    eng._scan_aligned = False
+    b = eng.search_many(queries, k=8).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    a, b = sorted(a, key=key), sorted(b, key=key)
+    assert len(a) == len(b) and len(a) > 0
+    for ra, rb in zip(a, b):
+        assert (ra["query_id"], ra["rank"], ra["doc_id"], ra["score"]) == \
+               (rb["query_id"], rb["rank"], rb["doc_id"], rb["score"])
+
+
+def test_scan_aligned_fallback_trigger(spark, built_index):
+    """A posting file bigger than maxPartitionBytes/2 could be split
+    across scan tasks (partial parts → wrong per-part scoring), so
+    _compute_scan_aligned must disable the zero-shuffle path under a
+    small split bound."""
+    from spyglass_spark.query.executor import SearchEngine
+
+    eng = SearchEngine(spark, built_index["index_dir"])
+    assert eng._posting_file_count > 0
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes",
+                          str(128 << 20))
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16")
+        assert eng._compute_scan_aligned() is False
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
