@@ -195,11 +195,21 @@ def _ascii_runs(texts_ascii: list[str], doc_ids: np.ndarray):
     9..39-byte tokens go through fixed-width np.unique; >= 40 bytes map to
     -1 (RemoveLong drop — the position is still consumed).
 
-    Returns (uniq_tokens list[str], inverse, doc_of, pos_of)."""
+    Returns (uniq_tokens list[str], inverse, doc_of, pos_of) — the three
+    per-token arrays are int32: they are retained for the WHOLE batch
+    while everything else here is chunk-local/cache-resident, so their
+    width sets the DRAM traffic of the final sort/gather phase (the
+    noise-dominated 90%+ of wall time under bus contention; see
+    CLAUDE.md: host noise is memory bandwidth)."""
     import pandas as pd
 
     joined = "\x00".join(texts_ascii)
     buf = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
+    # int32 positions/ordinals need every in-chunk index < 2^31; a chunk
+    # is ≤ _CHUNK_CHARS except a single oversized doc, and Arrow/parquet
+    # strings cap at 2 GiB, so this cannot trip on engine input
+    if buf.size >= 2**31:
+        raise ValueError("single document exceeds 2 GiB of text")
     mask = _ALNUM_TABLE[buf]
     edges = np.diff(np.concatenate(([False], mask, [False])).view(np.int8))
     starts = np.flatnonzero(edges == 1)
@@ -208,13 +218,15 @@ def _ascii_runs(texts_ascii: list[str], doc_ids: np.ndarray):
     doc_lens = np.fromiter(map(len, texts_ascii), np.int64,
                            count=len(texts_ascii))
     doc_offs = np.concatenate(([0], np.cumsum(doc_lens + 1)))
-    doc_of = np.searchsorted(doc_offs, starts, side="right") - 1
+    doc_of = (np.searchsorted(doc_offs, starts, side="right") - 1).astype(
+        np.int32)
     n_raw = np.bincount(doc_of, minlength=len(texts_ascii))
-    first_run = np.concatenate(([0], np.cumsum(n_raw)[:-1]))
-    pos_of = np.arange(nrun, dtype=np.int64) - first_run[doc_of]
+    first_run = np.concatenate(
+        ([0], np.cumsum(n_raw)[:-1])).astype(np.int32)
+    pos_of = np.arange(nrun, dtype=np.int32) - first_run[doc_of]
     run_len = ends - starts
     padded = np.concatenate((buf, np.zeros(_PAD, dtype=np.uint8)))
-    inverse = np.full(nrun, -1, dtype=np.int64)
+    inverse = np.full(nrun, -1, dtype=np.int32)
     uniq_tokens: list[str] = []
 
     t1 = run_len <= 8
@@ -265,21 +277,23 @@ def _chunk_rows(chunk: list[str], first_doc: int, kind: str, gdict: dict):
     arrays. ``gdict`` (final term → gid) grows across chunks in insertion
     order. Returns (arrays, used_fallback)."""
     ascii_ids = np.fromiter((i for i, t in enumerate(chunk) if t.isascii()),
-                            np.int64)
+                            np.int32)
     other = [i for i, t in enumerate(chunk) if not chunk[i].isascii()]
     arrs = []
     if ascii_ids.size:
         uniq, inverse, doc_of, pos_of = _ascii_runs(
-            [chunk[i] for i in ascii_ids], ascii_ids + first_doc)
+            [chunk[i] for i in ascii_ids],
+            (ascii_ids + np.int32(first_doc)).astype(np.int32))
         mapped = _finalize_uniques(uniq, kind)
         map_code = np.fromiter(
             ((gdict.setdefault(m, len(gdict)) if m is not None else -1)
-             for m in mapped), np.int64, count=len(mapped))
+             for m in mapped), np.int32, count=len(mapped))
         if map_code.size:
             term_of = np.where(inverse >= 0,
-                               map_code[np.maximum(inverse, 0)], -1)
+                               map_code[np.maximum(inverse, 0)],
+                               np.int32(-1))
         else:  # every run was >= MAX_TOKEN_BYTES → all dropped
-            term_of = np.full(inverse.size, -1, dtype=np.int64)
+            term_of = np.full(inverse.size, -1, dtype=np.int32)
         keep = term_of >= 0
         arrs.append((term_of[keep], doc_of[keep], pos_of[keep]))
     for i in other:  # non-ASCII docs: C regex per doc (rare)
@@ -288,7 +302,7 @@ def _chunk_rows(chunk: list[str], first_doc: int, kind: str, gdict: dict):
         rows = [(gdict.setdefault(m, len(gdict)), i + first_doc, pos)
                 for pos, m in enumerate(mapped_b) if m is not None]
         if rows:
-            a = np.array(rows, dtype=np.int64).T
+            a = np.array(rows, dtype=np.int32).T
             arrs.append((a[0], a[1], a[2]))
     return arrs, bool(other)
 
@@ -336,6 +350,10 @@ def tokenize_arrays(texts: list, kind: str, chunk_chars: int = _CHUNK_CHARS):
         lo = hi
     if not arrs:
         return empty
+    # the batch-wide triples stay int32 (12 B/token vs 24 at int64): the
+    # concat + radix sort + three gathers below are the DRAM-streaming
+    # phase of the kernel, and halving their width halves the bus
+    # traffic that dominates under memory-bandwidth contention
     t_ = np.concatenate([a[0] for a in arrs])
     d_ = np.concatenate([a[1] for a in arrs])
     p_ = np.concatenate([a[2] for a in arrs])
@@ -345,7 +363,7 @@ def tokenize_arrays(texts: list, kind: str, chunk_chars: int = _CHUNK_CHARS):
     counts = np.bincount(d_, minlength=n).astype(np.int64)
     # gid (insertion order) → sorted-vocab code
     vocab = sorted(gdict)
-    remap = np.empty(len(gdict), dtype=np.int64)
+    remap = np.empty(len(gdict), dtype=np.int32)
     for j, term in enumerate(vocab):
         remap[gdict[term]] = j
     t_ = remap[t_]
@@ -353,8 +371,9 @@ def tokenize_arrays(texts: list, kind: str, chunk_chars: int = _CHUNK_CHARS):
         order = np.lexsort((d_, t_))  # stable: pos ascending per (t,d)
     else:
         # d already ascending (chunks are doc-contiguous, in order);
-        # stable uint32 sort → numpy radix path
-        order = np.argsort(t_.astype(np.uint32), kind="stable")
+        # stable uint32 sort → numpy radix path (view, not astype:
+        # codes are non-negative so the reinterpret is free)
+        order = np.argsort(t_.view(np.uint32), kind="stable")
     t_, d_, p_ = t_[order], d_[order], p_[order]
     newp = np.empty(m, dtype=bool)
     newp[0] = True
