@@ -645,6 +645,17 @@ def q_search_phrase_tag_filter(spark, sf_dir):  # fixture-oracle
         eng.search("key order sort", filters=[("tag", int(rs_tag))], k=10))
 
 
+def q_search_highlight(spark, sf_dir):  # fixture-oracle: materialize() path
+    """Hit materialization (api/handler/search.rs:142-188 analog): top-k
+    hits broadcast-joined back to the documents table, highlight preview
+    (utils.rs:64-138) + first-20-words description (crawler/mod.rs:632-637)
+    computed by Arrow-batched pandas UDFs over the k joined rows."""
+    eng = _get_engine(spark, sf_dir)
+    hits = eng.search("spark merge join", k=5)
+    docs = to_documents(load_corpus(spark, sf_dir))
+    return eng.materialize(hits, docs, "spark merge join")
+
+
 def q_search_batch(spark, sf_dir):  # fixture-oracle
     eng = _get_engine(spark, sf_dir)
     return _contract_hits(eng.search_many([
@@ -720,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_lm_score": q_curation_lm_score,
         "curation_decontam": q_curation_decontam,
         "curation_sample": q_curation_sample,
+        "search_highlight": q_search_highlight,
     }
 
 
@@ -789,6 +801,12 @@ def oracle_sql() -> dict[str, str]:
         "search_with_lenses": _fixture_sql("search_with_lenses"),
         "search_semantic_boost": _fixture_sql("search_semantic_boost"),
         "search_more_like_this": _fixture_sql("search_more_like_this"),
+        "search_highlight": (
+            "SELECT rank, doc_id, url, domain, title, description, preview, "
+            "score "
+            f"FROM '{FIXTURES_DIR}/search_expected_search_highlight.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)"),
         "corpus_derive": f"WITH {DUCK_CORPUS} "
             "SELECT repo, path, commit, lang, content, sha256(content) AS content_sha256 "
             "FROM corpus",

@@ -779,8 +779,8 @@ def _merge_part_factory(dead_kind_docmeta: int):
         kind = store_pdf["kind"].to_numpy()
         norms_rows = store_pdf[kind == KIND_NORMS]
         norms_by_field = {
-            r.term: np.frombuffer(r.doc_bytes, dtype=np.uint8)
-            for r in norms_rows.itertuples()}
+            t: np.frombuffer(b, dtype=np.uint8)
+            for t, b in zip(norms_rows["term"], norms_rows["doc_bytes"])}
 
         removed_cf: dict[str, int] = defaultdict(int)
         post = store_pdf[kind == KIND_POSTING]

@@ -26,6 +26,7 @@ FIXTURE_QUERIES = [
     "search_with_lenses",
     "search_semantic_boost",
     "search_more_like_this",
+    "search_highlight",
 ]
 
 

@@ -112,6 +112,51 @@ def hits_to_rows(hits: list[dict], om: dict[str, int], ckey: int,
     return rows
 
 
+# materialize() output shape (executor.py materialize: hits ⋈ documents +
+# preview/description UDF columns) — tags/doc_ord are not projected there
+HIGHLIGHT_FIELDS = [
+    ("rank", pa.int32()),
+    ("doc_id", pa.string()),
+    ("url", pa.string()),
+    ("domain", pa.string()),
+    ("title", pa.string()),
+    ("description", pa.string()),
+    ("preview", pa.string()),
+    ("score", pa.float32()),
+]
+
+
+def highlight_rows(oracle, docs: list[dict], om: dict[str, int], ckey: int,
+                   query: str = "spark merge join", k: int = 5) -> list[dict]:
+    """Scalar mirror of SearchEngine.materialize (executor.py): top-k hits
+    joined back to their documents, preview = generate_highlight_preview
+    (utils.rs:64-138) and description = first_words(content, 20)
+    (crawler/mod.rs:632-637). The highlight code itself is the SAME scalar
+    module the engine's pandas UDF wraps (query/highlight.py — shared
+    scalar semantics per CLAUDE.md invariants; the fixture checks the
+    distributed join/UDF plumbing, and test_highlight pins the scalar
+    against the reference goldens)."""
+    from spyglass_spark.query.highlight import (first_words,
+                                                generate_highlight_preview)
+
+    by_id = {d["doc_id"]: d for d in docs}
+    rows = []
+    for h in oracle.search(query, k=k):
+        content = by_id[h["doc_id"]]["content"] or ""
+        rows.append({
+            "corpus_key": ckey,
+            "rank": h["rank"],
+            "doc_id": h["doc_id"],
+            "url": h["url"],
+            "domain": h["domain"],
+            "title": h["title"],
+            "description": first_words(content, 20),
+            "preview": generate_highlight_preview(query, content),
+            "score": float(np.float32(h["score"])),
+        })
+    return rows
+
+
 def more_like_this_hits(oracle, docs: list[dict], k: int = 5,
                         max_terms: int = 10) -> list[dict]:
     """Scalar mirror of SearchEngine.more_like_this (executor.py:660-697):
@@ -196,6 +241,7 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
         oracle.search("spark merge join", boosts=sem, k=10), om, ckey)
     out["search_more_like_this"] = hits_to_rows(
         more_like_this_hits(oracle, docs, k=5), om, ckey)
+    out["search_highlight"] = highlight_rows(oracle, docs, om, ckey)
     return out
 
 
@@ -209,11 +255,12 @@ def _repo_langs(corpus) -> list[tuple[str, str]]:
     return _repo_langs._cache[key]
 
 
-def write_fixture(name: str, rows: list[dict]) -> None:
+def write_fixture(name: str, rows: list[dict],
+                  hit_fields: list | None = None) -> None:
     fields = [pa.field("corpus_key", pa.int64())]
     if rows and "query_id" in rows[0]:
         fields.append(pa.field("query_id", pa.int64()))
-    fields += [pa.field(n, t) for n, t in HIT_FIELDS]
+    fields += [pa.field(n, t) for n, t in (hit_fields or HIT_FIELDS)]
     schema = pa.schema(fields)
     df = pd.DataFrame(rows, columns=[f.name for f in fields])
     tbl = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
@@ -233,7 +280,8 @@ def main() -> None:
         for name, rows in build_fixtures(spark, sf_dir).items():
             merged[name].extend(rows)
     for name, rows in merged.items():
-        write_fixture(name, rows)
+        write_fixture(name, rows,
+                      HIGHLIGHT_FIELDS if name == "search_highlight" else None)
 
 
 if __name__ == "__main__":
