@@ -178,3 +178,43 @@ def test_tokenize_arrays_property_fuzz():
         assert pos.tolist() == s_pos
 
     check()
+
+
+def test_tokenize_arrays_wide_vocab_uint32_path():
+    """Vocab > 2^16 forces the uint32 sort-key path (the narrow uint16
+    remap covers small-vocab batches); both must reproduce the scalar
+    grouping. 70k distinct tokens across docs exercises the wide branch
+    plus the narrow/wide boundary invariance on a prefix subset."""
+    import numpy as np
+
+    from spyglass_spark.analysis.analyzer import tokenize_arrays
+
+    toks = [f"tok{i}x" for i in range(70_000)]
+    # mix in repeats so tfs > 1 appear
+    texts = [" ".join(toks[i::7]) + " common common" for i in range(7)]
+    vocab, ts, ords, tfs, pos, counts = tokenize_arrays(list(texts), "default")
+    assert len(vocab) == 70_001
+    # scalar reconstruction (default analyzer: lowercase alnum runs <40B)
+    by_term: dict = {}
+    scounts = []
+    for ord_, t in enumerate(texts):
+        words = t.split()
+        scounts.append(len(words))
+        d: dict = {}
+        for p, term in enumerate(words):
+            d.setdefault(term, []).append(p)
+        for term, ps in d.items():
+            by_term.setdefault(term, []).append((ord_, len(ps), ps))
+    svocab = sorted(by_term)
+    assert vocab == svocab
+    assert counts.tolist() == scounts
+    s_ords, s_tfs, s_starts = [], [], [0]
+    for term in svocab:
+        posts = by_term[term]
+        s_starts.append(s_starts[-1] + len(posts))
+        for o, tf, _ in posts:
+            s_ords.append(o)
+            s_tfs.append(tf)
+    assert ts.tolist() == s_starts
+    assert ords.tolist() == s_ords
+    assert tfs.tolist() == s_tfs
