@@ -72,6 +72,29 @@ dup AS (
   SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)
 """
 
+# minhash-LSH candidate pairs as DuckDB CTEs, ending in `lsh_pairs` —
+# shared by the dedup_minhash_lsh and dedup_clusters oracles so both
+# grade the exact same candidate graph
+DUCK_LSH_PAIRS = f"""{DUCK_DUP},
+sub AS (SELECT doc_id AS id, list_filter(regexp_split_to_array(lower(text),
+          '[^a-z0-9]+'), x -> x <> '') AS t FROM dup WHERE id % 10 = 0),
+-- constant range(1,2000) cap guard: an over-cap doc always produces sh
+-- rows, so gating sh forces the error before shingles silently truncate
+guard AS (SELECT CASE WHEN max(len(t)) > 2000 THEN error(
+            'lsh pair oracle: doc exceeds 2000-token range cap')
+          ELSE 1 END AS ok FROM sub),
+sh AS (SELECT DISTINCT id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS shingle
+       FROM sub CROSS JOIN guard, range(1, 2000) r(i)
+       WHERE i + 2 <= len(t) AND guard.ok = 1),
+perms AS (SELECT id, p, min(md5(concat(CAST(p AS VARCHAR), ':', shingle))) AS mh
+          FROM sh CROSS JOIN range(8) r(p) GROUP BY id, p),
+bands AS (SELECT id, CAST(p // 4 AS INT) AS band,
+                 md5(string_agg(mh, '|' ORDER BY p)) AS sig
+          FROM perms GROUP BY id, p // 4),
+lsh_pairs AS (SELECT DISTINCT l.id AS a, r.id AS b
+  FROM bands l JOIN bands r
+  ON l.band = r.band AND l.sig = r.sig AND l.id < r.id)"""
+
 
 def _dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
@@ -265,6 +288,16 @@ def q_dedup_exact(spark, sf_dir):
 def q_dedup_minhash_lsh(spark, sf_dir):
     sub = _dup_docs(spark, sf_dir).filter((F.col("doc_id") % 10 == 0))
     return D.minhash_lsh_pairs(sub, "text", "doc_id", num_perms=8, bands=2)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Whole duplicate groups from the LSH pair graph: alternating
+    large-star/small-star connected components (Kiveris SoCC'14);
+    cluster = min doc_id of the component. The oracle reproduces it with
+    a transitive-closure recursive CTE over the identical pair SQL."""
+    sub = _dup_docs(spark, sf_dir).filter((F.col("doc_id") % 10 == 0))
+    pairs = D.minhash_lsh_pairs(sub, "text", "doc_id", num_perms=8, bands=2)
+    return D.duplicate_clusters(pairs)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -667,12 +700,13 @@ def q_search_batch(spark, sf_dir):  # fixture-oracle
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering note: the driver grades the FIRST 50 entries. The 7 entries
-    # past position 50 stay value-checked locally by tests/test_entry.py,
+    # Ordering note: the driver grades the FIRST 50 entries. Entries past
+    # position 50 stay value-checked locally by tests/test_entry.py,
     # which runs the driver's own rows/schema/hash comparison on every
     # entry; rotate long-stable hash-green entries (multimodal_*,
-    # curation_*) to the tail so newer/never-graded queries get driver
-    # evidence first.
+    # curation_*, doc_fingerprint, langid — green r1-r4) to the tail so
+    # newer/never-graded queries (dedup_clusters, search_highlight this
+    # round) get driver evidence first.
     return {
         "corpus_derive": q_corpus_derive,
         "sha256_invariant": q_sha256_invariant,
@@ -687,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_bigram_count": q_phrase_bigram_count,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -697,8 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "textstats_quality": q_textstats_quality,
         "token_counts": q_token_counts,
-        "doc_fingerprint": q_doc_fingerprint,
-        "langid": q_langid,
+        "search_highlight": q_search_highlight,
         "textstats_repetition": q_textstats_repetition,
         "dedup_passages": q_dedup_passages,
         "multimodal_meta": q_multimodal_meta,
@@ -731,7 +765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_lm_score": q_curation_lm_score,
         "curation_decontam": q_curation_decontam,
         "curation_sample": q_curation_sample,
-        "search_highlight": q_search_highlight,
+        "doc_fingerprint": q_doc_fingerprint,
+        "langid": q_langid,
     }
 
 
@@ -876,24 +911,19 @@ SELECT doc_id, round(s, 4) AS score FROM scored ORDER BY score DESC, doc_id LIMI
             "SELECT sha256(text) AS text_sha, count(*) AS n_dups, min(doc_id) AS keeper "
             "FROM dup GROUP BY sha256(text) HAVING count(*) > 1",
         "dedup_minhash_lsh": f"""
-WITH {DUCK_DUP},
-sub AS (SELECT doc_id AS id, list_filter(regexp_split_to_array(lower(text),
-          '[^a-z0-9]+'), x -> x <> '') AS t FROM dup WHERE id % 10 = 0),
--- constant range(1,2000) cap guard: an over-cap doc always produces sh
--- rows, so gating sh forces the error before shingles silently truncate
-guard AS (SELECT CASE WHEN max(len(t)) > 2000 THEN error(
-            'dedup_minhash_lsh oracle: doc exceeds 2000-token range cap')
-          ELSE 1 END AS ok FROM sub),
-sh AS (SELECT DISTINCT id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS shingle
-       FROM sub CROSS JOIN guard, range(1, 2000) r(i)
-       WHERE i + 2 <= len(t) AND guard.ok = 1),
-perms AS (SELECT id, p, min(md5(concat(CAST(p AS VARCHAR), ':', shingle))) AS mh
-          FROM sh CROSS JOIN range(8) r(p) GROUP BY id, p),
-bands AS (SELECT id, CAST(p // 4 AS INT) AS band,
-                 md5(string_agg(mh, '|' ORDER BY p)) AS sig
-          FROM perms GROUP BY id, p // 4)
-SELECT DISTINCT l.id AS a, r.id AS b
-FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.id < r.id
+WITH {DUCK_LSH_PAIRS}
+SELECT a, b FROM lsh_pairs
+""",
+        "dedup_clusters": f"""
+-- transitive closure over the SAME lsh pair graph the engine clusters
+-- with large-star/small-star: component label = min reachable id
+WITH RECURSIVE {DUCK_LSH_PAIRS},
+sym AS (SELECT a AS u, b AS v FROM lsh_pairs
+        UNION SELECT b, a FROM lsh_pairs),
+reach(u, v) AS (SELECT u, v FROM sym
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+SELECT u AS id, least(min(v), u) AS cluster FROM reach GROUP BY u
 """,
         "dedup_ngram_jaccard": f"""
 WITH {DUCK_DUP},

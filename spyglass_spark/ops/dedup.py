@@ -222,6 +222,73 @@ def embedding_cosine_pairs(emb: "DataFrame", threshold: float = 0.95,
     return out.distinct() if bucket_col is not None else out
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every neighbor v > u re-links to m = min(Γ⁺(u))."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m")))
+    return (sym.join(mins, "u").where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient high→low, then every node in Γ⁺(u) except
+    the minimum m links directly to m."""
+    ori = (e.select(F.greatest("u", "v").alias("u"),
+                    F.least("u", "v").alias("v"))
+           .where(F.col("u") != F.col("v")))
+    mins = ori.groupBy("u").agg(F.min("v").alias("m"))
+    nbr = (ori.join(mins, "u").where(F.col("v") != F.col("m"))
+           .select(F.col("v").alias("u"), F.col("m").alias("v")))
+    self_e = (mins.select(F.col("u"), F.col("m").alias("v"))
+              .where(F.col("u") != F.col("v")))
+    return nbr.union(self_e).distinct()
+
+
+def duplicate_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
+                       max_iter: int = 30) -> DataFrame:
+    """Connected components over a duplicate-pair graph: groups the
+    pairwise near-dup output (minhash_lsh_pairs / simhash_pairs /
+    near_duplicates) into whole duplicate clusters, the step a real
+    dedup pipeline needs before it can pick ONE keeper per group —
+    pairwise keepers disagree when dups chain (a~b, b~c but never a~c).
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each half-round is one
+    groupBy + one equi-join on node id, converging in O(log² n) rounds to
+    star graphs rooted at each component's minimum id. Returns
+    (id, cluster) for every node of ``pairs``, cluster = min id of its
+    component — deterministic, so exactly reproducible by a transitive-
+    closure oracle.
+
+    Scale shape: no all-pairs step and no driver state proportional to
+    data — the driver holds only the convergence flag; each round's
+    frames are the edge set itself (≤ |E| rows). ``localCheckpoint``
+    truncates the lineage every round so the plan stays O(1) deep, and
+    the exact set-equality convergence test (count + except) costs two
+    small jobs on the already-checkpointed frames."""
+    e = (pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+         .where(F.col("u") != F.col("v")).distinct()
+         .localCheckpoint(eager=True))
+    if not e.take(1):
+        return e.select(F.col("u").alias("id"), F.col("v").alias("cluster"))
+    for _ in range(max_iter):
+        e_next = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        if (e_next.count() == e.count()
+                and e_next.exceptAll(e).take(1) == []):
+            e = e_next
+            break
+        e = e_next
+    else:
+        raise RuntimeError(f"duplicate_clusters: no convergence in "
+                           f"{max_iter} rounds")
+    roots = e.select(F.col("v").alias("id")).distinct() \
+             .select("id", F.col("id").alias("cluster"))
+    members = e.select(F.col("u").alias("id"), F.col("v").alias("cluster"))
+    return members.union(roots)
+
+
 def passage_duplicates(df: DataFrame, text_col: str, id_col: str,
                        window: int = 10) -> DataFrame:
     """Passage-level exact dedup (the paragraph-dedup step of C4-style

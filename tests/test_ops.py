@@ -568,3 +568,53 @@ def test_passage_duplicates_finds_shared_chunks(spark):
     plan = (passage_duplicates(df, "text", "doc_id")
             ._jdf.queryExecution().executedPlan().toString())
     assert "EvalPython" not in plan
+
+
+def test_duplicate_clusters_star_vs_union_find(spark):
+    """Large-star/small-star connected components must match a scalar
+    union-find on adversarial graph shapes: a long chain (worst case for
+    naive label propagation), a star, two mid-size components bridged by
+    one edge, singleton-free pair lists, and a deterministic random
+    graph."""
+    import random
+
+    from spyglass_spark.ops.dedup import duplicate_clusters
+
+    rng = random.Random(42)
+    edges = [(i, i + 1) for i in range(100, 117)]          # chain
+    edges += [(500, x) for x in range(501, 509)]           # star
+    edges += [(200 + i, 200 + i + 1) for i in range(5)]    # comp A
+    edges += [(300 + i, 300 + i + 1) for i in range(5)]    # comp B
+    edges += [(205, 300)]                                  # bridge A-B
+    nodes = list(range(1000, 1060))
+    edges += [tuple(sorted(rng.sample(nodes, 2))) for _ in range(80)]
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = {r["id"]: r["cluster"]
+           for r in duplicate_clusters(pairs).collect()}
+    assert got == expected
+
+
+def test_duplicate_clusters_empty_and_single_edge(spark):
+    from spyglass_spark.ops.dedup import duplicate_clusters
+
+    empty = spark.createDataFrame([], "a long, b long")
+    assert duplicate_clusters(empty).collect() == []
+    one = spark.createDataFrame([(7, 3)], "a long, b long")
+    got = {(r["id"], r["cluster"]) for r in duplicate_clusters(one).collect()}
+    assert got == {(3, 3), (7, 3)}
