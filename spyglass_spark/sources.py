@@ -20,6 +20,46 @@ _FORMATS = {"parquet": "parquet", "pq": "parquet", "json": "json",
             "jsonl": "json", "ndjson": "json", "csv": "csv", "orc": "orc"}
 
 
+def read_iceberg(spark: SparkSession, source: str, **options) -> DataFrame:
+    """Read an Apache Iceberg table — the system-of-record shape the
+    engine targets (an Iceberg table of source-code repositories with
+    columns repo/path/commit/lang/content). A catalog identifier
+    (``cat.db.tbl``, no slash) loads via ``spark.table`` so the session
+    catalog resolves snapshots; a path loads through the hadoop-table
+    reader. Iceberg's Spark integration prunes partitions/files from
+    manifest metadata and pushes filters into the scan, so the builder's
+    narrow `select` over 100 TB touches only live data files.
+
+    The runtime jar (org.apache.iceberg:iceberg-spark-runtime) is an
+    optional deployment dependency — when it is absent this raises a
+    clear error instead of Spark's generic DATA_SOURCE_NOT_FOUND."""
+    try:
+        if "/" not in source and not source.endswith(
+                (".parquet", ".orc", ".csv", ".json")):
+            return spark.table(source)
+        reader = spark.read.format("iceberg")
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load(source)
+    except Exception as exc:  # AnalysisException / Py4JJavaError
+        msg = str(exc)
+        if ("DATA_SOURCE_NOT_FOUND" in msg or "iceberg" in msg.lower()
+                or "TABLE_OR_VIEW_NOT_FOUND" in msg
+                # a cat.db.tbl identifier against a session with no such
+                # catalog configured resolves in spark_catalog and trips
+                # its single-part-namespace rule — same root cause
+                or "REQUIRES_SINGLE_PART_NAMESPACE" in msg):
+            raise RuntimeError(
+                "Iceberg source requested but no Iceberg runtime is "
+                "available in this Spark session. Launch with the "
+                "iceberg-spark-runtime jar on the classpath and a "
+                "catalog configured (spark.sql.catalog.<name>=org.apache"
+                ".iceberg.spark.SparkCatalog), then pass the table "
+                f"identifier or table path. Underlying error: {msg}"
+            ) from exc
+        raise
+
+
 def read_corpus(spark: SparkSession, path: str, fmt: str | None = None,
                 **options) -> DataFrame:
     """Read a corpus/documents table from parquet/json/csv/orc (format
@@ -27,12 +67,20 @@ def read_corpus(spark: SparkSession, path: str, fmt: str | None = None,
     if fmt is None:
         ext = path.rstrip("/").rsplit(".", 1)[-1].lower()
         fmt = _FORMATS.get(ext, "parquet")
+    if fmt == "iceberg":
+        return _validate_corpus_shape(
+            spark, path, read_iceberg(spark, path, **options))
     reader = spark.read
     if fmt == "csv":
         reader = reader.option("header", "true")
     for k, v in options.items():
         reader = reader.option(k, v)
     df = reader.format(fmt).load(path)
+    return _validate_corpus_shape(spark, path, df)
+
+
+def _validate_corpus_shape(spark: SparkSession, path: str,
+                           df: DataFrame) -> DataFrame:
     cols = set(df.columns)
     if CORPUS_COLUMNS <= cols or DOCUMENT_COLUMNS - {"tags"} <= cols:
         return df

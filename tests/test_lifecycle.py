@@ -101,6 +101,33 @@ def test_read_corpus_formats(spark, corpus_rows, tmp_path):
         read_corpus(spark, bad)
 
 
+def test_read_iceberg_catalog_identifier(spark, corpus_rows):
+    """A no-slash table identifier resolves through the session catalog
+    (spark.table) — exercised here via a temp view, the same resolution
+    path an Iceberg catalog table takes once the runtime jar is on the
+    classpath."""
+    from spyglass_spark.sources import read_corpus, read_iceberg
+
+    df = spark.createDataFrame(corpus_rows[:15])
+    df.createOrReplaceTempView("iceberg_corpus_tbl")
+    back = read_iceberg(spark, "iceberg_corpus_tbl")
+    assert back.count() == 15
+    # and through the unified read_corpus dispatch, shape-validated
+    back2 = read_corpus(spark, "iceberg_corpus_tbl", fmt="iceberg")
+    assert {"repo", "path", "commit", "lang", "content"} <= set(back2.columns)
+
+
+def test_read_iceberg_missing_runtime(spark, tmp_path):
+    """A path load without the iceberg runtime jar raises the actionable
+    deployment error, not Spark's generic DATA_SOURCE_NOT_FOUND."""
+    from spyglass_spark.sources import read_iceberg
+
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        read_iceberg(spark, str(tmp_path / "warehouse/db/tbl"))
+    with pytest.raises(RuntimeError, match="catalog configured"):
+        read_iceberg(spark, "nosuchcat.db.tbl")
+
+
 def test_manifest_version_guard(spark, built_index, tmp_path):
     import shutil
 
