@@ -31,7 +31,9 @@ import numpy as np
 
 from ..analysis.analyzer import analyze
 from ..index.fieldnorm import fieldnorm_to_id, id_to_fieldnorm
-from ..query.compiler import CompiledQuery, compile_query
+from ..query.compiler import CompiledQuery, compile_expanded, compile_query
+from ..query.expand import (DEFAULT_MAX_EXPANSIONS, levenshtein_le,
+                            normalize_pattern)
 from ..query.scoring import K1, bm25_weight, idf, norm_cache, sloppy_phrase_count
 
 BASE_FIELDS = ("content", "title", "id", "domain", "url", "tags")
@@ -260,3 +262,39 @@ class OracleIndex:
 
     def search(self, query: str, filters=(), boosts=(), k: int = 5, offset: int = 0):
         return self.execute(compile_query(query, filters, boosts), k=k, offset=offset)
+
+    # -- multi-term pattern queries (brute-force twin of query/expand) --
+    # The oracle enumerates its whole dictionary and tests every term —
+    # deliberately independent of the engine's range-scan (prefix) and
+    # SymSpell deletion-index (fuzzy) candidate generation, so parity
+    # checks those data structures, not just the scoring.
+
+    def _expand(self, field: str, match, cap: int) -> list[str]:
+        cands = {t: self.df(field, t) for (f, t) in self.postings
+                 if f == field and match(t)}
+        return [t for t, _ in sorted(cands.items(),
+                                     key=lambda kv: (-kv[1], kv[0]))[:cap]]
+
+    def search_prefix(self, pattern: str, k: int = 5, offset: int = 0,
+                      fields=("content", "title"),
+                      max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+                      filters=(), boosts=()):
+        norm = normalize_pattern(pattern)
+        per_field = {f: self._expand(f, lambda t: t.startswith(norm),
+                                     max_expansions)
+                     for f in fields} if norm else {}
+        return self.execute(compile_expanded(per_field, filters, boosts),
+                            k=k, offset=offset)
+
+    def search_fuzzy(self, term: str, distance: int = 1, k: int = 5,
+                     offset: int = 0, fields=("content", "title"),
+                     max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+                     filters=(), boosts=()):
+        norm = normalize_pattern(term)
+        per_field = {
+            f: self._expand(
+                f, lambda t: levenshtein_le(norm, t, distance) <= distance,
+                max_expansions)
+            for f in fields} if norm else {}
+        return self.execute(compile_expanded(per_field, filters, boosts),
+                            k=k, offset=offset)

@@ -147,6 +147,28 @@ def compile_query(query_string: str, filters=(), boosts=()) -> CompiledQuery:
     return cq
 
 
+def compile_expanded(per_field_terms: dict[str, list[str]],
+                     filters=(), boosts=()) -> CompiledQuery:
+    """Multi-term (prefix/fuzzy) rewrite: the expanded dictionary terms
+    become ordinary Should term clauses with the field's standard boost
+    (content 1.0 / title 2.0 — query.rs:96-102), wrapped in the same
+    Must as a free-text query; filters/boosts compile identically to
+    ``compile_query``. Clause order is the contract (float32 summation
+    is order-sensitive): fields in content→title order, each field's
+    terms in the expansion ranking (df DESC, term ASC — expand.py)."""
+    cq = CompiledQuery()
+    field_boost = {"content": CONTENT_BOOST, "title": TITLE_BOOST}
+    for field in ("content", "title"):
+        for term in per_field_terms.get(field, ()):
+            cq.should_group.append(_term(field, term, field_boost[field]))
+    cq.term_count = len(per_field_terms.get("content", ()))
+    base = compile_query("", filters=filters, boosts=boosts)
+    cq.should_group.extend(base.should_group)
+    cq.musts, cq.should_extra = base.musts, base.should_extra
+    cq.must_nots, cq.range_musts = base.must_nots, base.range_musts
+    return cq
+
+
 def compile_document_query(urls=(), ids=(), tags=(), exclude_tags=()) -> CompiledQuery:
     """query.rs:184-231 — unscored document-set query: Must(Should(urls)),
     Must(Should(ids)), Must(tag) each, MustNot(tag) each."""

@@ -48,7 +48,9 @@ from ..index.builder import (FAST_MARK, KIND_DOCMETA, KIND_FAST, KIND_NORMS,
 from ..index.codecs import (decode_postings, phrase_position_keys,
                             varint_decode)
 from ..index.manifest import Manifest, load_manifest
-from .compiler import CompiledQuery, compile_query
+from .compiler import CompiledQuery, compile_expanded, compile_query
+from .expand import (DEFAULT_MAX_EXPANSIONS, expand_fuzzy, expand_prefix,
+                     normalize_pattern)
 from .scoring import (K1, idf, norm_cache, score_postings,
                       sloppy_phrase_counts_batch)
 
@@ -619,9 +621,13 @@ class SearchEngine:
         Per-batch metadata (num_docs, term_counts, wall_time_ms — the
         SearchResults.meta analog, api/handler/search.rs:190-211) is left
         in ``self.last_meta``."""
-        t0 = time.time()
         compiled = [compile_query(q["query"], q.get("filters", ()), q.get("boosts", ()))
                     for q in queries]
+        return self._run_compiled_batch(
+            compiled, [q["query"] for q in queries], k, offset, algo)
+
+    def _run_compiled_batch(self, compiled, labels, k, offset, algo) -> DataFrame:
+        t0 = time.time()
         sc = self.spark.sparkContext
         self._qseq = getattr(self, "_qseq", 0) + 1
         group = f"spyglass-search-{id(self)}-{self._qseq}"
@@ -631,7 +637,7 @@ class SearchEngine:
         finally:
             sc.setLocalProperty("spark.jobGroup.id", None)
         self.last_meta = {
-            "queries": [q["query"] for q in queries],
+            "queries": labels,
             "num_docs": self.manifest.num_docs,
             "term_counts": [cq.term_count for cq in compiled],
             # jobs launched DURING execution (the driver-merge path fully
@@ -645,6 +651,63 @@ class SearchEngine:
             "wall_time_ms": round((time.time() - t0) * 1000.0, 1),
         }
         return out
+
+    # -- multi-term pattern queries (prefix / fuzzy rewrite) -------------
+    # The reference leaves these as a todo (query.rs:119,163); semantics
+    # are the tantivy/Lucene rewrite documented in query/expand.py. The
+    # expansion itself is a driver-side row-group-pruned pyarrow read —
+    # zero Spark jobs — so a pattern search still costs ONE scoring job.
+
+    EXPAND_FIELDS = ("content", "title")
+
+    def search_prefix(self, pattern: str, k: int = 5, offset: int = 0,
+                      fields: tuple = EXPAND_FIELDS,
+                      max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+                      filters=(), boosts=(), algo: str = "auto") -> DataFrame:
+        """``spar*``: every dictionary term starting with the normalized
+        pattern (capped, df-ranked) scored as a Should group."""
+        norm = normalize_pattern(pattern)
+        stats = self._paths("term_stats")
+        per_field = {f: [t for t, _ in expand_prefix(stats, f, norm,
+                                                     max_expansions)]
+                     for f in fields} if norm else {}
+        self.last_expansion = per_field
+        cq = compile_expanded(per_field, filters=filters, boosts=boosts)
+        return self._run_compiled_batch(
+            [cq], [f"prefix:{pattern}"], k, offset, algo).drop("query_id")
+
+    def search_fuzzy(self, term: str, distance: int = 1, k: int = 5,
+                     offset: int = 0, fields: tuple = EXPAND_FIELDS,
+                     max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+                     filters=(), boosts=(), algo: str = "auto") -> DataFrame:
+        """Terms within Levenshtein ``distance`` of the normalized
+        pattern, via the SymSpell sidecar when present (ensure with
+        ``ensure_fuzzy_dict``) and a dictionary-slice verify otherwise."""
+        norm = normalize_pattern(term)
+        stats = self._paths("term_stats")
+        fuzzy = self._fuzzy_dict_paths()
+        per_field = {f: [t for t, _ in expand_fuzzy(
+                         stats, f, norm, distance, max_expansions,
+                         fuzzy_paths=fuzzy)]
+                     for f in fields} if norm else {}
+        self.last_expansion = per_field
+        cq = compile_expanded(per_field, filters=filters, boosts=boosts)
+        return self._run_compiled_batch(
+            [cq], [f"fuzzy:{term}~{distance}"], k, offset, algo).drop("query_id")
+
+    def _fuzzy_dict_paths(self) -> list[str] | None:
+        import os
+
+        from ..index.fuzzy_dict import fuzzy_dict_path
+        p = fuzzy_dict_path(self.index_dir, self.manifest.commit_seq)
+        return [p] if os.path.exists(os.path.join(p, "_SUCCESS")) else None
+
+    def ensure_fuzzy_dict(self) -> str:
+        """Build the deletion-variant sidecar for the loaded commit if
+        missing (one vocab-scale Spark job; see index/fuzzy_dict.py)."""
+        from ..index.fuzzy_dict import build_fuzzy_dict
+
+        return build_fuzzy_dict(self.spark, self.index_dir)
 
     def _execute_compiled(self, compiled: list[CompiledQuery], k: int = 5,
                           offset: int = 0, algo: str = "auto") -> DataFrame:

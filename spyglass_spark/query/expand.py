@@ -1,0 +1,197 @@
+"""Prefix and fuzzy term expansion over the term dictionary.
+
+The reference leaves prefix/regex pattern handling as an explicit todo
+(/root/reference/crates/spyglass-searcher/src/query.rs:119,163); the
+tantivy layer it delegates to rewrites such multi-term queries into a
+bounded OR over matching dictionary terms. This module implements that
+rewrite Spark-side:
+
+- **prefix**: the term_stats store is (field, term)-sorted parquet with
+  4 MB row groups (builder._w_stats), so a prefix is a pure byte-range
+  predicate — pyarrow prunes row groups from footer min/max statistics,
+  the driver launches no Spark job, and the read touches O(matching
+  terms), not O(vocabulary).
+- **fuzzy**: SymSpell-style deletion neighborhoods. A sidecar dictionary
+  (index/fuzzy_dict.py) maps every single-deletion variant of every
+  dictionary term to that term; query-time candidates come from an
+  IN-list read over the variant key (complete for Levenshtein <= 1:
+  any single substitution/insert/delete shares a deletion key), then
+  exact Levenshtein verification on the tiny candidate set. At 100 TB
+  the dictionary is vocab-scale (millions of terms, not billions of
+  docs): the sidecar build is one narrow Spark job over term_stats and
+  lookups stay in the metadata plane. Without the sidecar the fallback
+  scans the field's dictionary slice and verifies — correct everywhere,
+  linear in vocabulary, so scale deployments build the sidecar.
+
+Expansion semantics (a documented contract, mirrored brute-force by the
+scalar oracle in oracle/engine.py): the pattern is normalized with the
+same lowercase + ascii-fold the analyzers apply — but NOT stemmed or
+stop-filtered (Lucene likewise does not analyze multi-term patterns);
+matches rank df DESC then term ASC, capped at ``max_expansions`` per
+field, and score as ordinary Should term clauses (content boost 1.0 /
+title 2.0, query.rs:96-102 constants).
+"""
+
+from __future__ import annotations
+
+from ..analysis.analyzer import MAX_TOKEN_BYTES, _TOKEN_RE, ascii_fold
+
+DEFAULT_MAX_EXPANSIONS = 50
+
+
+def normalize_pattern(pattern: str) -> str:
+    """Lowercase + ascii-fold the user pattern the way the tokenizers
+    normalize terms (analyzer.py LowerCaser + AsciiFoldingFilter), with
+    the RemoveLongFilter 40-byte cap. Takes the first token-like run so
+    'Résumé*' → 'resume'; returns '' for patterns with no token chars."""
+    m = _TOKEN_RE.search(pattern)
+    if not m:
+        return ""
+    tok = ascii_fold(m.group(0).lower())
+    return "" if len(tok.encode("utf-8")) > MAX_TOKEN_BYTES else tok
+
+
+def prefix_upper_bound(prefix: str) -> str | None:
+    """Smallest string greater than every string with this prefix:
+    increment the last non-0x10FFFF code point and truncate. None means
+    unbounded (prefix was all U+10FFFF — impossible post-fold)."""
+    cps = list(prefix)
+    while cps:
+        o = ord(cps[-1])
+        if o < 0x10FFFF:
+            return "".join(cps[:-1]) + chr(o + 1)
+        cps.pop()
+    return None
+
+
+def levenshtein_le(a: str, b: str, limit: int) -> int:
+    """Banded Levenshtein distance, early-exit: returns the distance if
+    <= limit, else limit+1. Plain Levenshtein (transposition = 2 edits)
+    to match both Spark's F.levenshtein and DuckDB's levenshtein()."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > limit:
+        return limit + 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(la + 1))
+    for j in range(1, lb + 1):
+        cur = [j] + [0] * la
+        best = j
+        bj = b[j - 1]
+        for i in range(1, la + 1):
+            cost = 0 if a[i - 1] == bj else 1
+            cur[i] = min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + cost)
+            if cur[i] < best:
+                best = cur[i]
+        if best > limit:
+            return limit + 1
+        prev = cur
+    return prev[la] if prev[la] <= limit else limit + 1
+
+
+def deletion_variants(term: str, d: int = 1) -> set[str]:
+    """The SymSpell key set: the term plus every string reachable by
+    deleting up to ``d`` characters (d=1 supported by the sidecar)."""
+    out = {term}
+    frontier = {term}
+    for _ in range(d):
+        nxt = set()
+        for t in frontier:
+            for i in range(len(t)):
+                nxt.add(t[:i] + t[i + 1:])
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def deletion_key_expr(term_col: str):
+    """JVM-side (whole-stage-codegen) array of d=1 deletion keys of a
+    term column — the build-side twin of ``deletion_variants``. Used by
+    the fuzzy_dict sidecar build and the distributed ops.fuzzy join so
+    neither ships a Python UDF."""
+    from pyspark.sql import functions as F
+
+    return F.array_union(
+        F.array(F.col(term_col)),
+        F.expr(
+            f"transform(sequence(1, length({term_col})), "
+            f"i -> concat(substring({term_col}, 1, i - 1), "
+            f"substring({term_col}, i + 1)))"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver-side dictionary reads (pyarrow metadata plane — no Spark job)
+# ---------------------------------------------------------------------------
+
+def _read_terms(stats_paths, flt) -> dict[str, int]:
+    """(term → summed-across-generations df) for a pyarrow filter."""
+    import pyarrow.dataset as pads
+
+    acc: dict[str, int] = {}
+    for p in stats_paths:
+        tbl = pads.dataset(p, format="parquet").to_table(
+            columns=["term", "df"], filter=flt)
+        for t, d in zip(tbl.column("term").to_pylist(),
+                        tbl.column("df").to_pylist()):
+            acc[t] = acc.get(t, 0) + int(d)
+    return acc
+
+
+def _rank_cap(cands: dict[str, int], cap: int) -> list[tuple[str, int]]:
+    return sorted(cands.items(), key=lambda kv: (-kv[1], kv[0]))[:cap]
+
+
+def expand_prefix(stats_paths, field: str, prefix: str,
+                  max_expansions: int = DEFAULT_MAX_EXPANSIONS
+                  ) -> list[tuple[str, int]]:
+    """Dictionary terms starting with ``prefix`` (already normalized) as
+    [(term, df)], ranked df DESC / term ASC, capped. Row-group pruned:
+    the (field, term)-sorted layout means the range predicate eliminates
+    every row group outside [prefix, upper)."""
+    import pyarrow.dataset as pads
+
+    if not prefix:
+        return []
+    flt = (pads.field("field") == field) & (pads.field("term") >= prefix)
+    ub = prefix_upper_bound(prefix)
+    if ub is not None:
+        flt = flt & (pads.field("term") < ub)
+    return _rank_cap(_read_terms(stats_paths, flt), max_expansions)
+
+
+def expand_fuzzy(stats_paths, field: str, term: str, distance: int = 1,
+                 max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+                 fuzzy_paths=None) -> list[tuple[str, int]]:
+    """Dictionary terms within Levenshtein ``distance`` of ``term`` as
+    [(term, df)], ranked df DESC / term ASC, capped.
+
+    With ``fuzzy_paths`` (the sidecar from index/fuzzy_dict.py, d=1
+    complete): candidates via an IN-list on the deletion key — a pruned
+    read over the del_key-sorted sidecar. Without it: scan the field's
+    dictionary slice (field predicate pushed down) and verify — the
+    linear fallback scale deployments avoid by building the sidecar.
+    Both paths end in exact ``levenshtein_le`` verification, so they
+    return identical results where the sidecar's d covers ``distance``."""
+    import pyarrow.dataset as pads
+
+    if not term:
+        return []
+    if fuzzy_paths and distance <= 1:
+        keys = sorted(deletion_variants(term, 1))
+        flt = (pads.field("field") == field) & (
+            pads.field("del_key").isin(keys))
+        cands: dict[str, int] = {}
+        for p in fuzzy_paths:
+            tbl = pads.dataset(p, format="parquet").to_table(
+                columns=["term", "df"], filter=flt)
+            for t, d in zip(tbl.column("term").to_pylist(),
+                            tbl.column("df").to_pylist()):
+                cands[t] = max(cands.get(t, 0), int(d))
+    else:
+        cands = _read_terms(stats_paths, pads.field("field") == field)
+    hits = {t: d for t, d in cands.items()
+            if levenshtein_le(term, t, distance) <= distance}
+    return _rank_cap(hits, max_expansions)

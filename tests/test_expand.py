@@ -1,0 +1,167 @@
+"""Prefix/fuzzy expansion: scalar kernels, the SymSpell sidecar, engine
+vs brute-force-oracle parity, and the one-job/WAND properties."""
+
+import random
+
+import pytest
+
+from spyglass_spark.query.expand import (deletion_variants, expand_fuzzy,
+                                         expand_prefix, levenshtein_le,
+                                         normalize_pattern,
+                                         prefix_upper_bound)
+
+
+def test_normalize_pattern():
+    assert normalize_pattern("Spar*") == "spar"
+    assert normalize_pattern("Résumé") == "resume"
+    assert normalize_pattern("  ++  ") == ""
+    assert normalize_pattern("x" * 41) == ""  # RemoveLongFilter cap
+    assert normalize_pattern("x" * 40) == "x" * 40
+
+
+def test_prefix_upper_bound():
+    assert prefix_upper_bound("spar") == "spas"
+    assert prefix_upper_bound("az") == "a{"  # next code point, not next letter
+    assert prefix_upper_bound("a" + chr(0x10FFFF)) == "b"
+
+
+def test_levenshtein_matches_duckdb():
+    """The scalar verify kernel must agree with DuckDB's levenshtein —
+    the driver oracle for fuzzy_term_candidates grades against it."""
+    import duckdb
+
+    rng = random.Random(7)
+    alpha = "abcde"
+    pairs = [("".join(rng.choice(alpha) for _ in range(rng.randrange(0, 8))),
+              "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 8))))
+             for _ in range(300)]
+    con = duckdb.connect()
+    for a, b in pairs:
+        want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        for limit in (1, 2, 3):
+            got = levenshtein_le(a, b, limit)
+            assert got == (want if want <= limit else limit + 1), (a, b, limit)
+
+
+def test_deletion_neighborhood_complete_for_d1():
+    """SymSpell completeness: any pair at Levenshtein distance <= 1
+    shares a d=1 deletion variant."""
+    rng = random.Random(11)
+    alpha = "abc"
+    for _ in range(500):
+        w = "".join(rng.choice(alpha) for _ in range(rng.randrange(1, 7)))
+        edit = rng.choice(["sub", "ins", "del", "same"])
+        i = rng.randrange(0, len(w))
+        if edit == "sub":
+            v = w[:i] + rng.choice(alpha) + w[i + 1:]
+        elif edit == "ins":
+            v = w[:i] + rng.choice(alpha) + w[i:]
+        elif edit == "del":
+            v = w[:i] + w[i + 1:]
+        else:
+            v = w
+        if levenshtein_le(w, v, 1) <= 1:
+            assert deletion_variants(w) & deletion_variants(v), (w, v)
+
+
+def test_deletion_key_expr_matches_scalar(spark):
+    from pyspark.sql import functions as F
+
+    from spyglass_spark.query.expand import deletion_key_expr
+
+    terms = ["a", "ab", "spark", "recursion", "x" * 12]
+    rows = (spark.sql("SELECT explode(array({})) AS term".format(
+                ",".join(f"'{t}'" for t in terms)))
+            .select("term", deletion_key_expr("term").alias("keys"))
+            .collect())
+    for r in rows:
+        assert set(r["keys"]) == deletion_variants(r["term"]), r["term"]
+
+
+@pytest.fixture(scope="module")
+def engines(spark, built_index):
+    from spyglass_spark.query.executor import SearchEngine
+
+    eng = SearchEngine(spark, built_index["index_dir"])
+    return eng, built_index["oracle"]
+
+
+def _hits(rows):
+    return [(r["doc_id"], float(r["score"])) for r in rows]
+
+
+def test_search_prefix_parity(engines):
+    eng, oracle = engines
+    for pat in ["fn", "re", "q", "zz", "merge"]:
+        got = _hits(eng.search_prefix(pat, k=8).collect())
+        want = _hits(oracle.search_prefix(pat, k=8))
+        assert got == want, pat
+    # expansions came from the range scan, not a Spark job
+    assert eng.last_meta["spark_jobs"] <= 1
+
+
+def test_search_prefix_empty_and_nomatch(engines):
+    eng, oracle = engines
+    assert eng.search_prefix("zzqx").count() == 0
+    assert eng.search_prefix("++").count() == 0
+    assert oracle.search_prefix("zzqx") == []
+
+
+def test_search_fuzzy_parity_fallback_and_sidecar(engines):
+    """Engine fuzzy (dictionary-slice fallback AND SymSpell sidecar)
+    must equal the oracle's brute-force enumeration bitwise."""
+    eng, oracle = engines
+    pats = ["fn", "vektor", "merg", "recursio", "the"]
+    fallback = {p: _hits(eng.search_fuzzy(p, k=8).collect()) for p in pats}
+    eng.ensure_fuzzy_dict()
+    assert eng._fuzzy_dict_paths(), "sidecar not discovered after build"
+    for p in pats:
+        want = _hits(oracle.search_fuzzy(p, k=8))
+        assert fallback[p] == want, f"fallback {p}"
+        assert _hits(eng.search_fuzzy(p, k=8).collect()) == want, f"sidecar {p}"
+
+
+def test_search_fuzzy_wand_matches_exhaustive(engines):
+    eng, _ = engines
+    for p in ["fn", "merg"]:
+        auto = _hits(eng.search_fuzzy(p, k=10).collect())
+        assert eng.last_meta["wand_eligible"] == 1
+        exh = _hits(eng.search_fuzzy(p, k=10, algo="exhaustive").collect())
+        assert auto == exh
+
+
+def test_search_prefix_with_filters(engines):
+    """Pattern queries compose with tag filters exactly like free-text
+    queries (filters compile through the same path)."""
+    eng, oracle = engines
+    got = _hits(eng.search_prefix("re", k=8, filters=[("tag", 1)]).collect())
+    want = _hits(oracle.search_prefix("re", k=8, filters=[("tag", 1)]))
+    assert got == want
+
+
+def test_fuzzy_candidates_op_vs_duckdb(spark):
+    """Distributed SymSpell join == DuckDB brute-force levenshtein over
+    the same dictionary (sf0.001 documents)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    from spyglass_spark.ops.fuzzy import fuzzy_candidates
+
+    qterms = ["sparkk", "functio", "retur"]
+    got = sorted(
+        (r["query_term"], r["term"], int(r["df"]), int(r["dist"]))
+        for r in fuzzy_candidates(spark, docs, qterms).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = sorted(tuple(r) for r in con.execute("""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+'), x -> x <> '')) AS term FROM documents),
+        dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+        q AS (SELECT unnest(['sparkk','functio','retur']) AS query_term)
+        SELECT query_term, term, df, levenshtein(query_term, term) AS dist
+        FROM q CROSS JOIN dict WHERE levenshtein(query_term, term) <= 1
+        """).fetchall())
+    assert got == want
+    assert len(got) > 0
