@@ -689,6 +689,39 @@ def q_search_highlight(spark, sf_dir):  # fixture-oracle: materialize() path
     return eng.materialize(hits, docs, "spark merge join")
 
 
+def q_search_prefix(spark, sf_dir):  # fixture-oracle: dictionary range scan
+    """Prefix pattern 's*' — expansion is a row-group-pruned pyarrow
+    range read over the (field,term)-sorted term_stats store (zero Spark
+    jobs), rewritten to a Should group per query/expand.py; the fixture
+    oracle enumerates its dictionary brute-force."""
+    return _contract_hits(_get_engine(spark, sf_dir).search_prefix("s", k=10))
+
+
+def q_search_fuzzy(spark, sf_dir):  # fixture-oracle: SymSpell sidecar
+    """Fuzzy pattern 'sow'~1 (matches 'row' and 'slow') — candidates
+    from the d=1 deletion-neighborhood sidecar (index/fuzzy_dict.py),
+    exact-verified; the fixture oracle brute-forces Levenshtein over its
+    whole dictionary, independent of the sidecar data structure."""
+    eng = _get_engine(spark, sf_dir)
+    eng.ensure_fuzzy_dict()
+    return _contract_hits(eng.search_fuzzy("sow", k=10))
+
+
+def q_fuzzy_term_candidates(spark, sf_dir):
+    """Distributed SymSpell (ops/fuzzy.py): dictionary df + broadcast
+    deletion-key equi-join + built-in levenshtein verify — graded against
+    DuckDB's brute-force levenshtein cross join over the same dictionary,
+    an independent algorithm (complete enumeration vs deletion keys)."""
+    from spyglass_spark.ops.fuzzy import fuzzy_candidates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = fuzzy_candidates(spark, docs, ["sparkk", "window", "quer"])
+    return (out.select("query_term", "term",
+                       F.col("df").cast("long").alias("df"),
+                       F.col("dist").cast("int").alias("dist"))
+               .orderBy("query_term", "term"))
+
+
 def q_search_batch(spark, sf_dir):  # fixture-oracle
     eng = _get_engine(spark, sf_dir)
     return _contract_hits(eng.search_many([
@@ -704,9 +737,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position 50 stay value-checked locally by tests/test_entry.py,
     # which runs the driver's own rows/schema/hash comparison on every
     # entry; rotate long-stable hash-green entries (multimodal_*,
-    # curation_*, doc_fingerprint, langid — green r1-r4) to the tail so
-    # newer/never-graded queries (dedup_clusters, search_highlight this
-    # round) get driver evidence first.
+    # curation_*, doc_fingerprint, langid, first_words_description,
+    # group_urls_by_scheme, events_hourly_agg — green r1-r4) to the tail
+    # so never-graded queries (this round: dedup_clusters,
+    # search_highlight, search_prefix, search_fuzzy,
+    # fuzzy_term_candidates) get driver evidence first.
     return {
         "corpus_derive": q_corpus_derive,
         "sha256_invariant": q_sha256_invariant,
@@ -743,12 +778,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_more_like_this": q_search_more_like_this,
         "docset_by_tag": q_docset_by_tag,
         "events_sessionize": q_events_sessionize,
+        "search_prefix": q_search_prefix,
+        "search_fuzzy": q_search_fuzzy,
+        "fuzzy_term_candidates": q_fuzzy_term_candidates,
         "query_tag_boost_rewrite": q_query_tag_boost_rewrite,
         "unsynced_docs_predicate": q_unsynced_docs_predicate,
         "search_with_lenses": q_search_with_lenses,
-        "first_words_description": q_first_words_description,
-        "group_urls_by_scheme": q_group_urls_by_scheme,
-        "events_hourly_agg": q_events_hourly_agg,
         "topk_docs_per_source": q_topk_docs_per_source,
         "crawlqueue_cte_analog": q_crawlqueue_cte_analog,
         "events_topk_window": q_events_topk_window,
@@ -767,6 +802,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_sample": q_curation_sample,
         "doc_fingerprint": q_doc_fingerprint,
         "langid": q_langid,
+        "first_words_description": q_first_words_description,
+        "group_urls_by_scheme": q_group_urls_by_scheme,
+        "events_hourly_agg": q_events_hourly_agg,
     }
 
 
@@ -836,6 +874,19 @@ def oracle_sql() -> dict[str, str]:
         "search_with_lenses": _fixture_sql("search_with_lenses"),
         "search_semantic_boost": _fixture_sql("search_semantic_boost"),
         "search_more_like_this": _fixture_sql("search_more_like_this"),
+        "search_prefix": _fixture_sql("search_prefix"),
+        "search_fuzzy": _fixture_sql("search_fuzzy"),
+        # independent-algorithm cross-check: DuckDB enumerates the whole
+        # dictionary × query cross join with its own levenshtein; Spark
+        # only ever JOINS on deletion keys (complete for dist<=1)
+        "fuzzy_term_candidates": f"WITH {DUCK_TOKS}, "
+            "dict AS (SELECT tok AS term, count(DISTINCT doc_id) AS df "
+            "FROM flat GROUP BY tok), "
+            "q AS (SELECT unnest(['sparkk','window','quer']) AS query_term) "
+            "SELECT query_term, term, df, "
+            "CAST(levenshtein(query_term, term) AS INT) AS dist "
+            "FROM q CROSS JOIN dict WHERE levenshtein(query_term, term) <= 1 "
+            "ORDER BY query_term, term",
         "search_highlight": (
             "SELECT rank, doc_id, url, domain, title, description, preview, "
             "score "

@@ -27,6 +27,8 @@ FIXTURE_QUERIES = [
     "search_semantic_boost",
     "search_more_like_this",
     "search_highlight",
+    "search_prefix",
+    "search_fuzzy",
 ]
 
 

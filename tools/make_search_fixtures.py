@@ -242,6 +242,13 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
     out["search_more_like_this"] = hits_to_rows(
         more_like_this_hits(oracle, docs, k=5), om, ckey)
     out["search_highlight"] = highlight_rows(oracle, docs, om, ckey)
+    # pattern queries: the oracle expands brute-force over its own
+    # dictionary (oracle/engine.py _expand) — independent of the engine's
+    # term_stats range scan and SymSpell deletion sidecar
+    out["search_prefix"] = hits_to_rows(
+        oracle.search_prefix("s", k=10), om, ckey)
+    out["search_fuzzy"] = hits_to_rows(
+        oracle.search_fuzzy("sow", k=10), om, ckey)
     return out
 
 
