@@ -722,6 +722,101 @@ def q_fuzzy_term_candidates(spark, sf_dir):
                .orderBy("query_term", "term"))
 
 
+_SEG_MAX_TOKENS = 16  # forces multi-segment docs on the 8-99-token corpus
+_SEG_QTEXT = "search_query: merge join"  # reference query-prefix convention
+
+# shared oracle CTE: reference segmentation (embedding_api.rs:62-101) +
+# md5 pseudo-embeddings + L2 distance, all recomputed inside DuckDB
+_SEG_DIST_CTE = r"""WITH d AS (
+  SELECT doc_id, concat(source, '#', CAST(doc_id AS VARCHAR)) AS url,
+         text AS content, trim(text) AS trimmed FROM documents),
+b AS (SELECT *, CAST(length(content) AS BIGINT) AS blen,
+        CAST(length(trimmed) AS BIGINT) AS tlen,
+        CASE WHEN trimmed = '' THEN 0
+             ELSE length(string_split_regex(trimmed, '\s+')) END AS toks
+      FROM d),
+p AS (SELECT *, CASE WHEN toks > 16 AND tlen > 0 THEN
+        CAST(ceil(blen / ceil(toks / 16.0)) AS BIGINT) END AS cps FROM b),
+p2 AS (SELECT *, CASE WHEN cps IS NOT NULL THEN
+        CAST(ceil(tlen / CAST(cps AS DOUBLE)) AS BIGINT)
+        ELSE 1 END AS n FROM p),
+guard AS (SELECT CASE WHEN max(n) > 16 THEN error(
+    'semantic oracle: segment count exceeds constant range cap')
+    ELSE 1 END AS ok FROM p2),
+segs AS (SELECT doc_id, url, content, trimmed,
+    CASE WHEN cps IS NOT NULL THEN i * cps ELSE 0 END AS segment_start,
+    CASE WHEN cps IS NOT NULL THEN i * cps + least(cps, tlen - i * cps) - 1
+         ELSE blen - 1 END AS segment_end,
+    CASE WHEN cps IS NOT NULL THEN
+         substr(trimmed, CAST(i * cps + 1 AS INT),
+                CAST(least(cps, tlen - i * cps) AS INT))
+         ELSE trimmed END AS segment_text
+  FROM p2 CROSS JOIN guard CROSS JOIN range(0, 16) r(i) WHERE i < n),
+qv AS (SELECT md5('search_query: merge join') AS qh),
+dist AS (SELECT doc_id, url, content, trimmed, segment_start, segment_end,
+    round(sqrt(sum(power(
+      CAST(('0x' || substr(md5(segment_text), 2 * i - 1, 2))::BIGINT
+           AS DOUBLE)
+      - CAST(('0x' || substr(qh, 2 * i - 1, 2))::BIGINT AS DOUBLE), 2))),
+      4) AS distance
+  FROM segs CROSS JOIN qv CROSS JOIN range(1, 9) r(i)
+  GROUP BY ALL),
+"""
+
+
+def _seg_vec_dims(col_name: str):
+    """8-dim deterministic pseudo-embedding: dim j = byte j of
+    md5(segment_text) as double. Pure JVM (md5/conv/substring); DuckDB
+    computes the identical value from the same md5 hex."""
+    return F.array(*[
+        F.conv(F.substring(F.md5(F.col(col_name)), 2 * j - 1, 2),
+               16, 10).cast("double")
+        for j in range(1, 9)])
+
+
+def _seg_qvec() -> list:
+    h = hashlib.md5(_SEG_QTEXT.encode()).hexdigest()
+    return [float(int(h[2 * j:2 * j + 2], 16)) for j in range(8)]
+
+
+def _seg_frame(spark, sf_dir):
+    from spyglass_spark.ops.context import segment_documents
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit("#"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.col("text").alias("content"))
+    segs = segment_documents(docs, max_tokens=_SEG_MAX_TOKENS)
+    return docs, segs.withColumn("embedding", _seg_vec_dims("segment_text"))
+
+
+def q_semantic_segment_distance(spark, sf_dir):
+    """get_document_distance analog (vec_documents.rs:141-225): k=3·top_x
+    nearest segments by L2, one row per document (its best segment),
+    top_x=10 — over the reference's exact segmentation arithmetic
+    (embedding_api.rs:62-101) with md5-derived pseudo-embeddings the
+    DuckDB oracle recomputes independently."""
+    from spyglass_spark.ops.context import document_distance
+
+    _, segs = _seg_frame(spark, sf_dir)
+    return document_distance(segs, _seg_qvec(), top_x=10)
+
+
+def q_semantic_context_segments(spark, sf_dir):
+    """get_top_context + pull_context analog (vec_documents.rs:227-305,
+    search.rs:322-351): top-10 segments with no per-doc dedup, each
+    sliced out of the document content (full-content branch when the
+    bounds cover the whole doc, exclusive-end trim slice otherwise)."""
+    from spyglass_spark.ops.context import pull_context, top_context
+
+    docs, segs = _seg_frame(spark, sf_dir)
+    dd = top_context(segs, _seg_qvec(), top_x=10)
+    return pull_context(dd, docs).select(
+        "distance", "doc_id", "url", "segment_start", "segment_end",
+        "context")
+
+
 def q_search_batch(spark, sf_dir):  # fixture-oracle
     eng = _get_engine(spark, sf_dir)
     return _contract_hits(eng.search_many([
@@ -738,10 +833,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # which runs the driver's own rows/schema/hash comparison on every
     # entry; rotate long-stable hash-green entries (multimodal_*,
     # curation_*, doc_fingerprint, langid, first_words_description,
-    # group_urls_by_scheme, events_hourly_agg — green r1-r4) to the tail
-    # so never-graded queries (this round: dedup_clusters,
-    # search_highlight, search_prefix, search_fuzzy,
-    # fuzzy_term_candidates) get driver evidence first.
+    # group_urls_by_scheme, events_hourly_agg, docs_modified_since,
+    # lens_url_filter — green r1-r4) to the tail so never-graded queries
+    # (this round: dedup_clusters, search_highlight, search_prefix,
+    # search_fuzzy, fuzzy_term_candidates, semantic_segment_distance,
+    # semantic_context_segments) get driver evidence first.
     return {
         "corpus_derive": q_corpus_derive,
         "sha256_invariant": q_sha256_invariant,
@@ -781,6 +877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_prefix": q_search_prefix,
         "search_fuzzy": q_search_fuzzy,
         "fuzzy_term_candidates": q_fuzzy_term_candidates,
+        "semantic_segment_distance": q_semantic_segment_distance,
+        "semantic_context_segments": q_semantic_context_segments,
         "query_tag_boost_rewrite": q_query_tag_boost_rewrite,
         "unsynced_docs_predicate": q_unsynced_docs_predicate,
         "search_with_lenses": q_search_with_lenses,
@@ -790,9 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": q_search_bm25,
         "search_phrase_tag_filter": q_search_phrase_tag_filter,
         "search_batch": q_search_batch,
-        "docs_modified_since": q_docs_modified_since,
         "search_date_range": q_search_date_range,
-        "lens_url_filter": q_lens_url_filter,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_embed": q_multimodal_embed,
@@ -805,6 +901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_words_description": q_first_words_description,
         "group_urls_by_scheme": q_group_urls_by_scheme,
         "events_hourly_agg": q_events_hourly_agg,
+        "docs_modified_since": q_docs_modified_since,
+        "lens_url_filter": q_lens_url_filter,
     }
 
 
@@ -887,6 +985,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(levenshtein(query_term, term) AS INT) AS dist "
             "FROM q CROSS JOIN dict WHERE levenshtein(query_term, term) <= 1 "
             "ORDER BY query_term, term",
+        # segment-level semantic retrieval: the oracle recomputes the
+        # reference segmentation arithmetic (embedding_api.rs:62-101 —
+        # untrimmed-length char budget over trimmed chars, inclusive
+        # ends), the md5 pseudo-embeddings, L2 distances, and the
+        # k=3·top_x → rank-1-per-doc → top_x window independently of
+        # ops/context.py. Constant range(0,16) segment cap fails loudly
+        # via the guard (ADVICE pattern); range(1,9) spans the 8 dims.
+        "semantic_segment_distance":
+            _SEG_DIST_CTE + """
+knn AS (SELECT * FROM dist ORDER BY distance, doc_id, segment_start LIMIT 30),
+rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         ORDER BY distance, segment_start) AS r FROM knn)
+SELECT distance, doc_id, url, segment_start, segment_end
+FROM rk WHERE r = 1 ORDER BY distance, doc_id, segment_start LIMIT 10""",
+        "semantic_context_segments":
+            _SEG_DIST_CTE + """
+knn AS (SELECT * FROM dist ORDER BY distance, doc_id, segment_start LIMIT 10)
+SELECT distance, doc_id, url, segment_start, segment_end,
+  CASE WHEN segment_start = 0 AND segment_end = length(content) - 1
+       THEN content
+       ELSE substr(trimmed, CAST(segment_start + 1 AS INT),
+                   CAST(segment_end - segment_start AS INT)) END AS context
+FROM knn ORDER BY distance, doc_id, segment_start""",
         "search_highlight": (
             "SELECT rank, doc_id, url, domain, title, description, preview, "
             "score "
