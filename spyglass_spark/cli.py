@@ -79,6 +79,12 @@ def main(argv=None, spark=None) -> int:
     d.add_argument("--url", action="append", default=[],
                    help="tombstone every live copy of this url by ordinal "
                         "(cluster-side side table, nothing collected)")
+    d.add_argument("--domain", action="append", default=[],
+                   help="tombstone every doc in a domain "
+                        "(delete_domain RPC analog)")
+    d.add_argument("--tag", type=int, action="append", default=[],
+                   help="tombstone every doc carrying a tag id "
+                        "(uninstall_lens document-cleanup analog)")
 
     c = sub.add_parser("compact", help="full rewrite: collapse ALL "
                                        "generations from the row store")
@@ -103,16 +109,17 @@ def main(argv=None, spark=None) -> int:
         print(m.to_json() if m else "{}")
         return 0
     if args.cmd == "delete":
-        if not args.doc_id and not args.url:
-            p.error("delete: provide --doc-id and/or --url")
+        if not (args.doc_id or args.url or args.domain or args.tag):
+            p.error("delete: provide --doc-id, --url, --domain and/or --tag")
         if args.doc_id:
             from spyglass_spark.index.builder import delete_by_ids
 
             m = delete_by_ids(args.index, args.doc_id)
-            if not args.url:
+            if not (args.url or args.domain or args.tag):
                 print(json.dumps({"tombstones": len(m.tombstones)}))
                 return 0
-        # url deletes need a session (ordinals resolved cluster-side)
+        # url/domain/tag deletes need a session (ordinals resolved
+        # cluster-side)
 
     owns_session = spark is None
     if owns_session:
@@ -137,10 +144,17 @@ def main(argv=None, spark=None) -> int:
 
             m = merge_generations(spark, args.index, gen_ids=args.gen)
             print(m.to_json())
-        elif args.cmd == "delete":  # --url path (ids handled above)
-            from spyglass_spark.index.builder import delete_by_urls
+        elif args.cmd == "delete":  # --url/--domain/--tag (ids above)
+            from spyglass_spark.index.builder import (delete_by_domain,
+                                                      delete_by_tag,
+                                                      delete_by_urls)
 
-            m = delete_by_urls(spark, args.index, args.url)
+            if args.url:
+                m = delete_by_urls(spark, args.index, args.url)
+            for dom in args.domain:
+                m = delete_by_domain(spark, args.index, dom)
+            for tag in args.tag:
+                m = delete_by_tag(spark, args.index, tag)
             print(json.dumps({"tombstones": len(m.tombstones),
                               "tombstone_dirs": m.tombstone_dirs}))
         elif args.cmd == "build":

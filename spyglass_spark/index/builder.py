@@ -690,24 +690,24 @@ def delete_by_ids(index_dir: str, doc_ids: list[str]) -> Manifest:
     return m
 
 
-def delete_by_urls(spark: SparkSession, index_dir: str,
-                   urls: list[str]) -> Manifest:
-    """index.delete_document_by_url analog (spyglass-rpc/src/lib.rs:51-52):
-    tombstone every live copy of the given urls by ORDINAL, written as a
-    parquet side table cluster-side (same mechanism as upsert tombstones —
-    nothing collected to the driver)."""
+def _tombstone_commit(spark: SparkSession, index_dir: str,
+                      select_docs, label: str) -> Manifest:
+    """Shared ordinal-tombstone writer: ``select_docs(doc_meta)`` narrows
+    the stored-field view to the doomed rows; their (part_id, doc_ord)
+    pairs are written as a parquet side table CLUSTER-side (nothing
+    collected to the driver — at 10^12 docs the predicate scan and the
+    tombstone write are both distributed). The dir name carries the
+    manifest's commit counter: gen_id alone does NOT advance on delete,
+    so two deletes in a row would otherwise mode(overwrite) the SAME dir
+    and the second would destroy the first's ordinals on disk (its docs
+    would silently resurface)."""
     m = load_manifest(index_dir)
     if m is None or not m.committed:
         raise FileNotFoundError(f"no committed index at {index_dir}")
     gen_id = max(g["gen"] for g in m.gen_list()) + 1
-    # dir name carries the manifest's commit counter: gen_id alone does
-    # NOT advance on delete, so two delete_by_urls in a row would
-    # mode(overwrite) the SAME dir and the second would destroy the first
-    # delete's ordinals on disk (its docs would silently resurface)
-    tomb_rel = f"tombstones/url_del{gen_id}_{getattr(m, 'commit_seq', 0)}"
-    url_df = spark.createDataFrame([(u,) for u in urls], "url string")
-    (doc_meta_view(spark, index_dir, m.gen_list())
-     .join(F.broadcast(url_df), "url", "leftsemi")
+    tomb_rel = (f"tombstones/{label}{gen_id}_"
+                f"{getattr(m, 'commit_seq', 0)}")
+    (select_docs(doc_meta_view(spark, index_dir, m.gen_list()))
      .select("part_id", "doc_ord")
      .coalesce(1)
      .sortWithinPartitions("part_id", "doc_ord")
@@ -715,6 +715,46 @@ def delete_by_urls(spark: SparkSession, index_dir: str,
     m.tombstone_dirs = sorted(set(m.tombstone_dirs) | {tomb_rel})
     commit_manifest(index_dir, m)
     return m
+
+
+def delete_by_urls(spark: SparkSession, index_dir: str,
+                   urls: list[str]) -> Manifest:
+    """index.delete_document_by_url analog (spyglass-rpc/src/lib.rs:51-52):
+    tombstone every live copy of the given urls by ORDINAL."""
+    url_df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return _tombstone_commit(
+        spark, index_dir,
+        lambda dm: dm.join(F.broadcast(url_df), "url", "leftsemi"),
+        "url_del")
+
+
+def delete_where(spark: SparkSession, index_dir: str, predicate) -> Manifest:
+    """Predicate-tombstone delete over the stored-field columns (url,
+    domain, doc_id, title, tags, published, lastmodified). The reference
+    composes these shapes driver-side — find matching rows in SQLite,
+    then ``delete_many_by_id`` (api/handler/mod.rs:274-288) — which
+    collects every doomed id; here the predicate is evaluated inside the
+    doc-meta scan and only ordinals are written."""
+    return _tombstone_commit(spark, index_dir,
+                             lambda dm: dm.filter(predicate), "pred_del")
+
+
+def delete_by_domain(spark: SparkSession, index_dir: str,
+                     domain: str) -> Manifest:
+    """``delete_domain`` RPC analog (api/handler/mod.rs:256-293): remove
+    every indexed doc whose domain matches (the reference also clears its
+    crawl queues — out of rebuild scope)."""
+    return delete_where(spark, index_dir, F.col("domain") == domain)
+
+
+def delete_by_tag(spark: SparkSession, index_dir: str,
+                  tag_id: int) -> Manifest:
+    """``uninstall_lens`` document cleanup analog (api/handler/
+    mod.rs:586-632, indexed_document::find_by_lens → delete_many_by_id):
+    a lens is a tag, so removing a lens tombstones every doc carrying its
+    tag id."""
+    return delete_where(spark, index_dir,
+                        F.array_contains(F.col("tags"), F.lit(int(tag_id))))
 
 
 def compact_index(spark: SparkSession, documents: DataFrame, index_dir: str,

@@ -84,3 +84,17 @@ def test_cli_lifecycle(spark, corpus_rows, tmp_path, capsys):
     out = _run(capsys, spark, ["search", "--index", idx,
                                "--query", "climarker2", "--k", "3"])
     assert out.strip() == ""
+
+    # delete-by-domain (delete_domain RPC analog): every doc in the
+    # domain goes away in one predicate-tombstone commit
+    out = _run(capsys, spark, ["search", "--index", idx,
+                               "--query", "fn index", "--k", "20"])
+    first_url = json.loads(out.strip().splitlines()[0])["url"]
+    dom = next(r["repo"] for r in corpus_rows[:60]
+               if first_url.startswith(f"repo://{r['repo']}/"))
+    out = _run(capsys, spark, ["delete", "--index", idx, "--domain", dom])
+    assert json.loads(out)["tombstone_dirs"]
+    out = _run(capsys, spark, ["search", "--index", idx,
+                               "--query", "fn index", "--k", "50"])
+    assert not [h for h in map(json.loads, out.strip().splitlines())
+                if h["url"].startswith(f"repo://{dom}/")]

@@ -203,6 +203,49 @@ def test_back_to_back_deletes_same_second(spark, corpus_rows, tmp_path):
     assert m.commit_seq == seq0 + 2  # monotonic, one bump per commit
 
 
+def test_delete_by_domain_and_tag(spark, corpus_rows, tmp_path):
+    """delete_domain (api/handler/mod.rs:256-293) and the uninstall_lens
+    document cleanup (mod.rs:586-632) analogs: predicate-tombstone
+    deletes evaluated cluster-side. The reference finds doomed doc_ids in
+    SQLite and ships them to delete_many_by_id; ours filters the doc-meta
+    scan and writes ordinals directly."""
+    from spyglass_spark.index.builder import (build_index, delete_by_domain,
+                                              delete_by_tag)
+    from spyglass_spark.index.manifest import load_manifest
+    from spyglass_spark.query.executor import SearchEngine
+    from spyglass_spark.testing import corpus_to_documents
+
+    docs, tags_dim = corpus_to_documents(corpus_rows[:60])
+    idx = str(tmp_path / "dpred")
+    build_index(spark, spark.createDataFrame(docs), idx, num_partitions=4)
+    eng = SearchEngine(spark, idx)
+
+    dom = docs[5]["domain"]
+    dom_docs = {d["doc_id"] for d in docs if d["domain"] == dom}
+    assert dom_docs
+    delete_by_domain(spark, idx, dom)
+    eng.refresh()
+    live = {r["doc_id"] for r in eng.document_query().collect()}
+    assert live == {d["doc_id"] for d in docs} - dom_docs
+    # searches stop returning the domain's docs
+    hits = eng.search("the", k=60).collect()
+    assert not [h for h in hits if h["domain"] == dom]
+
+    # lens uninstall: tombstone every doc carrying a tag id
+    tag_id = next(t["id"] for t in tags_dim
+                  if t["label"] == "lens"
+                  and any(t["id"] in d["tags"]
+                          for d in docs if d["doc_id"] in live))
+    tagged = {d["doc_id"] for d in docs if tag_id in d["tags"]}
+    delete_by_tag(spark, idx, tag_id)
+    eng.refresh()
+    live2 = {r["doc_id"] for r in eng.document_query().collect()}
+    assert live2 == live - tagged
+    m = load_manifest(idx)
+    assert len(m.tombstone_dirs) == 2  # one pred_del dir per delete
+    assert m.num_docs == 60  # N keeps counting (max_doc model)
+
+
 def test_engine_refresh_sees_upserts(spark, corpus_rows, tmp_path):
     """An open engine serves the generation it was opened on; refresh()
     picks up another writer's upsert (tantivy reader-reload analog)."""
