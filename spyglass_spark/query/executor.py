@@ -45,14 +45,14 @@ from pyspark.sql import functions as F
 from ..index.builder import (FAST_MARK, KIND_DOCMETA, KIND_FAST, KIND_NORMS,
                              KIND_POSTING, NORMS_MARK, ORD_SHIFT,
                              doc_meta_view, read_store, tombstone_view)
-from ..index.codecs import (decode_postings, phrase_position_keys,
-                            varint_decode)
+from ..index.codecs import (decode_positions_selected, decode_postings,
+                            phrase_position_keys, varint_decode)
 from ..index.manifest import Manifest, load_manifest
 from .compiler import CompiledQuery, compile_expanded, compile_query
 from .expand import (DEFAULT_MAX_EXPANSIONS, expand_fuzzy, expand_prefix,
                      normalize_pattern)
 from .scoring import (K1, idf, norm_cache, score_postings,
-                      sloppy_phrase_counts_batch)
+                      sloppy_phrase_count, sloppy_phrase_counts_batch)
 
 RESULT_SCHEMA = "query_id long, doc_ord long, score float"
 HIT_COLUMNS = ["query_id", "rank", "doc_id", "url", "domain", "title",
@@ -972,6 +972,135 @@ class SearchEngine:
         hits = self._execute_compiled([cq], k=k + 1).drop("query_id")
         return (hits.filter(F.col("doc_id") != doc_id)
                 .orderBy("rank").limit(k))
+
+    def explain(self, query: str, url: str, filters=(), boosts=()) -> dict:
+        """Per-clause BM25 score breakdown for one document — the tantivy
+        ``Query::explain``/``Explanation`` analog [tantivy-0.19.2 public
+        API], and this rebuild's rank-identity debugging tool. Returns::
+
+            {"url", "found", "matches", "score", "clauses": [
+               {"role", "kind", "field", "terms", "boost", "weight",
+                "df", "tf", "fieldnorm_id", "fieldnorm", "contribution",
+                "matched"}, ...]}
+
+        ``score`` is the float32 clause-order sum of matching scoring
+        clauses — bitwise the score ``search`` would return for this doc.
+        ``matches`` applies the full boolean gate (Must-wrapped Should
+        group, musts, range musts, must_nots, score>0). Driver-side by
+        construction: one doc-address lookup + one tiny posting collect
+        (the involved (field, term) rows of ONE part) + a part-pruned
+        pyarrow norms read — never a corpus scan."""
+        from ..index.fieldnorm import id_to_fieldnorm
+
+        cq = compile_query(query, filters, boosts)
+        keys = cq.term_keys()
+        m = self.manifest
+        out: dict = {"url": url, "found": False, "matches": False,
+                     "score": 0.0, "clauses": []}
+        if not keys:
+            return out
+        addr = self.document_query(urls=[url]).select("doc_ord").collect()
+        if not addr:
+            return out
+        out["found"] = True
+        doc_ord = int(addr[0]["doc_ord"])
+        part, lo = doc_ord >> ORD_SHIFT, doc_ord & ((1 << ORD_SHIFT) - 1)
+        out["doc_ord"] = doc_ord
+
+        dfs = self._term_dfs(keys)
+        specs = _clause_specs(cq, dfs, m.num_docs)
+        fields = sorted({f for f, _ in keys})
+        terms = sorted({t for _, t in keys})
+        rows = (self._postings_base
+                .filter((F.col("part_id") == part)
+                        & F.col("field").isin(fields)
+                        & F.col("term").isin(terms))
+                .collect())
+        payload = {(r["field"], r["term"]): r for r in rows}
+        norm_arrays, fast_arrays = _load_part_arrays(
+            tuple(f"{self.index_dir}/{g['prefix']}/store" for g in self.gens),
+            part, f"{m.created_utc}#{getattr(m, 'commit_seq', 0)}")
+        caches = {f: norm_cache(m.field_totals.get(f, 0) / m.num_docs
+                                if m.num_docs else 1.0) for f in fields}
+
+        def doc_tf(field, term):
+            r = payload.get((field, term))
+            if r is None:
+                return None, None
+            docs, tfs = decode_postings(r["doc_bytes"], r["tf_bytes"])
+            i = int(np.searchsorted(docs, lo))
+            if i >= docs.size or int(docs[i]) != lo:
+                return None, None
+            return int(tfs[i]), (r, docs, tfs, i)
+
+        def phrase_tf(spec):
+            recs = [doc_tf(spec["field"], t) for t in spec["terms"]]
+            if any(tf is None for tf, _ in recs):
+                return None
+            plists = [decode_positions_selected(
+                          ctx[0]["pos_bytes"], ctx[2], np.array([ctx[3]]))[0]
+                      for _, ctx in recs]
+            n = sloppy_phrase_count(plists, list(spec["positions"]),
+                                    spec["slop"])
+            return n if n > 0 else None
+
+        must_ok, must_not_hit = True, False
+        should_hit = False
+        group_hit: dict[int, bool] = {}
+        acc = np.float32(0.0)
+        for spec in specs:
+            field = spec["field"]
+            entry = {"role": spec["role"], "kind": spec["kind"],
+                     "field": field, "terms": spec["terms"],
+                     "boost": spec["boost"], "weight": spec["weight"],
+                     "df": [dfs.get((field, t), 0) for t in spec["terms"]],
+                     "tf": 0, "fieldnorm_id": None, "fieldnorm": None,
+                     "contribution": 0.0, "matched": False}
+            if spec["kind"] == "range":
+                arr = fast_arrays.get(field)
+                v = int(arr[lo]) if arr is not None and lo < arr.size else -1
+                ok = (v >= 0
+                      and (spec["ge"] is None or v >= spec["ge"])
+                      and (spec["le"] is None or v <= spec["le"]))
+                entry["matched"] = bool(ok)
+                if not ok:
+                    must_ok = False
+                out["clauses"].append(entry)
+                continue
+            tf = (doc_tf(field, spec["terms"][0])[0]
+                  if spec["kind"] == "term" else phrase_tf(spec))
+            if tf is not None:
+                entry["matched"] = True
+                entry["tf"] = int(tf)
+                norms = norm_arrays.get(field)
+                nid = int(norms[lo]) if norms is not None else 0
+                entry["fieldnorm_id"] = nid
+                entry["fieldnorm"] = int(id_to_fieldnorm(
+                    np.array([nid], dtype=np.uint8))[0])
+                if spec["scoring"]:
+                    c = score_postings(np.array([tf], dtype=np.int64),
+                                       np.array([nid], dtype=np.uint8),
+                                       spec["weight"], caches[field])[0]
+                    entry["contribution"] = float(c)
+                    acc = np.float32(acc + np.float32(c))
+            if spec["role"] == "should":
+                should_hit = should_hit or entry["matched"]
+            elif spec["role"] == "extra_group":
+                group_hit[spec["group"]] = (group_hit.get(spec["group"], False)
+                                            or entry["matched"])
+            elif spec["role"] == "must" and not entry["matched"]:
+                must_ok = False
+            elif spec["role"] == "must_not" and entry["matched"]:
+                must_not_hit = True
+            out["clauses"].append(entry)
+
+        has_should = any(s["role"] == "should" for s in specs)
+        out["score"] = float(acc)
+        out["matches"] = bool(
+            (should_hit or not has_should)
+            and all(group_hit.values())
+            and must_ok and not must_not_hit and float(acc) > 0.0)
+        return out
 
     def is_document_indexed(self, url: str) -> bool:
         """index.is_document_indexed RPC analog (spyglass-rpc/src/lib.rs:43-44):
