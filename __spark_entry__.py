@@ -817,6 +817,15 @@ def q_semantic_context_segments(spark, sf_dir):
         "context")
 
 
+def q_search_facets(spark, sf_dir):  # fixture-oracle
+    """Tag facet counts over the FULL BM25 match set (not top-k):
+    posting-union ∩ musts, tags from the doc-meta scan, O(#tags) output.
+    The fixture oracle brute-forces the match set with the scalar
+    analyzers over the corpus docs — independent of the engine's
+    posting-decode/leftsemi plan."""
+    return _get_engine(spark, sf_dir).facet_counts("spark merge join")
+
+
 def q_search_batch(spark, sf_dir):  # fixture-oracle
     eng = _get_engine(spark, sf_dir)
     return _contract_hits(eng.search_many([
@@ -879,12 +888,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_term_candidates": q_fuzzy_term_candidates,
         "semantic_segment_distance": q_semantic_segment_distance,
         "semantic_context_segments": q_semantic_context_segments,
+        "search_facets": q_search_facets,
         "query_tag_boost_rewrite": q_query_tag_boost_rewrite,
         "unsynced_docs_predicate": q_unsynced_docs_predicate,
         "search_with_lenses": q_search_with_lenses,
         "topk_docs_per_source": q_topk_docs_per_source,
         "crawlqueue_cte_analog": q_crawlqueue_cte_analog,
-        "events_topk_window": q_events_topk_window,
         "search_bm25": q_search_bm25,
         "search_phrase_tag_filter": q_search_phrase_tag_filter,
         "search_batch": q_search_batch,
@@ -903,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_agg": q_events_hourly_agg,
         "docs_modified_since": q_docs_modified_since,
         "lens_url_filter": q_lens_url_filter,
+        "events_topk_window": q_events_topk_window,
     }
 
 
@@ -973,6 +983,11 @@ def oracle_sql() -> dict[str, str]:
         "search_semantic_boost": _fixture_sql("search_semantic_boost"),
         "search_more_like_this": _fixture_sql("search_more_like_this"),
         "search_prefix": _fixture_sql("search_prefix"),
+        "search_facets": (
+            "SELECT tag_id, n "
+            f"FROM '{FIXTURES_DIR}/search_expected_search_facets.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)"),
         "search_fuzzy": _fixture_sql("search_fuzzy"),
         # independent-algorithm cross-check: DuckDB enumerates the whole
         # dictionary × query cross join with its own levenshtein; Spark

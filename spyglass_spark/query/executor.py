@@ -1197,6 +1197,99 @@ class SearchEngine:
 
         return rows.mapInPandas(decode, "doc_ord long")
 
+    def _pair_ords(self, pairs: set) -> DataFrame:
+        """DISTINCT doc_ord set matching ANY of the (field, term) pairs —
+        decoded posting union, Arrow-batched, term-pruned at the scan.
+        The IN-list scan may over-select the (field × term) cross
+        product; the exact pair check runs inside the decode."""
+        fields = sorted({f for f, _ in pairs})
+        terms = sorted({t for _, t in pairs})
+        rows = (self._postings_base
+                .filter(F.col("field").isin(fields)
+                        & F.col("term").isin(terms))
+                .select("part_id", "field", "term", "doc_bytes", "tf_bytes"))
+        pairset = set(pairs)
+
+        def decode(batches):
+            for pdf in batches:
+                outs = []
+                for _, r in pdf.iterrows():
+                    if (r["field"], r["term"]) not in pairset:
+                        continue
+                    docs, _ = decode_postings(r["doc_bytes"], r["tf_bytes"])
+                    base = np.uint64(int(r["part_id"])) << np.uint64(ORD_SHIFT)
+                    outs.append(pd.DataFrame(
+                        {"doc_ord": (base + docs).astype(np.int64)}))
+                yield (pd.concat(outs) if outs else
+                       pd.DataFrame({"doc_ord": pd.Series([], dtype="int64")}))
+
+        return rows.mapInPandas(decode, "doc_ord long").distinct()
+
+    def facet_counts(self, query: str, filters=(), boosts=(),
+                     k_tags: int | None = None) -> DataFrame:
+        """Tag facet counts over the FULL match set of a search (not the
+        top-k): (tag_id, n) for every tag carried by a matching live doc,
+        count-descending. The reference UI approximates this per page of
+        results; a search engine's facet panel needs it over all matches.
+
+        Exactness without positions: a phrase match is a subset of each
+        of its terms' postings, so the Must(Should-group) match set is
+        the UNION of the should TERM postings intersected with the Musts
+        minus MustNots — no position decode, no scoring pass. The score>0
+        post-filter (local.rs:138) is implied when every Should clause
+        scores (any should hit ⇒ positive contribution, since idf and
+        tf_factor are strictly positive); a zero-boost should (e.g. a
+        CustomField boost 0.0) would break that implication, so that
+        shape raises rather than miscounting.
+
+        Scale: posting decode is term-pruned and Arrow-batched; the ord
+        sets flow through distinct/leftsemi joins (map-side combinable);
+        tags come from the doc-meta scan of matched ords; output is
+        O(#tags). No corpus scan, no driver materialization."""
+        cq = compile_query(query, filters, boosts)
+        if not cq.should_group:
+            raise ValueError("facet_counts needs at least one Should clause")
+        if not all(c.scoring for c in cq.should_group):
+            raise ValueError(
+                "facet_counts is exact only when every Should clause "
+                "scores (score>0 gate); zero-boost shoulds need a scored "
+                "search instead")
+        union_pairs = {(c.field, t) for c in cq.should_group
+                       if c.kind == "term" for t in c.terms}
+        # a should group of ONLY phrase clauses still nominates docs — use
+        # the phrase terms' postings (superset) ∩ nothing else would
+        # over-count; real compile_query output always pairs each phrase
+        # with its term clauses, so union_pairs is never empty here
+        if not union_pairs:
+            union_pairs = {(c.field, t) for c in cq.should_group
+                           for t in c.terms}
+        match = self._pair_ords(union_pairs)
+        for grp in cq.extra_groups:
+            match = match.join(
+                self._pair_ords({(c.field, t) for c in grp for t in c.terms}),
+                "doc_ord", "leftsemi")
+        for c in cq.musts:
+            match = match.join(
+                self._pair_ords({(c.field, t) for t in c.terms}),
+                "doc_ord", "leftsemi")
+        for c in cq.must_nots:
+            match = match.join(
+                self._pair_ords({(c.field, t) for t in c.terms}),
+                "doc_ord", "leftanti")
+        dm = self._doc_meta_base.join(match, "doc_ord", "leftsemi")
+        for field, ge, le in getattr(cq, "range_musts", ()):
+            # doc_meta date columns hold the same µs int64 the fast
+            # fields encode; NULL (missing) never matches, like -1 there
+            if ge is not None:
+                dm = dm.filter(F.col(field) >= ge)
+            if le is not None:
+                dm = dm.filter(F.col(field) <= le)
+        dm = self._anti_tombstone(dm)
+        out = (dm.select(F.explode("tags").alias("tag_id"))
+                 .groupBy("tag_id").agg(F.count("*").alias("n"))
+                 .orderBy(F.desc("n"), F.asc("tag_id")))
+        return out.limit(k_tags) if k_tags else out
+
     def materialize(self, hits: DataFrame, documents: DataFrame,
                     query: str, preview_words: int = 20) -> DataFrame:
         """Hit materialization (api/handler/search.rs:142-188 analog):

@@ -1,0 +1,108 @@
+"""facet_counts — tag facet counts over the FULL match set. Pinned
+against a brute-force recomputation with the scalar analyzers (including
+stemming), plus tombstone and zero-boost-guard behavior."""
+
+import pytest
+
+from spyglass_spark.analysis.analyzer import tokenize_default, tokenize_en
+
+
+@pytest.fixture(scope="module")
+def eng(spark, built_index):
+    from spyglass_spark.query.executor import SearchEngine
+
+    return SearchEngine(spark, built_index["index_dir"])
+
+
+def _brute_facets(docs, query, filters=()):
+    """Independent match-set + tag counting: per-field analyzed token
+    sets, reference boolean semantics (Must(any should) AND tag Musts)."""
+    from spyglass_spark.query.compiler import compile_query
+
+    cq = compile_query(query, filters)
+    counts: dict[int, int] = {}
+    for d in docs:
+        fields = {
+            "content": {t for _, t in tokenize_en(d["content"] or "")},
+            "title": {t for _, t in tokenize_default(d["title"] or "")},
+            "tags": {str(t) for t in d["tags"]},
+            "id": {d["doc_id"]},
+            "url": {d["url"]},
+        }
+        should = any(t in fields.get(c.field, set())
+                     for c in cq.should_group for t in c.terms)
+        musts = all(all(t in fields.get(c.field, set()) for t in c.terms)
+                    for c in cq.musts)
+        if should and musts:
+            for t in d["tags"]:
+                counts[t] = counts.get(t, 0) + 1
+    return counts
+
+
+CASES = [
+    ("fn index", ()),
+    ("merge join table", ()),
+    ("parsing postings segment", ()),   # stemming-sensitive match set
+    ("the fast key", ()),               # no corpus hit: both sides empty
+]
+
+
+@pytest.mark.parametrize("query,filters", CASES)
+def test_facet_counts_vs_bruteforce(eng, built_index, query, filters):
+    got = {r["tag_id"]: r["n"]
+           for r in eng.facet_counts(query, filters).collect()}
+    expect = _brute_facets(built_index["docs"], query, filters)
+    assert got == expect
+    if query != "the fast key":
+        assert sum(got.values()) > 0
+
+
+def test_facet_counts_with_tag_filter(eng, built_index):
+    tag = built_index["docs"][0]["tags"][0]
+    got = {r["tag_id"]: r["n"]
+           for r in eng.facet_counts("fn index",
+                                     filters=[("tag", tag)]).collect()}
+    expect = _brute_facets(built_index["docs"], "fn index",
+                           filters=[("tag", tag)])
+    assert got == expect
+    # the filter tag dominates: every matching doc carries it
+    assert got[tag] == max(got.values())
+
+
+def test_facet_counts_ordering_and_limit(eng):
+    rows = eng.facet_counts("fn index").collect()
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    top3 = eng.facet_counts("fn index", k_tags=3).collect()
+    assert [(r["tag_id"], r["n"]) for r in top3] == \
+        [(r["tag_id"], r["n"]) for r in rows[:3]]
+
+
+def test_facet_counts_excludes_tombstones(spark, corpus_rows, tmp_path):
+    from spyglass_spark.index.builder import build_index, delete_by_urls
+    from spyglass_spark.query.executor import SearchEngine
+    from spyglass_spark.testing import corpus_to_documents
+
+    docs, _ = corpus_to_documents(corpus_rows[:40])
+    idx = str(tmp_path / "fidx")
+    build_index(spark, spark.createDataFrame(docs), idx, num_partitions=4)
+    eng = SearchEngine(spark, idx)
+    before = {r["tag_id"]: r["n"]
+              for r in eng.facet_counts("index search").collect()}
+    assert before == _brute_facets(docs, "index search")
+    # tombstone one matching doc; its tags drop out of the counts
+    victim = next(d for d in docs
+                  if _brute_facets([d], "index search"))
+    delete_by_urls(spark, idx, [victim["url"]])
+    eng.refresh()
+    after = {r["tag_id"]: r["n"]
+             for r in eng.facet_counts("index search").collect()}
+    live = [d for d in docs if d["url"] != victim["url"]]
+    assert after == _brute_facets(live, "index search")
+
+
+def test_facet_counts_zero_boost_guard(eng):
+    with pytest.raises(ValueError, match="zero-boost"):
+        eng.facet_counts("fn index", boosts=[("custom:priority", 7)])
+    with pytest.raises(ValueError, match="Should"):
+        eng.facet_counts("")

@@ -29,6 +29,7 @@ FIXTURE_QUERIES = [
     "search_highlight",
     "search_prefix",
     "search_fuzzy",
+    "search_facets",
 ]
 
 

@@ -249,7 +249,39 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
         oracle.search_prefix("s", k=10), om, ckey)
     out["search_fuzzy"] = hits_to_rows(
         oracle.search_fuzzy("sow", k=10), om, ckey)
+    out["search_facets"] = facet_rows(docs, ckey)
     return out
+
+
+FACET_FIELDS = [("tag_id", pa.int64()), ("n", pa.int64())]
+
+
+def facet_rows(docs: list[dict], ckey: int,
+               query: str = "spark merge join", filters=()) -> list[dict]:
+    """Expected facet_counts output: brute-force match set with the
+    scalar analyzers (any Should term present in its field's analyzed
+    token set, every Must present), tags counted per matching doc —
+    independent of the engine's posting-union/leftsemi plan."""
+    from spyglass_spark.analysis.analyzer import tokenize_default, tokenize_en
+    from spyglass_spark.query.compiler import compile_query
+
+    cq = compile_query(query, filters)
+    counts: dict[int, int] = {}
+    for d in docs:
+        fields = {
+            "content": {t for _, t in tokenize_en(d["content"] or "")},
+            "title": {t for _, t in tokenize_default(d["title"] or "")},
+            "tags": {str(t) for t in d["tags"]},
+        }
+        should = any(t in fields.get(c.field, set())
+                     for c in cq.should_group for t in c.terms)
+        musts = all(all(t in fields.get(c.field, set()) for t in c.terms)
+                    for c in cq.musts)
+        if should and musts:
+            for t in d["tags"]:
+                counts[t] = counts.get(t, 0) + 1
+    return [{"corpus_key": ckey, "tag_id": int(t), "n": int(n)}
+            for t, n in sorted(counts.items())]
 
 
 def _repo_langs(corpus) -> list[tuple[str, str]]:
@@ -286,9 +318,10 @@ def main() -> None:
     for sf_dir in SF_DIRS:
         for name, rows in build_fixtures(spark, sf_dir).items():
             merged[name].extend(rows)
+    special = {"search_highlight": HIGHLIGHT_FIELDS,
+               "search_facets": FACET_FIELDS}
     for name, rows in merged.items():
-        write_fixture(name, rows,
-                      HIGHLIGHT_FIELDS if name == "search_highlight" else None)
+        write_fixture(name, rows, special.get(name))
 
 
 if __name__ == "__main__":
