@@ -122,6 +122,33 @@ section("IVF ANN probe over persisted lists (partition-pruned)",
         "  prune; tests/test_ops.py proves the pruning functionally\n"
         "  (non-probed partitions corrupted, probe still answers).", 30)
 
+from spyglass_spark.ops.context import document_distance, segment_documents
+
+cdocs = E._seg_frame(spark, SF)[1]
+section("Embedding segmentation (sequence/explode, codegen)",
+        segment_documents(to_documents(load_corpus(spark, SF))
+                          .select("doc_id", "url",
+                                  F.col("content")), max_tokens=16),
+        "- Pure projection: sequence + explode + substring stay inside\n"
+        "  whole-stage codegen; no Python, no shuffle. Row-multiplying —\n"
+        "  repartition a single-file input upstream (CLAUDE.md gotcha).", 25)
+
+section("Segment k-NN → per-doc rank-1 (get_document_distance analog)",
+        document_distance(cdocs, E._seg_qvec(), top_x=10),
+        "- The k=3·top_x k-NN is TakeOrderedAndProject (per-partition\n"
+        "  top-k, driver merge of P·k rows) — never a full sort/shuffle.\n"
+        "- The per-document ROW_NUMBER window then runs on ≤k constant\n"
+        "  rows; at billion-segment scale the scan slice swaps for the\n"
+        "  IVF-indexed candidate stream with the same downstream plan.", 45)
+
+section("Facet counts over the full match set",
+        eng.facet_counts("spark merge join"),
+        "- Term-pruned posting scan → Arrow-batched decode → distinct\n"
+        "  union; Musts/MustNots as leftsemi/leftanti hash joins on\n"
+        "  doc_ord; tags from the doc-meta scan of matched ords; final\n"
+        "  O(#tags) partial-aggregated groupBy. No scoring pass, no\n"
+        "  position decode, no driver materialization.", 50)
+
 open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                   "PLANS.md"), "w").write(out.getvalue())
 print("written")
