@@ -204,6 +204,19 @@ def test_top_context_no_dedup(spark):
     assert len({r["doc_id"] for r in out}) < 5
 
 
+def test_context_for_doc_all_segments_sorted(spark):
+    from spyglass_spark.ops.context import context_for_doc
+
+    rows = _seg_rows(n_docs=3, segs_per_doc=5)
+    q = [2.0, 2.0, 2.0, 2.0]
+    out = context_for_doc(
+        spark.createDataFrame(rows, SEG_SCHEMA), "d1", q).collect()
+    assert len(out) == 5                        # every segment of d1
+    assert all(r["doc_id"] == "d1" for r in out)
+    ds = [r["distance"] for r in out]
+    assert ds == sorted(ds)                     # distance-ascending
+
+
 def test_assemble_context_end_to_end(spark):
     """Segmentation → pseudo-embeddings → top_context → golden-format
     envelope, all on a deterministic corpus."""
