@@ -47,19 +47,23 @@ def mini_kernel_rate() -> float:
 PROBE_REPLICAS = int(os.environ.get("SPYGLASS_PROBE_REPLICAS", "192"))
 
 
-def run_legs(lo: int = 8, hi: int = 32) -> dict:
+def run_legs(lo: int = 8, hi: int = 32,
+             replicas: int = PROBE_REPLICAS) -> dict:
     """Probe legs use a 4× corpus (1.28M docs) vs the per-round bench:
     at 320k docs the ~6-8 s of per-build orchestration caps even a
     perfectly quiet window near 0.55 efficiency; at 1.28M docs the
     data-parallel stage dominates enough for the ≥0.8 target to be
     measurable. ``(lo, hi)`` is the N→4N pair: (8, 32) when the host
     gives full bandwidth, (4, 16) as the honest fallback when neighbors
-    hold half the bus — still the north_rule's two-cluster-size shape."""
+    hold half the bus, (2, 8) when they hold three quarters — each still
+    the north_rule's two-cluster-size shape. The low pairs use a smaller
+    ``replicas`` so the slow leg still fits inside a window; at 2 cores a
+    480k-doc build runs ≥2 min, holding fixed overhead under ~5%."""
     import bench
 
     out = {}
     env = dict(os.environ)
-    env["SPYGLASS_BENCH_REPLICAS"] = str(PROBE_REPLICAS)
+    env["SPYGLASS_BENCH_REPLICAS"] = str(replicas)
     for cores in (hi, lo):  # big leg first: it needs the quiet window most
         leg = f"{bench.WORK_DIR}/leg_{cores}.json"
         os.makedirs(bench.WORK_DIR, exist_ok=True)
@@ -99,9 +103,20 @@ def attempt(min_kernel_eff: float) -> dict:
                    kernel_eff_4_16=round(keff2, 3))
         if keff2 >= min_kernel_eff and k16 >= 9e6:
             pair, keff_pre = (4, 16), keff2
+        else:
+            # last rung: 2→8 procs — a quarter of the 8→32 bandwidth
+            # demand; even a three-quarters-claimed bus can scale it.
+            # Floor 4.5 M at 8p (half of the quiet 8-proc aggregate);
+            # stationarity is still enforced by the post-leg bracket.
+            k2, k8b, keff3 = kernel_eff(2, 8)
+            rec.update(kernel_2p=round(k2, 1), kernel_8p_lo=round(k8b, 1),
+                       kernel_eff_2_8=round(keff3, 3))
+            if keff3 >= min_kernel_eff and k8b >= 4.5e6:
+                pair, keff_pre = (2, 8), keff3
     if pair:
         lo, hi = pair
-        legs = run_legs(lo, hi)
+        legs = run_legs(lo, hi,
+                        replicas=96 if pair == (2, 8) else PROBE_REPLICAS)
         eff = (legs[hi]["docs_per_sec"] / legs[lo]["docs_per_sec"]) / 4.0
         # post-leg control: same pair, re-measured AFTER the legs — the
         # stationarity bracket (bench.py's quiet_window_best accepts
@@ -114,7 +129,7 @@ def attempt(min_kernel_eff: float) -> dict:
                                            >= min_kernel_eff))
         rec.update(
             pair=[lo, hi],
-            replicas=PROBE_REPLICAS,
+            replicas=96 if pair == (2, 8) else PROBE_REPLICAS,
             **{f"build_sec_{lo}c": round(legs[lo]["build_sec"], 2),
                f"build_sec_{hi}c": round(legs[hi]["build_sec"], 2),
                f"docs_per_sec_{lo}c": round(legs[lo]["docs_per_sec"], 1),
@@ -181,7 +196,9 @@ def main() -> None:
             print(json.dumps(rec), flush=True)
             if not args.loop:
                 return
-            ctrl = max(rec.get("kernel_eff", 0), rec.get("kernel_eff_4_16", 0))
+            ctrl = max(rec.get("kernel_eff", 0),
+                       rec.get("kernel_eff_4_16", 0),
+                       rec.get("kernel_eff_2_8", 0))
             if rec.get("scaling_efficiency", 0) >= 0.8 and ctrl >= 0.8:
                 return  # clean demonstration captured; stop burning the box
             time.sleep(args.sleep_after)
