@@ -1102,6 +1102,25 @@ class SearchEngine:
             and must_ok and not must_not_hit and float(acc) > 0.0)
         return out
 
+    def status(self) -> dict:
+        """``app_status`` RPC analog (spyglass-rpc/src/lib.rs:57-58,
+        api/handler/mod.rs:190-200 — the reference returns num_docs from
+        the index reader): manifest-level engine status, zero Spark jobs.
+        Tombstone counts are manifest metadata; live-doc subtraction
+        would need a side-table scan and is what library_stats does."""
+        m = self.manifest
+        return {
+            "num_docs": m.num_docs,
+            "index_dir": self.index_dir,
+            "generations": len(self.gens),
+            "num_partitions": m.num_partitions,
+            "commit_seq": getattr(m, "commit_seq", 0),
+            "created_utc": m.created_utc,
+            "field_totals": dict(m.field_totals),
+            "tombstoned_ids": len(m.tombstones),
+            "tombstone_dirs": len(m.tombstone_dirs),
+        }
+
     def is_document_indexed(self, url: str) -> bool:
         """index.is_document_indexed RPC analog (spyglass-rpc/src/lib.rs:43-44):
         a live (non-tombstoned) doc with this exact url exists."""

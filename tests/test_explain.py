@@ -53,6 +53,14 @@ def test_explain_nonmatching_doc(eng, built_index):
         c["matched"] for c in ex["clauses"] if c["role"] == "should")
 
 
+def test_status_app_status_analog(eng, built_index):
+    s = eng.status()
+    assert s["num_docs"] == len(built_index["docs"])
+    assert s["generations"] >= 1 and s["num_partitions"] == built_index["P"]
+    assert s["field_totals"]["content"] > 0
+    assert s["tombstoned_ids"] == 0 and s["tombstone_dirs"] == 0
+
+
 def test_explain_unknown_url(eng):
     ex = eng.explain("fn index", "repo://nope/never@" + "0" * 40)
     assert ex == {"url": "repo://nope/never@" + "0" * 40, "found": False,
