@@ -405,11 +405,14 @@ def query_leg(cores: int) -> dict:
 
 def query_scaling() -> None:
     """Run the 8/32 query-leg pair as separate JVMs on the SAME spot
-    index, append one JSON line with the window evidence. bench main()
-    embeds the best on-record pair as ``query_scaling_best``."""
+    index, append one JSON line with the window evidence. Legs are
+    INTERLEAVED (32, 8, 32, 8) keeping best-of per level, so one-sided
+    noise (a neighbor burst hitting only the second leg) can't inflate
+    the ratio the way a single sequential pair can. bench main() embeds
+    the best stationary pair on record as ``query_scaling_best``."""
     mini_before = _kernel_throughput(1)
-    legs = {}
-    for cores in (32, 8):  # big leg first — it needs the quiet window most
+    legs: dict[int, dict] = {}
+    for cores in (32, 8, 32, 8):  # big leg first; one repeat per level
         out = f"{WORK_DIR}/qleg_{cores}.json"
         os.makedirs(WORK_DIR, exist_ok=True)
         env = dict(os.environ)
@@ -417,7 +420,9 @@ def query_scaling() -> None:
                         "--query-leg", str(cores), out],
                        check=True, env=env, stdout=subprocess.DEVNULL)
         with open(out) as f:
-            legs[cores] = json.load(f)
+            leg = json.load(f)
+        if cores not in legs or leg["batch64_sec"] < legs[cores]["batch64_sec"]:
+            legs[cores] = leg
     mini_after = _kernel_throughput(1)
     rec = {"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
            "kind": "query_scaling", "loadavg": _loadavg(),
@@ -588,9 +593,17 @@ def main() -> None:
                 if rec.get("kind") == "query_scaling":
                     qcands.append(rec)
         if qcands:
+            # stationary windows first: a noise burst hitting only the
+            # 8c leg INFLATES the ratio, so the max over noisy captures
+            # is the least credible number. Prefer captures whose mini
+            # rate held through the run; fall back to all.
+            stationary = [r for r in qcands
+                          if r.get("mini_rate_before", 0) >= 1.0e6
+                          and r.get("mini_rate_after", 0)
+                          >= 0.5 * r.get("mini_rate_before", 1)]
+            pool = stationary or qcands
             result["query_scaling_best"] = max(
-                qcands,
-                key=lambda r: r["query_scaling_efficiency_8_to_32"])
+                pool, key=lambda r: r["query_scaling_efficiency_8_to_32"])
     spark.stop()
     shutil.rmtree(WORK_DIR, ignore_errors=True)  # free the tmpfs footprint
     print(json.dumps(result))
