@@ -222,7 +222,14 @@ def _best_credible_pair() -> dict | None:
     if 8 not in best or 32 not in best:
         return None
     b8, b32 = best[8], best[32]
-    return {
+    # the pair may come from DIFFERENT windows (leg_sniper captures one
+    # leg per window): absolute build times stay valid per-leg evidence,
+    # but the cross-window ratio is NOT a scaling measurement — flag it
+    # unless both legs saw comparable bandwidth
+    m8, m32 = b8["mini_rate_before"], b32["mini_rate_before"]
+    comparable = min(m8, m32) > 0 and max(m8, m32) / min(m8, m32) <= 2.0
+    out_flag = {} if comparable else {"efficiency_not_comparable": True}
+    return out_flag | {
         "build_sec_8c": round(b8["build_sec"], 2),
         "build_sec_32c": round(b32["build_sec"], 2),
         "docs_per_sec_8c": round(b8["docs_per_sec"], 1),
