@@ -224,11 +224,14 @@ def _best_credible_pair() -> dict | None:
     b8, b32 = best[8], best[32]
     # the pair may come from DIFFERENT windows (leg_sniper captures one
     # leg per window): absolute build times stay valid per-leg evidence,
-    # but the cross-window ratio is NOT a scaling measurement — flag it
-    # unless both legs saw comparable bandwidth
-    m8, m32 = b8["mini_rate_before"], b32["mini_rate_before"]
-    comparable = min(m8, m32) > 0 and max(m8, m32) / min(m8, m32) <= 2.0
-    out_flag = {} if comparable else {"efficiency_not_comparable": True}
+    # but the cross-window ratio is NOT a scaling measurement — a window
+    # whose bandwidth feeds an 8-core leg can still strangle a 32-core
+    # one (4× the bus demand), so equal mini-rates don't make the ratio
+    # meaningful. Only a same-window pair (the interleaved bench run or
+    # the probe's in-window legs) counts; flag everything else.
+    same_window = b8["ts"][:13] == b32["ts"][:13] and abs(
+        int(b8["ts"][14:16]) - int(b32["ts"][14:16])) <= 15
+    out_flag = {} if same_window else {"efficiency_not_comparable": True}
     return out_flag | {
         "build_sec_8c": round(b8["build_sec"], 2),
         "build_sec_32c": round(b32["build_sec"], 2),
