@@ -817,6 +817,40 @@ def q_semantic_context_segments(spark, sf_dir):
         "context")
 
 
+def q_curation_pack_sequences(spark, sf_dir):
+    """Sequence packing (sample-packing before training batches):
+    per-source greedy fill into 500-token packs, contiguous-fill
+    semantics (pack_id = floor(cum_tokens_before/budget)). Per-group
+    windows — parallel across sources at scale."""
+    from spyglass_spark.ops.curation import pack_sequences
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        F.when(F.trim("text") == "", F.lit(0))
+         .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+         .cast("long").alias("n_tokens"))
+    return pack_sequences(d, budget=500, token_col="n_tokens",
+                          order_col="doc_id", group_col="source")
+
+
+def q_curation_redact_pii(spark, sf_dir):
+    """PII redaction: the corpus text carries no PII, so both engines
+    append the SAME deterministic synthetic email/IP tail before
+    scrubbing — the oracle replicates construction and redaction
+    independently (DuckDB RE2 vs Java regex, global flag)."""
+    from spyglass_spark.ops.curation import redact_pii
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com via 10.0.0."),
+                 (F.col("doc_id") % 256).cast("string"),
+                 F.lit(" key "),
+                 F.md5(F.col("doc_id").cast("string"))).alias("text"))
+    return redact_pii(d, "text").select("doc_id", "redacted", "pii_hits")
+
+
 def q_search_facets(spark, sf_dir):  # fixture-oracle
     """Tag facet counts over the FULL BM25 match set (not top-k):
     posting-union ∩ musts, tags from the doc-meta scan, O(#tags) output.
@@ -889,11 +923,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_segment_distance": q_semantic_segment_distance,
         "semantic_context_segments": q_semantic_context_segments,
         "search_facets": q_search_facets,
+        "curation_pack_sequences": q_curation_pack_sequences,
+        "curation_redact_pii": q_curation_redact_pii,
         "query_tag_boost_rewrite": q_query_tag_boost_rewrite,
         "unsynced_docs_predicate": q_unsynced_docs_predicate,
         "search_with_lenses": q_search_with_lenses,
-        "topk_docs_per_source": q_topk_docs_per_source,
-        "crawlqueue_cte_analog": q_crawlqueue_cte_analog,
         "search_bm25": q_search_bm25,
         "search_phrase_tag_filter": q_search_phrase_tag_filter,
         "search_batch": q_search_batch,
@@ -913,6 +947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_modified_since": q_docs_modified_since,
         "lens_url_filter": q_lens_url_filter,
         "events_topk_window": q_events_topk_window,
+        "topk_docs_per_source": q_topk_docs_per_source,
+        "crawlqueue_cte_analog": q_crawlqueue_cte_analog,
     }
 
 
@@ -983,6 +1019,40 @@ def oracle_sql() -> dict[str, str]:
         "search_semantic_boost": _fixture_sql("search_semantic_boost"),
         "search_more_like_this": _fixture_sql("search_more_like_this"),
         "search_prefix": _fixture_sql("search_prefix"),
+        "curation_pack_sequences": r"""
+WITH d AS (SELECT doc_id, source,
+  CAST(CASE WHEN trim(text) = '' THEN 0
+       ELSE length(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+       AS n_tokens
+  FROM documents)
+SELECT doc_id, source, n_tokens,
+  CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY source
+       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       0) / 500) AS BIGINT) AS pack_id
+FROM d ORDER BY source, doc_id""",
+        # independent regex engine (RE2 with 'g') over the same
+        # deterministic synthetic-PII construction; counts recomputed
+        # from placeholder occurrences
+        "curation_redact_pii": r"""
+WITH t AS (SELECT doc_id,
+  concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+         '@example.com via 10.0.0.', CAST(doc_id % 256 AS VARCHAR),
+         ' key ', md5(CAST(doc_id AS VARCHAR))) AS text2
+  FROM documents),
+r AS (SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text2,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+    '[0-9a-fA-F]{32,}', '<KEY>', 'g'),
+    '[0-9][0-9 -]{9,}[0-9]', '<NUM>', 'g') AS redacted
+  FROM t)
+SELECT doc_id, redacted,
+  CAST((length(redacted) - length(replace(redacted, '<EMAIL>', ''))) / 7
+     + (length(redacted) - length(replace(redacted, '<IP>', ''))) / 4
+     + (length(redacted) - length(replace(redacted, '<KEY>', ''))) / 5
+     + (length(redacted) - length(replace(redacted, '<NUM>', ''))) / 5
+     AS BIGINT) AS pii_hits
+FROM r""",
         "search_facets": (
             "SELECT tag_id, n "
             f"FROM '{FIXTURES_DIR}/search_expected_search_facets.parquet' "

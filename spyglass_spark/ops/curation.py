@@ -16,7 +16,7 @@ so each has an exact cross-engine oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import shingles
 
@@ -100,3 +100,58 @@ def stratified_sample(df: DataFrame, strata_col: str, key_col: str,
     # fractionally under the intended integer (0.567 → 566999.999…) still
     # maps to the exact threshold an oracle computes with round()
     return df.filter(h < F.round(rate * 1_000_000).cast("long"))
+
+
+def pack_sequences(df: DataFrame, budget: int, token_col: str,
+                   order_col: str, group_col: str | None = None) -> DataFrame:
+    """Sequence packing — assign documents to fixed-token-budget training
+    packs (the sample-packing step before batching): docs are taken in
+    deterministic ``order_col`` order and greedily filled;
+    ``pack_id = floor(cumulative_tokens_before_doc / budget)``. A pack
+    may overflow by less than one document (contiguous-fill semantics —
+    the window-expressible form; bin-perfect packing needs sequential
+    state and buys little at corpus scale).
+
+    Scale: with ``group_col`` the running sum is a per-group window —
+    embarrassing parallelism across groups (pack per source/shard, the
+    realistic layout). Without it the window is global = ONE task;
+    documented small-frame-only."""
+    w = (Window.partitionBy(group_col) if group_col else
+         Window.partitionBy(F.lit(0))).orderBy(order_col)
+    cum_before = F.coalesce(
+        F.sum(F.col(token_col)).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0)).cast("long")
+    return df.withColumn(
+        "pack_id", F.floor(cum_before / F.lit(int(budget))).cast("long"))
+
+
+# conservative patterns that parse identically in Java regex (Spark) and
+# DuckDB's RE2: no lookarounds, no \b-adjacent unicode classes
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("hexkey", r"[0-9a-fA-F]{32,}", "<KEY>"),
+    ("longdigits", r"[0-9][0-9 -]{9,}[0-9]", "<NUM>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str,
+               out_col: str = "redacted") -> DataFrame:
+    """PII scrubbing — the pre-training redaction pass: replace emails,
+    IPv4 addresses, ≥32-hex-char strings (keys/hashes), and ≥11-char
+    digit runs (phone/card shapes) with typed placeholder tokens, plus a
+    ``pii_hits`` count of replacements. Pure regexp_replace chain in
+    whole-stage codegen — no Python, no shuffle, linear scan at any
+    scale. Pattern ORDER matters (hexkey before longdigits would differ
+    the other way around) and is part of the contract."""
+    col = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, token)
+    n_tokens = sum(
+        (F.length(col) - F.length(F.regexp_replace(col, F.lit(tok), "")))
+        / len(tok)
+        for _, _, tok in PII_PATTERNS)
+    return df.withColumn(out_col, col) \
+             .withColumn("pii_hits", n_tokens.cast("long"))

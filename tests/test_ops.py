@@ -618,3 +618,52 @@ def test_duplicate_clusters_empty_and_single_edge(spark):
     one = spark.createDataFrame([(7, 3)], "a long, b long")
     got = {(r["id"], r["cluster"]) for r in duplicate_clusters(one).collect()}
     assert got == {(3, 3), (7, 3)}
+
+
+def test_pack_sequences_contiguous_fill(spark):
+    """pack_id = floor(cum_tokens_before/budget) per group, order-driven
+    — pinned against a python brute force; plan stays JVM-side."""
+    from spyglass_spark.ops.curation import pack_sequences
+
+    rows = [(f"d{i:02d}", "s" + str(i % 2), (i * 37) % 90 + 10)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    out = pack_sequences(df, budget=100, token_col="n_tokens",
+                         order_col="doc_id", group_col="source")
+    got = {(r["source"], r["doc_id"]): r["pack_id"] for r in out.collect()}
+    for src in ("s0", "s1"):
+        cum = 0
+        for d, s, n in sorted(r for r in rows if r[1] == src):
+            assert got[(s, d)] == cum // 100, (s, d)
+            cum += n
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    # every pack's fill is within budget + one doc's tokens (overflow <1 doc)
+    import collections
+    fill = collections.Counter()
+    for d, s, n in rows:
+        fill[(s, got[(s, d)])] += n
+    assert all(v < 100 + 100 for v in fill.values())
+
+
+def test_redact_pii_patterns_and_counts(spark):
+    from spyglass_spark.ops.curation import redact_pii
+
+    rows = [
+        ("a", "mail me at dev.lead+x@code-host.io please"),
+        ("b", "server 192.168.10.255 and key "
+              "deadbeefdeadbeefdeadbeefdeadbeef0123"),
+        ("c", "card 4111 1111 1111 1111 phone 555-123-4567x"),
+        ("d", "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {r["id"]: r for r in redact_pii(df, "text").collect()}
+    assert got["a"]["redacted"] == "mail me at <EMAIL> please"
+    assert got["a"]["pii_hits"] == 1
+    assert got["b"]["redacted"] == "server <IP> and key <KEY>"
+    assert got["b"]["pii_hits"] == 2
+    assert "<NUM>" in got["c"]["redacted"]
+    assert got["d"]["redacted"] == rows[3][1]
+    assert got["d"]["pii_hits"] == 0
+    plan = redact_pii(df, "text")._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
