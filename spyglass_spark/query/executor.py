@@ -1245,11 +1245,15 @@ class SearchEngine:
         return rows.mapInPandas(decode, "doc_ord long").distinct()
 
     def facet_counts(self, query: str, filters=(), boosts=(),
-                     k_tags: int | None = None) -> DataFrame:
-        """Tag facet counts over the FULL match set of a search (not the
-        top-k): (tag_id, n) for every tag carried by a matching live doc,
-        count-descending. The reference UI approximates this per page of
-        results; a search engine's facet panel needs it over all matches.
+                     k_tags: int | None = None,
+                     facet_col: str = "tags") -> DataFrame:
+        """Facet counts over the FULL match set of a search (not the
+        top-k): (tag_id, n) for every facet value carried by a matching
+        live doc, count-descending. ``facet_col`` is any stored doc-meta
+        column — the default ``tags`` array explodes to one row per tag;
+        a scalar column (``domain``, ``title``) groups directly. The
+        reference UI approximates this per page of results; a search
+        engine's facet panel needs it over all matches.
 
         Exactness without positions: a phrase match is a subset of each
         of its terms' postings, so the Must(Should-group) match set is
@@ -1304,7 +1308,10 @@ class SearchEngine:
             if le is not None:
                 dm = dm.filter(F.col(field) <= le)
         dm = self._anti_tombstone(dm)
-        out = (dm.select(F.explode("tags").alias("tag_id"))
+        facet = dm.schema[facet_col]
+        val = (F.explode(facet_col) if facet.dataType.typeName() == "array"
+               else F.col(facet_col))
+        out = (dm.select(val.alias("tag_id"))
                  .groupBy("tag_id").agg(F.count("*").alias("n"))
                  .orderBy(F.desc("n"), F.asc("tag_id")))
         return out.limit(k_tags) if k_tags else out

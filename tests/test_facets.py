@@ -101,6 +101,25 @@ def test_facet_counts_excludes_tombstones(spark, corpus_rows, tmp_path):
     assert after == _brute_facets(live, "index search")
 
 
+def test_facet_counts_scalar_column(eng, built_index):
+    """facet_col='domain' groups the match set by a scalar stored field."""
+    got = {r["tag_id"]: r["n"]
+           for r in eng.facet_counts("fn index",
+                                     facet_col="domain").collect()}
+    from spyglass_spark.query.compiler import compile_query
+
+    cq = compile_query("fn index")
+    expect: dict = {}
+    for d in built_index["docs"]:
+        fields = {"content": {t for _, t in tokenize_en(d["content"] or "")},
+                  "title": {t for _, t in
+                            tokenize_default(d["title"] or "")}}
+        if any(t in fields.get(c.field, set())
+               for c in cq.should_group for t in c.terms):
+            expect[d["domain"]] = expect.get(d["domain"], 0) + 1
+    assert got == expect
+
+
 def test_facet_counts_zero_boost_guard(eng):
     with pytest.raises(ValueError, match="zero-boost"):
         eng.facet_counts("fn index", boosts=[("custom:priority", 7)])
