@@ -453,9 +453,33 @@ def query_scaling() -> None:
     print(json.dumps(rec))
 
 
+QUIET_FLAG = "/tmp/quietbench.running"
+
+
 def main() -> None:
     shutil.rmtree(WORK_DIR, ignore_errors=True)
     os.makedirs(WORK_DIR, exist_ok=True)
+    # hold the window-watcher coordination flag for the whole committed
+    # run: quiet_probe/leg_sniper/spot_watch/qscale_watch all skip while
+    # it exists, so a background capture can never contend with the
+    # committed bench's legs (both would read garbage)
+    held_flag = not os.path.exists(QUIET_FLAG)
+    if held_flag:
+        try:
+            open(QUIET_FLAG, "w").close()
+        except OSError:
+            held_flag = False
+    try:
+        _main_inner()
+    finally:
+        if held_flag:
+            try:
+                os.unlink(QUIET_FLAG)
+            except OSError:
+                pass
+
+
+def _main_inner() -> None:
 
     # --- scaling legs: interleaved rounds, best-of per level -------------
     best: dict[int, dict] = {}
