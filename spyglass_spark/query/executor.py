@@ -60,7 +60,12 @@ HIT_COLUMNS = ["query_id", "rank", "doc_id", "url", "domain", "title",
 
 # Above this many candidate rows (parts × limit × queries) the global top-k
 # merge runs as a distributed window instead of a driver-side heap.
-MERGE_COLLECT_MAX = 2_000_000
+# Interactive shapes (single query, small batches) stay on the driver path
+# — it is the one-Spark-job guarantee; large batches go distributed, where
+# the window merge measured 10-27% faster end-to-end (batch256: 37.2 →
+# 27.2 s at 8 cores, 12.7 → 11.3 s at 32) because the driver-side pandas
+# heap is a serial tail the big shapes don't amortize.
+MERGE_COLLECT_MAX = 32_768
 # Tombstone sets up to this size ship inside the plan payload; larger sets
 # are read per-partition by the executors from the parquet side tables.
 TOMBSTONE_SHIP_MAX = 1_000_000
