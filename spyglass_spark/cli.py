@@ -99,6 +99,15 @@ def main(argv=None, spark=None) -> int:
     mg.add_argument("--gen", type=int, action="append", default=None,
                     help="generation ids to merge (repeatable; default: "
                          "the two oldest)")
+    mg.add_argument("--policy", choices=("log",), default=None,
+                    help="run a merge POLICY instead of one explicit merge: "
+                         "'log' = tantivy LogMergePolicy analog (size-tiered "
+                         "levels, merges fire when a level has "
+                         "--min-num-segments members)")
+    mg.add_argument("--min-num-segments", type=int, default=8)
+    mg.add_argument("--max-docs-before-merge", type=int, default=10_000_000)
+    mg.add_argument("--min-layer-size", type=int, default=10_000)
+    mg.add_argument("--level-log-size", type=float, default=0.75)
 
     args = p.parse_args(argv)
 
@@ -140,9 +149,20 @@ def main(argv=None, spark=None) -> int:
                               num_partitions=args.partitions)
             print(m.to_json())
         elif args.cmd == "merge":
-            from spyglass_spark.index.builder import merge_generations
+            if args.policy == "log":
+                from spyglass_spark.index.merge_policy import \
+                    apply_log_merge_policy
 
-            m = merge_generations(spark, args.index, gen_ids=args.gen)
+                m = apply_log_merge_policy(
+                    spark, args.index,
+                    min_num_segments=args.min_num_segments,
+                    max_docs_before_merge=args.max_docs_before_merge,
+                    min_layer_size=args.min_layer_size,
+                    level_log_size=args.level_log_size)
+            else:
+                from spyglass_spark.index.builder import merge_generations
+
+                m = merge_generations(spark, args.index, gen_ids=args.gen)
             print(m.to_json())
         elif args.cmd == "delete":  # --url/--domain/--tag (ids above)
             from spyglass_spark.index.builder import (delete_by_domain,
