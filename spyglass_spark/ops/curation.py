@@ -137,6 +137,66 @@ PII_PATTERNS = [
 ]
 
 
+def c4_line_clean(df: DataFrame, text_col: str, id_col: str,
+                  min_words: int = 3,
+                  boilerplate_doc_threshold: int = 5,
+                  require_terminal_punct: bool = False) -> DataFrame:
+    """C4-style line-level corpus cleaning (Raffel et al. 2020 §2.2): the
+    line filters that turn raw web text into training text.
+
+    Per line: drop lines with fewer than ``min_words`` whitespace-words,
+    optionally lines without terminal punctuation
+    (``require_terminal_punct`` — C4 uses it for prose; off by default
+    for code corpora). Corpus-wide: a surviving line whose normalized
+    form (lower+trim) occurs in at least ``boilerplate_doc_threshold``
+    DISTINCT docs is boilerplate (cookie banners, nav menus, license
+    headers) and every occurrence is dropped — a deterministic variant
+    of C4's keep-one-of-three-sentence-spans rule; reference semantics
+    only, the published pipeline is the spec, not this repo's upstream.
+
+    Returns (id, clean_text, n_lines_kept, n_lines_total) for EVERY
+    input doc — a doc whose lines are all dropped comes back with
+    clean_text = ''.
+
+    Scale shape: one posexplode (row-multiply — repartition the input
+    first when it arrives as few parquet splits), line filters in
+    codegen, ONE groupBy on the normalized-line hash for the document
+    frequencies (identical lines co-locate; partial aggregation
+    map-side), one shuffle back on the line key (AQE turns it into a
+    broadcast when the boilerplate set is small — the common case, since
+    the threshold filter keeps only heavy hitters), one groupBy(id) to
+    reassemble. No Python in the plan.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    wc = F.size(F.filter(F.split(F.trim(F.col("line")), "\\s+"),
+                         lambda x: x != ""))
+    keep = wc >= min_words
+    if require_terminal_punct:
+        keep = keep & F.col("line").rlike("[.!?\"']\\s*$")
+    eligible = (lines.withColumn("norm", F.lower(F.trim(F.col("line"))))
+                .filter(keep))
+    boiler = (eligible.groupBy("norm")
+              .agg(F.count_distinct("id").alias("docs"))
+              .filter(F.col("docs") >= boilerplate_doc_threshold)
+              .select("norm"))
+    kept = eligible.join(boiler, "norm", "left_anti")
+    out = (kept.groupBy("id")
+           .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                        lambda s: s["line"]),
+                    "\n").alias("clean_text"),
+                F.count("*").alias("n_lines_kept")))
+    totals = lines.groupBy("id").agg(F.count("*").alias("n_lines_total"))
+    return (totals.join(out, "id", "left")
+            .select("id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+                    "n_lines_total"))
+
+
 def redact_pii(df: DataFrame, text_col: str,
                out_col: str = "redacted") -> DataFrame:
     """PII scrubbing — the pre-training redaction pass: replace emails,

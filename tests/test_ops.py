@@ -667,3 +667,57 @@ def test_redact_pii_patterns_and_counts(spark):
     assert got["d"]["pii_hits"] == 0
     plan = redact_pii(df, "text")._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_c4_line_clean_semantics(spark):
+    """Line filters + corpus-wide boilerplate-line removal: short lines
+    drop, a line shared by >= threshold docs drops everywhere, order and
+    empty-doc totals are preserved."""
+    from spyglass_spark.ops.curation import c4_line_clean
+
+    boiler = "subscribe to our newsletter today"
+    rows = [("d0", f"alpha beta gamma delta\n{boiler}\nshort no")]
+    rows += [(f"d{i}", f"real content line {i} here\n{boiler}")
+             for i in range(1, 5)]
+    rows.append(("d5", "tiny"))  # all lines dropped -> empty clean_text
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r for r in
+           c4_line_clean(df, "text", "doc_id",
+                         min_words=3, boilerplate_doc_threshold=5).collect()}
+    assert len(out) == 6
+    # the boilerplate line appears in 5 distinct docs -> dropped from all
+    assert out["d0"]["clean_text"] == "alpha beta gamma delta"
+    assert out["d0"]["n_lines_kept"] == 1 and out["d0"]["n_lines_total"] == 3
+    for i in range(1, 5):
+        assert out[f"d{i}"]["clean_text"] == f"real content line {i} here"
+    assert out["d5"]["clean_text"] == "" and out["d5"]["n_lines_kept"] == 0
+    # below-threshold shared line survives (4 docs < 5)
+    out2 = {r["id"]: r for r in
+            c4_line_clean(df, "text", "doc_id", min_words=3,
+                          boilerplate_doc_threshold=6).collect()}
+    assert boiler in out2["d0"]["clean_text"]
+    # line ORDER is the original line order, not sort-by-content
+    df3 = spark.createDataFrame(
+        [("z", "zulu first content line\nalpha second content line")],
+        ["doc_id", "text"])
+    got3 = c4_line_clean(df3, "text", "doc_id",
+                         boilerplate_doc_threshold=99).collect()[0]
+    assert got3["clean_text"] == ("zulu first content line\n"
+                                  "alpha second content line")
+
+
+def test_c4_line_clean_terminal_punct_and_plan(spark):
+    from spyglass_spark.ops.curation import c4_line_clean
+
+    df = spark.createDataFrame(
+        [("a", "a prose sentence ends here.\nheader without punctuation\n"
+               "another good one, truly!")],
+        ["doc_id", "text"])
+    got = c4_line_clean(df, "text", "doc_id", min_words=3,
+                        boilerplate_doc_threshold=99,
+                        require_terminal_punct=True).collect()[0]
+    assert got["clean_text"] == ("a prose sentence ends here.\n"
+                                 "another good one, truly!")
+    plan = (c4_line_clean(df, "text", "doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan
