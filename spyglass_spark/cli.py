@@ -57,6 +57,9 @@ def main(argv=None, spark=None) -> int:
     s.add_argument("--published-since-us", type=int, default=None)
     s.add_argument("--published-before-us", type=int, default=None)
     s.add_argument("--algo", default="auto", choices=["auto", "exhaustive"])
+    s.add_argument("--as-of", type=int, default=None,
+                   help="search the manifest snapshot at this commit_seq "
+                        "(time travel; see index stats for current seq)")
 
     u = sub.add_parser("upsert", help="delete+re-add documents by url "
                                       "(delta generation)")
@@ -205,7 +208,7 @@ def main(argv=None, spark=None) -> int:
         elif args.cmd == "search":
             from spyglass_spark.query.executor import SearchEngine
 
-            eng = SearchEngine(spark, args.index)
+            eng = SearchEngine(spark, args.index, as_of=args.as_of)
             filters = [("tag", t) for t in args.tag]
             for kind, v in (("lastmodified_ge", args.modified_since_us),
                             ("lastmodified_le", args.modified_before_us),

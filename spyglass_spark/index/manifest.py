@@ -72,21 +72,79 @@ class Manifest:
         return m
 
 
+HISTORY_DIR = "manifest_history"
+
+
 def manifest_path(index_dir: str) -> str:
     return os.path.join(index_dir, "manifest.json")
 
 
-def load_manifest(index_dir: str) -> Manifest | None:
-    p = manifest_path(index_dir)
+def history_path(index_dir: str, seq: int) -> str:
+    return os.path.join(index_dir, HISTORY_DIR, f"manifest_{seq:08d}.json")
+
+
+def list_snapshots(index_dir: str) -> list[int]:
+    """Commit seqs with a retained history snapshot, ascending."""
+    d = os.path.join(index_dir, HISTORY_DIR)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.startswith("manifest_") and name.endswith(".json"):
+            out.append(int(name[len("manifest_"):-len(".json")]))
+    return sorted(out)
+
+
+def load_manifest(index_dir: str, as_of: int | None = None) -> Manifest | None:
+    """Load the current committed manifest, or — with ``as_of`` — the
+    immutable snapshot published at that commit_seq (Iceberg-style time
+    travel over the index: segment parquet is append-only between
+    merges, deletes are logical tombstones, so an old manifest still
+    describes a fully readable index state).
+
+    A snapshot whose segment directories were physically reclaimed by a
+    later merge/compaction raises FileNotFoundError naming the missing
+    prefix — the expire-snapshots semantics of the lakehouse model."""
+    if as_of is None:
+        p = manifest_path(index_dir)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return Manifest.from_json(f.read())
+    p = history_path(index_dir, as_of)
     if not os.path.exists(p):
-        return None
+        avail = list_snapshots(index_dir)
+        raise FileNotFoundError(
+            f"no manifest snapshot for commit_seq={as_of} in {index_dir} "
+            f"(available: {avail or 'none — index predates history'})")
     with open(p) as f:
-        return Manifest.from_json(f.read())
+        m = Manifest.from_json(f.read())
+    missing = [g["prefix"] for g in m.gen_list()
+               if not os.path.isdir(os.path.join(index_dir, g["prefix"]))]
+    if missing:
+        raise FileNotFoundError(
+            f"snapshot commit_seq={as_of} references segment dirs "
+            f"physically reclaimed by a later merge/compaction: {missing}")
+    return m
+
+
+def expire_history(index_dir: str, keep_last: int = 8) -> list[int]:
+    """Drop all but the newest ``keep_last`` manifest snapshots (the
+    expire_snapshots maintenance step). Returns the expired seqs. Only
+    the small JSON pointers are removed — segment data is reclaimed by
+    merges/compaction, never by this."""
+    seqs = list_snapshots(index_dir)
+    expired = seqs[:-keep_last] if keep_last > 0 else seqs
+    for s in expired:
+        os.unlink(history_path(index_dir, s))
+    return expired
 
 
 def commit_manifest(index_dir: str, manifest: Manifest) -> None:
     """Atomic publish: write manifest.json.tmp then rename (the analog of
-    writer.commit(), local.rs:173-177)."""
+    writer.commit(), local.rs:173-177). Every commit also lands an
+    immutable per-seq snapshot under manifest_history/ — O(1) small JSON,
+    no data copied — enabling as_of reads until expire_history."""
     manifest.committed = True
     manifest.created_utc = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     # monotonic vs whatever is on disk (the in-memory object may be a
@@ -99,6 +157,11 @@ def commit_manifest(index_dir: str, manifest: Manifest) -> None:
     with open(tmp, "w") as f:
         f.write(manifest.to_json())
     os.replace(tmp, manifest_path(index_dir))
+    hist = history_path(index_dir, manifest.commit_seq)
+    os.makedirs(os.path.dirname(hist), exist_ok=True)
+    with open(hist + ".tmp", "w") as f:
+        f.write(manifest.to_json())
+    os.replace(hist + ".tmp", hist)
 
 
 def load_checkpoint(index_dir: str) -> dict:

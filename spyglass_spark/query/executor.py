@@ -532,9 +532,17 @@ def _score_partition(plan: dict, postings_pdf: pd.DataFrame):
 
 
 class SearchEngine:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 as_of: int | None = None):
+        """``as_of`` pins the engine to the manifest snapshot published
+        at that commit_seq (Iceberg-style time travel: segment parquet
+        is append-only between merges and deletes are logical, so the
+        old state is fully searchable — pre-delete/pre-upsert audits).
+        A pinned engine never advances; refresh() re-reads the same
+        immutable snapshot."""
         self.spark = spark
         self.index_dir = index_dir
+        self.as_of = as_of
         self.last_meta: dict | None = None
         self.refresh()
 
@@ -544,7 +552,7 @@ class SearchEngine:
         compact_index's directory swap — the engine otherwise serves the
         generation it was opened on (tantivy reader-reload analog,
         local.rs:178-190)."""
-        m = load_manifest(self.index_dir)
+        m = load_manifest(self.index_dir, as_of=self.as_of)
         if m is None or not m.committed:
             raise FileNotFoundError(f"no committed index manifest in {self.index_dir}")
         if m.version > 1:
