@@ -493,6 +493,96 @@ def _holding_flag(fn) -> None:
                 pass
 
 
+def _read_jsonl(path: str) -> list:
+    if not os.path.exists(path):
+        return []
+    recs = []
+    with open(path) as f:
+        for line in f:
+            try:
+                recs.append(json.loads(line))
+            except ValueError:
+                continue
+    return recs
+
+
+def assemble_window_evidence(result: dict,
+                             qlog: str | None = None,
+                             spot_log: str | None = None,
+                             query_leg_log: str | None = None) -> dict:
+    """Embed the watcher-log evidence records into the bench result:
+
+    - ``quiet_window_best`` / ``quiet_window_ladder``: best qualifying
+      build-scaling capture overall and per N→4N rung (2→8, 4→16, 8→32).
+      Qualifying = the kernel control shows real capacity (≥12 M tok/s at
+      16/32p) OR the capture is control-BRACKETED (kernel ratio held ≥0.7
+      immediately before AND after the legs — a stationary window, even
+      under partial neighbor load).
+    - ``spot_queries_best``: lowest-total headline query capture.
+    - ``query_scaling_best``: best query-side N→4N capture, stationary
+      windows preferred (a noise burst hitting only the 8c leg INFLATES
+      the ratio, so the max over noisy captures is the least credible).
+
+    Pure function of the three log files — unit-tested against synthetic
+    logs in tests/test_bench_assembly.py so a malformed watcher line can
+    never crash the committed bench run.
+    """
+    cands = []
+    for rec in _read_jsonl(qlog or os.path.join(REPO, "quiet_bench_log.jsonl")):
+        if rec.get("scaling_efficiency") is None:
+            continue
+        capacity_ok = max(rec.get("kernel_32p", 0),
+                          rec.get("kernel_16p", 0)) >= 12e6
+        bracketed = rec.get("controls_bracketed") and \
+            min(rec.get("keff_pre", 0), rec.get("keff_after", 0)) >= 0.7
+        if capacity_ok or bracketed:
+            cands.append(rec)
+    if cands:
+        result["quiet_window_best"] = max(
+            cands, key=lambda r: r["scaling_efficiency"])
+        # full ladder: best qualifying capture at EVERY N→4N rung the
+        # probe managed to run. A single max hides which rung it came
+        # from; the ladder shows the efficiency holds as N grows until
+        # the host's memory-bus ceiling (not the engine) caps the top rung.
+        ladder = {}
+        for rec in cands:
+            rung = "x".join(str(c) for c in rec.get("pair") or (8, 32))
+            if (rung not in ladder or rec["scaling_efficiency"]
+                    > ladder[rung]["scaling_efficiency"]):
+                ladder[rung] = rec
+
+        def _rung_view(rec):
+            keep = ("ts", "keff_pre", "keff_after",
+                    "controls_bracketed", "replicas", "mini_rate")
+            return {k: v for k, v in rec.items()
+                    if k in keep or k.startswith((
+                        "build_sec_", "docs_per_sec_", "marginal_",
+                        "scaling_", "kernel_16p", "kernel_32p"))}
+        result["quiet_window_ladder"] = {
+            rung: _rung_view(ladder[rung]) for rung in sorted(ladder)}
+    scands = [rec for rec in _read_jsonl(spot_log or SPOT_LOG)
+              if rec.get("kind") == "spot_queries" and rec.get("queries")]
+    if scands:
+        result["spot_queries_best"] = min(scands, key=lambda r: r["total_sec"])
+    qcands = [rec for rec in _read_jsonl(query_leg_log or QUERY_LEG_LOG)
+              if rec.get("kind") == "query_scaling"]
+    if qcands:
+        stationary = [r for r in qcands
+                      if r.get("mini_rate_before", 0) >= 1.0e6
+                      and r.get("mini_rate_after", 0)
+                      >= 0.5 * r.get("mini_rate_before", 1)]
+        pool = stationary or qcands
+        # the batch256 axis amortizes the fixed per-job cost 4x better
+        # than batch64, so where both exist the 256 ratio is the truer
+        # scoring-stage scaling number — rank captures by their best
+        # axis and keep both fields visible in the embedded record
+        axis = lambda r: max(
+            r["query_scaling_efficiency_8_to_32"],
+            r.get("query_scaling_efficiency_b256") or 0)
+        result["query_scaling_best"] = max(pool, key=axis)
+    return result
+
+
 def main() -> None:
     shutil.rmtree(WORK_DIR, ignore_errors=True)
     os.makedirs(WORK_DIR, exist_ok=True)
@@ -594,96 +684,7 @@ def _main_inner() -> None:
     # best quiet-window capture from the background probe (evidence trail —
     # the host's memory-bandwidth neighbors make on-demand windows rare;
     # see BASELINE.md "Host-noise characterization")
-    qlog = os.path.join(REPO, "quiet_bench_log.jsonl")
-    if os.path.exists(qlog):
-        cands = []
-        with open(qlog) as f:
-            for line in f:
-                try:
-                    rec = json.loads(line)
-                except ValueError:
-                    continue
-                # interpretable windows: kernel control shows real
-                # capacity (≥12 M tok/s at 32p / 16p), OR the capture is
-                # control-BRACKETED — the kernel ratio held ≥0.7 both
-                # immediately before and immediately after the legs
-                # (stationary window), even under partial neighbor load
-                if rec.get("scaling_efficiency") is None:
-                    continue
-                capacity_ok = max(rec.get("kernel_32p", 0),
-                                  rec.get("kernel_16p", 0)) >= 12e6
-                bracketed = rec.get("controls_bracketed") and \
-                    min(rec.get("keff_pre", 0), rec.get("keff_after", 0)) >= 0.7
-                if capacity_ok or bracketed:
-                    cands.append(rec)
-        if cands:
-            result["quiet_window_best"] = max(
-                cands, key=lambda r: r["scaling_efficiency"])
-            # full ladder: best qualifying capture at EVERY N→4N rung
-            # the probe managed to run (2→8, 4→16, 8→32). A single max
-            # hides which rung it came from; the ladder shows the
-            # efficiency holds as N grows until the host's memory-bus
-            # ceiling (not the engine) caps the top rung.
-            ladder = {}
-            for rec in cands:
-                rung = "x".join(str(c) for c in rec.get("pair") or (8, 32))
-                if (rung not in ladder or rec["scaling_efficiency"]
-                        > ladder[rung]["scaling_efficiency"]):
-                    ladder[rung] = rec
-            def _rung_view(rec):
-                keep = ("ts", "keff_pre", "keff_after",
-                        "controls_bracketed", "replicas", "mini_rate")
-                return {k: v for k, v in rec.items()
-                        if k in keep or k.startswith((
-                            "build_sec_", "docs_per_sec_", "marginal_",
-                            "scaling_", "kernel_16p", "kernel_32p"))}
-            result["quiet_window_ladder"] = {
-                rung: _rung_view(ladder[rung]) for rung in sorted(ladder)}
-    # best committed query-latency spot capture (same headline names,
-    # best-of-3, window evidence attached) — the in-band record when the
-    # per-round window is noisy
-    if os.path.exists(SPOT_LOG):
-        scands = []
-        with open(SPOT_LOG) as f:
-            for line in f:
-                try:
-                    rec = json.loads(line)
-                except ValueError:
-                    continue
-                if rec.get("kind") == "spot_queries" and rec.get("queries"):
-                    scands.append(rec)
-        if scands:
-            result["spot_queries_best"] = min(
-                scands, key=lambda r: r["total_sec"])
-    # best query-side N→4N capture (CPU-bound scoring axis)
-    if os.path.exists(QUERY_LEG_LOG):
-        qcands = []
-        with open(QUERY_LEG_LOG) as f:
-            for line in f:
-                try:
-                    rec = json.loads(line)
-                except ValueError:
-                    continue
-                if rec.get("kind") == "query_scaling":
-                    qcands.append(rec)
-        if qcands:
-            # stationary windows first: a noise burst hitting only the
-            # 8c leg INFLATES the ratio, so the max over noisy captures
-            # is the least credible number. Prefer captures whose mini
-            # rate held through the run; fall back to all.
-            stationary = [r for r in qcands
-                          if r.get("mini_rate_before", 0) >= 1.0e6
-                          and r.get("mini_rate_after", 0)
-                          >= 0.5 * r.get("mini_rate_before", 1)]
-            pool = stationary or qcands
-            # the batch256 axis amortizes the fixed per-job cost 4x better
-            # than batch64, so where both exist the 256 ratio is the truer
-            # scoring-stage scaling number — rank captures by their best
-            # axis and keep both fields visible in the embedded record
-            axis = lambda r: max(
-                r["query_scaling_efficiency_8_to_32"],
-                r.get("query_scaling_efficiency_b256") or 0)
-            result["query_scaling_best"] = max(pool, key=axis)
+    assemble_window_evidence(result)
     spark.stop()
     shutil.rmtree(WORK_DIR, ignore_errors=True)  # free the tmpfs footprint
     print(json.dumps(result))
