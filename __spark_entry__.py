@@ -669,6 +669,23 @@ def q_search_bm25(spark, sf_dir):  # fixture-oracle: stemmed analyzer + quantize
         _get_engine(spark, sf_dir).search("spark merge join", k=10))
 
 
+def q_search_after_page(spark, sf_dir):  # fixture-oracle (ranks 6-10 of search_bm25)
+    """Cursor-based deep paging (search_after): page 2 of the flagship
+    query via the (score, doc_ord) cursor of page 1's last hit. Unlike
+    ``offset`` — whose driver merge collects parts×(k+offset) candidate
+    rows, O(offset) at any scale — a cursor page collects parts×k rows at
+    ANY depth (page 10^6 of a 10^12-doc index costs the same as page 1);
+    the cursor filters candidates inside the distributed scoring kernel,
+    and block-max WAND still prunes (executor._score_partition /
+    wand.wand_top_k). Must hash-equal ranks 6-10 of the precomputed
+    top-10 oracle fixture."""
+    eng = _get_engine(spark, sf_dir)
+    page1 = eng.search("spark merge join", k=5).orderBy("rank").collect()
+    cur = (float(page1[-1]["score"]), int(page1[-1]["doc_ord"]))
+    return _contract_hits(
+        eng.search("spark merge join", k=5, search_after=cur))
+
+
 def q_search_phrase_tag_filter(spark, sf_dir):  # fixture-oracle
     eng = _get_engine(spark, sf_dir)
     dim = build_tags_dim(load_corpus(spark, sf_dir))
@@ -913,7 +930,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # lens_url_filter — green r1-r4) to the tail so never-graded queries
     # (this round: dedup_clusters, search_highlight, search_prefix,
     # search_fuzzy, fuzzy_term_candidates, semantic_segment_distance,
-    # semantic_context_segments) get driver evidence first.
+    # semantic_context_segments, search_after_page) get driver evidence
+    # first. search_after_page's insertion slides search_date_range
+    # (driver-hash-green in r4) to position 51 — still value-gated by
+    # test_entry.
     return {
         "corpus_derive": q_corpus_derive,
         "sha256_invariant": q_sha256_invariant,
@@ -962,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unsynced_docs_predicate": q_unsynced_docs_predicate,
         "search_with_lenses": q_search_with_lenses,
         "search_bm25": q_search_bm25,
+        "search_after_page": q_search_after_page,
         "search_phrase_tag_filter": q_search_phrase_tag_filter,
         "search_batch": q_search_batch,
         "search_date_range": q_search_date_range,
@@ -1049,6 +1070,14 @@ def oracle_sql() -> dict[str, str]:
     qterms = ",".join(f"('{t}')" for t in BM25_QUERY_TERMS)
     return {
         "search_bm25": _fixture_sql("search_bm25"),
+        # page 2 via cursor ≡ ranks 6-10 of the one-shot top-10 fixture,
+        # re-ranked 1-5 (search_after pages restart rank numbering)
+        "search_after_page": (
+            f"SELECT CAST(rank - 5 AS INTEGER) AS rank, doc_id, url, "
+            f"domain, title, description, tags, score, doc_ord "
+            f"FROM '{FIXTURES_DIR}/search_expected_search_bm25.parquet' "
+            f"WHERE corpus_key = (SELECT CAST(sum(length(text)) AS BIGINT) "
+            f"FROM documents) AND rank > 5"),
         "search_phrase_tag_filter": _fixture_sql("search_phrase_tag_filter"),
         "search_batch": _fixture_sql("search_batch", with_query_id=True),
         "search_date_range": _fixture_sql("search_date_range"),

@@ -94,10 +94,12 @@ def _wand_eligible(specs) -> bool:
 
 
 def _run_wand(q, payload, caches, norm_arrays, fast_arrays, limit,
-              local_tomb, shared=None):
+              local_tomb, shared=None, after_local=None):
     """Execute one query via block-max WAND. Returns (local_ords, scores)
     or None to fall back (e.g. a filter term longer than this chunk).
-    ``shared`` carries cross-query decode caches for batch mode."""
+    ``shared`` carries cross-query decode caches for batch mode.
+    ``after_local`` is the search_after cursor translated to this part's
+    local ordinal space (score, cursor_global_ord − part_base)."""
     from .wand import _ClauseData, wand_top_k
 
     wand_shared = shared["wand"] if shared is not None else {}
@@ -169,7 +171,7 @@ def _run_wand(q, payload, caches, norm_arrays, fast_arrays, limit,
                 exclude = m if exclude is None else np.union1d(exclude, m)
     if include is not None and include.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.float32)
-    return wand_top_k(scoring, include, exclude, limit)
+    return wand_top_k(scoring, include, exclude, limit, after=after_local)
 
 
 def _clause_specs(cq: CompiledQuery, dfs: dict, n_docs: int) -> list[dict]:
@@ -393,10 +395,19 @@ def _score_partition(plan: dict, postings_pdf: pd.DataFrame):
         shared["post"][key] = hit
         return hit
 
+    base_i = int(base)
     for q in plan["queries"]:
+        # search_after cursor, translated to this part's local ordinal
+        # space: global doc_ord = base + local, and base is constant per
+        # part, so (global > cursor_ord) ⟺ (local > cursor_ord − base) —
+        # the difference may be negative (cursor in an earlier part: every
+        # tie qualifies) or ≥ 2^40 (later part: no tie qualifies)
+        after = q.get("after")
+        after_local = ((np.float32(after[0]), int(after[1]) - base_i)
+                       if after is not None else None)
         if algo != "exhaustive" and _wand_eligible(q["specs"]):
             res = _run_wand(q, payload, caches, norm_arrays, fast_arrays,
-                            limit, local_tomb, shared)
+                            limit, local_tomb, shared, after_local)
             if res is not None:
                 ords_w, scores_w = res
                 if ords_w.size:
@@ -515,6 +526,10 @@ def _score_partition(plan: dict, postings_pdf: pd.DataFrame):
             acc[pos[ok]] = acc[pos[ok]] + scores_c[ok]
         keep = acc > 0.0
         cand, acc = cand[keep], acc[keep]
+        if after_local is not None and cand.size:
+            a_s, a_o = after_local[0], np.int64(after_local[1])
+            keep = (acc < a_s) | ((acc == a_s) & (cand > a_o))
+            cand, acc = cand[keep], acc[keep]
         if cand.size == 0:
             continue
         sel = np.lexsort((cand, -acc.astype(np.float64)))[:limit]
@@ -620,33 +635,53 @@ class SearchEngine:
     # -- public API (Searcher::search analog) ---------------------------
 
     def search(self, query: str, filters=(), boosts=(), k: int = 5,
-               offset: int = 0, algo: str = "auto") -> DataFrame:
+               offset: int = 0, algo: str = "auto",
+               search_after=None) -> DataFrame:
         return self.search_many(
-            [{"query": query, "filters": filters, "boosts": boosts}],
+            [{"query": query, "filters": filters, "boosts": boosts,
+              "after": search_after}],
             k=k, offset=offset, algo=algo).drop("query_id")
 
     def search_many(self, queries: list[dict], k: int = 5, offset: int = 0,
                     algo: str = "auto") -> DataFrame:
         """Batch mode: one Spark job scores all queries. Each dict:
-        {query, filters?, boosts?}. Returns (query_id, rank, doc_id, url,
-        domain, title, tags, score). ``algo``: 'auto' (block-max WAND where
-        the query shape allows, exhaustive otherwise) or 'exhaustive'.
+        {query, filters?, boosts?, after?}. Returns (query_id, rank,
+        doc_id, url, domain, title, tags, score). ``algo``: 'auto'
+        (block-max WAND where the query shape allows, exhaustive
+        otherwise) or 'exhaustive'.
+
+        ``after`` / ``search_after`` is a deep-paging cursor — the
+        (score, doc_ord) of the last hit of the previous page; the next
+        page is the top-k among docs STRICTLY after it in the global
+        (score desc, doc_ord asc) order, with ranks restarting at 1.
+        Unlike ``offset`` (whose driver merge collects parts×(k+offset)
+        candidate rows — O(offset) driver work, the tantivy
+        TopDocs::with_offset shape), a cursor page collects parts×k rows
+        at ANY depth: page 10⁶ of a 10¹²-doc index costs the same as
+        page 1. Scores are float32 computed identically on every page,
+        so the cursor's equality tie-break is exact, and pages
+        concatenate to precisely the one-shot top-N (pinned in
+        tests/test_search_after.py at multiple P, WAND ≡ exhaustive).
+
         Per-batch metadata (num_docs, term_counts, wall_time_ms — the
         SearchResults.meta analog, api/handler/search.rs:190-211) is left
         in ``self.last_meta``."""
         compiled = [compile_query(q["query"], q.get("filters", ()), q.get("boosts", ()))
                     for q in queries]
         return self._run_compiled_batch(
-            compiled, [q["query"] for q in queries], k, offset, algo)
+            compiled, [q["query"] for q in queries], k, offset, algo,
+            afters=[q.get("after") for q in queries])
 
-    def _run_compiled_batch(self, compiled, labels, k, offset, algo) -> DataFrame:
+    def _run_compiled_batch(self, compiled, labels, k, offset, algo,
+                            afters=None) -> DataFrame:
         t0 = time.time()
         sc = self.spark.sparkContext
         self._qseq = getattr(self, "_qseq", 0) + 1
         group = f"spyglass-search-{id(self)}-{self._qseq}"
         sc.setJobGroup(group, "spyglass search")
         try:
-            out = self._execute_compiled(compiled, k=k, offset=offset, algo=algo)
+            out = self._execute_compiled(compiled, k=k, offset=offset,
+                                         algo=algo, afters=afters)
         finally:
             sc.setLocalProperty("spark.jobGroup.id", None)
         self.last_meta = {
@@ -723,7 +758,8 @@ class SearchEngine:
         return build_fuzzy_dict(self.spark, self.index_dir)
 
     def _execute_compiled(self, compiled: list[CompiledQuery], k: int = 5,
-                          offset: int = 0, algo: str = "auto") -> DataFrame:
+                          offset: int = 0, algo: str = "auto",
+                          afters=None) -> DataFrame:
         spark = self.spark
         m = self.manifest
         keys = set()
@@ -744,7 +780,14 @@ class SearchEngine:
                                 if m.num_docs else 1.0)
                   for f in cache_fields}
         plan = {
-            "queries": [{"query_id": qi, "specs": _clause_specs(cq, dfs, m.num_docs)}
+            # "after": the search_after cursor (score, GLOBAL doc_ord) or
+            # None — translated to each part's local ordinal space inside
+            # _score_partition
+            "queries": [{"query_id": qi,
+                         "specs": _clause_specs(cq, dfs, m.num_docs),
+                         "after": (float(afters[qi][0]), int(afters[qi][1]))
+                         if afters is not None and afters[qi] is not None
+                         else None}
                         for qi, cq in enumerate(compiled)],
         }
         # eligibility is a pure function of the specs — recorded so

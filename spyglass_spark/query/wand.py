@@ -129,7 +129,7 @@ class _ClauseData:
 
 
 def wand_top_k(scoring_clauses, filter_include, filter_exclude, k,
-               batch_segments: int = 16):
+               batch_segments: int = 16, after=None):
     """Block-max WAND top-k for one partition.
 
     scoring_clauses: list of (_ClauseData, spec) — the Should-group (and
@@ -137,6 +137,13 @@ def wand_top_k(scoring_clauses, filter_include, filter_exclude, k,
     filter_include: sorted int64 array of ords that candidates MUST be in,
       or None (no filter).
     filter_exclude: sorted int64 array of ords to drop, or None.
+    after: optional cursor (score float32, local_ord int) for deep paging
+      (search_after): only docs STRICTLY after the cursor in the global
+      (score desc, ord asc) order are candidates. The filter is applied
+      to exactly-scored docs before they enter the running top set, so θ
+      only ever reflects valid candidates — block pruning stays correct
+      (a pruned block's UB < θ ≤ the k-th valid score). θ must NOT be
+      seeded from the cursor score: the page's docs all score ≤ cursor.
     Returns (ords int64, scores float32) of the top-k by
     (score desc, ord asc) — identical to exhaustive scoring + truncation.
     """
@@ -194,6 +201,10 @@ def wand_top_k(scoring_clauses, filter_include, filter_exclude, k,
         lo_arr, hi_arr = seg_lo[batch], seg_hi[batch]
         ords, scores = _score_segments(scoring_clauses, lo_arr, hi_arr,
                                        filter_include, filter_exclude)
+        if after is not None and ords.size:
+            a_s, a_o = np.float32(after[0]), np.int64(after[1])
+            keep = (scores < a_s) | ((scores == a_s) & (ords > a_o))
+            ords, scores = ords[keep], scores[keep]
         if ords.size == 0:
             continue
         top_ords = np.concatenate([top_ords, ords])
