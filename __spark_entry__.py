@@ -686,6 +686,24 @@ def q_search_after_page(spark, sf_dir):  # fixture-oracle (ranks 6-10 of search_
         eng.search("spark merge join", k=5, search_after=cur))
 
 
+def q_index_fsck(spark, sf_dir):
+    """Distributed index-integrity audit (index/fsck.py): decode + byte-
+    identically re-encode every posting chunk, bounds-check against norms
+    and doc_meta, and cross-check term_stats. The oracle recounts tokens
+    INDEPENDENTLY from the raw text in DuckDB (split + length filter +
+    stop-word removal — stemming is 1:1 for counts), so a hash match means
+    the index's physical payloads account for exactly the tokens the
+    analyzer should have emitted, with zero integrity violations."""
+    from spyglass_spark.index.fsck import fsck
+
+    eng = _get_engine(spark, sf_dir)
+    rep = fsck(spark, eng.index_dir)
+    return (rep.filter(F.col("field").isin(
+                "content", "title", "id", "domain", "url", "tags"))
+               .select("field", "sum_cf", "violations", "stats_mismatches")
+               .orderBy("field"))
+
+
 def q_search_phrase_tag_filter(spark, sf_dir):  # fixture-oracle
     eng = _get_engine(spark, sf_dir)
     dim = build_tags_dim(load_corpus(spark, sf_dir))
@@ -944,7 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_term_df": q_content_term_df,
         "title_term_df": q_title_term_df,
         "bm25_topk_simple": q_bm25_topk_simple,
-        "phrase_bigram_count": q_phrase_bigram_count,
+        "index_fsck": q_index_fsck,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
@@ -1007,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50-entry grading window to make room for curation_c4_clean
         # (still value-gated every run by tests/test_entry.py)
         "docs_per_domain": q_docs_per_domain,
+        "phrase_bigram_count": q_phrase_bigram_count,
     }
 
 
@@ -1069,6 +1088,34 @@ def _fixture_sql(name: str, with_query_id: bool = False) -> str:
 def oracle_sql() -> dict[str, str]:
     qterms = ",".join(f"('{t}')" for t in BM25_QUERY_TERMS)
     return {
+        # independent token recount from the RAW TEXT vs the engine's
+        # decode of every posting byte: split + <40-byte filter (+ the 43
+        # effective stop words for the stemmed content field — stemming is
+        # 1:1 for counts, and "I" in the reference stop list never matches
+        # post-lowercasing); untokenized fields emit one term per doc and
+        # tags two. violations/stats_mismatches must be zero.
+        "index_fsck": f"""WITH {DUCK_CORPUS},
+n AS (SELECT CAST(count(*) AS BIGINT) c FROM corpus),
+ctoks AS (SELECT list_filter(regexp_split_to_array(lower(content),
+            '[^a-z0-9]+'), x -> x <> '' AND length(x) < 40) AS t FROM corpus),
+content_cf AS (SELECT CAST(sum(len(list_filter(t, x -> x NOT IN (
+  'a','about','an','and','are','as','at','be','but','by','com','for',
+  'from','how','if','in','into','is','it','no','not','of','on','or',
+  'such','that','the','their','then','there','these','they','this','to',
+  'was','what','when','where','who','will','with','www')))) AS BIGINT) c
+  FROM ctoks),
+title_cf AS (SELECT CAST(sum(len(list_filter(regexp_split_to_array(
+  lower(path), '[^a-z0-9]+'), x -> x <> '' AND length(x) < 40))) AS BIGINT) c
+  FROM corpus)
+SELECT * FROM (
+  SELECT 'content' AS field, (SELECT c FROM content_cf) AS sum_cf,
+         CAST(0 AS BIGINT) AS violations, CAST(0 AS BIGINT) AS stats_mismatches
+  UNION ALL SELECT 'domain', (SELECT c FROM n), 0, 0
+  UNION ALL SELECT 'id', (SELECT c FROM n), 0, 0
+  UNION ALL SELECT 'tags', 2 * (SELECT c FROM n), 0, 0
+  UNION ALL SELECT 'title', (SELECT c FROM title_cf), 0, 0
+  UNION ALL SELECT 'url', (SELECT c FROM n), 0, 0
+) ORDER BY field""",
         "search_bm25": _fixture_sql("search_bm25"),
         # page 2 via cursor ≡ ranks 6-10 of the one-shot top-10 fixture,
         # re-ranked 1-5 (search_after pages restart rank numbering)

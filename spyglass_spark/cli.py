@@ -112,6 +112,12 @@ def main(argv=None, spark=None) -> int:
     mg.add_argument("--min-layer-size", type=int, default=10_000)
     mg.add_argument("--level-log-size", type=float, default=0.75)
 
+    fs = sub.add_parser("fsck", help="distributed integrity audit: decode/"
+                                     "re-encode every posting chunk, check "
+                                     "norms/doc_meta bounds and term_stats "
+                                     "consistency; exit 1 on any violation")
+    fs.add_argument("--index", required=True)
+
     args = p.parse_args(argv)
 
     if args.cmd == "stats":
@@ -205,6 +211,15 @@ def main(argv=None, spark=None) -> int:
                                  num_partitions=args.partitions,
                                  max_generations=args.max_generations)
             print(m.to_json())
+        elif args.cmd == "fsck":
+            from spyglass_spark.index.fsck import fsck
+
+            rows = fsck(spark, args.index).orderBy("gen", "field").collect()
+            bad = 0
+            for r in rows:
+                print(json.dumps({c: r[c] for c in r.asDict()}))
+                bad += r["violations"] + r["stats_mismatches"]
+            return 0 if bad == 0 else 1
         elif args.cmd == "search":
             from spyglass_spark.query.executor import SearchEngine
 

@@ -1,0 +1,133 @@
+"""Index integrity audit: a healthy index reports zero violations with
+token totals matching the manifest; targeted corruption of posting
+payloads or the term_stats store is detected; the audit stays clean
+through the delete→merge lifecycle (the mutation path it exists for)."""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+pa = pytest.importorskip("pyarrow")
+import pyarrow.parquet as pq  # noqa: E402
+
+
+def _report(spark, index_dir):
+    from spyglass_spark.index.fsck import fsck
+
+    return {(r["gen"], r["field"]): r.asDict()
+            for r in fsck(spark, index_dir).collect()}
+
+
+def _assert_clean(rep):
+    assert rep, "empty fsck report"
+    for key, row in rep.items():
+        assert row["violations"] == 0, (key, row)
+        assert row["stats_mismatches"] == 0, (key, row)
+
+
+@pytest.fixture()
+def index_copy(built_index, tmp_path):
+    dst = str(tmp_path / "idx")
+    shutil.copytree(built_index["index_dir"], dst)
+    return dst
+
+
+def test_clean_index_audits_green(spark, built_index):
+    rep = _report(spark, built_index["index_dir"])
+    _assert_clean(rep)
+    # decoded token totals must equal the manifest's field_totals —
+    # the audit recounts by decoding every posting byte
+    gen = built_index["manifest"].gen_list()[0]["prefix"]
+    totals = built_index["manifest"].field_totals
+    for f, expect in totals.items():
+        assert rep[(gen, f)]["sum_cf"] == expect, f
+    # every doc accounted for
+    assert rep[(gen, "<doc_meta>")]["chunks"] == len(built_index["docs"])
+
+
+def _drop_crc(path):
+    crc = os.path.join(os.path.dirname(path),
+                       "." + os.path.basename(path) + ".crc")
+    if os.path.exists(crc):
+        os.unlink(crc)
+
+
+def _tamper_posting(index_dir, mutate):
+    """Rewrite the first kind=0 parquet file with ``mutate(table) -> table``."""
+    files = sorted(glob.glob(
+        f"{index_dir}/segments/store/wave=*/kind=0/*.parquet"))
+    t = pq.read_table(files[0])
+    pq.write_table(mutate(t), files[0])
+    _drop_crc(files[0])
+
+
+def test_detects_corrupt_posting_payload(spark, index_copy):
+    def mutate(t):
+        col = t["doc_bytes"].to_pylist()
+        b = bytearray(col[0])
+        b[-1] ^= 0xFF                      # flip bits in the varint stream
+        col[0] = bytes(b)
+        return t.set_column(t.schema.get_field_index("doc_bytes"),
+                            "doc_bytes", pa.array(col, pa.binary()))
+    _tamper_posting(index_copy, mutate)
+    rep = _report(spark, index_copy)
+    assert sum(r["violations"] for r in rep.values()) >= 1
+
+
+def test_detects_lying_df_metadata(spark, index_copy):
+    def mutate(t):
+        df = t["df_part"].to_pylist()
+        df[0] += 1                          # stored count no longer matches
+        return t.set_column(t.schema.get_field_index("df_part"),
+                            "df_part", pa.array(df, t["df_part"].type))
+    _tamper_posting(index_copy, mutate)
+    rep = _report(spark, index_copy)
+    # the lie surfaces twice: decoded-count mismatch AND a term_stats row
+    # that no longer matches the store aggregation
+    assert sum(r["violations"] for r in rep.values()) >= 1
+    assert sum(r["stats_mismatches"] for r in rep.values()) >= 1
+
+
+def test_detects_corrupt_term_stats(spark, index_copy):
+    files = sorted(glob.glob(f"{index_copy}/segments/term_stats/*.parquet"))
+    t = pq.read_table(files[0])
+    cf = t["cf"].to_pylist()
+    cf[0] += 7
+    t = t.set_column(t.schema.get_field_index("cf"), "cf",
+                     pa.array(cf, t["cf"].type))
+    pq.write_table(t, files[0])
+    _drop_crc(files[0])
+    rep = _report(spark, index_copy)
+    assert sum(r["stats_mismatches"] for r in rep.values()) >= 1
+    assert sum(r["violations"] for r in rep.values()) == 0
+
+
+def test_audit_clean_after_delete_and_merge(spark, built_index, index_copy):
+    """The mutation path the audit exists for: upsert a delta generation,
+    tombstone docs, fold generations — every rewritten chunk must still
+    roundtrip byte-identically."""
+    from spyglass_spark.index.builder import (delete_by_ids,
+                                              merge_generations,
+                                              upsert_documents)
+
+    docs = built_index["docs"]
+    redo = [dict(d) for d in docs[:20]]
+    upsert_documents(spark, spark.createDataFrame(redo), index_copy)
+    delete_by_ids(index_copy, [d["doc_id"] for d in docs[30:40]])
+    merge_generations(spark, index_copy)
+    _assert_clean(_report(spark, index_copy))
+
+
+def test_cli_fsck_exit_codes(spark, index_copy):
+    from spyglass_spark.cli import main
+
+    assert main(["fsck", "--index", index_copy], spark=spark) == 0
+    _tamper_posting(index_copy, lambda t: t.set_column(
+        t.schema.get_field_index("cf_part"), "cf_part",
+        pa.array([v + 1 for v in t["cf_part"].to_pylist()],
+                 t["cf_part"].type)))
+    assert main(["fsck", "--index", index_copy], spark=spark) == 1
