@@ -98,3 +98,29 @@ def test_randomized_rank_identity(spark, tmp_path, seed):
             got = eng.search(q, filters=f, boosts=b, k=5, offset=off).collect()
             assert [r["doc_id"] for r in got] == [h["doc_id"] for h in exp]
             break
+
+    # cursor paging: k=3 search_after pages must walk the oracle's FULL
+    # ranking (random filters/boosts, random P — the tie-heavy shapes)
+    for q, f, b, _off in cases:
+        exp = oracle.search(q, f, b, k=500)
+        if len(exp) < 4:
+            continue
+        walked, cur = [], None
+        for _ in range(len(exp) + 2):
+            page = sorted(eng.search(q, filters=f, boosts=b, k=3,
+                                     search_after=cur).collect(),
+                          key=lambda r: r["rank"])
+            if not page:
+                break
+            walked.extend(page)
+            cur = (float(page[-1]["score"]), int(page[-1]["doc_ord"]))
+        assert [r["doc_id"] for r in walked] == [h["doc_id"] for h in exp], \
+            (seed, q, f, b)
+        break
+
+    # every random corpus/P/waves build must pass the integrity audit
+    from spyglass_spark.index.fsck import fsck
+
+    rep = fsck(spark, idx).collect()
+    assert rep and all(r["violations"] == 0 and r["stats_mismatches"] == 0
+                       for r in rep), (seed, [r.asDict() for r in rep])
