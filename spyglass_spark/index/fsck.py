@@ -9,30 +9,37 @@ physical index (spyglass-searcher/src/lib.rs); validation of that layout
 is delegated to tantivy, re-expressed here for our kind-partitioned
 parquet store (index/builder.py:20-46).
 
-One heavy pass + two metadata-plane jobs per generation:
+Payload bytes are read EXACTLY ONCE and never shuffled: the heavy pass is
+a ``mapInPandas`` over the kind=0 scan (any task split works — each chunk
+is audited independently; the per-part fieldnorm arrays come from the
+same per-worker pyarrow fragment-mapped reads the query path uses, so
+there is no exchange, no cogroup, and task memory is one scan batch).
+Every other check is a column-pruned metadata join that never touches a
+payload column:
 
-1. ``kind ∈ {0,1,3}`` grouped per part (the store is part-aligned, so
-   this is a co-located group, no wide shuffle of payload bytes):
-   every posting chunk is DECODED and RE-ENCODED — doc/tf/pos/meta bytes
-   must be byte-identical (delta+varint+block-meta roundtrip over the
-   actual fieldnorm ids), df_part/cf_part must equal the decoded counts,
-   doc ords must be strictly increasing and inside the norms array, the
-   per-field norms array must be n_local long and its token total must
-   equal the field's posting cf sum, and doc_meta ordinals must be unique
-   and in range.
-2. stored (field, term) df/cf sums cross-checked against the term_stats
-   store (the query-time source of BM25 idf) — full outer join, any
-   orphan or mismatch counts against the field.
-3. report: one row per (generation, field) plus a ``<doc_meta>`` row per
-   generation; ``violations`` must be 0 and ``stats_mismatches`` 0 for a
-   healthy index.
+1. per posting chunk (heavy pass): DECODE and RE-ENCODE — doc/tf/pos/meta
+   bytes must be byte-identical (delta+varint+block-meta roundtrip over
+   the actual fieldnorm ids), df_part/cf_part must equal the decoded
+   counts, doc ords must be strictly increasing and inside the norms
+   array (whose length must equal the part size).
+2. norms token accounting: Σ cf_part of a field's posting chunks per part
+   must equal the kind=1 row's recorded total (full-outer join of two
+   tiny aggregates; catches a field's norms row lost or left stale by a
+   bad merge).
+3. doc_meta ordinals: unique and in [0, n_local) per part — pure SQL over
+   two pruned int columns.
+4. stored (field, term) df/cf sums vs the term_stats store (the BM25 idf
+   source) — full-outer join, orphans and mismatches both count.
 
-Memory per task is one part's payload (same bound as a build task); the
-scan cost is O(index bytes) with no shuffle amplification — at 1000
-executors the audit runs at aggregate scan bandwidth.
+Report: one row per (generation, field) plus ``<doc_meta>`` per
+generation; a healthy index has violations = 0 and stats_mismatches = 0
+everywhere. At 1000 executors the audit runs at aggregate scan bandwidth;
+cost is O(index bytes) + three metadata-plane joins.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 import numpy as np
 import pandas as pd
@@ -48,79 +55,156 @@ REPORT_SCHEMA = ("gen string, field string, chunks long, n_terms long, "
                  "sum_df long, sum_cf long, violations long, "
                  "stats_mismatches long")
 
-_PART_COLS = ["kind", "field", "term", "df_part", "cf_part", "n_local",
-              "doc_bytes", "tf_bytes", "pos_bytes", "meta_bytes",
-              "local_ord"]
+_AUDIT_SCHEMA = ("field string, chunks long, sum_df long, sum_cf long, "
+                 "violations long")
 
 
-def _check_part(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Audit one part: returns per-field partial rows
-    (field, chunks, sum_df, sum_cf, violations)."""
-    kind = pdf["kind"].to_numpy()
-    norms_rows = pdf[kind == KIND_NORMS]
-    norms = {t: np.frombuffer(b, dtype=np.uint8)
-             for t, b in zip(norms_rows["term"], norms_rows["doc_bytes"])}
-    n_local = int(pdf["n_local"].iloc[0]) if len(pdf) else 0
+def _audit_factory(store_dir: str, epoch: str):
+    """Per-batch posting audit kernel. Captures only constants; fieldnorm
+    arrays are fetched through the query path's per-worker cache
+    (executor._load_part_arrays — fragment-mapped pyarrow, part-pruned)."""
 
-    out: dict[str, dict] = {}
+    def audit(batches):
+        from ..query.executor import _load_part_arrays
 
-    def bump(field, key, by=1):
-        row = out.setdefault(field, dict(chunks=0, sum_df=0, sum_cf=0,
-                                         violations=0))
-        row[key] += by
-
-    for r in pdf[kind == KIND_POSTING].itertuples():
-        bump(r.field, "chunks")
-        bump(r.field, "sum_df", int(r.df_part))
-        bump(r.field, "sum_cf", int(r.cf_part))
-        try:
-            docs, tfs = decode_postings(r.doc_bytes, r.tf_bytes)
-            if docs.size != r.df_part or int(tfs.sum()) != r.cf_part:
-                bump(r.field, "violations")   # stored counts lie
+        for pdf in batches:
+            if not len(pdf):
                 continue
-            if docs.size and np.any(np.diff(docs.astype(np.int64)) <= 0):
-                bump(r.field, "violations")   # unsorted / duplicate ords
-                continue
-            narr = norms.get(r.field)
-            if narr is None or (docs.size and int(docs.max()) >= narr.size):
-                bump(r.field, "violations")   # ord outside the norms array
-                continue
-            db, tb, mb = encode_postings(docs, tfs,
-                                         narr[docs.astype(np.int64)])
-            if db != r.doc_bytes or tb != r.tf_bytes or mb != r.meta_bytes:
-                bump(r.field, "violations")   # payload/block-meta corrupt
-            pos = decode_positions(r.pos_bytes, int(docs.size))
-            if (any(p.size != t for p, t in zip(pos, tfs))
-                    or encode_positions(pos) != r.pos_bytes):
-                bump(r.field, "violations")   # positions corrupt
-        except Exception:                     # corrupt varint streams may
-            bump(r.field, "violations")       # not even decode — still a
-            continue                          # finding, never a crash
+            out: dict[str, dict] = {}
 
-    # per-field norms structure: full-length array, token total ≡ Σ cf
-    for r in norms_rows.itertuples():
-        arr = norms[r.term]
-        ok = (arr.size == r.n_local
-              and int(r.cf_part) == out.get(r.term, {}).get("sum_cf", 0))
-        if not ok:
-            bump(r.term, "violations")
+            def bump(field, key, by=1):
+                row = out.setdefault(field, dict(chunks=0, sum_df=0,
+                                                 sum_cf=0, violations=0))
+                row[key] += by
 
-    # doc_meta: unique in-range ordinals, count bounded by the part size
-    dm = pdf[kind == KIND_DOCMETA]
-    if len(dm):
-        ords = dm["local_ord"].to_numpy(np.int64)
-        bad = (np.unique(ords).size != ords.size or ords.min() < 0
-               or ords.max() >= n_local or len(dm) > n_local)
-        bump("<doc_meta>", "chunks", len(dm))
-        if bad:
-            bump("<doc_meta>", "violations")
+            for pid, grp in pdf.groupby("part_id", sort=False):
+                norms, _ = _load_part_arrays((store_dir,), int(pid), epoch)
+                for r in grp.itertuples():
+                    bump(r.field, "chunks")
+                    bump(r.field, "sum_df", int(r.df_part))
+                    bump(r.field, "sum_cf", int(r.cf_part))
+                    try:
+                        docs, tfs = decode_postings(r.doc_bytes, r.tf_bytes)
+                        if (docs.size != r.df_part
+                                or int(tfs.sum()) != r.cf_part):
+                            bump(r.field, "violations")  # stored counts lie
+                            continue
+                        if docs.size and np.any(
+                                np.diff(docs.astype(np.int64)) <= 0):
+                            bump(r.field, "violations")  # unsorted/dup ords
+                            continue
+                        narr = norms.get(r.field)
+                        if (narr is None or narr.size != r.n_local
+                                or (docs.size
+                                    and int(docs.max()) >= narr.size)):
+                            bump(r.field, "violations")  # norms bounds
+                            continue
+                        db, tb, mb = encode_postings(
+                            docs, tfs, narr[docs.astype(np.int64)])
+                        if (db != r.doc_bytes or tb != r.tf_bytes
+                                or mb != r.meta_bytes):
+                            bump(r.field, "violations")  # payload corrupt
+                        pos = decode_positions(r.pos_bytes, int(docs.size))
+                        if (any(p.size != t for p, t in zip(pos, tfs))
+                                or encode_positions(pos) != r.pos_bytes):
+                            bump(r.field, "violations")  # positions corrupt
+                    except Exception:        # corrupt varint streams may
+                        bump(r.field, "violations")  # not even decode —
+                        continue             # a finding, never a crash
+            if out:
+                yield pd.DataFrame(
+                    [dict(field=f, **v) for f, v in out.items()])[
+                    ["field", "chunks", "sum_df", "sum_cf", "violations"]]
 
-    rows = [dict(field=f, **v) for f, v in out.items()]
-    if not rows:
-        return pd.DataFrame(columns=["field", "chunks", "sum_df", "sum_cf",
-                                     "violations"])
-    return pd.DataFrame(rows)[["field", "chunks", "sum_df", "sum_cf",
-                               "violations"]]
+    return audit
+
+
+def _fsck_gen(spark: SparkSession, index_dir: str, prefix: str,
+              epoch: str) -> DataFrame:
+    store = read_store(spark, index_dir, prefix)
+    post_meta = store.filter(F.col("kind") == KIND_POSTING)
+
+    # heavy pass: payload read once, zero shuffle (see module docstring)
+    audited = (
+        post_meta.select("part_id", "field", "term", "df_part", "cf_part",
+                         "n_local", "doc_bytes", "tf_bytes", "pos_bytes",
+                         "meta_bytes")
+                 .mapInPandas(_audit_factory(f"{index_dir}/{prefix}/store",
+                                             epoch), _AUDIT_SCHEMA)
+                 .groupBy("field")
+                 .agg(F.sum("chunks").alias("chunks"),
+                      F.sum("sum_df").alias("sum_df"),
+                      F.sum("sum_cf").alias("sum_cf"),
+                      F.sum("violations").alias("violations")))
+
+    # norms token accounting — column-pruned, payload-free
+    post_cf = (post_meta.groupBy("part_id", "field")
+                        .agg(F.sum("cf_part").alias("post_cf")))
+    norm_cf = (store.filter(F.col("kind") == KIND_NORMS)
+                    .select("part_id", F.col("term").alias("field"),
+                            F.col("cf_part").alias("norm_cf")))
+    # a field may legitimately have zero postings in a part (all docs
+    # empty for it) with a cf=0 norms row — missing post_cf counts as 0;
+    # a MISSING norms row for a posting-bearing field is a violation
+    norm_bad = (post_cf.join(norm_cf, ["part_id", "field"], "full_outer")
+                       .withColumn("bad", (F.col("norm_cf").isNull()
+                                           | (F.coalesce("post_cf", F.lit(0))
+                                              != F.col("norm_cf")))
+                                   .cast("long"))
+                       .groupBy("field")
+                       .agg(F.sum("bad").alias("norm_mismatches")))
+
+    # doc_meta ordinal structure — two pruned int columns, pure SQL
+    dm = (store.filter(F.col("kind") == KIND_DOCMETA)
+               .groupBy("part_id")
+               .agg(F.count("*").alias("n"),
+                    F.countDistinct("local_ord").alias("nd"),
+                    F.min("local_ord").alias("lo"),
+                    F.max("local_ord").alias("hi"),
+                    F.first("n_local").alias("n_local"))
+               .select(F.lit("<doc_meta>").alias("field"),
+                       F.col("n").alias("chunks"),
+                       ((F.col("nd") != F.col("n")) | (F.col("lo") < 0)
+                        | (F.col("hi") >= F.col("n_local"))
+                        | (F.col("n") > F.col("n_local")))
+                       .cast("long").alias("violations"))
+               .groupBy("field")
+               .agg(F.sum("chunks").alias("chunks"),
+                    F.lit(0).cast("long").alias("sum_df"),
+                    F.lit(0).cast("long").alias("sum_cf"),
+                    F.sum("violations").alias("violations")))
+
+    # stored per-term sums vs the term_stats store (BM25's idf source)
+    stored = (post_meta.groupBy("field", "term")
+                       .agg(F.sum("df_part").alias("df2"),
+                            F.sum("cf_part").alias("cf2")))
+    stats = spark.read.parquet(f"{index_dir}/{prefix}/term_stats")
+    mism = (stats.join(stored, ["field", "term"], "full_outer")
+                 .withColumn("bad", (F.col("df").isNull()
+                                     | F.col("df2").isNull()
+                                     | (F.col("df") != F.col("df2"))
+                                     | (F.col("cf") != F.col("cf2")))
+                             .cast("long"))
+                 .groupBy("field")
+                 .agg(F.count("*").alias("n_terms"),
+                      F.sum("bad").alias("stats_mismatches")))
+
+    fields = (audited.join(norm_bad, "field", "full_outer")
+                     .join(mism, "field", "left_outer")
+                     .select(F.lit(prefix).alias("gen"), "field",
+                             F.coalesce("chunks", F.lit(0)).alias("chunks"),
+                             F.coalesce("n_terms", F.lit(0)).alias("n_terms"),
+                             F.coalesce("sum_df", F.lit(0)).alias("sum_df"),
+                             F.coalesce("sum_cf", F.lit(0)).alias("sum_cf"),
+                             (F.coalesce("violations", F.lit(0))
+                              + F.coalesce("norm_mismatches", F.lit(0)))
+                             .alias("violations"),
+                             F.coalesce("stats_mismatches",
+                                        F.lit(0)).alias("stats_mismatches")))
+    return fields.unionByName(
+        dm.select(F.lit(prefix).alias("gen"), "field", "chunks",
+                  F.lit(0).cast("long").alias("n_terms"), "sum_df", "sum_cf",
+                  "violations", F.lit(0).cast("long").alias("stats_mismatches")))
 
 
 def fsck(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -129,46 +213,7 @@ def fsck(spark: SparkSession, index_dir: str) -> DataFrame:
     a healthy index has violations = 0 and stats_mismatches = 0
     everywhere."""
     m = load_manifest(index_dir)
-    reports = []
-    for g in m.gen_list():
-        store = read_store(spark, index_dir, g["prefix"])
-        part_report = (
-            store.filter(F.col("kind").isin(KIND_POSTING, KIND_NORMS,
-                                            KIND_DOCMETA))
-                 .select("part_id", *_PART_COLS)
-                 .groupBy("part_id")
-                 .applyInPandas(lambda _, pdf: _check_part(pdf),
-                                ("field string, chunks long, sum_df long, "
-                                 "sum_cf long, violations long"))
-                 .groupBy("field")
-                 .agg(F.sum("chunks").alias("chunks"),
-                      F.sum("sum_df").alias("sum_df"),
-                      F.sum("sum_cf").alias("sum_cf"),
-                      F.sum("violations").alias("violations")))
-        # stored per-term sums vs the term_stats store (BM25's idf source)
-        stored = (store.filter(F.col("kind") == KIND_POSTING)
-                       .groupBy("field", "term")
-                       .agg(F.sum("df_part").alias("df2"),
-                            F.sum("cf_part").alias("cf2")))
-        stats = spark.read.parquet(f"{index_dir}/{g['prefix']}/term_stats")
-        mism = (stats.join(stored, ["field", "term"], "full_outer")
-                     .withColumn("bad", (F.col("df").isNull()
-                                         | F.col("df2").isNull()
-                                         | (F.col("df") != F.col("df2"))
-                                         | (F.col("cf") != F.col("cf2")))
-                                 .cast("long"))
-                     .groupBy("field")
-                     .agg(F.count("*").alias("n_terms"),
-                          F.sum("bad").alias("stats_mismatches")))
-        reports.append(
-            part_report.join(mism, "field", "left_outer")
-                       .select(F.lit(g["prefix"]).alias("gen"), "field",
-                               "chunks",
-                               F.coalesce("n_terms", F.lit(0)).alias("n_terms"),
-                               "sum_df", "sum_cf", "violations",
-                               F.coalesce("stats_mismatches",
-                                          F.lit(0)).alias("stats_mismatches")))
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
-    return out
+    epoch = f"{m.created_utc}#{getattr(m, 'commit_seq', 0)}"
+    reports = [_fsck_gen(spark, index_dir, g["prefix"], epoch)
+               for g in m.gen_list()]
+    return reduce(DataFrame.unionByName, reports)

@@ -122,6 +122,23 @@ def test_audit_clean_after_delete_and_merge(spark, built_index, index_copy):
     _assert_clean(_report(spark, index_copy))
 
 
+def test_audit_plan_payload_never_shuffled(spark, built_index):
+    """The payload branch must be Scan → Project → MapInPandas with no
+    Exchange in between — index bytes are read once and never shuffled;
+    only the tiny audited/metadata aggregates cross an exchange."""
+    import re
+
+    from spyglass_spark.index.fsck import fsck
+
+    df = fsck(spark, built_index["index_dir"])
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert re.search(
+        r"MapInPandas[^\n]*\n[^\n]*Project[^\n]*\n[^\n]*Scan parquet", plan), \
+        plan.splitlines()[:40]
+
+
 def test_cli_fsck_exit_codes(spark, index_copy):
     from spyglass_spark.cli import main
 

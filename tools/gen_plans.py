@@ -149,6 +149,19 @@ section("Facet counts over the full match set",
         "  O(#tags) partial-aggregated groupBy. No scoring pass, no\n"
         "  position decode, no driver materialization.", 50)
 
+from spyglass_spark.index.fsck import fsck
+
+section("Index integrity audit (fsck)",
+        fsck(spark, eng.index_dir),
+        "- Heavy pass: kind-pruned store scan -> mapInPandas, NO exchange:\n"
+        "  payload bytes are read once and never shuffled (each chunk\n"
+        "  audits independently; per-part fieldnorms come from the query\n"
+        "  path's per-worker fragment-mapped pyarrow reads). Memory = one\n"
+        "  scan batch.\n"
+        "- All cross-chunk checks (norms totals, doc_meta ordinals,\n"
+        "  term_stats) are column-pruned metadata joins - the payload\n"
+        "  columns never appear in their ReadSchema.", 60)
+
 open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                   "PLANS.md"), "w").write(out.getvalue())
 print("written")
