@@ -76,7 +76,7 @@ def run_legs(lo: int = 8, hi: int = 32,
     return out
 
 
-def attempt(min_kernel_eff: float) -> dict:
+def attempt(min_kernel_eff: float, min_pair_lo: int = 2) -> dict:
     rec: dict = {"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                  "loadavg_start": loadavg()}
     k8, k32, keff = kernel_eff(8, 32)
@@ -98,11 +98,15 @@ def attempt(min_kernel_eff: float) -> dict:
         # instead caught by the POST-leg control re-measure below: a
         # capture only counts as bracketed when the kernel ratio holds
         # BOTH immediately before and immediately after the legs.
+        if min_pair_lo > 4:
+            return rec
         k4, k16, keff2 = kernel_eff(4, 16)
         rec.update(kernel_4p=round(k4, 1), kernel_16p=round(k16, 1),
                    kernel_eff_4_16=round(keff2, 3))
         if keff2 >= min_kernel_eff and k16 >= 9e6:
             pair, keff_pre = (4, 16), keff2
+        elif min_pair_lo > 2:
+            return rec
         else:
             # last rung: 2→8 procs — a quarter of the 8→32 bandwidth
             # demand; even a three-quarters-claimed bus can scale it.
@@ -177,6 +181,11 @@ def main() -> None:
                          "was 1.3-1.6 M)")
     ap.add_argument("--sleep-noisy", type=int, default=90)
     ap.add_argument("--sleep-after", type=int, default=240)
+    ap.add_argument("--min-pair-lo", type=int, default=2,
+                    help="lowest N→4N rung worth burning legs on: 2 = any "
+                         "(default), 4 = only (4,16)/(8,32), 8 = only "
+                         "(8,32) — used once the lower rungs already have "
+                         "clean bracketed captures on file")
     args = ap.parse_args()
 
     # clear a stale flag left by a killed run (the supervising task has a
@@ -203,7 +212,7 @@ def main() -> None:
         if quiet:
             open(FLAG, "w").close()
             try:
-                rec = attempt(args.min_kernel_eff)
+                rec = attempt(args.min_kernel_eff, args.min_pair_lo)
             finally:
                 os.unlink(FLAG)
             rec["mini_rate"] = round(mini, 1)
