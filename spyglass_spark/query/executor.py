@@ -711,9 +711,13 @@ class SearchEngine:
     def search_prefix(self, pattern: str, k: int = 5, offset: int = 0,
                       fields: tuple = EXPAND_FIELDS,
                       max_expansions: int = DEFAULT_MAX_EXPANSIONS,
-                      filters=(), boosts=(), algo: str = "auto") -> DataFrame:
+                      filters=(), boosts=(), algo: str = "auto",
+                      search_after=None) -> DataFrame:
         """``spar*``: every dictionary term starting with the normalized
-        pattern (capped, df-ranked) scored as a Should group."""
+        pattern (capped, df-ranked) scored as a Should group. Deep paging
+        composes: ``search_after`` is the same (score, doc_ord) cursor as
+        ``search`` (the expansion is deterministic per commit, so every
+        page scores the identical Should group)."""
         norm = normalize_pattern(pattern)
         stats = self._paths("term_stats")
         per_field = {f: [t for t, _ in expand_prefix(stats, f, norm,
@@ -722,15 +726,18 @@ class SearchEngine:
         self.last_expansion = per_field
         cq = compile_expanded(per_field, filters=filters, boosts=boosts)
         return self._run_compiled_batch(
-            [cq], [f"prefix:{pattern}"], k, offset, algo).drop("query_id")
+            [cq], [f"prefix:{pattern}"], k, offset, algo,
+            afters=[search_after]).drop("query_id")
 
     def search_fuzzy(self, term: str, distance: int = 1, k: int = 5,
                      offset: int = 0, fields: tuple = EXPAND_FIELDS,
                      max_expansions: int = DEFAULT_MAX_EXPANSIONS,
-                     filters=(), boosts=(), algo: str = "auto") -> DataFrame:
+                     filters=(), boosts=(), algo: str = "auto",
+                     search_after=None) -> DataFrame:
         """Terms within Levenshtein ``distance`` of the normalized
         pattern, via the SymSpell sidecar when present (ensure with
-        ``ensure_fuzzy_dict``) and a dictionary-slice verify otherwise."""
+        ``ensure_fuzzy_dict``) and a dictionary-slice verify otherwise.
+        ``search_after`` pages exactly as in ``search``."""
         norm = normalize_pattern(term)
         stats = self._paths("term_stats")
         fuzzy = self._fuzzy_dict_paths()
@@ -741,7 +748,8 @@ class SearchEngine:
         self.last_expansion = per_field
         cq = compile_expanded(per_field, filters=filters, boosts=boosts)
         return self._run_compiled_batch(
-            [cq], [f"fuzzy:{term}~{distance}"], k, offset, algo).drop("query_id")
+            [cq], [f"fuzzy:{term}~{distance}"], k, offset, algo,
+            afters=[search_after]).drop("query_id")
 
     def _fuzzy_dict_paths(self) -> list[str] | None:
         import os

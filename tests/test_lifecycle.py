@@ -258,6 +258,8 @@ def test_engine_refresh_sees_upserts(spark, corpus_rows, tmp_path):
     build_index(spark, spark.createDataFrame(docs), idx, num_partitions=4)
     eng = SearchEngine(spark, idx)
     assert eng.search("zzrefreshmarker", k=5).count() == 0
+    pre = [(r["doc_id"], r["score"]) for r in
+           eng.search("fn", k=10).orderBy("rank").collect()]
 
     upd = dict(docs[0])
     upd["content"] = "zzrefreshmarker appears here now"
@@ -266,8 +268,15 @@ def test_engine_refresh_sees_upserts(spark, corpus_rows, tmp_path):
     upd["content_sha256"] = hashlib.sha256(upd["content"].encode()).hexdigest()
     upsert_documents(spark, spark.createDataFrame([upd]), idx, num_partitions=2)
 
-    # stale engine: old manifest, no marker
+    # stale engine: old manifest, no marker — and SNAPSHOT ISOLATION: a
+    # reader opened before the commit keeps serving its generation set
+    # bit-identically (generations are additive; the swap is an atomic
+    # manifest rename, never an in-place rewrite of files it holds)
     assert eng.manifest.num_docs == 60
+    assert eng.search("zzrefreshmarker", k=5).count() == 0
+    post = [(r["doc_id"], r["score"]) for r in
+            eng.search("fn", k=10).orderBy("rank").collect()]
+    assert post == pre
     eng.refresh()
     assert eng.manifest.num_docs == 61  # tombstoned copy still counted
     hits = eng.search("zzrefreshmarker", k=5).collect()

@@ -104,6 +104,29 @@ def test_cursor_with_filters_and_batch(engine, built_index):
     assert page2 == full[2:4]
 
 
+def test_cursor_composes_with_prefix_and_fuzzy(engine):
+    """Pattern queries page with the same cursor: the expansion is
+    deterministic per commit, so every page scores the identical Should
+    group and pages concatenate to the one-shot ranking."""
+    for one_shot, pager in [
+        (engine.search_prefix("pa", k=500),
+         lambda cur: engine.search_prefix("pa", k=3, search_after=cur)),
+        (engine.search_fuzzy("merge", distance=1, k=500),
+         lambda cur: engine.search_fuzzy("merge", distance=1, k=3,
+                                         search_after=cur)),
+    ]:
+        full = _rows(one_shot)
+        assert len(full) > 3
+        out, cur = [], None
+        for _ in range(len(full) // 3 + 2):
+            page = _rows(pager(cur))
+            if not page:
+                break
+            out.extend(page)
+            cur = (float(page[-1][1]), int(page[-1][2]))
+        assert out == full
+
+
 def test_cursor_pages_match_oracle_order(engine, built_index):
     """Paged walk reproduces the scalar oracle's full ranking."""
     oracle = built_index["oracle"]
