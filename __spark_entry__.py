@@ -170,6 +170,34 @@ def _get_engine(spark: SparkSession, sf_dir: str):
     return SearchEngine(spark, index_dir)
 
 
+def _custom_docs(spark: SparkSession, sf_dir: str):
+    """documents + a deterministic custom u64 column ``cf_stars``
+    (Boost::CustomField source, lib.rs:49-51): length(content) % 500 —
+    trivially replicable by the scalar fixture generator."""
+    docs = to_documents(load_corpus(spark, sf_dir))
+    return docs.withColumn("cf_stars",
+                           (F.length("content") % 500).cast("long"))
+
+
+def _get_custom_engine(spark: SparkSession, sf_dir: str):
+    """_get_engine over the cf_stars-carrying documents (separate cached
+    index: the custom field changes the store layout)."""
+    from spyglass_spark.index.builder import build_index
+    from spyglass_spark.index.manifest import load_manifest
+    from spyglass_spark.query.executor import SearchEngine
+
+    fp = _data_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    tag = hashlib.md5(
+        f"v1custom:{os.path.abspath(sf_dir)}:{fp}".encode()).hexdigest()[:10]
+    index_dir = os.path.join(
+        os.environ.get("SPYGLASS_INDEX_CACHE", "/tmp/spyglass_idx"), tag)
+    m = load_manifest(index_dir)
+    if m is None or not m.committed:
+        build_index(spark, _custom_docs(spark, sf_dir), index_dir,
+                    num_partitions=16, waves=1)
+    return SearchEngine(spark, index_dir)
+
+
 # ---------------------------------------------------------------------------
 # entry — flagship
 # ---------------------------------------------------------------------------
@@ -704,6 +732,21 @@ def q_index_fsck(spark, sf_dir):
                .orderBy("field"))
 
 
+def q_search_custom_boost(spark, sf_dir):  # fixture-oracle
+    """Boost::CustomField (lib.rs:49-51, query.rs:124-130): a query-time
+    score term on a named u64 column — here cf_stars, matched by its
+    decimal-string term with boost 2.0. The boost value is the stars of
+    the UNBOOSTED rank-1 hit (deterministic), so the boosted top-10 is a
+    distinct hash from search_bm25's."""
+    eng = _get_custom_engine(spark, sf_dir)
+    top_url = eng.search("spark merge join", k=1).collect()[0]["url"]
+    v = int(_custom_docs(spark, sf_dir)
+            .filter(F.col("url") == top_url).select("cf_stars")
+            .collect()[0][0])
+    return _contract_hits(eng.search(
+        "spark merge join", boosts=[("custom:stars", v, 2.0)], k=10))
+
+
 def q_search_phrase_tag_filter(spark, sf_dir):  # fixture-oracle
     eng = _get_engine(spark, sf_dir)
     dim = build_tags_dim(load_corpus(spark, sf_dir))
@@ -975,7 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "textstats_quality": q_textstats_quality,
-        "token_counts": q_token_counts,
+        "search_custom_boost": q_search_custom_boost,
         "search_highlight": q_search_highlight,
         "textstats_repetition": q_textstats_repetition,
         "dedup_passages": q_dedup_passages,
@@ -1026,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (still value-gated every run by tests/test_entry.py)
         "docs_per_domain": q_docs_per_domain,
         "phrase_bigram_count": q_phrase_bigram_count,
+        "token_counts": q_token_counts,
     }
 
 
@@ -1117,6 +1161,7 @@ SELECT * FROM (
   UNION ALL SELECT 'url', (SELECT c FROM n), 0, 0
 ) ORDER BY field""",
         "search_bm25": _fixture_sql("search_bm25"),
+        "search_custom_boost": _fixture_sql("search_custom_boost"),
         # page 2 via cursor ≡ ranks 6-10 of the one-shot top-10 fixture,
         # re-ranked 1-5 (search_after pages restart rank numbering)
         "search_after_page": (

@@ -30,6 +30,7 @@ FIXTURE_QUERIES = [
     "search_prefix",
     "search_fuzzy",
     "search_facets",
+    "search_custom_boost",
 ]
 
 

@@ -236,6 +236,19 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
         batch.extend(hits_to_rows(oracle.search(q, k=5), om, ckey,
                                   query_id=qi))
     out["search_batch"] = batch
+    # Boost::CustomField: separate oracle index over docs + cf_stars =
+    # len(content) % 500 (the __spark_entry__._custom_docs derivation);
+    # boost value = stars of the UNBOOSTED rank-1 hit (deterministic)
+    cdocs = [dict(d, cf_stars=len(d["content"]) % 500) for d in docs]
+    oracle_c = OracleIndex.build(cdocs, num_partitions=P)
+    top1 = oracle_c.search("spark merge join", k=1)[0]
+    stars_v = next(d["cf_stars"] for d in cdocs
+                   if d["doc_id"] == top1["doc_id"])
+    out["search_custom_boost"] = hits_to_rows(
+        oracle_c.search("spark merge join",
+                        boosts=[("custom:stars", stars_v, 2.0)], k=10),
+        om, ckey)
+
     sem = distance_boosts(semantic_distances(sf_dir, docs))
     out["search_semantic_boost"] = hits_to_rows(
         oracle.search("spark merge join", boosts=sem, k=10), om, ckey)
