@@ -30,11 +30,14 @@ payload column:
    two pruned int columns.
 4. stored (field, term) df/cf sums vs the term_stats store (the BM25 idf
    source) — full-outer join, orphans and mismatches both count.
+5. tombstone side tables: every ordinal must land inside a real part's
+   bounds (one int column joined against the per-part sizes).
 
 Report: one row per (generation, field) plus ``<doc_meta>`` per
-generation; a healthy index has violations = 0 and stats_mismatches = 0
-everywhere. At 1000 executors the audit runs at aggregate scan bandwidth;
-cost is O(index bytes) + three metadata-plane joins.
+generation and ``<tombstones>`` per index; a healthy index has
+violations = 0 and stats_mismatches = 0 everywhere. At 1000 executors
+the audit runs at aggregate scan bandwidth; cost is O(index bytes) +
+four metadata-plane joins.
 """
 
 from __future__ import annotations
@@ -46,7 +49,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .builder import KIND_DOCMETA, KIND_NORMS, KIND_POSTING, read_store
+from .builder import (KIND_DOCMETA, KIND_NORMS, KIND_POSTING, ORD_SHIFT,
+                      read_store)
 from .codecs import (decode_positions, decode_postings, encode_positions,
                      encode_postings)
 from .manifest import load_manifest
@@ -207,6 +211,38 @@ def _fsck_gen(spark: SparkSession, index_dir: str, prefix: str,
                   "violations", F.lit(0).cast("long").alias("stats_mismatches")))
 
 
+def _tombstone_report(spark: SparkSession, index_dir: str, m,
+                      part_sizes: DataFrame) -> DataFrame | None:
+    """Tombstone side tables: every ordinal must land inside a REAL
+    part's bounds (part exists in some generation, local rank <
+    that part's size) — a stale or corrupt tombstone can otherwise
+    silently mask the wrong doc after a merge renumbers nothing (ordinals
+    are stable) but a buggy writer emits garbage. Payload-free: one int
+    column joined against the per-part sizes."""
+    side = [f"{index_dir}/{d}" for d in m.tombstone_dirs]
+    if not side:
+        return None
+    ords = spark.read.parquet(*side).select("doc_ord")
+    t = ords.select(
+        F.shiftright("doc_ord", ORD_SHIFT).alias("part_id"),
+        (F.col("doc_ord") - F.shiftleft(F.shiftright("doc_ord", ORD_SHIFT),
+                                        ORD_SHIFT)).alias("local_ord"))
+    joined = t.join(part_sizes, "part_id", "left_outer")
+    return (joined.select(
+                ((F.col("n_local").isNull()) | (F.col("local_ord") < 0)
+                 | (F.col("local_ord") >= F.col("n_local")))
+                .cast("long").alias("bad"))
+                  .agg(F.count("*").alias("chunks"),
+                       F.sum("bad").alias("violations"))
+                  .select(F.lit("<index>").alias("gen"),
+                          F.lit("<tombstones>").alias("field"), "chunks",
+                          F.lit(0).cast("long").alias("n_terms"),
+                          F.lit(0).cast("long").alias("sum_df"),
+                          F.lit(0).cast("long").alias("sum_cf"),
+                          "violations",
+                          F.lit(0).cast("long").alias("stats_mismatches")))
+
+
 def fsck(spark: SparkSession, index_dir: str) -> DataFrame:
     """Audit every generation of the index; see module docstring.
     Returns one row per (gen, field) with REPORT_SCHEMA columns —
@@ -214,6 +250,15 @@ def fsck(spark: SparkSession, index_dir: str) -> DataFrame:
     everywhere."""
     m = load_manifest(index_dir)
     epoch = f"{m.created_utc}#{getattr(m, 'commit_seq', 0)}"
-    reports = [_fsck_gen(spark, index_dir, g["prefix"], epoch)
-               for g in m.gen_list()]
+    gens = m.gen_list()
+    reports = [_fsck_gen(spark, index_dir, g["prefix"], epoch) for g in gens]
+    # per-part sizes across generations (part id ranges are disjoint by
+    # construction: each generation allocates from next_part_offset)
+    sizes = [read_store(spark, index_dir, g["prefix"])
+             .filter(F.col("kind") == KIND_NORMS)
+             .select("part_id", "n_local") for g in gens]
+    part_sizes = reduce(DataFrame.unionByName, sizes).distinct()
+    tomb = _tombstone_report(spark, index_dir, m, part_sizes)
+    if tomb is not None:
+        reports.append(tomb)
     return reduce(DataFrame.unionByName, reports)

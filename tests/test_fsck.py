@@ -122,6 +122,30 @@ def test_audit_clean_after_delete_and_merge(spark, built_index, index_copy):
     _assert_clean(_report(spark, index_copy))
 
 
+def test_tombstone_audit(spark, built_index, index_copy):
+    """Tombstone side tables are audited: in-range ordinals are clean; an
+    out-of-range ordinal (bad part or local rank past the part size) is a
+    violation."""
+    from spyglass_spark.index.builder import delete_by_urls
+
+    docs = built_index["docs"]
+    delete_by_urls(spark, index_copy, [d["url"] for d in docs[:5]])
+    rep = _report(spark, index_copy)
+    _assert_clean(rep)
+    assert rep[("<index>", "<tombstones>")]["chunks"] == 5
+
+    files = sorted(glob.glob(f"{index_copy}/tombstones/*/*.parquet"))
+    t = pq.read_table(files[0])
+    ords = t["doc_ord"].to_pylist()
+    ords[0] = (10_000 << 40) + 7          # no such part
+    t = t.set_column(t.schema.get_field_index("doc_ord"), "doc_ord",
+                     pa.array(ords, t["doc_ord"].type))
+    pq.write_table(t, files[0])
+    _drop_crc(files[0])
+    rep = _report(spark, index_copy)
+    assert rep[("<index>", "<tombstones>")]["violations"] >= 1
+
+
 def test_audit_plan_payload_never_shuffled(spark, built_index):
     """The payload branch must be Scan → Project → MapInPandas with no
     Exchange in between — index bytes are read once and never shuffled;
