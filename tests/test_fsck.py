@@ -7,7 +7,6 @@ import glob
 import os
 import shutil
 
-import numpy as np
 import pytest
 
 pyspark = pytest.importorskip("pyspark")
