@@ -100,6 +100,44 @@ def test_wand_with_filters(big_part):
     assert all(np.float32(s) == v for s, (_, v) in zip(scores, expected))
 
 
+def test_wand_after_cursor_walks_full_ranking(big_part):
+    """Cursor paging at the kernel level: walking k=7 pages via the
+    (score, ord) cursor must reproduce the exhaustive full ranking
+    exactly, for every cursor position (ties included — the 'common'
+    term produces many equal scores), and θ pruning must not drop
+    equal-score-later-ord docs."""
+    big = big_part
+    pairs = [(_spec(5.0), "rare"), (_spec(0.9), "medium"), (_spec(0.5), "common")]
+    clauses = []
+    for spec, tname in pairs:
+        docs, tfs = big["terms"][tname]
+        clauses.append(_ClauseData(spec, [_mk_row(docs, tfs, big["norms"])],
+                                   big["cache"], big["norms"]))
+
+    full = _exhaustive(big, pairs, None, None, 10**9)
+    walked, after = [], None
+    for _ in range(len(full) // 7 + 2):
+        ords, scores = wand_top_k(clauses, None, None, 7, after=after)
+        if ords.size == 0:
+            break
+        walked.extend((int(o), np.float32(s)) for o, s in zip(ords, scores))
+        after = (float(scores[-1]), int(ords[-1]))
+    assert walked == full
+
+    # arbitrary mid-tie cursor: page = the exhaustive slice after it
+    mid = full[len(full) // 2]
+    ords, scores = wand_top_k(clauses, None, None, 9,
+                              after=(float(mid[1]), int(mid[0])))
+    exp = full[len(full) // 2 + 1:][:9]
+    assert [(int(o), np.float32(s)) for o, s in zip(ords, scores)] == exp
+
+    # cursor past the end → empty
+    last = full[-1]
+    ords, _ = wand_top_k(clauses, None, None, 5,
+                         after=(float(last[1]), int(last[0])))
+    assert ords.size == 0
+
+
 def test_engine_wand_equals_exhaustive(spark, built_index):
     """Engine-level: every query of the parity set gives identical results
     under algo='auto' (WAND) and algo='exhaustive'."""
