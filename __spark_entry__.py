@@ -725,9 +725,11 @@ def q_index_fsck(spark, sf_dir):
     from spyglass_spark.index.fsck import fsck
 
     eng = _get_engine(spark, sf_dir)
-    rep = fsck(spark, eng.index_dir)
+    source = to_documents(load_corpus(spark, sf_dir))
+    rep = fsck(spark, eng.index_dir, source=source)
     return (rep.filter(F.col("field").isin(
-                "content", "title", "id", "domain", "url", "tags"))
+                "content", "title", "id", "domain", "url", "tags",
+                "<source_sha>"))
                .select("field", "sum_cf", "violations", "stats_mismatches")
                .orderBy("field"))
 
@@ -1154,6 +1156,7 @@ title_cf AS (SELECT CAST(sum(len(list_filter(regexp_split_to_array(
 SELECT * FROM (
   SELECT 'content' AS field, (SELECT c FROM content_cf) AS sum_cf,
          CAST(0 AS BIGINT) AS violations, CAST(0 AS BIGINT) AS stats_mismatches
+  UNION ALL SELECT '<source_sha>', CAST(0 AS BIGINT), 0, 0
   UNION ALL SELECT 'domain', (SELECT c FROM n), 0, 0
   UNION ALL SELECT 'id', (SELECT c FROM n), 0, 0
   UNION ALL SELECT 'tags', 2 * (SELECT c FROM n), 0, 0

@@ -117,6 +117,10 @@ def main(argv=None, spark=None) -> int:
                                      "norms/doc_meta bounds and term_stats "
                                      "consistency; exit 1 on any violation")
     fs.add_argument("--index", required=True)
+    fs.add_argument("--corpus", default=None,
+                    help="optional system-of-record table: also verify "
+                         "every live doc's stored content_sha256 against "
+                         "sha256 of the source content")
 
     args = p.parse_args(argv)
 
@@ -214,7 +218,16 @@ def main(argv=None, spark=None) -> int:
         elif args.cmd == "fsck":
             from spyglass_spark.index.fsck import fsck
 
-            rows = fsck(spark, args.index).orderBy("gen", "field").collect()
+            source = None
+            if args.corpus:
+                from spyglass_spark.corpus import to_documents
+                from spyglass_spark.sources import read_corpus
+
+                source = read_corpus(spark, args.corpus)
+                if "url" not in source.columns:
+                    source = to_documents(source)
+            rows = (fsck(spark, args.index, source=source)
+                    .orderBy("gen", "field").collect())
             bad = 0
             for r in rows:
                 print(json.dumps({c: r[c] for c in r.asDict()}))

@@ -32,6 +32,12 @@ payload column:
    source) — full-outer join, orphans and mismatches both count.
 5. tombstone side tables: every ordinal must land inside a real part's
    bounds (one int column joined against the per-part sizes).
+6. optional (``source=`` a documents-shaped DataFrame): the input_hint's
+   per-row invariant — every LIVE doc's stored ``content_sha256`` must
+   equal sha256 of the system-of-record content (tombstoned copies are
+   excluded: an upserted doc's superseded generation legitimately holds
+   the old content's hash). Payload-free on the index side (doc_meta
+   columns only); the source side is one sha2 scan + hash join.
 
 Report: one row per (generation, field) plus ``<doc_meta>`` per
 generation and ``<tombstones>`` per index; a healthy index has
@@ -243,11 +249,46 @@ def _tombstone_report(spark: SparkSession, index_dir: str, m,
                           F.lit(0).cast("long").alias("stats_mismatches")))
 
 
-def fsck(spark: SparkSession, index_dir: str) -> DataFrame:
+def _source_sha_report(spark: SparkSession, index_dir: str, m,
+                       gens: list[dict], source: DataFrame) -> DataFrame:
+    """Per-row invariant vs the system of record (BASELINE.json
+    input_hint: content sha256 equality): every live doc_meta row's
+    stored content_sha256 must equal sha256 of the source content."""
+    from .builder import doc_meta_view
+
+    dm = doc_meta_view(spark, index_dir, gens) \
+        .select("doc_ord", "doc_id", "content_sha256")
+    # exclude tombstoned copies: manifest doc_id list + side-table ords
+    if m.tombstones:
+        dm = dm.filter(~F.col("doc_id").isin(list(m.tombstones)))
+    side = [f"{index_dir}/{d}" for d in m.tombstone_dirs]
+    if side:
+        dead = spark.read.parquet(*side).select("doc_ord").distinct()
+        dm = dm.join(dead, "doc_ord", "left_anti")
+    src = source.select("doc_id", F.sha2(F.col("content"), 256).alias("sha"))
+    joined = dm.join(src, "doc_id", "left_outer")
+    return (joined.select(((F.col("sha").isNull())
+                           | (F.col("content_sha256") != F.col("sha")))
+                          .cast("long").alias("bad"))
+                  .agg(F.count("*").alias("chunks"),
+                       F.sum("bad").alias("violations"))
+                  .select(F.lit("<index>").alias("gen"),
+                          F.lit("<source_sha>").alias("field"), "chunks",
+                          F.lit(0).cast("long").alias("n_terms"),
+                          F.lit(0).cast("long").alias("sum_df"),
+                          F.lit(0).cast("long").alias("sum_cf"),
+                          "violations",
+                          F.lit(0).cast("long").alias("stats_mismatches")))
+
+
+def fsck(spark: SparkSession, index_dir: str,
+         source: DataFrame | None = None) -> DataFrame:
     """Audit every generation of the index; see module docstring.
     Returns one row per (gen, field) with REPORT_SCHEMA columns —
     a healthy index has violations = 0 and stats_mismatches = 0
-    everywhere."""
+    everywhere. Pass ``source`` (documents shape: doc_id + content) to
+    also verify the stored content_sha256 of every live doc against the
+    system of record."""
     m = load_manifest(index_dir)
     epoch = f"{m.created_utc}#{getattr(m, 'commit_seq', 0)}"
     gens = m.gen_list()
@@ -261,4 +302,6 @@ def fsck(spark: SparkSession, index_dir: str) -> DataFrame:
     tomb = _tombstone_report(spark, index_dir, m, part_sizes)
     if tomb is not None:
         reports.append(tomb)
+    if source is not None:
+        reports.append(_source_sha_report(spark, index_dir, m, gens, source))
     return reduce(DataFrame.unionByName, reports)

@@ -145,6 +145,67 @@ def test_tombstone_audit(spark, built_index, index_copy):
     assert rep[("<index>", "<tombstones>")]["violations"] >= 1
 
 
+def test_source_sha_invariant(spark, built_index, index_copy):
+    """input_hint per-row invariant: stored content_sha256 of every LIVE
+    doc equals sha256 of the source content — superseded (tombstoned)
+    copies are excluded, so the check stays clean across upserts, and a
+    tampered stored hash is flagged."""
+    import hashlib
+
+    from spyglass_spark.index.builder import upsert_documents
+    from spyglass_spark.index.fsck import fsck
+
+    docs = built_index["docs"]
+    src = spark.createDataFrame([
+        {"doc_id": d["doc_id"], "content": d["content"]} for d in docs])
+
+    def rep(idx, source):
+        return {(r["gen"], r["field"]): r.asDict()
+                for r in fsck(spark, idx, source=source).collect()}
+
+    r = rep(index_copy, src)
+    _assert_clean(r)
+    assert r[("<index>", "<source_sha>")]["chunks"] == len(docs)
+
+    # upsert with NEW content: the old copy is tombstoned and excluded;
+    # the source must be the updated system of record
+    upd = dict(docs[0]); upd["content"] = "fresh content zzz"
+    upd["content_sha256"] = hashlib.sha256(upd["content"].encode()).hexdigest()
+    upsert_documents(spark, spark.createDataFrame([upd]), index_copy,
+                     num_partitions=2)
+    src2 = spark.createDataFrame(
+        [{"doc_id": upd["doc_id"], "content": upd["content"]}]
+        + [{"doc_id": d["doc_id"], "content": d["content"]}
+           for d in docs[1:]])
+    r = rep(index_copy, src2)
+    _assert_clean(r)
+    assert r[("<index>", "<source_sha>")]["chunks"] == len(docs)
+
+    # a stale source (old content for the upserted doc) must be flagged
+    r = rep(index_copy, src)
+    assert r[("<index>", "<source_sha>")]["violations"] == 1
+
+
+def test_detects_tampered_stored_sha(spark, index_copy, built_index):
+    files = sorted(glob.glob(
+        f"{index_copy}/segments/store/wave=*/kind=3/*.parquet"))
+    t = pq.read_table(files[0])
+    sha = t["content_sha256"].to_pylist()
+    sha[0] = "0" * 64
+    t = t.set_column(t.schema.get_field_index("content_sha256"),
+                     "content_sha256", pa.array(sha, t["content_sha256"].type))
+    pq.write_table(t, files[0])
+    _drop_crc(files[0])
+    from spyglass_spark.index.fsck import fsck
+
+    src = spark.createDataFrame([
+        {"doc_id": d["doc_id"], "content": d["content"]}
+        for d in built_index["docs"]])
+    row = [r for r in fsck(spark, index_copy, source=src).collect()
+           if r["field"] == "<source_sha>"][0]
+    assert row["violations"] >= 1
+
+
 def test_audit_plan_payload_never_shuffled(spark, built_index):
     """The payload branch must be Scan → Project → MapInPandas with no
     Exchange in between — index bytes are read once and never shuffled;
