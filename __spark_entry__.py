@@ -742,9 +742,16 @@ def q_search_custom_boost(spark, sf_dir):  # fixture-oracle
     distinct hash from search_bm25's."""
     eng = _get_custom_engine(spark, sf_dir)
     top_url = eng.search("spark merge join", k=1).collect()[0]["url"]
-    v = int(_custom_docs(spark, sf_dir)
-            .filter(F.col("url") == top_url).select("cf_stars")
-            .collect()[0][0])
+    # cf_stars of the top hit without re-running the full document
+    # derivation (tags joins, UUID5/sha2): rebuild only the url column
+    # from the corpus CTE and prune to (url, length % 500)
+    corpus = load_corpus(spark, sf_dir)
+    url = F.concat(F.lit("repo://"), F.col("repo"), F.lit("/"),
+                   F.col("path"), F.lit("@"), F.col("commit"))
+    v = int(corpus.select(url.alias("url"),
+                          (F.length("content") % 500).alias("stars"))
+                  .filter(F.col("url") == top_url)
+                  .collect()[0]["stars"])
     return _contract_hits(eng.search(
         "spark merge join", boosts=[("custom:stars", v, 2.0)], k=10))
 

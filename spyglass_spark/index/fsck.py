@@ -164,7 +164,16 @@ def _fsck_gen(spark: SparkSession, index_dir: str, prefix: str,
                        .groupBy("field")
                        .agg(F.sum("bad").alias("norm_mismatches")))
 
-    # doc_meta ordinal structure — two pruned int columns, pure SQL
+    # doc_meta ordinal structure — pruned int columns, pure SQL. The live
+    # row count must equal the LINEAGE row's df_part (the builder writes
+    # it as the part's doc count and the merge maintains it as
+    # docs − dropped), so LOST doc_meta rows are detected too — a doc
+    # that still ranks but has no stored fields is corruption, not a
+    # legitimate merge hole.
+    from .builder import KIND_LINEAGE
+
+    live = (store.filter(F.col("kind") == KIND_LINEAGE)
+                 .select("part_id", F.col("df_part").alias("live_docs")))
     dm = (store.filter(F.col("kind") == KIND_DOCMETA)
                .groupBy("part_id")
                .agg(F.count("*").alias("n"),
@@ -172,11 +181,12 @@ def _fsck_gen(spark: SparkSession, index_dir: str, prefix: str,
                     F.min("local_ord").alias("lo"),
                     F.max("local_ord").alias("hi"),
                     F.first("n_local").alias("n_local"))
+               .join(live, "part_id", "full_outer")
                .select(F.lit("<doc_meta>").alias("field"),
-                       F.col("n").alias("chunks"),
+                       F.coalesce("n", F.lit(0)).alias("chunks"),
                        ((F.col("nd") != F.col("n")) | (F.col("lo") < 0)
                         | (F.col("hi") >= F.col("n_local"))
-                        | (F.col("n") > F.col("n_local")))
+                        | ~F.col("n").eqNullSafe(F.col("live_docs")))
                        .cast("long").alias("violations"))
                .groupBy("field")
                .agg(F.sum("chunks").alias("chunks"),
@@ -189,18 +199,21 @@ def _fsck_gen(spark: SparkSession, index_dir: str, prefix: str,
                        .agg(F.sum("df_part").alias("df2"),
                             F.sum("cf_part").alias("cf2")))
     stats = spark.read.parquet(f"{index_dir}/{prefix}/term_stats")
+    # null-safe: a corrupt NULL df/cf in a stats row must count as a
+    # mismatch, not evaluate the comparison to NULL and vanish from sum()
     mism = (stats.join(stored, ["field", "term"], "full_outer")
-                 .withColumn("bad", (F.col("df").isNull()
-                                     | F.col("df2").isNull()
-                                     | (F.col("df") != F.col("df2"))
-                                     | (F.col("cf") != F.col("cf2")))
+                 .withColumn("bad",
+                             (~F.col("df").eqNullSafe(F.col("df2"))
+                              | ~F.col("cf").eqNullSafe(F.col("cf2")))
                              .cast("long"))
                  .groupBy("field")
                  .agg(F.count("*").alias("n_terms"),
                       F.sum("bad").alias("stats_mismatches")))
 
+    # full_outer: a field present ONLY in term_stats (its store rows
+    # lost, or garbage stats for a nonexistent field) must still surface
     fields = (audited.join(norm_bad, "field", "full_outer")
-                     .join(mism, "field", "left_outer")
+                     .join(mism, "field", "full_outer")
                      .select(F.lit(prefix).alias("gen"), "field",
                              F.coalesce("chunks", F.lit(0)).alias("chunks"),
                              F.coalesce("n_terms", F.lit(0)).alias("n_terms"),
@@ -267,8 +280,11 @@ def _source_sha_report(spark: SparkSession, index_dir: str, m,
         dm = dm.join(dead, "doc_ord", "left_anti")
     src = source.select("doc_id", F.sha2(F.col("content"), 256).alias("sha"))
     joined = dm.join(src, "doc_id", "left_outer")
-    return (joined.select(((F.col("sha").isNull())
-                           | (F.col("content_sha256") != F.col("sha")))
+    # null-safe: a NULL stored hash (or a doc missing from the source)
+    # is a violation, never a NULL that vanishes from sum()
+    return (joined.select((F.col("sha").isNull()
+                           | ~F.col("content_sha256").eqNullSafe(
+                               F.col("sha")))
                           .cast("long").alias("bad"))
                   .agg(F.count("*").alias("chunks"),
                        F.sum("bad").alias("violations"))

@@ -91,18 +91,60 @@ def test_detects_lying_df_metadata(spark, index_copy):
     assert sum(r["stats_mismatches"] for r in rep.values()) >= 1
 
 
-def test_detects_corrupt_term_stats(spark, index_copy):
+def _tamper_stats(index_copy, new_cf_first):
     files = sorted(glob.glob(f"{index_copy}/segments/term_stats/*.parquet"))
     t = pq.read_table(files[0])
     cf = t["cf"].to_pylist()
-    cf[0] += 7
+    cf[0] = new_cf_first(cf[0])
     t = t.set_column(t.schema.get_field_index("cf"), "cf",
                      pa.array(cf, t["cf"].type))
     pq.write_table(t, files[0])
     _drop_crc(files[0])
+
+
+def test_detects_corrupt_term_stats(spark, index_copy):
+    _tamper_stats(index_copy, lambda v: v + 7)
     rep = _report(spark, index_copy)
     assert sum(r["stats_mismatches"] for r in rep.values()) >= 1
     assert sum(r["violations"] for r in rep.values()) == 0
+
+
+def test_detects_null_cf_in_term_stats(spark, index_copy):
+    """A NULL cf must count as a mismatch, not evaluate the comparison to
+    NULL and vanish from the sum."""
+    _tamper_stats(index_copy, lambda v: None)
+    rep = _report(spark, index_copy)
+    assert sum(r["stats_mismatches"] for r in rep.values()) >= 1
+
+
+def test_detects_field_present_only_in_term_stats(spark, index_copy):
+    """Garbage stats rows for a field with NO store rows (or a field whose
+    entire store payload was lost) must surface — the report join is
+    full-outer on field."""
+    files = sorted(glob.glob(f"{index_copy}/segments/term_stats/*.parquet"))
+    t = pq.read_table(files[0])
+    ghost = {c: [t[c][0].as_py()] for c in t.schema.names}
+    ghost["field"] = ["ghostfield"]
+    t2 = pa.concat_tables([t, pa.table(ghost, schema=t.schema)])
+    pq.write_table(t2, files[0])
+    _drop_crc(files[0])
+    rep = _report(spark, index_copy)
+    row = rep[("segments", "ghostfield")]
+    assert row["stats_mismatches"] >= 1
+
+
+def test_detects_lost_doc_meta_row(spark, index_copy):
+    """A doc that still ranks in postings but lost its stored fields is
+    corruption on a fresh index — the doc_meta count is cross-checked
+    against the lineage live-doc count."""
+    files = sorted(glob.glob(
+        f"{index_copy}/segments/store/wave=*/kind=3/*.parquet"))
+    t = pq.read_table(files[0])
+    assert t.num_rows > 1
+    pq.write_table(t.slice(1), files[0])     # drop the first doc_meta row
+    _drop_crc(files[0])
+    rep = _report(spark, index_copy)
+    assert rep[("segments", "<doc_meta>")]["violations"] >= 1
 
 
 def test_audit_clean_after_delete_and_merge(spark, built_index, index_copy):
