@@ -21,7 +21,9 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-FLAG = "/tmp/quietbench.running"
+from tools import flagutil  # noqa: E402
+
+FLAG = flagutil.FLAG
 
 
 def loadavg() -> float:
@@ -47,13 +49,15 @@ def main() -> None:
         if mini < args.min_mini:
             time.sleep(args.sleep)
             continue
-        open(FLAG, "w").close()
+        if not flagutil.acquire():
+            time.sleep(args.sleep)
+            continue
         try:
             out = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"),
                  "--query-scaling"], capture_output=True, text=True)
         finally:
-            os.unlink(FLAG)
+            flagutil.release()
         captures += 1
         rec = None
         for ln in reversed((out.stdout or "").strip().splitlines()):

@@ -17,8 +17,10 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+from tools import flagutil  # noqa: E402
+
 LOG = os.path.join(REPO, "quiet_bench_log.jsonl")
-FLAG = "/tmp/quietbench.running"
+FLAG = flagutil.FLAG
 
 
 def loadavg() -> float:
@@ -188,14 +190,9 @@ def main() -> None:
                          "clean bracketed captures on file")
     args = ap.parse_args()
 
-    # clear a stale flag left by a killed run (the supervising task has a
-    # hard wall-clock cap; an attempt interrupted mid-leg must not block
-    # every future attempt)
-    try:
-        if os.path.exists(FLAG) and time.time() - os.path.getmtime(FLAG) > 900:
-            os.unlink(FLAG)
-    except OSError:
-        pass
+    # stale/orphaned flags are reaped inside flagutil.acquire (3600 s —
+    # longer than any legitimate attempt; a 900 s reaper once killed the
+    # coordination under a slow 4→16 leg pair)
 
     while True:
         quiet = loadavg() < args.quiet_load and not os.path.exists(FLAG)
@@ -210,11 +207,13 @@ def main() -> None:
                     "loadavg": loadavg()}) + "\n")
             quiet = mini >= args.min_mini_rate
         if quiet:
-            open(FLAG, "w").close()
+            if not flagutil.acquire():
+                time.sleep(args.sleep_noisy)  # another measurement holds it
+                continue
             try:
                 rec = attempt(args.min_kernel_eff, args.min_pair_lo)
             finally:
-                os.unlink(FLAG)
+                flagutil.release()
             rec["mini_rate"] = round(mini, 1)
             with open(LOG, "a") as f:
                 f.write(json.dumps(rec) + "\n")

@@ -19,7 +19,9 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-FLAG = "/tmp/quietbench.running"
+from tools import flagutil  # noqa: E402
+
+FLAG = flagutil.FLAG
 
 
 def loadavg() -> float:
@@ -47,13 +49,15 @@ def main() -> None:
         if mini < args.min_mini:
             time.sleep(args.sleep)
             continue
-        open(FLAG, "w").close()
+        if not flagutil.acquire():
+            time.sleep(args.sleep)
+            continue
         try:
             out = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"),
                  "--spot-queries"], capture_output=True, text=True)
         finally:
-            os.unlink(FLAG)
+            flagutil.release()
         captures += 1
         line = (out.stdout or "").strip().splitlines()
         rec = None
@@ -68,8 +72,8 @@ def main() -> None:
         # same-window query-scaling capture (the CPU-bound N→4N axis):
         # cheap relative to the spot run, and the best pair on record is
         # embedded in the committed bench as query_scaling_best
-        if rec and rec.get("mini_rate_after", 0) >= args.min_mini * 0.5:
-            open(FLAG, "w").close()
+        if rec and rec.get("mini_rate_after", 0) >= args.min_mini * 0.5 \
+                and flagutil.acquire():
             try:
                 q = subprocess.run(
                     [sys.executable, os.path.join(REPO, "bench.py"),
@@ -78,7 +82,7 @@ def main() -> None:
                 print(json.dumps({"query_scaling": tail[-1] if tail else None}),
                       flush=True)
             finally:
-                os.unlink(FLAG)
+                flagutil.release()
         if rec and rec["queries"].get("search_hot_term", 99) <= 4.0 and \
                 rec["mini_rate_after"] >= args.min_mini:
             print("in-band capture landed; stopping", flush=True)
