@@ -1,0 +1,50 @@
+#!/usr/bin/env python
+"""Extended parity soak: the committed pytest fuzz gate runs 3 seeds;
+this driver runs the SAME body (tests/test_fuzz_parity.py — random
+corpora x random query shapes at random P/waves: rank identity + bitwise
+float32 scores vs the scalar oracle, offset paging, search_after cursor
+walks, and a clean fsck audit per build) across many fresh seeds.
+
+Usage: python tools/parity_soak.py [n_seeds] [first_seed]
+Prints one summary JSON line; any failure raises with the seed attached.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    first = int(sys.argv[2]) if len(sys.argv) > 2 else 9000
+    import tempfile
+
+    from pyspark.sql import SparkSession  # noqa: F401
+    from test_fuzz_parity import test_randomized_rank_identity
+
+    from spyglass_spark.session import get_spark
+
+    spark = get_spark("soak", master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    import pathlib
+
+    for i in range(n):
+        seed = first + i
+        with tempfile.TemporaryDirectory() as td:
+            test_randomized_rank_identity(spark, pathlib.Path(td), seed)
+        print(json.dumps({"seed": seed, "ok": True,
+                          "elapsed": round(time.time() - t0, 1)}),
+              flush=True)
+    print(json.dumps({"soak": "clean", "seeds": n, "first": first,
+                      "wall_sec": round(time.time() - t0, 1)}), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
