@@ -33,7 +33,7 @@ from ..analysis.analyzer import analyze
 from ..index.fieldnorm import fieldnorm_to_id, id_to_fieldnorm
 from ..query.compiler import CompiledQuery, compile_expanded, compile_query
 from ..query.expand import (DEFAULT_MAX_EXPANSIONS, levenshtein_le,
-                            normalize_pattern)
+                            normalize_pattern, normalize_wildcard)
 from ..query.scoring import K1, bm25_weight, idf, norm_cache, sloppy_phrase_count
 
 BASE_FIELDS = ("content", "title", "id", "domain", "url", "tags")
@@ -283,6 +283,40 @@ class OracleIndex:
         per_field = {f: self._expand(f, lambda t: t.startswith(norm),
                                      max_expansions)
                      for f in fields} if norm else {}
+        return self.execute(compile_expanded(per_field, filters, boosts),
+                            k=k, offset=offset)
+
+    def search_wildcard(self, pattern: str, k: int = 5, offset: int = 0,
+                        fields=("content", "title"),
+                        max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+                        filters=(), boosts=()):
+        """Matches with stdlib ``fnmatch.fnmatchcase`` — deliberately a
+        DIFFERENT matcher than the engine's regex translation (on the
+        normalized alphabet [a-z0-9*?] the languages coincide), so
+        parity checks the translation as well as the pruned read."""
+        from fnmatch import fnmatchcase
+
+        norm = normalize_wildcard(pattern)
+        per_field = {f: self._expand(f, lambda t: fnmatchcase(t, norm),
+                                     max_expansions)
+                     for f in fields} if norm else {}
+        return self.execute(compile_expanded(per_field, filters, boosts),
+                            k=k, offset=offset)
+
+    def search_regex(self, pattern: str, k: int = 5, offset: int = 0,
+                     fields=("content", "title"),
+                     max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+                     filters=(), boosts=()):
+        """Anchored fullmatch over the WHOLE enumerated dictionary — no
+        literal-prefix pruning, so parity against the engine checks
+        ``regex_literal_prefix``'s safety on every tested pattern."""
+        import re as _re
+
+        rx = _re.compile(pattern)
+        per_field = {
+            f: self._expand(f, lambda t: rx.fullmatch(t) is not None,
+                            max_expansions)
+            for f in fields} if pattern else {}
         return self.execute(compile_expanded(per_field, filters, boosts),
                             k=k, offset=offset)
 

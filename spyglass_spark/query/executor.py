@@ -50,7 +50,8 @@ from ..index.codecs import (decode_positions_selected, decode_postings,
 from ..index.manifest import Manifest, load_manifest
 from .compiler import CompiledQuery, compile_expanded, compile_query
 from .expand import (DEFAULT_MAX_EXPANSIONS, expand_fuzzy, expand_prefix,
-                     normalize_pattern)
+                     expand_regex, expand_wildcard, normalize_pattern,
+                     normalize_wildcard)
 from .scoring import (K1, idf, norm_cache, score_postings,
                       sloppy_phrase_count, sloppy_phrase_counts_batch)
 
@@ -749,6 +750,51 @@ class SearchEngine:
         cq = compile_expanded(per_field, filters=filters, boosts=boosts)
         return self._run_compiled_batch(
             [cq], [f"fuzzy:{term}~{distance}"], k, offset, algo,
+            afters=[search_after]).drop("query_id")
+
+    def search_wildcard(self, pattern: str, k: int = 5, offset: int = 0,
+                        fields: tuple = EXPAND_FIELDS,
+                        max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+                        filters=(), boosts=(), algo: str = "auto",
+                        search_after=None) -> DataFrame:
+        """``s?ar*``: Lucene/tantivy WildcardQuery — dictionary terms
+        fullmatching the normalized pattern (query/expand.py contract)
+        scored as a Should group. The expansion is a driver-side pyarrow
+        read range-pruned by the literal run before the first
+        metacharacter; a leading-wildcard pattern scans the field's
+        dictionary slice (linear in vocabulary, documented). Paging via
+        ``offset``/``search_after`` composes exactly as in ``search``."""
+        norm = normalize_wildcard(pattern)
+        stats = self._paths("term_stats")
+        per_field = {f: [t for t, _ in expand_wildcard(stats, f, norm,
+                                                       max_expansions)]
+                     for f in fields} if norm else {}
+        self.last_expansion = per_field
+        cq = compile_expanded(per_field, filters=filters, boosts=boosts)
+        return self._run_compiled_batch(
+            [cq], [f"wildcard:{pattern}"], k, offset, algo,
+            afters=[search_after]).drop("query_id")
+
+    def search_regex(self, pattern: str, k: int = 5, offset: int = 0,
+                     fields: tuple = EXPAND_FIELDS,
+                     max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+                     filters=(), boosts=(), algo: str = "auto",
+                     search_after=None) -> DataFrame:
+        """tantivy RegexQuery (the query.rs:119,163 todo's general
+        form): anchored fullmatch of a raw regex against the dictionary.
+        The pattern is NOT analyzed — terms are lowercase+folded, so
+        callers write the pattern against that alphabet (Lucene
+        RegexpQuery behaves identically). Range-pruned when
+        ``regex_literal_prefix`` extracts a safe literal run; otherwise
+        the field's dictionary slice is scanned (vocab-scale)."""
+        stats = self._paths("term_stats")
+        per_field = {f: [t for t, _ in expand_regex(stats, f, pattern,
+                                                    max_expansions)]
+                     for f in fields} if pattern else {}
+        self.last_expansion = per_field
+        cq = compile_expanded(per_field, filters=filters, boosts=boosts)
+        return self._run_compiled_batch(
+            [cq], [f"regex:{pattern}"], k, offset, algo,
             afters=[search_after]).drop("query_id")
 
     def _fuzzy_dict_paths(self) -> list[str] | None:

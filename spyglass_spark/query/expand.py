@@ -34,9 +34,13 @@ title 2.0, query.rs:96-102 constants).
 
 from __future__ import annotations
 
+import re
+
 from ..analysis.analyzer import MAX_TOKEN_BYTES, _TOKEN_RE, ascii_fold
 
 DEFAULT_MAX_EXPANSIONS = 50
+
+_WILDCARD_CHARS = frozenset("*?")
 
 
 def normalize_pattern(pattern: str) -> str:
@@ -49,6 +53,84 @@ def normalize_pattern(pattern: str) -> str:
         return ""
     tok = ascii_fold(m.group(0).lower())
     return "" if len(tok.encode("utf-8")) > MAX_TOKEN_BYTES else tok
+
+
+def normalize_wildcard(pattern: str) -> str:
+    """Lowercase + ascii-fold the LITERAL runs of a ``*``/``?`` wildcard
+    pattern the way the analyzers normalize terms, preserving the
+    metacharacters (the pattern itself is not analyzed — Lucene
+    WildcardQuery semantics). Dictionary terms are single alphanumeric
+    tokens, so a pattern whose folded literals contain any non-token
+    character, or whose literal bytes alone exceed the 40-byte
+    RemoveLongFilter cap, can match nothing and normalizes to '' — as
+    does a pattern with no literal character at all (a bare ``*``
+    match-all is refused)."""
+    out: list[str] = []
+    lit: list[str] = []
+    n_lit = 0
+
+    def flush() -> bool:
+        nonlocal n_lit
+        if not lit:
+            return True
+        run = ascii_fold("".join(lit).lower())
+        lit.clear()
+        if not _TOKEN_RE.fullmatch(run):
+            return False
+        n_lit += len(run.encode("utf-8"))
+        out.append(run)
+        return True
+
+    for ch in pattern:
+        if ch in _WILDCARD_CHARS:
+            if not flush():
+                return ""
+            out.append(ch)
+        else:
+            lit.append(ch)
+    if not flush() or n_lit == 0 or n_lit > MAX_TOKEN_BYTES:
+        return ""
+    return "".join(out)
+
+
+def wildcard_regex(pattern: str):
+    """Compiled matcher (use ``.fullmatch``) for a NORMALIZED wildcard
+    pattern: ``*`` → ``.*``, ``?`` → ``.``, literals escaped. The scalar
+    oracle independently matches with stdlib ``fnmatch.fnmatchcase`` —
+    on the post-normalization alphabet ``[a-z0-9*?]`` the two languages
+    coincide, so parity tests check this translation, not just the
+    scoring downstream of it."""
+    return re.compile("".join(
+        ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+        for ch in pattern))
+
+
+def wildcard_literal_prefix(pattern: str) -> str:
+    """Literal run before the first metacharacter — the range-pruning
+    key for the dictionary read (``spar*k`` prunes on ``spar``; a
+    leading wildcard yields '' = no pruning)."""
+    i = 0
+    while i < len(pattern) and pattern[i] not in _WILDCARD_CHARS:
+        i += 1
+    return pattern[:i]
+
+
+def regex_literal_prefix(pattern: str) -> str:
+    """Largest SAFE literal prefix of an anchored regex for range
+    pruning. Conservative: alternation/group/class/escape anywhere
+    defeats pruning (``abc|xyz`` must not prune to ``abc``); otherwise
+    the leading alphanumeric run, minus its final character when a
+    quantifier follows it (``abc*`` matches ``ab`` — prune on ``ab``;
+    in ``ab.*`` the quantifier binds the ``.``, so ``ab`` stands)."""
+    if any(c in pattern for c in "|([\\"):
+        return ""
+    i = 0
+    while i < len(pattern) and pattern[i].isalnum():
+        i += 1
+    lit = pattern[:i]
+    if i < len(pattern) and pattern[i] in "*?+{":
+        lit = lit[:-1]
+    return lit
 
 
 def prefix_upper_bound(prefix: str) -> str | None:
@@ -160,6 +242,61 @@ def expand_prefix(stats_paths, field: str, prefix: str,
     if ub is not None:
         flt = flt & (pads.field("term") < ub)
     return _rank_cap(_read_terms(stats_paths, flt), max_expansions)
+
+
+def _expand_matching(stats_paths, field: str, literal_prefix: str, match,
+                     cap: int) -> list[tuple[str, int]]:
+    """Shared candidate read for wildcard/regex: range-pruned to
+    [prefix, upper) when a safe literal prefix exists (the same
+    row-group pruning as expand_prefix), the field's whole dictionary
+    slice otherwise — the documented linear-in-VOCABULARY fallback for
+    leading-wildcard / untethered-regex patterns, the same cost profile
+    as sidecar-less fuzzy. The dictionary is vocab-scale (millions of
+    terms at 100 TB, not billions of docs) and the read stays in the
+    pyarrow metadata plane: no Spark job either way."""
+    import pyarrow.dataset as pads
+
+    flt = pads.field("field") == field
+    if literal_prefix:
+        flt = flt & (pads.field("term") >= literal_prefix)
+        ub = prefix_upper_bound(literal_prefix)
+        if ub is not None:
+            flt = flt & (pads.field("term") < ub)
+    cands = {t: d for t, d in _read_terms(stats_paths, flt).items()
+             if match(t)}
+    return _rank_cap(cands, cap)
+
+
+def expand_wildcard(stats_paths, field: str, pattern: str,
+                    max_expansions: int = DEFAULT_MAX_EXPANSIONS
+                    ) -> list[tuple[str, int]]:
+    """Dictionary terms fullmatching a NORMALIZED wildcard pattern as
+    [(term, df)], ranked df DESC / term ASC, capped. Range-pruned by the
+    literal run before the first metacharacter."""
+    if not pattern:
+        return []
+    rx = wildcard_regex(pattern)
+    return _expand_matching(stats_paths, field,
+                            wildcard_literal_prefix(pattern),
+                            lambda t: rx.fullmatch(t) is not None,
+                            max_expansions)
+
+
+def expand_regex(stats_paths, field: str, pattern: str,
+                 max_expansions: int = DEFAULT_MAX_EXPANSIONS
+                 ) -> list[tuple[str, int]]:
+    """Dictionary terms fullmatching an anchored regex (tantivy
+    RegexQuery semantics: the pattern is matched verbatim against the
+    lowercase+folded dictionary, never analyzed) as [(term, df)],
+    ranked df DESC / term ASC, capped. Range-pruned only when
+    ``regex_literal_prefix`` finds a safe literal run."""
+    if not pattern:
+        return []
+    rx = re.compile(pattern)
+    return _expand_matching(stats_paths, field,
+                            regex_literal_prefix(pattern),
+                            lambda t: rx.fullmatch(t) is not None,
+                            max_expansions)
 
 
 def expand_fuzzy(stats_paths, field: str, term: str, distance: int = 1,

@@ -8,7 +8,11 @@ import pytest
 from spyglass_spark.query.expand import (deletion_variants, expand_fuzzy,
                                          expand_prefix, levenshtein_le,
                                          normalize_pattern,
-                                         prefix_upper_bound)
+                                         normalize_wildcard,
+                                         prefix_upper_bound,
+                                         regex_literal_prefix,
+                                         wildcard_literal_prefix,
+                                         wildcard_regex)
 
 
 def test_normalize_pattern():
@@ -17,6 +21,51 @@ def test_normalize_pattern():
     assert normalize_pattern("  ++  ") == ""
     assert normalize_pattern("x" * 41) == ""  # RemoveLongFilter cap
     assert normalize_pattern("x" * 40) == "x" * 40
+
+
+def test_normalize_wildcard():
+    assert normalize_wildcard("Spar*") == "spar*"
+    assert normalize_wildcard("S?ar*K") == "s?ar*k"
+    assert normalize_wildcard("Ré?umé") == "re?ume"
+    assert normalize_wildcard("*sion") == "*sion"
+    assert normalize_wildcard("*") == ""          # match-all refused
+    assert normalize_wildcard("??") == ""
+    assert normalize_wildcard("foo-bar*") == ""   # '-' never in a term
+    assert normalize_wildcard("") == ""
+    assert normalize_wildcard("x" * 41 + "*") == ""  # literal-byte cap
+    assert normalize_wildcard("x" * 40 + "*") == "x" * 40 + "*"
+
+
+def test_wildcard_regex_agrees_with_fnmatch():
+    """Engine translation vs the oracle's stdlib matcher on the full
+    normalized alphabet — exhaustive small-universe cross-check."""
+    from fnmatch import fnmatchcase
+    from itertools import product
+
+    terms = ["", "a", "b", "ab", "ba", "aab", "abab", "abc0", "a0b"]
+    pats = ["".join(p) for n in range(4)
+            for p in product("ab*?", repeat=n)]
+    for pat in pats:
+        rx = wildcard_regex(pat)
+        for t in terms:
+            assert (rx.fullmatch(t) is not None) == fnmatchcase(t, pat), \
+                (pat, t)
+
+
+def test_wildcard_and_regex_literal_prefix():
+    assert wildcard_literal_prefix("spar*k") == "spar"
+    assert wildcard_literal_prefix("*sion") == ""
+    assert wildcard_literal_prefix("s?ar") == "s"
+    assert regex_literal_prefix("abc") == "abc"
+    assert regex_literal_prefix("abc.*") == "abc"   # quantifier binds '.'
+    assert regex_literal_prefix("abc*") == "ab"     # quantifier binds 'c'
+    assert regex_literal_prefix("abc?d") == "ab"
+    assert regex_literal_prefix("abc{0,2}") == "ab"
+    assert regex_literal_prefix("abc|xyz") == ""    # alternation: no prune
+    assert regex_literal_prefix("(ab)c") == ""
+    assert regex_literal_prefix("[ab]c") == ""
+    assert regex_literal_prefix(r"ab\d") == ""
+    assert regex_literal_prefix(".*x") == ""
 
 
 def test_prefix_upper_bound():
@@ -137,6 +186,58 @@ def test_search_prefix_with_filters(engines):
     got = _hits(eng.search_prefix("re", k=8, filters=[("tag", 1)]).collect())
     want = _hits(oracle.search_prefix("re", k=8, filters=[("tag", 1)]))
     assert got == want
+
+
+WILDCARD_PATS = ["re?", "*sion", "zzq*", "*", "m?rg*", "s*k", "t??",
+                 "Rec*", "f*"]
+
+
+def test_search_wildcard_parity(engines):
+    """Engine wildcard (range-pruned read + regex translation) must
+    equal the oracle's whole-dictionary fnmatch enumeration bitwise —
+    including leading-wildcard (unpruned) and no-match patterns."""
+    eng, oracle = engines
+    for pat in WILDCARD_PATS:
+        got = _hits(eng.search_wildcard(pat, k=8).collect())
+        want = _hits(oracle.search_wildcard(pat, k=8))
+        assert got == want, pat
+    assert eng.last_meta["spark_jobs"] <= 1
+
+
+REGEX_PATS = ["f[a-z]*n", "merg(e|ed)?", "zzq.*", "[a-z]*sion",
+              "q[aeiou].*", "t.", "re.*"]
+
+
+def test_search_regex_parity(engines):
+    """Engine regex (literal-prefix-pruned when safe) vs the oracle's
+    unpruned enumeration — alternation/class patterns exercise the
+    prune-defeat rule in regex_literal_prefix."""
+    eng, oracle = engines
+    for pat in REGEX_PATS:
+        got = _hits(eng.search_regex(pat, k=8).collect())
+        want = _hits(oracle.search_regex(pat, k=8))
+        assert got == want, pat
+    assert eng.last_meta["spark_jobs"] <= 1
+
+
+def test_search_wildcard_wand_matches_exhaustive(engines):
+    eng, _ = engines
+    for pat in ["f*", "re?"]:
+        auto = _hits(eng.search_wildcard(pat, k=10).collect())
+        exh = _hits(eng.search_wildcard(pat, k=10,
+                                        algo="exhaustive").collect())
+        assert auto == exh, pat
+
+
+def test_search_wildcard_with_filters_and_paging(engines):
+    eng, oracle = engines
+    got = _hits(eng.search_wildcard("re*", k=8,
+                                    filters=[("tag", 1)]).collect())
+    want = _hits(oracle.search_wildcard("re*", k=8, filters=[("tag", 1)]))
+    assert got == want
+    full = _hits(eng.search_wildcard("re*", k=10).collect())
+    page2 = _hits(eng.search_wildcard("re*", k=5, offset=5).collect())
+    assert page2 == full[5:]
 
 
 def test_fuzzy_candidates_op_vs_duckdb(spark):

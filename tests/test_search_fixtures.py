@@ -29,6 +29,8 @@ FIXTURE_QUERIES = [
     "search_highlight",
     "search_prefix",
     "search_fuzzy",
+    "search_wildcard",
+    "search_regex",
     "search_facets",
     "search_custom_boost",
 ]

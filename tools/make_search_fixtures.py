@@ -262,6 +262,13 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
         oracle.search_prefix("s", k=10), om, ckey)
     out["search_fuzzy"] = hits_to_rows(
         oracle.search_fuzzy("sow", k=10), om, ckey)
+    # wildcard: oracle matches via stdlib fnmatch (engine: its own regex
+    # translation + literal-prefix-pruned read); 's?a*' hits scan/spark/
+    # small/... — regex: alternation exercises the prune-defeat rule
+    out["search_wildcard"] = hits_to_rows(
+        oracle.search_wildcard("s?a*", k=10), om, ckey)
+    out["search_regex"] = hits_to_rows(
+        oracle.search_regex("(scan|merg|valu)", k=10), om, ckey)
     out["search_facets"] = facet_rows(docs, ckey)
     return out
 
