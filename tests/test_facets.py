@@ -120,6 +120,67 @@ def test_facet_counts_scalar_column(eng, built_index):
     assert got == expect
 
 
+def _brute_histogram(docs, query, interval_us, date_col="lastmodified",
+                     filters=()):
+    """Independent match-set + bucketing: same analyzed-token matcher as
+    _brute_facets, exact integer floor-division bucketing."""
+    from spyglass_spark.query.compiler import compile_query
+
+    cq = compile_query(query, filters)
+    counts: dict[int, int] = {}
+    for d in docs:
+        fields = {
+            "content": {t for _, t in tokenize_en(d["content"] or "")},
+            "title": {t for _, t in tokenize_default(d["title"] or "")},
+            "tags": {str(t) for t in d["tags"]},
+        }
+        should = any(t in fields.get(c.field, set())
+                     for c in cq.should_group for t in c.terms)
+        musts = all(all(t in fields.get(c.field, set()) for t in c.terms)
+                    for c in cq.musts)
+        if should and musts and d.get(date_col) is not None:
+            b = (d[date_col] // interval_us) * interval_us
+            counts[b] = counts.get(b, 0) + 1
+    return counts
+
+
+DAY_US = 86_400_000_000
+
+
+@pytest.mark.parametrize("interval_us", [DAY_US, 7 * DAY_US, 365 * DAY_US])
+def test_date_histogram_vs_bruteforce(eng, built_index, interval_us):
+    got = [(r["bucket"], r["n"])
+           for r in eng.date_histogram("merge join table",
+                                       interval_us=interval_us).collect()]
+    expect = sorted(_brute_histogram(built_index["docs"],
+                                     "merge join table",
+                                     interval_us).items())
+    assert got == expect
+    assert sum(n for _, n in got) > 0
+    # buckets strictly ascending and aligned to the interval
+    assert all(b % interval_us == 0 for b, _ in got)
+    assert [b for b, _ in got] == sorted({b for b, _ in got})
+
+
+def test_date_histogram_published_and_filter(eng, built_index):
+    tag = built_index["docs"][0]["tags"][0]
+    got = [(r["bucket"], r["n"])
+           for r in eng.date_histogram("fn index", filters=[("tag", tag)],
+                                       interval_us=DAY_US,
+                                       date_col="published").collect()]
+    expect = sorted(_brute_histogram(built_index["docs"], "fn index",
+                                     DAY_US, date_col="published",
+                                     filters=[("tag", tag)]).items())
+    assert got == expect
+
+
+def test_date_histogram_guards(eng):
+    with pytest.raises(ValueError, match="interval_us"):
+        eng.date_histogram("fn index", interval_us=0)
+    with pytest.raises(ValueError, match="Should"):
+        eng.date_histogram("")
+
+
 def test_facet_counts_zero_boost_guard(eng):
     with pytest.raises(ValueError, match="zero-boost"):
         eng.facet_counts("fn index", boosts=[("custom:priority", 7)])

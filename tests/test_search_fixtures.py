@@ -32,6 +32,7 @@ FIXTURE_QUERIES = [
     "search_wildcard",
     "search_regex",
     "search_facets",
+    "search_date_histogram",
     "search_custom_boost",
 ]
 

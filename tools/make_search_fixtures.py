@@ -270,10 +270,40 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
     out["search_regex"] = hits_to_rows(
         oracle.search_regex("(scan|merg|valu)", k=10), om, ckey)
     out["search_facets"] = facet_rows(docs, ckey)
+    out["search_date_histogram"] = histogram_rows(docs, ckey)
     return out
 
 
 FACET_FIELDS = [("tag_id", pa.int64()), ("n", pa.int64())]
+HIST_FIELDS = [("bucket", pa.int64()), ("n", pa.int64())]
+DAY_US = 86_400_000_000
+
+
+def histogram_rows(docs: list[dict], ckey: int,
+                   query: str = "spark merge join",
+                   interval_us: int = 7 * DAY_US,
+                   date_col: str = "lastmodified") -> list[dict]:
+    """Expected date_histogram output: the facet_rows brute-force match
+    set, docs bucketed by exact integer floor division of the µs date —
+    independent of the engine's posting-union/leftsemi plan and its
+    `div` SQL arithmetic."""
+    from spyglass_spark.analysis.analyzer import tokenize_default, tokenize_en
+    from spyglass_spark.query.compiler import compile_query
+
+    cq = compile_query(query)
+    counts: dict[int, int] = {}
+    for d in docs:
+        fields = {
+            "content": {t for _, t in tokenize_en(d["content"] or "")},
+            "title": {t for _, t in tokenize_default(d["title"] or "")},
+        }
+        should = any(t in fields.get(c.field, set())
+                     for c in cq.should_group for t in c.terms)
+        if should and d.get(date_col) is not None:
+            b = (d[date_col] // interval_us) * interval_us
+            counts[b] = counts.get(b, 0) + 1
+    return [{"corpus_key": ckey, "bucket": int(b), "n": int(n)}
+            for b, n in sorted(counts.items())]
 
 
 def facet_rows(docs: list[dict], ckey: int,
@@ -339,7 +369,8 @@ def main() -> None:
         for name, rows in build_fixtures(spark, sf_dir).items():
             merged[name].extend(rows)
     special = {"search_highlight": HIGHLIGHT_FIELDS,
-               "search_facets": FACET_FIELDS}
+               "search_facets": FACET_FIELDS,
+               "search_date_histogram": HIST_FIELDS}
     for name, rows in merged.items():
         write_fixture(name, rows, special.get(name))
 
