@@ -56,6 +56,11 @@ def main(argv=None, spark=None) -> int:
     s.add_argument("--modified-before-us", type=int, default=None)
     s.add_argument("--published-since-us", type=int, default=None)
     s.add_argument("--published-before-us", type=int, default=None)
+    s.add_argument("--mode", default="text",
+                   choices=["text", "prefix", "fuzzy", "wildcard", "regex"],
+                   help="query interpretation: free text (default) or a "
+                        "multi-term pattern rewrite over the dictionary")
+    s.add_argument("--fuzzy-distance", type=int, default=1)
     s.add_argument("--algo", default="auto", choices=["auto", "exhaustive"])
     s.add_argument("--as-of", type=int, default=None,
                    help="search the manifest snapshot at this commit_seq "
@@ -121,6 +126,23 @@ def main(argv=None, spark=None) -> int:
                     help="optional system-of-record table: also verify "
                          "every live doc's stored content_sha256 against "
                          "sha256 of the source content")
+
+    ag = sub.add_parser("agg", help="unscored aggregations over a query's "
+                                    "FULL match set (not top-k)")
+    ag.add_argument("--index", required=True)
+    ag.add_argument("--query", required=True)
+    ag.add_argument("--kind", default="facets",
+                    choices=["facets", "date-histogram"])
+    ag.add_argument("--facet-col", default="tags")
+    ag.add_argument("--interval-us", type=int, default=86_400_000_000,
+                    help="date-histogram bucket width in µs (default 1 day)")
+    ag.add_argument("--date-col", default="lastmodified",
+                    choices=["lastmodified", "published"])
+    ag.add_argument("--tag", type=int, action="append", default=[],
+                    help="tag filter Musts, repeatable")
+    ag.add_argument("--k", type=int, default=None,
+                    help="facets only: top-k facet values")
+    ag.add_argument("--as-of", type=int, default=None)
 
     args = p.parse_args(argv)
 
@@ -245,12 +267,40 @@ def main(argv=None, spark=None) -> int:
                 if v is not None:
                     filters.append((kind, v))
             boosts = [("tag", t) for t in args.boost_tag]
-            rows = eng.search(args.query, filters=filters, boosts=boosts,
-                              k=args.k, offset=args.offset,
-                              algo=args.algo).collect()
+            common = dict(filters=filters, boosts=boosts, k=args.k,
+                          offset=args.offset, algo=args.algo)
+            if args.mode == "text":
+                rows = eng.search(args.query, **common).collect()
+            elif args.mode == "fuzzy":
+                rows = eng.search_fuzzy(args.query,
+                                        distance=args.fuzzy_distance,
+                                        **common).collect()
+            else:
+                fn = {"prefix": eng.search_prefix,
+                      "wildcard": eng.search_wildcard,
+                      "regex": eng.search_regex}[args.mode]
+                rows = fn(args.query, **common).collect()
             for r in rows:
                 print(json.dumps({"rank": r["rank"], "doc_id": r["doc_id"],
                                   "url": r["url"], "score": float(r["score"])}))
+        elif args.cmd == "agg":
+            from spyglass_spark.query.executor import SearchEngine
+
+            eng = SearchEngine(spark, args.index, as_of=args.as_of)
+            filters = [("tag", t) for t in args.tag]
+            if args.kind == "facets":
+                rows = eng.facet_counts(args.query, filters=filters,
+                                        k_tags=args.k).collect()
+                for r in rows:
+                    print(json.dumps({"tag_id": r["tag_id"],
+                                      "n": int(r["n"])}))
+            else:
+                rows = eng.date_histogram(args.query, filters=filters,
+                                          interval_us=args.interval_us,
+                                          date_col=args.date_col).collect()
+                for r in rows:
+                    print(json.dumps({"bucket": int(r["bucket"]),
+                                      "n": int(r["n"])}))
     finally:
         if owns_session:
             spark.stop()

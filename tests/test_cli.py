@@ -98,3 +98,37 @@ def test_cli_lifecycle(spark, corpus_rows, tmp_path, capsys):
                                "--query", "fn index", "--k", "50"])
     assert not [h for h in map(json.loads, out.strip().splitlines())
                 if h["url"].startswith(f"repo://{dom}/")]
+
+
+def test_cli_pattern_search_and_agg(spark, built_index, capsys):
+    """--mode wildcard/regex dispatch and the agg subcommand (facets +
+    date-histogram) over an existing index, pinned to the scalar oracle
+    / interval alignment."""
+    idx = built_index["index_dir"]
+    oracle = built_index["oracle"]
+
+    out = _run(capsys, spark, ["search", "--index", idx, "--mode",
+                               "wildcard", "--query", "f?", "--k", "4"])
+    hits = [json.loads(x) for x in out.strip().splitlines()]
+    want = oracle.search_wildcard("f?", k=4)
+    assert [h["doc_id"] for h in hits] == [w["doc_id"] for w in want]
+    assert hits, "wildcard 'f?' must hit the fn term"
+
+    out = _run(capsys, spark, ["search", "--index", idx, "--mode", "regex",
+                               "--query", "(merg|fn)", "--k", "4"])
+    hits = [json.loads(x) for x in out.strip().splitlines()]
+    want = oracle.search_regex("(merg|fn)", k=4)
+    assert [h["doc_id"] for h in hits] == [w["doc_id"] for w in want]
+
+    out = _run(capsys, spark, ["agg", "--index", idx,
+                               "--query", "fn index"])
+    rows = [json.loads(x) for x in out.strip().splitlines()]
+    assert rows and all(r["n"] > 0 for r in rows)
+
+    week = 7 * 86_400_000_000
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind",
+                               "date-histogram", "--query", "fn index",
+                               "--interval-us", str(week)])
+    rows = [json.loads(x) for x in out.strip().splitlines()]
+    assert rows and all(r["bucket"] % week == 0 for r in rows)
+    assert sum(r["n"] for r in rows) > 0

@@ -118,6 +118,34 @@ def test_randomized_rank_identity(spark, tmp_path, seed):
             (seed, q, f, b)
         break
 
+    # wildcard/regex pattern queries hold the same rank-identity bar:
+    # random patterns derived from corpus words (prefix-star, single-?,
+    # leading-star) vs the oracle's independent fnmatch enumeration
+    for _ in range(4):
+        w = rng.choice(WORDS)
+        form = rng.randrange(3)
+        if form == 0:
+            pat = w[: max(1, len(w) // 2)] + "*"
+        elif form == 1 and len(w) >= 2:
+            i = rng.randrange(len(w))
+            pat = w[:i] + "?" + w[i + 1:]
+        else:
+            pat = "*" + w[-max(1, len(w) // 2):]
+        got = eng.search_wildcard(pat, k=6).collect()
+        exp = oracle.search_wildcard(pat, k=6)
+        assert [r["doc_id"] for r in got] == \
+            [h["doc_id"] for h in exp], (seed, pat)
+        for r, h in zip(got, exp):
+            assert np.isclose(np.float32(r["score"]), np.float32(h["score"]),
+                              rtol=1e-5), (seed, pat)
+    # regex: alternation (prune-defeat) and a pruned literal+class form
+    w1, w2 = rng.choice(WORDS), rng.choice(WORDS)
+    for pat in (f"({w1}|{w2})", f"{w1[:2]}[a-z]*"):
+        got = eng.search_regex(pat, k=6).collect()
+        exp = oracle.search_regex(pat, k=6)
+        assert [r["doc_id"] for r in got] == \
+            [h["doc_id"] for h in exp], (seed, pat)
+
     # every random corpus/P/waves build must pass the integrity audit
     from spyglass_spark.index.fsck import fsck
 

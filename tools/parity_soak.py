@@ -3,7 +3,8 @@
 this driver runs the SAME body (tests/test_fuzz_parity.py — random
 corpora x random query shapes at random P/waves: rank identity + bitwise
 float32 scores vs the scalar oracle, offset paging, search_after cursor
-walks, and a clean fsck audit per build) across many fresh seeds.
+walks, randomized wildcard/regex pattern queries vs the oracle's fnmatch
+enumeration, and a clean fsck audit per build) across many fresh seeds.
 
 Usage: python tools/parity_soak.py [n_seeds] [first_seed]
 Prints one summary JSON line; any failure raises with the seed attached.
