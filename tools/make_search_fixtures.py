@@ -271,12 +271,44 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
         oracle.search_regex("(scan|merg|valu)", k=10), om, ckey)
     out["search_facets"] = facet_rows(docs, ckey)
     out["search_date_histogram"] = histogram_rows(docs, ckey)
+    out["search_field_stats"] = stats_rows(docs, ckey)
     return out
 
 
 FACET_FIELDS = [("tag_id", pa.int64()), ("n", pa.int64())]
 HIST_FIELDS = [("bucket", pa.int64()), ("n", pa.int64())]
+STATS_FIELDS = [("n", pa.int64()), ("min", pa.int64()), ("max", pa.int64()),
+                ("sum", pa.int64()), ("avg", pa.float64())]
 DAY_US = 86_400_000_000
+
+
+def stats_rows(docs: list[dict], ckey: int,
+               query: str = "spark merge join",
+               col: str = "lastmodified") -> list[dict]:
+    """Expected field_stats output: one (n, min, max, sum, avg) row over
+    the brute-force match set's non-NULL dates. avg = float(sum)/n —
+    double(exact integer sum) then one double division, exactly the
+    engine's decimal-sum→double-division arithmetic (NOT Python's
+    correctly-rounded true-quotient int/int, which differs in the last
+    bit once the sum exceeds 2^53)."""
+    from spyglass_spark.analysis.analyzer import tokenize_default, tokenize_en
+    from spyglass_spark.query.compiler import compile_query
+
+    cq = compile_query(query)
+    vals = []
+    for d in docs:
+        fields = {
+            "content": {t for _, t in tokenize_en(d["content"] or "")},
+            "title": {t for _, t in tokenize_default(d["title"] or "")},
+        }
+        if any(t in fields.get(c.field, set())
+               for c in cq.should_group for t in c.terms) \
+                and d.get(col) is not None:
+            vals.append(int(d[col]))
+    assert vals, "stats fixture must be nonvacuous"
+    return [{"corpus_key": ckey, "n": len(vals), "min": min(vals),
+             "max": max(vals), "sum": sum(vals),
+             "avg": float(sum(vals)) / len(vals)}]
 
 
 def histogram_rows(docs: list[dict], ckey: int,
@@ -370,7 +402,8 @@ def main() -> None:
             merged[name].extend(rows)
     special = {"search_highlight": HIGHLIGHT_FIELDS,
                "search_facets": FACET_FIELDS,
-               "search_date_histogram": HIST_FIELDS}
+               "search_date_histogram": HIST_FIELDS,
+               "search_field_stats": STATS_FIELDS}
     for name, rows in merged.items():
         write_fixture(name, rows, special.get(name))
 
