@@ -149,6 +149,21 @@ section("Facet counts over the full match set",
         "  O(#tags) partial-aggregated groupBy. No scoring pass, no\n"
         "  position decode, no driver materialization.", 50)
 
+section("Date-histogram over the full match set",
+        eng.date_histogram("spark merge join",
+                           interval_us=7 * 86_400_000_000),
+        "- Same match-set subtree as facet_counts; the bucket expression\n"
+        "  is exact integer `div` arithmetic inside whole-stage codegen\n"
+        "  (no UDF, no float floor); ONE partial-aggregated groupBy on\n"
+        "  doc-local bucket keys -> skew-free shuffle, O(#buckets) rows.", 50)
+
+section("Field stats (StatsAggregation analog) over the full match set",
+        eng.field_stats("spark merge join"),
+        "- Single partial->final hash agg in codegen; sum accumulates in\n"
+        "  decimal(38,0) (order-independent, overflow-safe) and avg is\n"
+        "  one double division in the final project. Output is ONE row;\n"
+        "  nothing scales with the corpus past the match-set subtree.", 50)
+
 from spyglass_spark.index.fsck import fsck
 
 section("Index integrity audit (fsck)",
