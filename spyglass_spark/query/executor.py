@@ -1479,9 +1479,12 @@ class SearchEngine:
         # EXACT decimal sum, then ONE double division: F.avg(long)
         # accumulates in double, so its last bit depends on partition
         # order — a hash-graded row needs order-independent arithmetic.
-        # decimal(38,0) never overflows realistic µs-date sums (the long
-        # cast of the output column holds to ~9.2e18 ≈ 5k docs·year-2100;
-        # beyond that read the avg, not the sum).
+        # decimal(38,0) never overflows realistic µs-date sums; the
+        # BIGINT `sum` output column holds only to ~9.2e18 (≈5.4k docs
+        # of year-2100 dates), so it try_casts to NULL past that and
+        # callers at scale read the always-exact avg instead (a hard
+        # cast THROWS at ~6k matched docs — measured on the 320k-doc
+        # spot index before this guard).
         agg = dm.filter(c.isNotNull()).agg(
             F.count("*").alias("n"),
             F.min(c).alias("min"),
@@ -1489,7 +1492,7 @@ class SearchEngine:
             F.sum(c.cast("decimal(38,0)")).alias("_sum_exact"))
         return agg.select(
             "n", "min", "max",
-            F.col("_sum_exact").cast("long").alias("sum"),
+            F.expr("try_cast(_sum_exact AS BIGINT)").alias("sum"),
             (F.col("_sum_exact").cast("double")
              / F.col("n")).alias("avg"))
 

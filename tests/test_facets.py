@@ -204,6 +204,35 @@ def test_field_stats_empty_match(eng):
     assert row["n"] == 0 and row["min"] is None and row["sum"] is None
 
 
+def test_field_stats_sum_overflow_degrades_to_null(spark, tmp_path):
+    """The BIGINT sum column try_casts to NULL once the exact decimal
+    sum exceeds long range (~6k docs of µs dates — hit on the 320k-doc
+    spot index), while avg stays exact. A hard cast here THROWS; this
+    pins the degradation contract."""
+    import hashlib
+    import uuid
+
+    from spyglass_spark.corpus import SPYGLASS_NS
+    from spyglass_spark.index.builder import build_index
+    from spyglass_spark.query.executor import SearchEngine
+
+    big = 4_000_000_000_000_000_000  # 3 docs: sum 1.2e19 > 2^63-1
+    docs = []
+    for i in range(3):
+        url = f"repo://x/f{i}.rs@{'a' * 40}"
+        docs.append(dict(
+            doc_id=str(uuid.uuid5(SPYGLASS_NS, url)), url=url, domain="x",
+            title=f"f{i}.rs", content="overflow probe doc",
+            tags=[1], content_sha256=hashlib.sha256(b"c").hexdigest(),
+            published=big, lastmodified=big + i))
+    idx = str(tmp_path / "ovf")
+    build_index(spark, spark.createDataFrame(docs), idx, num_partitions=2)
+    row = SearchEngine(spark, idx).field_stats("overflow probe").collect()[0]
+    assert row["n"] == 3 and row["sum"] is None
+    assert row["min"] == big and row["max"] == big + 2
+    assert row["avg"] == float(3 * big + 3) / 3
+
+
 def test_date_histogram_guards(eng):
     with pytest.raises(ValueError, match="interval_us"):
         eng.date_histogram("fn index", interval_us=0)
