@@ -664,14 +664,62 @@ class SearchEngine:
         concatenate to precisely the one-shot top-N (pinned in
         tests/test_search_after.py at multiple P, WAND ≡ exhaustive).
 
+        Pattern shapes batch too: a dict may carry ``prefix`` /
+        ``wildcard`` / ``regex`` / ``fuzzy`` (optionally
+        ``fuzzy_distance``, ``max_expansions``) instead of ``query`` —
+        the expansion is the same driver-side metadata-plane read the
+        single-query methods use, so a mixed batch of N queries still
+        costs exactly ONE scoring job.
+
         Per-batch metadata (num_docs, term_counts, wall_time_ms — the
         SearchResults.meta analog, api/handler/search.rs:190-211) is left
         in ``self.last_meta``."""
-        compiled = [compile_query(q["query"], q.get("filters", ()), q.get("boosts", ()))
-                    for q in queries]
+        pairs = [self._compile_one(q) for q in queries]
         return self._run_compiled_batch(
-            compiled, [q["query"] for q in queries], k, offset, algo,
-            afters=[q.get("after") for q in queries])
+            [cq for cq, _ in pairs], [lbl for _, lbl in pairs], k, offset,
+            algo, afters=[q.get("after") for q in queries])
+
+    def _compile_one(self, q: dict):
+        """One batch entry → (CompiledQuery, label). Free-text compiles
+        directly; pattern shapes run the matching dictionary expansion
+        (driver-side pyarrow, no Spark job) and compile as a Should
+        group — identical semantics to the single-query methods."""
+        filters, boosts = q.get("filters", ()), q.get("boosts", ())
+        if "query" in q:
+            return (compile_query(q["query"], filters, boosts), q["query"])
+        cap = q.get("max_expansions", DEFAULT_MAX_EXPANSIONS)
+        stats = self._paths("term_stats")
+        if "prefix" in q:
+            norm = normalize_pattern(q["prefix"])
+            expand = (lambda f: expand_prefix(stats, f, norm, cap)) \
+                if norm else (lambda f: [])
+            label = f"prefix:{q['prefix']}"
+        elif "wildcard" in q:
+            norm = normalize_wildcard(q["wildcard"])
+            expand = (lambda f: expand_wildcard(stats, f, norm, cap)) \
+                if norm else (lambda f: [])
+            label = f"wildcard:{q['wildcard']}"
+        elif "regex" in q:
+            pat = q["regex"]
+            expand = (lambda f: expand_regex(stats, f, pat, cap)) \
+                if pat else (lambda f: [])
+            label = f"regex:{pat}"
+        elif "fuzzy" in q:
+            norm = normalize_pattern(q["fuzzy"])
+            dist = q.get("fuzzy_distance", 1)
+            fuzzy = self._fuzzy_dict_paths()
+            expand = (lambda f: expand_fuzzy(stats, f, norm, dist, cap,
+                                             fuzzy_paths=fuzzy)) \
+                if norm else (lambda f: [])
+            label = f"fuzzy:{q['fuzzy']}~{dist}"
+        else:
+            raise ValueError(
+                "batch entry needs one of query/prefix/wildcard/"
+                f"regex/fuzzy: {sorted(q)}")
+        per_field = {f: [t for t, _ in expand(f)]
+                     for f in self.EXPAND_FIELDS}
+        return (compile_expanded(per_field, filters=filters,
+                                 boosts=boosts), label)
 
     def _run_compiled_batch(self, compiled, labels, k, offset, algo,
                             afters=None) -> DataFrame:

@@ -266,3 +266,42 @@ def test_fuzzy_candidates_op_vs_duckdb(spark):
         """).fetchall())
     assert got == want
     assert len(got) > 0
+
+
+def test_search_many_mixed_pattern_batch(engines):
+    """A mixed batch (text + prefix + wildcard + regex + fuzzy) scores
+    in ONE Spark job and each slice equals its single-query twin."""
+    eng, _ = engines
+    eng.ensure_fuzzy_dict()
+    batch = [
+        {"query": "fn index"},
+        {"prefix": "re"},
+        {"wildcard": "f?"},
+        {"regex": "(merg|fn)"},
+        {"fuzzy": "sow", "fuzzy_distance": 1},
+    ]
+    res = eng.search_many(batch, k=6).collect()
+    assert eng.last_meta["spark_jobs"] <= 1
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    singles = [
+        eng.search("fn index", k=6),
+        eng.search_prefix("re", k=6),
+        eng.search_wildcard("f?", k=6),
+        eng.search_regex("(merg|fn)", k=6),
+        eng.search_fuzzy("sow", k=6),
+    ]
+    for qi, single in enumerate(singles):
+        got = sorted(by_q.get(qi, []), key=lambda r: r["rank"])
+        want = single.collect()
+        assert [(r["doc_id"], r["score"]) for r in got] == \
+            [(r["doc_id"], r["score"]) for r in want], qi
+    assert sum(bool(v) for v in by_q.values()) >= 4
+
+
+def test_search_many_rejects_unknown_shape(engines):
+    eng, _ = engines
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="batch entry"):
+        eng.search_many([{"nope": "x"}])
