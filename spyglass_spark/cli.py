@@ -132,7 +132,15 @@ def main(argv=None, spark=None) -> int:
     ag.add_argument("--index", required=True)
     ag.add_argument("--query", required=True)
     ag.add_argument("--kind", default="facets",
-                    choices=["facets", "date-histogram", "stats"])
+                    choices=["facets", "date-histogram", "stats",
+                             "percentiles", "facet-stats"])
+    ag.add_argument("--percent", type=float, action="append", default=[],
+                    help="percentiles only: requested percent, repeatable "
+                         "(default 1/5/25/50/75/95/99)")
+    ag.add_argument("--approx-accuracy", type=int, default=None,
+                    help="percentiles only: use the Greenwald-Khanna "
+                         "sketch at this accuracy (the bounded-memory "
+                         "scale path) instead of the exact aggregate")
     ag.add_argument("--facet-col", default="tags")
     ag.add_argument("--interval-us", type=int, default=86_400_000_000,
                     help="date-histogram bucket width in µs (default 1 day)")
@@ -301,6 +309,29 @@ def main(argv=None, spark=None) -> int:
                 for r in rows:
                     print(json.dumps({"bucket": int(r["bucket"]),
                                       "n": int(r["n"])}))
+            elif args.kind == "percentiles":
+                from spyglass_spark.query.percentile import DEFAULT_PERCENTS
+                rows = eng.percentiles(
+                    args.query, filters=filters, col=args.date_col,
+                    percents=tuple(args.percent) or DEFAULT_PERCENTS,
+                    approx_accuracy=args.approx_accuracy).collect()
+                for r in rows:
+                    print(json.dumps({"pct": float(r["pct"]),
+                                      "value": float(r["value"])}))
+            elif args.kind == "facet-stats":
+                rows = eng.facet_stats(args.query, filters=filters,
+                                       facet_col=args.facet_col,
+                                       col=args.date_col,
+                                       k_tags=args.k).collect()
+                for r in rows:
+                    print(json.dumps({
+                        "tag_id": r["tag_id"],
+                        "doc_count": int(r["doc_count"]), "n": int(r["n"]),
+                        "min": None if r["min"] is None else int(r["min"]),
+                        "max": None if r["max"] is None else int(r["max"]),
+                        "sum": None if r["sum"] is None else int(r["sum"]),
+                        "avg": None if r["avg"] is None
+                        else float(r["avg"])}))
             else:
                 r = eng.field_stats(args.query, filters=filters,
                                     col=args.date_col).collect()[0]

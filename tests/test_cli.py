@@ -138,3 +138,19 @@ def test_cli_pattern_search_and_agg(spark, built_index, capsys):
     st = json.loads(out)
     assert st["n"] > 0 and st["min"] <= st["avg"] <= st["max"]
     assert st["sum"] >= st["n"] * st["min"]
+
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind",
+                               "percentiles", "--query", "fn index",
+                               "--percent", "50", "--percent", "95"])
+    rows = [json.loads(x) for x in out.strip().splitlines()]
+    assert [r["pct"] for r in rows] == [50.0, 95.0]
+    assert all(st["min"] <= r["value"] <= st["max"] for r in rows)
+
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind",
+                               "facet-stats", "--query", "fn index",
+                               "--k", "3"])
+    rows = [json.loads(x) for x in out.strip().splitlines()]
+    assert rows and len(rows) <= 3
+    assert all(r["doc_count"] >= r["n"] > 0 for r in rows)
+    dcs = [r["doc_count"] for r in rows]
+    assert dcs == sorted(dcs, reverse=True)

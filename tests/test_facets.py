@@ -233,6 +233,148 @@ def test_field_stats_sum_overflow_degrades_to_null(spark, tmp_path):
     assert row["avg"] == float(3 * big + 3) / 3
 
 
+def _brute_match_vals(docs, query, col):
+    """Non-NULL ``col`` values of the brute-force match set."""
+    from spyglass_spark.query.compiler import compile_query
+
+    cq = compile_query(query)
+    vals = []
+    for d in docs:
+        fields = {
+            "content": {t for _, t in tokenize_en(d["content"] or "")},
+            "title": {t for _, t in tokenize_default(d["title"] or "")},
+        }
+        if any(t in fields.get(c.field, set())
+               for c in cq.should_group for t in c.terms) \
+                and d.get(col) is not None:
+            vals.append(d[col])
+    return vals
+
+
+def test_percentiles_vs_bruteforce_bitwise(eng, built_index):
+    """PercentilesAggregation analog: engine rows bitwise equal to the
+    scalar formula (query/percentile.py) over the brute-force match
+    set — the distributed value→count merge must not perturb the
+    interpolation arithmetic."""
+    from spyglass_spark.query.percentile import exact_percentiles
+
+    for query, col, pcts in [
+            ("merge join table", "lastmodified",
+             (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)),
+            ("fn index", "published", (0.0, 33.3, 50.0, 100.0))]:
+        got = [(r["pct"], r["value"])
+               for r in eng.percentiles(query, col=col,
+                                        percents=pcts).collect()]
+        vals = _brute_match_vals(built_index["docs"], query, col)
+        assert vals, "non-vacuous case required"
+        expect = exact_percentiles(vals, pcts)
+        assert got == expect  # float equality intended: bitwise pin
+
+
+def test_percentile_partition_invariance(spark):
+    """The exact aggregate is partition-order independent: same rows at
+    1/3/7 partitions produce bitwise-identical percentiles, all equal to
+    the scalar formula. This is the property that makes the fixture an
+    oracle rather than self-certification."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from spyglass_spark.query.percentile import exact_percentiles
+
+    rng = random.Random(41)
+    vals = [rng.randint(1_500_000_000_000_000, 1_800_000_000_000_000)
+            for _ in range(257)]
+    pcts = (0.0, 1.0, 33.3, 50.0, 75.0, 99.0, 100.0)
+    arr = ", ".join(repr(p / 100.0) for p in pcts)
+    expect = [v for _, v in exact_percentiles(vals, pcts)]
+    for nparts in (1, 3, 7):
+        df = spark.createDataFrame([(v,) for v in vals],
+                                   "v long").repartition(nparts)
+        got = df.agg(
+            F.expr(f"percentile(v, array({arr}))").alias("x")
+        ).collect()[0]["x"]
+        assert list(got) == expect
+
+
+def test_percentiles_empty_match_and_guards(eng):
+    assert eng.percentiles("the fast key").collect() == []
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        eng.percentiles("fn index", percents=())
+    with _pytest.raises(ValueError, match="out of"):
+        eng.percentiles("fn index", percents=(101.0,))
+
+
+def test_percentiles_approx_rank_bound(eng, built_index):
+    """approx_accuracy path (the 100 TB sketch form): every returned
+    value is an actual dataset value whose rank is within the
+    Greenwald-Khanna bound n/accuracy of the target rank."""
+    col, query = "lastmodified", "merge join table"
+    vals = sorted(_brute_match_vals(built_index["docs"], query, col))
+    n = len(vals)
+    rows = eng.percentiles(query, col=col, percents=(25.0, 50.0, 95.0),
+                           approx_accuracy=10_000).collect()
+    assert len(rows) == 3
+    for r in rows:
+        v = int(r["value"])
+        assert v in vals  # GK returns observed values, no interpolation
+        rank = vals.index(v)
+        target = r["pct"] / 100.0 * (n - 1)
+        assert abs(rank - target) <= max(1.0, n / 10_000 + 1)
+
+
+def _brute_facet_stats(docs, query, col="lastmodified"):
+    """Per-tag (doc_count, n, min, max, sum) over the brute match set."""
+    from spyglass_spark.query.compiler import compile_query
+
+    cq = compile_query(query)
+    out: dict[int, list] = {}
+    for d in docs:
+        fields = {
+            "content": {t for _, t in tokenize_en(d["content"] or "")},
+            "title": {t for _, t in tokenize_default(d["title"] or "")},
+        }
+        if any(t in fields.get(c.field, set())
+               for c in cq.should_group for t in c.terms):
+            for t in d["tags"]:
+                s = out.setdefault(t, [0, []])
+                s[0] += 1
+                if d.get(col) is not None:
+                    s[1].append(d[col])
+    return {t: (dc, len(vs), min(vs) if vs else None,
+                max(vs) if vs else None, sum(vs) if vs else None,
+                float(sum(vs)) / len(vs) if vs else None)
+            for t, (dc, vs) in out.items()}
+
+
+def test_facet_stats_vs_bruteforce(eng, built_index):
+    """Terms bucket + nested stats metric: every bucket's doc_count and
+    non-NULL stats match the brute force; avg uses the engine's
+    double(exact sum)/n arithmetic on both sides."""
+    got = {r["tag_id"]: (r["doc_count"], r["n"], r["min"], r["max"],
+                         r["sum"], r["avg"])
+           for r in eng.facet_stats("merge join table").collect()}
+    expect = _brute_facet_stats(built_index["docs"], "merge join table")
+    assert got == expect and got
+
+
+def test_facet_stats_ordering_limit_and_scalar_col(eng, built_index):
+    rows = eng.facet_stats("fn index").collect()
+    order = [(r["doc_count"], r["tag_id"]) for r in rows]
+    assert order == sorted(order, key=lambda x: (-x[0], x[1]))
+    top2 = eng.facet_stats("fn index", k_tags=2).collect()
+    assert [r["tag_id"] for r in top2] == [r["tag_id"] for r in rows[:2]]
+    # scalar facet column groups directly; doc_counts match facet_counts
+    by_dom = {r["tag_id"]: r["doc_count"]
+              for r in eng.facet_stats("fn index",
+                                       facet_col="domain").collect()}
+    fc = {r["tag_id"]: r["n"]
+          for r in eng.facet_counts("fn index",
+                                    facet_col="domain").collect()}
+    assert by_dom == fc
+
+
 def test_date_histogram_guards(eng):
     with pytest.raises(ValueError, match="interval_us"):
         eng.date_histogram("fn index", interval_us=0)

@@ -164,6 +164,24 @@ section("Field stats (StatsAggregation analog) over the full match set",
         "  one double division in the final project. Output is ONE row;\n"
         "  nothing scales with the corpus past the match-set subtree.", 50)
 
+section("Percentiles (PercentilesAggregation analog) over the match set",
+        eng.percentiles("spark merge join"),
+        "- Exact form: Spark's `percentile` merges a value->count map\n"
+        "  across partitions (partial_percentile in the plan), then ONE\n"
+        "  double interpolation -- partition-order independent, bitwise\n"
+        "  equal to the scalar formula (test_facets pins it). Memory is\n"
+        "  O(#distinct) in the final buffer; the approx_accuracy path\n"
+        "  switches to approx_percentile (Greenwald-Khanna sketch,\n"
+        "  bounded memory) for 100 TB high-cardinality columns --\n"
+        "  the same exact-baseline/sketch-scale split tantivy makes.", 50)
+
+section("Facet terms + nested stats metric over the match set",
+        eng.facet_stats("spark merge join"),
+        "- Doc-local explode then ONE partial->final hash agg keyed on\n"
+        "  the facet value: doc_count/n/min/max in codegen, sum in\n"
+        "  decimal(38,0), avg one double division in the final project.\n"
+        "  Same match-set subtree as facet_counts; output O(#facets).", 50)
+
 from spyglass_spark.index.fsck import fsck
 
 section("Index integrity audit (fsck)",

@@ -272,6 +272,8 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
     out["search_facets"] = facet_rows(docs, ckey)
     out["search_date_histogram"] = histogram_rows(docs, ckey)
     out["search_field_stats"] = stats_rows(docs, ckey)
+    out["search_percentiles"] = percentile_fixture_rows(docs, ckey)
+    out["search_facet_stats"] = facet_stats_rows(docs, ckey)
     return out
 
 
@@ -336,6 +338,72 @@ def histogram_rows(docs: list[dict], ckey: int,
             counts[b] = counts.get(b, 0) + 1
     return [{"corpus_key": ckey, "bucket": int(b), "n": int(n)}
             for b, n in sorted(counts.items())]
+
+
+PCT_FIELDS = [("pct", pa.float64()), ("value", pa.float64())]
+FSTATS_FIELDS = [("tag_id", pa.int64()), ("doc_count", pa.int64()),
+                 ("n", pa.int64()), ("min", pa.int64()), ("max", pa.int64()),
+                 ("sum", pa.int64()), ("avg", pa.float64())]
+
+
+def _brute_match(docs: list[dict], query: str):
+    """Brute-force match set with the scalar analyzers — the shared
+    matcher of the aggregation fixtures, independent of the engine's
+    posting-union/leftsemi plan."""
+    from spyglass_spark.analysis.analyzer import tokenize_default, tokenize_en
+    from spyglass_spark.query.compiler import compile_query
+
+    cq = compile_query(query)
+    for d in docs:
+        fields = {
+            "content": {t for _, t in tokenize_en(d["content"] or "")},
+            "title": {t for _, t in tokenize_default(d["title"] or "")},
+        }
+        if any(t in fields.get(c.field, set())
+               for c in cq.should_group for t in c.terms):
+            yield d
+
+
+def percentile_fixture_rows(docs: list[dict], ckey: int,
+                            query: str = "spark merge join",
+                            col: str = "lastmodified") -> list[dict]:
+    """Expected percentiles output: the scalar interpolation arithmetic
+    (query/percentile.py — pinned bitwise against the distributed
+    aggregate at multiple partition counts in test_facets) over the
+    brute-force match set's non-NULL dates, at tantivy's default
+    percents."""
+    from spyglass_spark.query.percentile import (DEFAULT_PERCENTS,
+                                                 exact_percentiles)
+
+    vals = [int(d[col]) for d in _brute_match(docs, query)
+            if d.get(col) is not None]
+    assert vals, "percentiles fixture must be nonvacuous"
+    return [{"corpus_key": ckey, "pct": p, "value": v}
+            for p, v in exact_percentiles(vals, DEFAULT_PERCENTS)]
+
+
+def facet_stats_rows(docs: list[dict], ckey: int,
+                     query: str = "spark merge join",
+                     col: str = "lastmodified") -> list[dict]:
+    """Expected facet_stats output: per-tag doc_count over the brute
+    match set plus exact integer stats of the bucket's non-NULL dates;
+    avg = double(exact sum)/n — the engine's decimal→double arithmetic."""
+    buckets: dict[int, list] = {}
+    for d in _brute_match(docs, query):
+        for t in d["tags"]:
+            s = buckets.setdefault(int(t), [0, []])
+            s[0] += 1
+            if d.get(col) is not None:
+                s[1].append(int(d[col]))
+    rows = []
+    for t, (dc, vs) in buckets.items():
+        rows.append({
+            "corpus_key": ckey, "tag_id": t, "doc_count": dc, "n": len(vs),
+            "min": min(vs) if vs else None, "max": max(vs) if vs else None,
+            "sum": sum(vs) if vs else None,
+            "avg": float(sum(vs)) / len(vs) if vs else None})
+    rows.sort(key=lambda r: (-r["doc_count"], r["tag_id"]))
+    return rows
 
 
 def facet_rows(docs: list[dict], ckey: int,
@@ -403,7 +471,9 @@ def main() -> None:
     special = {"search_highlight": HIGHLIGHT_FIELDS,
                "search_facets": FACET_FIELDS,
                "search_date_histogram": HIST_FIELDS,
-               "search_field_stats": STATS_FIELDS}
+               "search_field_stats": STATS_FIELDS,
+               "search_percentiles": PCT_FIELDS,
+               "search_facet_stats": FSTATS_FIELDS}
     for name, rows in merged.items():
         write_fixture(name, rows, special.get(name))
 
