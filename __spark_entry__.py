@@ -784,6 +784,17 @@ def q_search_prefix(spark, sf_dir):  # fixture-oracle: dictionary range scan
     return _contract_hits(_get_engine(spark, sf_dir).search_prefix("s", k=10))
 
 
+def q_search_phrase_prefix(spark, sf_dir):  # fixture-oracle
+    """PhrasePrefixQuery 'merge jo' (search-as-you-type): the trailing
+    prefix expands against the dictionary (row-group-pruned term_stats
+    range read, zero Spark jobs) and each expansion must COMPLETE the
+    phrase at the next raw-token position — no bag-of-words fallback.
+    The fixture oracle expands brute-force over its own dictionary and
+    scores with the scalar phrase kernel."""
+    return _contract_hits(
+        _get_engine(spark, sf_dir).search_phrase_prefix("merge jo", k=10))
+
+
 def q_search_fuzzy(spark, sf_dir):  # fixture-oracle: SymSpell sidecar
     """Fuzzy pattern 'sow'~1 (matches 'row' and 'slow') — candidates
     from the d=1 deletion-neighborhood sidecar (index/fuzzy_dict.py),
@@ -1068,7 +1079,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "corpus_derive": q_corpus_derive,
         "sha256_invariant": q_sha256_invariant,
-        "doc_ids_uuid5": q_doc_ids_uuid5,
         "content_term_df": q_content_term_df,
         "title_term_df": q_title_term_df,
         "bm25_topk_simple": q_bm25_topk_simple,
@@ -1097,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docset_by_tag": q_docset_by_tag,
         "events_sessionize": q_events_sessionize,
         "search_prefix": q_search_prefix,
+        "search_phrase_prefix": q_search_phrase_prefix,
         "search_fuzzy": q_search_fuzzy,
         "search_wildcard": q_search_wildcard,
         "search_regex": q_search_regex,
@@ -1127,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # own comparison)
         "library_stats": q_library_stats,
         "lens_list_ordered": q_lens_list_ordered,
+        "doc_ids_uuid5": q_doc_ids_uuid5,
         "tags_dim": q_tags_dim,
         "query_tag_boost_rewrite": q_query_tag_boost_rewrite,
         "unsynced_docs_predicate": q_unsynced_docs_predicate,
@@ -1263,6 +1275,7 @@ SELECT * FROM (
         "search_semantic_boost": _fixture_sql("search_semantic_boost"),
         "search_more_like_this": _fixture_sql("search_more_like_this"),
         "search_prefix": _fixture_sql("search_prefix"),
+        "search_phrase_prefix": _fixture_sql("search_phrase_prefix"),
         "curation_pack_sequences": r"""
 WITH d AS (SELECT doc_id, source,
   CAST(CASE WHEN trim(text) = '' THEN 0

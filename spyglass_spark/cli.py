@@ -57,9 +57,12 @@ def main(argv=None, spark=None) -> int:
     s.add_argument("--published-since-us", type=int, default=None)
     s.add_argument("--published-before-us", type=int, default=None)
     s.add_argument("--mode", default="text",
-                   choices=["text", "prefix", "fuzzy", "wildcard", "regex"],
+                   choices=["text", "prefix", "fuzzy", "wildcard", "regex",
+                            "phrase-prefix"],
                    help="query interpretation: free text (default) or a "
-                        "multi-term pattern rewrite over the dictionary")
+                        "multi-term pattern rewrite over the dictionary "
+                        "(phrase-prefix = search-as-you-type: the last "
+                        "token is a prefix completing the phrase)")
     s.add_argument("--fuzzy-distance", type=int, default=1)
     s.add_argument("--algo", default="auto", choices=["auto", "exhaustive"])
     s.add_argument("--as-of", type=int, default=None,
@@ -286,7 +289,8 @@ def main(argv=None, spark=None) -> int:
             else:
                 fn = {"prefix": eng.search_prefix,
                       "wildcard": eng.search_wildcard,
-                      "regex": eng.search_regex}[args.mode]
+                      "regex": eng.search_regex,
+                      "phrase-prefix": eng.search_phrase_prefix}[args.mode]
                 rows = fn(args.query, **common).collect()
             for r in rows:
                 print(json.dumps({"rank": r["rank"], "doc_id": r["doc_id"],

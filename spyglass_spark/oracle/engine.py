@@ -31,7 +31,9 @@ import numpy as np
 
 from ..analysis.analyzer import analyze
 from ..index.fieldnorm import fieldnorm_to_id, id_to_fieldnorm
-from ..query.compiler import CompiledQuery, compile_expanded, compile_query
+from ..query.compiler import (CompiledQuery, compile_expanded,
+                              compile_phrase_prefix, compile_query,
+                              split_phrase_prefix)
 from ..query.expand import (DEFAULT_MAX_EXPANSIONS, levenshtein_le,
                             normalize_pattern, normalize_wildcard)
 from ..query.scoring import K1, bm25_weight, idf, norm_cache, sloppy_phrase_count
@@ -319,6 +321,22 @@ class OracleIndex:
             for f in fields} if pattern else {}
         return self.execute(compile_expanded(per_field, filters, boosts),
                             k=k, offset=offset)
+
+    def search_phrase_prefix(self, query: str, k: int = 5, offset: int = 0,
+                             fields=("content", "title"),
+                             max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+                             filters=(), boosts=()):
+        """PhrasePrefixQuery twin: brute-force prefix expansion over the
+        enumerated dictionary, completed phrases scored by the shared
+        scalar kernel (execute handles phrase clauses natively)."""
+        fixed, raw_prefix = split_phrase_prefix(query)
+        norm = normalize_pattern(raw_prefix)
+        per_field = {f: self._expand(f, lambda t: t.startswith(norm),
+                                     max_expansions)
+                     for f in fields} if norm else {}
+        return self.execute(
+            compile_phrase_prefix(fixed, per_field, filters, boosts),
+            k=k, offset=offset)
 
     def search_fuzzy(self, term: str, distance: int = 1, k: int = 5,
                      offset: int = 0, fields=("content", "title"),

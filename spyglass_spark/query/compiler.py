@@ -169,6 +169,67 @@ def compile_expanded(per_field_terms: dict[str, list[str]],
     return cq
 
 
+def split_phrase_prefix(query_string: str) -> tuple[str, str]:
+    """Search-as-you-type split: the last whitespace token is the
+    incomplete prefix, everything before it the fixed phrase text.
+    ``'parse huge po'`` → ``('parse huge', 'po')``; a single token has
+    no fixed part."""
+    parts = query_string.rsplit(None, 1)
+    if len(parts) == 2:
+        return parts[0], parts[1]
+    return "", (parts[0] if parts else "")
+
+
+def compile_phrase_prefix(fixed_text: str,
+                          per_field_expansions: dict[str, list[str]],
+                          filters=(), boosts=()) -> CompiledQuery:
+    """tantivy PhrasePrefixQuery rewrite (search-as-you-type; public
+    tantivy surface — the reference's query.rs todo family): the
+    trailing prefix expands against the dictionary and each expansion
+    COMPLETES the phrase — a doc matches only where the fixed tokens
+    are followed by an expansion at the next raw-token position (no
+    bag-of-words fallback, unlike free-text compile). Should group =
+    one phrase clause per expansion, fields in content→title order,
+    expansions in the expansion ranking (df DESC, term ASC); float32
+    clause-order summation is the contract, as everywhere.
+
+    Positions: the analyzers assign pre-filter raw-token indexes
+    (stopword holes preserved), so the expansion slot sits at
+    ``len(_TOKEN_RE.findall(fixed_text))`` — the index the prefix token
+    occupies in the full string — and per-field stopword holes in the
+    fixed part keep their gaps. A field whose fixed part analyzes to
+    ZERO tokens (all stopwords, or a bare prefix) degrades to plain
+    term clauses — the Lucene/tantivy parser behavior when only the
+    prefix survives. Phrase boost = field phrase boost × completed
+    length; slop = the standard clamp of the last position
+    (compile_query's convention)."""
+    from ..analysis.analyzer import _TOKEN_RE
+
+    cq = CompiledQuery()
+    prefix_pos = len(_TOKEN_RE.findall(fixed_text))
+    specs = (("content", tokenize_en, CONTENT_PHRASE_BOOST, CONTENT_BOOST),
+             ("title", tokenize_default, TITLE_PHRASE_BOOST, TITLE_BOOST))
+    for field, tokfn, pboost, tboost in specs:
+        exps = per_field_expansions.get(field, ())
+        if not exps:
+            continue
+        fixed = tokfn(fixed_text)
+        if fixed:
+            boost = pboost * (len(fixed) + 1)
+            for e in exps:
+                cq.should_group.append(
+                    _phrase(field, fixed + [(prefix_pos, e)], boost))
+        else:
+            for e in exps:
+                cq.should_group.append(_term(field, e, tboost))
+    cq.term_count = len(tokenize_en(fixed_text)) + 1
+    base = compile_query("", filters=filters, boosts=boosts)
+    cq.should_group.extend(base.should_group)
+    cq.musts, cq.should_extra = base.musts, base.should_extra
+    cq.must_nots, cq.range_musts = base.must_nots, base.range_musts
+    return cq
+
+
 def compile_document_query(urls=(), ids=(), tags=(), exclude_tags=()) -> CompiledQuery:
     """query.rs:184-231 — unscored document-set query: Must(Should(urls)),
     Must(Should(ids)), Must(tag) each, MustNot(tag) each."""

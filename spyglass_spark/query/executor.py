@@ -712,10 +712,21 @@ class SearchEngine:
                                              fuzzy_paths=fuzzy)) \
                 if norm else (lambda f: [])
             label = f"fuzzy:{q['fuzzy']}~{dist}"
+        elif "phrase_prefix" in q:
+            from .compiler import compile_phrase_prefix, split_phrase_prefix
+
+            fixed, raw_prefix = split_phrase_prefix(q["phrase_prefix"])
+            norm = normalize_pattern(raw_prefix)
+            per_field = {f: [t for t, _ in expand_prefix(stats, f, norm,
+                                                         cap)]
+                         for f in self.EXPAND_FIELDS} if norm else {}
+            return (compile_phrase_prefix(fixed, per_field,
+                                          filters=filters, boosts=boosts),
+                    f"phrase_prefix:{q['phrase_prefix']}")
         else:
             raise ValueError(
                 "batch entry needs one of query/prefix/wildcard/"
-                f"regex/fuzzy: {sorted(q)}")
+                f"regex/fuzzy/phrase_prefix: {sorted(q)}")
         per_field = {f: [t for t, _ in expand(f)]
                      for f in self.EXPAND_FIELDS}
         return (compile_expanded(per_field, filters=filters,
@@ -776,6 +787,35 @@ class SearchEngine:
         cq = compile_expanded(per_field, filters=filters, boosts=boosts)
         return self._run_compiled_batch(
             [cq], [f"prefix:{pattern}"], k, offset, algo,
+            afters=[search_after]).drop("query_id")
+
+    def search_phrase_prefix(self, query: str, k: int = 5, offset: int = 0,
+                             fields: tuple = EXPAND_FIELDS,
+                             max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+                             filters=(), boosts=(), algo: str = "auto",
+                             search_after=None) -> DataFrame:
+        """``parse huge po`` → tantivy PhrasePrefixQuery
+        (search-as-you-type): the trailing token is a dictionary prefix
+        and each expansion COMPLETES the phrase — matches require the
+        fixed tokens followed by an expansion at the next raw-token
+        position (compile_phrase_prefix documents the position/boost/
+        degradation rules). The expansion is the same driver-side
+        term_stats range read as search_prefix — one scoring Spark job;
+        paging via ``offset``/``search_after`` composes as in
+        ``search``."""
+        from .compiler import compile_phrase_prefix, split_phrase_prefix
+
+        fixed, raw_prefix = split_phrase_prefix(query)
+        norm = normalize_pattern(raw_prefix)
+        stats = self._paths("term_stats")
+        per_field = {f: [t for t, _ in expand_prefix(stats, f, norm,
+                                                     max_expansions)]
+                     for f in fields} if norm else {}
+        self.last_expansion = per_field
+        cq = compile_phrase_prefix(fixed, per_field, filters=filters,
+                                   boosts=boosts)
+        return self._run_compiled_batch(
+            [cq], [f"phrase_prefix:{query}"], k, offset, algo,
             afters=[search_after]).drop("query_id")
 
     def search_fuzzy(self, term: str, distance: int = 1, k: int = 5,

@@ -305,3 +305,84 @@ def test_search_many_rejects_unknown_shape(engines):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="batch entry"):
         eng.search_many([{"nope": "x"}])
+
+
+def test_search_phrase_prefix_parity(engines):
+    """PhrasePrefixQuery: engine (term_stats range-scan expansion +
+    distributed phrase kernel) vs the oracle's brute-force dictionary
+    enumeration + scalar phrase scorer — bitwise, incl. no-match and
+    bare-prefix degradation."""
+    eng, oracle = engines
+    for q in ["merge jo", "fn ind", "the recursio", "merg",
+              "zz qx", "fast ke"]:
+        got = _hits(eng.search_phrase_prefix(q, k=8).collect())
+        want = _hits(oracle.search_phrase_prefix(q, k=8))
+        assert got == want, q
+    assert eng.last_meta["spark_jobs"] <= 1
+
+
+def test_search_phrase_prefix_requires_adjacency(spark, tmp_path):
+    """The completed phrase must be positional: fixed tokens followed by
+    the expansion at the next raw-token slot, stopword holes keeping
+    their gap. No bag-of-words fallback."""
+    import hashlib
+    import uuid
+
+    from spyglass_spark.corpus import SPYGLASS_NS
+    from spyglass_spark.index.builder import build_index
+    from spyglass_spark.query.executor import SearchEngine
+
+    def doc(i, content):
+        url = f"repo://x/p{i}.rs@{'b' * 40}"
+        return dict(
+            doc_id=str(uuid.uuid5(SPYGLASS_NS, url)), url=url, domain="x",
+            title=f"t{i}", content=content, tags=[1],
+            content_sha256=hashlib.sha256(content.encode()).hexdigest(),
+            published=1_600_000_000_000_000,
+            lastmodified=1_600_000_000_000_000)
+
+    docs = [
+        doc(0, "alpha beta gamma"),     # adjacent: matches
+        doc(1, "alpha gamma beta"),     # transposed: no match
+        doc(2, "alpha beta"),           # adjacent: matches
+        doc(3, "beta alpha"),           # reversed: no match
+        doc(4, "keep the beta gamma"),  # stopword hole at slot 1
+        doc(5, "keep beta gamma"),      # no hole: prefix slot mismatch
+    ]
+    idx = str(tmp_path / "ppfx")
+    build_index(spark, spark.createDataFrame(docs), idx, num_partitions=2)
+    eng = SearchEngine(spark, idx)
+
+    got = {r["doc_id"] for r in eng.search_phrase_prefix("alpha be",
+                                                         k=10).collect()}
+    assert got == {docs[0]["doc_id"], docs[2]["doc_id"]}
+
+    # 'keep the be': 'the' occupies raw slot 1, expansion sits at slot 2
+    got = {r["doc_id"] for r in eng.search_phrase_prefix("keep the be",
+                                                         k=10).collect()}
+    assert got == {docs[4]["doc_id"]}
+    # and the hole-free doc is reachable with the hole-free query
+    got = {r["doc_id"] for r in eng.search_phrase_prefix("keep be",
+                                                         k=10).collect()}
+    assert got == {docs[5]["doc_id"]}
+
+
+def test_search_phrase_prefix_batch_and_paging(engines):
+    """phrase_prefix batches through search_many (same one-job rule) and
+    pages with offset exactly like the other shapes."""
+    eng, oracle = engines
+    res = eng.search_many([{"phrase_prefix": "merge jo"},
+                           {"query": "fn index"}], k=6).collect()
+    assert eng.last_meta["spark_jobs"] <= 1
+    got0 = [(r["doc_id"], r["score"]) for r in sorted(
+        (r for r in res if r["query_id"] == 0), key=lambda r: r["rank"])]
+    single = [(r["doc_id"], r["score"])
+              for r in eng.search_phrase_prefix("merge jo", k=6).collect()]
+    assert got0 == single
+    # offset paging concatenates to the one-shot ranking
+    one_shot = _hits(eng.search_phrase_prefix("merge jo", k=8).collect())
+    paged = _hits(eng.search_phrase_prefix("merge jo", k=4).collect()) + \
+        _hits(eng.search_phrase_prefix("merge jo", k=4, offset=4).collect())
+    assert paged == one_shot
+    want = _hits(oracle.search_phrase_prefix("merge jo", k=4, offset=4))
+    assert paged[4:] == want

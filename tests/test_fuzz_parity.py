@@ -146,6 +146,22 @@ def test_randomized_rank_identity(spark, tmp_path, seed):
         assert [r["doc_id"] for r in got] == \
             [h["doc_id"] for h in exp], (seed, pat)
 
+    # phrase-prefix: random fixed word + prefix of a second word,
+    # sometimes with a stopword between (position-hole shape); engine
+    # range-scan expansion + distributed phrase kernel vs the oracle's
+    # brute-force enumeration + scalar kernel
+    for _ in range(3):
+        wa, wb = rng.choice(WORDS), rng.choice(WORDS)
+        mid = rng.choice(["", "the ", "of "])
+        q = f"{wa} {mid}{wb[: max(1, len(wb) // 2)]}"
+        got = eng.search_phrase_prefix(q, k=6).collect()
+        exp = oracle.search_phrase_prefix(q, k=6)
+        assert [r["doc_id"] for r in got] == \
+            [h["doc_id"] for h in exp], (seed, q)
+        for r, h in zip(got, exp):
+            assert np.isclose(np.float32(r["score"]), np.float32(h["score"]),
+                              rtol=1e-5), (seed, q)
+
     # every random corpus/P/waves build must pass the integrity audit
     from spyglass_spark.index.fsck import fsck
 

@@ -267,6 +267,14 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
     # small/... — regex: alternation exercises the prune-defeat rule
     out["search_wildcard"] = hits_to_rows(
         oracle.search_wildcard("s?a*", k=10), om, ckey)
+    # phrase-prefix: 'merge jo' — fixed token 'merge' (stems to 'merg'),
+    # trailing prefix 'jo' expands ('join', ...) and must COMPLETE the
+    # phrase at the next raw position; the oracle expands brute-force
+    # and scores with the scalar phrase kernel
+    pp = hits_to_rows(oracle.search_phrase_prefix("merge jo", k=10),
+                      om, ckey)
+    assert pp, "phrase-prefix fixture must be nonvacuous"
+    out["search_phrase_prefix"] = pp
     out["search_regex"] = hits_to_rows(
         oracle.search_regex("(scan|merg|valu)", k=10), om, ckey)
     out["search_facets"] = facet_rows(docs, ckey)
