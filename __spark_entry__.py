@@ -1052,6 +1052,32 @@ def q_search_facet_stats(spark, sf_dir):  # fixture-oracle
     return _get_engine(spark, sf_dir).facet_stats("spark merge join")
 
 
+# range_agg driver-query buckets: fixed absolute µs year bounds shared
+# by every sf dir; the fixture generator imports THIS constant so the
+# engine call and the brute-force oracle always aggregate the same
+# request ('all' deliberately overlaps the rest — doc-in-every-range)
+_US_2022 = 1_640_995_200_000_000
+_US_2024 = 1_704_067_200_000_000
+ENTRY_RANGES = (("pre_2022", None, _US_2022),
+                ("y2022_2023", _US_2022, _US_2024),
+                ("since_2024", _US_2024, None),
+                ("all", None, None))
+
+
+def q_search_range_agg(spark, sf_dir):  # fixture-oracle
+    """RangeAggregation analog over the FULL BM25 match set: half-open
+    [lo, hi) buckets at fixed year bounds (doc counted in EVERY
+    containing range — 'all' overlaps the rest; empty buckets kept at
+    n=0). Membership is an array-literal filter + explode in codegen,
+    one doc-local groupBy; the request frame is a job-free VALUES
+    LocalRelation. The fixture oracle brute-forces the match set with
+    the scalar analyzers and Python comparisons."""
+    # project the request echo (lo/hi) away: unbounded sides are NULL
+    # and the driver's row-sort comparison cannot order NULL vs int
+    return _get_engine(spark, sf_dir).range_agg(
+        "spark merge join", ranges=ENTRY_RANGES).select("range_key", "n")
+
+
 def q_search_batch(spark, sf_dir):  # fixture-oracle
     eng = _get_engine(spark, sf_dir)
     return _contract_hits(eng.search_many([
@@ -1087,7 +1113,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1119,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_field_stats": q_search_field_stats,
         "search_percentiles": q_search_percentiles,
         "search_facet_stats": q_search_facet_stats,
+        "search_range_agg": q_search_range_agg,
         "curation_redact_pii": q_curation_redact_pii,
         "curation_c4_clean": q_curation_c4_clean,
         "search_with_lenses": q_search_with_lenses,
@@ -1139,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "library_stats": q_library_stats,
         "lens_list_ordered": q_lens_list_ordered,
         "doc_ids_uuid5": q_doc_ids_uuid5,
+        "dedup_simhash": q_dedup_simhash,
         "tags_dim": q_tags_dim,
         "query_tag_boost_rewrite": q_query_tag_boost_rewrite,
         "unsynced_docs_predicate": q_unsynced_docs_predicate,
@@ -1371,6 +1398,12 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
             "WHERE corpus_key = "
             "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
             "ORDER BY doc_count DESC, tag_id"),
+        "search_range_agg": (
+            "SELECT range_key, n "
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_range_agg.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)"),
         "search_fuzzy": _fixture_sql("search_fuzzy"),
         "search_wildcard": _fixture_sql("search_wildcard"),
         "search_regex": _fixture_sql("search_regex"),

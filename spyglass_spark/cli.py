@@ -136,7 +136,11 @@ def main(argv=None, spark=None) -> int:
     ag.add_argument("--query", required=True)
     ag.add_argument("--kind", default="facets",
                     choices=["facets", "date-histogram", "stats",
-                             "percentiles", "facet-stats"])
+                             "percentiles", "facet-stats", "range"])
+    ag.add_argument("--range", action="append", default=[],
+                    dest="ranges", metavar="KEY:LO:HI",
+                    help="range only: half-open [LO,HI) bucket in µs, "
+                         "empty bound = unbounded; repeatable")
     ag.add_argument("--percent", type=float, action="append", default=[],
                     help="percentiles only: requested percent, repeatable "
                          "(default 1/5/25/50/75/95/99)")
@@ -322,6 +326,21 @@ def main(argv=None, spark=None) -> int:
                 for r in rows:
                     print(json.dumps({"pct": float(r["pct"]),
                                       "value": float(r["value"])}))
+            elif args.kind == "range":
+                ranges = []
+                for spec in args.ranges:
+                    key, lo, hi = spec.split(":")
+                    ranges.append((key, int(lo) if lo else None,
+                                   int(hi) if hi else None))
+                rows = eng.range_agg(args.query, filters=filters,
+                                     col=args.date_col,
+                                     ranges=ranges).collect()
+                for r in rows:
+                    print(json.dumps({
+                        "range_key": r["range_key"],
+                        "lo": None if r["lo"] is None else int(r["lo"]),
+                        "hi": None if r["hi"] is None else int(r["hi"]),
+                        "n": int(r["n"])}))
             elif args.kind == "facet-stats":
                 rows = eng.facet_stats(args.query, filters=filters,
                                        facet_col=args.facet_col,

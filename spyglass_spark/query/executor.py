@@ -1675,6 +1675,65 @@ class SearchEngine:
         ).orderBy(F.desc("doc_count"), F.asc("tag_id"))
         return out.limit(k_tags) if k_tags else out
 
+    def range_agg(self, query: str, filters=(), boosts=(),
+                  col: str = "lastmodified",
+                  ranges: tuple = ()) -> DataFrame:
+        """Range bucket aggregation over the FULL match set — the
+        tantivy-0.19.2 aggregation module's RangeAggregation on a
+        numeric fast field: each requested range is a half-open
+        [lo, hi) bucket (NULL bound = unbounded on that side); a doc
+        counts in EVERY range containing its value (ranges may
+        overlap, the ES/tantivy contract), docs with a NULL ``col``
+        are skipped, and EMPTY buckets still emit a row with n=0.
+        ``ranges``: iterable of (key, lo, hi) with int-µs or None
+        bounds. Output (range_key, lo, hi, n) in request order.
+
+        Plan shape: the membership test is an array-literal
+        filter/transform + explode — pure codegen, doc-local keys →
+        skew-free ONE groupBy; the request-order frame is a literal
+        VALUES LocalRelation (job-free) broadcast-joined to the
+        O(#ranges) counts."""
+        rs = [(str(key), None if lo is None else int(lo),
+               None if hi is None else int(hi)) for key, lo, hi in ranges]
+        if not rs:
+            raise ValueError("ranges must be non-empty")
+        if len({k for k, _, _ in rs}) != len(rs):
+            raise ValueError("range keys must be unique")
+        dm = self._match_doc_meta(compile_query(query, filters, boosts),
+                                  caller="range_agg")
+        c = F.col(col)
+
+        def _lit(b):
+            return (F.lit(None).cast("long") if b is None
+                    else F.lit(b).cast("long"))
+
+        arr = F.array(*[
+            F.struct(F.lit(i).alias("i"), _lit(lo).alias("lo"),
+                     _lit(hi).alias("hi"))
+            for i, (_, lo, hi) in enumerate(rs)])
+        matched = F.filter(
+            arr, lambda r: (r.lo.isNull() | (c >= r.lo))
+            & (r.hi.isNull() | (c < r.hi)))
+        counts = (dm.filter(c.isNotNull())
+                    .select(F.explode(F.transform(matched, lambda r: r.i))
+                             .alias("i"))
+                    .groupBy("i").agg(F.count("*").alias("n")))
+        # request frame as a literal VALUES LocalRelation: zero jobs
+        # (createDataFrame+collect would launch a defaultParallelism job)
+        vals = ", ".join(
+            "({}, '{}', {}, {})".format(
+                i, key.replace("'", "''"),
+                "CAST(NULL AS BIGINT)" if lo is None else f"{lo}L",
+                "CAST(NULL AS BIGINT)" if hi is None else f"{hi}L")
+            for i, (key, lo, hi) in enumerate(rs))
+        frame = self.spark.sql(
+            f"SELECT * FROM VALUES {vals} AS t(i, range_key, lo, hi)")
+        return (frame.join(F.broadcast(counts), "i", "left")
+                     .select("range_key", "lo", "hi",
+                             F.coalesce("n", F.lit(0)).alias("n"),
+                             "i")
+                     .orderBy("i").drop("i"))
+
     def materialize(self, hits: DataFrame, documents: DataFrame,
                     query: str, preview_words: int = 20) -> DataFrame:
         """Hit materialization (api/handler/search.rs:142-188 analog):

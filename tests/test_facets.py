@@ -375,6 +375,47 @@ def test_facet_stats_ordering_limit_and_scalar_col(eng, built_index):
     assert by_dom == fc
 
 
+def test_range_agg_vs_bruteforce(eng, built_index):
+    """RangeAggregation analog: overlapping + unbounded + empty ranges,
+    half-open [lo, hi), doc counted in EVERY containing range, NULLs
+    skipped, empty buckets emitted with n=0."""
+    col, query = "lastmodified", "merge join table"
+    vals = _brute_match_vals(built_index["docs"], query, col)
+    assert vals
+    lo, hi = min(vals), max(vals)
+    mid = (lo + hi) // 2
+    ranges = [
+        ("below_mid", None, mid),          # unbounded low
+        ("overlap_all", lo, hi + 1),       # contains everything
+        ("upper", mid, None),              # unbounded high, overlaps prev
+        ("empty", hi + 10, hi + 20),       # past the max: n=0 row
+        ("point", lo, lo + 1),             # exactly the min value
+    ]
+    got = [(r["range_key"], r["lo"], r["hi"], r["n"])
+           for r in eng.range_agg(query, col=col, ranges=ranges).collect()]
+    expect = []
+    for key, a, b in ranges:
+        n = sum(1 for v in vals
+                if (a is None or v >= a) and (b is None or v < b))
+        expect.append((key, a, b, n))
+    assert got == expect
+    assert got[1][3] == len(vals) and got[3][3] == 0
+    # overlap: below_mid + upper == total (half-open split at mid)
+    assert got[0][3] + got[2][3] == len(vals)
+
+
+def test_range_agg_guards(eng):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        eng.range_agg("fn index", ranges=())
+    with _pytest.raises(ValueError, match="unique"):
+        eng.range_agg("fn index", ranges=[("a", None, 5), ("a", 5, None)])
+    # empty match set still emits every requested bucket at n=0
+    rows = eng.range_agg("the fast key",
+                         ranges=[("all", None, None)]).collect()
+    assert [(r["range_key"], r["n"]) for r in rows] == [("all", 0)]
+
+
 def test_date_histogram_guards(eng):
     with pytest.raises(ValueError, match="interval_us"):
         eng.date_histogram("fn index", interval_us=0)

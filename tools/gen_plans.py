@@ -182,6 +182,17 @@ section("Facet terms + nested stats metric over the match set",
         "  decimal(38,0), avg one double division in the final project.\n"
         "  Same match-set subtree as facet_counts; output O(#facets).", 50)
 
+section("Range buckets (RangeAggregation analog) over the match set",
+        eng.range_agg("spark merge join",
+                      ranges=(("old", None, 1_650_000_000_000_000),
+                              ("new", 1_650_000_000_000_000, None),
+                              ("all", None, None))),
+        "- Membership = array-literal filter/transform + explode, pure\n"
+        "  codegen; doc-local bucket indexes -> skew-free ONE groupBy of\n"
+        "  O(#ranges) output; the request frame is a job-free VALUES\n"
+        "  LocalRelation joined broadcast to the counts (empty buckets\n"
+        "  survive as n=0). Nothing scales past the match-set subtree.", 50)
+
 from spyglass_spark.index.fsck import fsck
 
 section("Index integrity audit (fsck)",

@@ -282,6 +282,7 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
     out["search_field_stats"] = stats_rows(docs, ckey)
     out["search_percentiles"] = percentile_fixture_rows(docs, ckey)
     out["search_facet_stats"] = facet_stats_rows(docs, ckey)
+    out["search_range_agg"] = range_agg_rows(docs, ckey)
     return out
 
 
@@ -414,6 +415,30 @@ def facet_stats_rows(docs: list[dict], ckey: int,
     return rows
 
 
+RANGE_FIELDS = [("range_key", pa.string()), ("lo", pa.int64()),
+                ("hi", pa.int64()), ("n", pa.int64())]
+
+
+def range_agg_rows(docs: list[dict], ckey: int,
+                   query: str = "spark merge join",
+                   col: str = "lastmodified") -> list[dict]:
+    """Expected range_agg output: half-open [lo, hi) membership (doc in
+    EVERY containing range — 'all' overlaps the rest), NULL col skipped,
+    empty buckets kept at n=0, request order."""
+    from __spark_entry__ import ENTRY_RANGES  # single-sourced request
+
+    vals = [int(d[col]) for d in _brute_match(docs, query)
+            if d.get(col) is not None]
+    assert vals, "range_agg fixture must be nonvacuous"
+    rows = []
+    for key, a, b in ENTRY_RANGES:
+        n = sum(1 for v in vals
+                if (a is None or v >= a) and (b is None or v < b))
+        rows.append({"corpus_key": ckey, "range_key": key, "lo": a,
+                     "hi": b, "n": n})
+    return rows
+
+
 def facet_rows(docs: list[dict], ckey: int,
                query: str = "spark merge join", filters=()) -> list[dict]:
     """Expected facet_counts output: brute-force match set with the
@@ -481,7 +506,8 @@ def main() -> None:
                "search_date_histogram": HIST_FIELDS,
                "search_field_stats": STATS_FIELDS,
                "search_percentiles": PCT_FIELDS,
-               "search_facet_stats": FSTATS_FIELDS}
+               "search_facet_stats": FSTATS_FIELDS,
+               "search_range_agg": RANGE_FIELDS}
     for name, rows in merged.items():
         write_fixture(name, rows, special.get(name))
 
