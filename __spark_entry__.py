@@ -1078,6 +1078,17 @@ def q_search_range_agg(spark, sf_dir):  # fixture-oracle
         "spark merge join", ranges=ENTRY_RANGES).select("range_key", "n")
 
 
+def q_search_cardinality(spark, sf_dir):  # fixture-oracle
+    """Cardinality metric nested under the tags bucket over the FULL
+    BM25 match set: per-tag (doc_count, EXACT distinct domain). The
+    exact form is a two-phase hash agg keyed on the value —
+    hash-gradeable; the rsd form (HLL++) is the documented 100 TB
+    path, tolerance-gated in test_facets. Fixture oracle brute-forces
+    the match set scalar-side."""
+    return _get_engine(spark, sf_dir).cardinality(
+        "spark merge join", col="domain", facet_col="tags")
+
+
 def q_search_batch(spark, sf_dir):  # fixture-oracle
     eng = _get_engine(spark, sf_dir)
     return _contract_hits(eng.search_many([
@@ -1116,7 +1127,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "textstats_quality": q_textstats_quality,
@@ -1145,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_percentiles": q_search_percentiles,
         "search_facet_stats": q_search_facet_stats,
         "search_range_agg": q_search_range_agg,
+        "search_cardinality": q_search_cardinality,
         "curation_redact_pii": q_curation_redact_pii,
         "curation_c4_clean": q_curation_c4_clean,
         "search_with_lenses": q_search_with_lenses,
@@ -1166,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lens_list_ordered": q_lens_list_ordered,
         "doc_ids_uuid5": q_doc_ids_uuid5,
         "dedup_simhash": q_dedup_simhash,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "tags_dim": q_tags_dim,
         "query_tag_boost_rewrite": q_query_tag_boost_rewrite,
         "unsynced_docs_predicate": q_unsynced_docs_predicate,
@@ -1404,6 +1416,13 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
             "search_expected_search_range_agg.parquet' "
             "WHERE corpus_key = "
             "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)"),
+        "search_cardinality": (
+            "SELECT tag_id, doc_count, n_distinct "
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_cardinality.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
+            "ORDER BY doc_count DESC, tag_id"),
         "search_fuzzy": _fixture_sql("search_fuzzy"),
         "search_wildcard": _fixture_sql("search_wildcard"),
         "search_regex": _fixture_sql("search_regex"),

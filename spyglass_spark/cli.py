@@ -136,7 +136,14 @@ def main(argv=None, spark=None) -> int:
     ag.add_argument("--query", required=True)
     ag.add_argument("--kind", default="facets",
                     choices=["facets", "date-histogram", "stats",
-                             "percentiles", "facet-stats", "range"])
+                             "percentiles", "facet-stats", "range",
+                             "cardinality"])
+    ag.add_argument("--col", default="domain",
+                    help="cardinality only: column to distinct-count")
+    ag.add_argument("--rsd", type=float, default=None,
+                    help="cardinality only: use the HLL++ sketch at this "
+                         "relative error (bounded-memory scale path) "
+                         "instead of the exact two-phase agg")
     ag.add_argument("--range", action="append", default=[],
                     dest="ranges", metavar="KEY:LO:HI",
                     help="range only: half-open [LO,HI) bucket in µs, "
@@ -341,6 +348,10 @@ def main(argv=None, spark=None) -> int:
                         "lo": None if r["lo"] is None else int(r["lo"]),
                         "hi": None if r["hi"] is None else int(r["hi"]),
                         "n": int(r["n"])}))
+            elif args.kind == "cardinality":
+                rows = eng.cardinality(args.query, filters=filters,
+                                       col=args.col, rsd=args.rsd).collect()
+                print(json.dumps({"n_distinct": int(rows[0]["n_distinct"])}))
             elif args.kind == "facet-stats":
                 rows = eng.facet_stats(args.query, filters=filters,
                                        facet_col=args.facet_col,

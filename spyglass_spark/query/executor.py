@@ -1734,6 +1734,41 @@ class SearchEngine:
                              "i")
                      .orderBy("i").drop("i"))
 
+    def cardinality(self, query: str, filters=(), boosts=(),
+                    col: str = "domain", facet_col: str | None = None,
+                    rsd: float | None = None) -> DataFrame:
+        """Cardinality metric over the FULL match set — the distinct
+        count of ``col`` among matching live docs (the aggregation
+        module's cardinality metric; NULLs skipped like every metric).
+        With ``facet_col`` it nests under a terms bucket (per-facet
+        distinct counts, doc_count-desc/tag-asc like facet_stats).
+
+        Exact by default: count(distinct) is a two-phase hash agg
+        keyed on the value — exact and hash-gradeable, shuffle
+        O(#distinct). At 100 TB cardinalities pass ``rsd`` to use
+        approx_count_distinct (HyperLogLog++, bounded memory,
+        relative error ≤ rsd) — the sketch/exact split the rest of
+        the aggregation surface follows."""
+        dm = self._match_doc_meta(compile_query(query, filters, boosts),
+                                  caller="cardinality")
+        c = F.col(col)
+        agg = (F.approx_count_distinct(col, rsd) if rsd is not None
+               else F.count_distinct(c)).alias("n_distinct")
+        if facet_col is None:
+            return dm.filter(c.isNotNull()).agg(agg)
+        facet = dm.schema[facet_col]
+        val = (F.explode(facet_col) if facet.dataType.typeName() == "array"
+               else F.col(facet_col))
+        return (dm.filter(c.isNotNull())
+                  .select(val.alias("tag_id"), c.alias("_v"))
+                  .groupBy("tag_id")
+                  .agg(F.count("*").alias("doc_count"),
+                       (F.approx_count_distinct("_v", rsd)
+                        if rsd is not None
+                        else F.count_distinct(F.col("_v")))
+                       .alias("n_distinct"))
+                  .orderBy(F.desc("doc_count"), F.asc("tag_id")))
+
     def materialize(self, hits: DataFrame, documents: DataFrame,
                     query: str, preview_words: int = 20) -> DataFrame:
         """Hit materialization (api/handler/search.rs:142-188 analog):

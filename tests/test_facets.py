@@ -416,6 +416,41 @@ def test_range_agg_guards(eng):
     assert [(r["range_key"], r["n"]) for r in rows] == [("all", 0)]
 
 
+def test_cardinality_vs_bruteforce(eng, built_index):
+    """Cardinality metric: exact distinct count (global and nested
+    under a terms bucket) vs brute force; the HLL++ form stays within
+    its rsd bound of the exact count."""
+    from spyglass_spark.query.compiler import compile_query
+
+    query = "merge join table"
+    cq = compile_query(query)
+    match = []
+    for d in built_index["docs"]:
+        fields = {
+            "content": {t for _, t in tokenize_en(d["content"] or "")},
+            "title": {t for _, t in tokenize_default(d["title"] or "")},
+        }
+        if any(t in fields.get(c.field, set())
+               for c in cq.should_group for t in c.terms):
+            match.append(d)
+    exact = eng.cardinality(query, col="domain").collect()[0]["n_distinct"]
+    expect = len({d["domain"] for d in match})
+    assert exact == expect > 0
+
+    per_tag = {r["tag_id"]: (r["doc_count"], r["n_distinct"])
+               for r in eng.cardinality(query, col="domain",
+                                        facet_col="tags").collect()}
+    brute: dict = {}
+    for d in match:
+        for t in d["tags"]:
+            brute.setdefault(t, []).append(d["domain"])
+    assert per_tag == {t: (len(ds), len(set(ds))) for t, ds in brute.items()}
+
+    approx = eng.cardinality(query, col="domain",
+                             rsd=0.01).collect()[0]["n_distinct"]
+    assert abs(approx - exact) <= max(1, 0.05 * exact)
+
+
 def test_date_histogram_guards(eng):
     with pytest.raises(ValueError, match="interval_us"):
         eng.date_histogram("fn index", interval_us=0)

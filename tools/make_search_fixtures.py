@@ -283,6 +283,7 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
     out["search_percentiles"] = percentile_fixture_rows(docs, ckey)
     out["search_facet_stats"] = facet_stats_rows(docs, ckey)
     out["search_range_agg"] = range_agg_rows(docs, ckey)
+    out["search_cardinality"] = cardinality_rows(docs, ckey)
     return out
 
 
@@ -439,6 +440,29 @@ def range_agg_rows(docs: list[dict], ckey: int,
     return rows
 
 
+CARD_FIELDS = [("tag_id", pa.int64()), ("doc_count", pa.int64()),
+               ("n_distinct", pa.int64())]
+
+
+def cardinality_rows(docs: list[dict], ckey: int,
+                     query: str = "spark merge join",
+                     col: str = "domain") -> list[dict]:
+    """Expected cardinality output nested under the tags bucket:
+    per-tag (doc_count, exact distinct ``col``) over the brute-force
+    match set, doc_count-desc/tag-asc."""
+    buckets: dict[int, list] = {}
+    for d in _brute_match(docs, query):
+        if d.get(col) is None:
+            continue
+        for t in d["tags"]:
+            buckets.setdefault(int(t), []).append(d[col])
+    rows = [{"corpus_key": ckey, "tag_id": t, "doc_count": len(vs),
+             "n_distinct": len(set(vs))} for t, vs in buckets.items()]
+    rows.sort(key=lambda r: (-r["doc_count"], r["tag_id"]))
+    assert rows, "cardinality fixture must be nonvacuous"
+    return rows
+
+
 def facet_rows(docs: list[dict], ckey: int,
                query: str = "spark merge join", filters=()) -> list[dict]:
     """Expected facet_counts output: brute-force match set with the
@@ -507,7 +531,8 @@ def main() -> None:
                "search_field_stats": STATS_FIELDS,
                "search_percentiles": PCT_FIELDS,
                "search_facet_stats": FSTATS_FIELDS,
-               "search_range_agg": RANGE_FIELDS}
+               "search_range_agg": RANGE_FIELDS,
+               "search_cardinality": CARD_FIELDS}
     for name, rows in merged.items():
         write_fixture(name, rows, special.get(name))
 
