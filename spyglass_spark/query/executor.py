@@ -571,6 +571,10 @@ class SearchEngine:
         m = load_manifest(self.index_dir, as_of=self.as_of)
         if m is None or not m.committed:
             raise FileNotFoundError(f"no committed index manifest in {self.index_dir}")
+        prev_agg = getattr(self, "_agg_dm_cache", None)
+        if prev_agg is not None:  # drop the stale-generation agg frame
+            prev_agg.unpersist()
+            self._agg_dm_cache = None
         if m.version > 1:
             raise ValueError(
                 f"index manifest version {m.version} is newer than this "
@@ -1444,7 +1448,7 @@ class SearchEngine:
 
     def facet_counts(self, query: str, filters=(), boosts=(),
                      k_tags: int | None = None,
-                     facet_col: str = "tags") -> DataFrame:
+                     facet_col: str = "tags", _dm=None) -> DataFrame:
         """Facet counts over the FULL match set of a search (not the
         top-k): (tag_id, n) for every facet value carried by a matching
         live doc, count-descending. ``facet_col`` is any stored doc-meta
@@ -1467,8 +1471,8 @@ class SearchEngine:
         sets flow through distinct/leftsemi joins (map-side combinable);
         tags come from the doc-meta scan of matched ords; output is
         O(#tags). No corpus scan, no driver materialization."""
-        dm = self._match_doc_meta(compile_query(query, filters, boosts),
-                                  caller="facet_counts")
+        dm = _dm if _dm is not None else self._match_doc_meta(
+            compile_query(query, filters, boosts), caller="facet_counts")
         facet = dm.schema[facet_col]
         val = (F.explode(facet_col) if facet.dataType.typeName() == "array"
                else F.col(facet_col))
@@ -1528,7 +1532,7 @@ class SearchEngine:
 
     def date_histogram(self, query: str, filters=(), boosts=(),
                        interval_us: int = 86_400_000_000,
-                       date_col: str = "lastmodified") -> DataFrame:
+                       date_col: str = "lastmodified", _dm=None) -> DataFrame:
         """Date-histogram aggregation over the FULL match set — the
         tantivy-0.19.2 aggregation module's HistogramAggregation on a
         date fast field, re-expressed on the match-set machinery:
@@ -1540,8 +1544,8 @@ class SearchEngine:
         facet_counts."""
         if interval_us <= 0:
             raise ValueError("interval_us must be positive")
-        dm = self._match_doc_meta(compile_query(query, filters, boosts),
-                                  caller="date_histogram")
+        dm = _dm if _dm is not None else self._match_doc_meta(
+            compile_query(query, filters, boosts), caller="date_histogram")
         # integer `div`, not float floor: µs values sit near the double
         # mantissa edge, and both the scalar oracle and DuckDB use the
         # same exact integer arithmetic (dates are non-negative µs)
@@ -1553,7 +1557,7 @@ class SearchEngine:
                   .orderBy(F.asc("bucket")))
 
     def field_stats(self, query: str, filters=(), boosts=(),
-                    col: str = "lastmodified") -> DataFrame:
+                    col: str = "lastmodified", _dm=None) -> DataFrame:
         """tantivy-0.19.2 aggregation module StatsAggregation over the
         FULL match set: ONE row (n, min, max, sum, avg) of a numeric
         doc-meta column, NULLs skipped (tantivy drops docs missing the
@@ -1561,8 +1565,8 @@ class SearchEngine:
         machinery and O(1)-output/no-corpus-scan profile as
         facet_counts/date_histogram; the aggregate is a single
         partial→final hash agg in whole-stage codegen."""
-        dm = self._match_doc_meta(compile_query(query, filters, boosts),
-                                  caller="field_stats")
+        dm = _dm if _dm is not None else self._match_doc_meta(
+            compile_query(query, filters, boosts), caller="field_stats")
         c = F.col(col)
         # EXACT decimal sum, then ONE double division: F.avg(long)
         # accumulates in double, so its last bit depends on partition
@@ -1587,7 +1591,7 @@ class SearchEngine:
     def percentiles(self, query: str, filters=(), boosts=(),
                     col: str = "lastmodified",
                     percents=(1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0),
-                    approx_accuracy: int | None = None) -> DataFrame:
+                    approx_accuracy: int | None = None, _dm=None) -> DataFrame:
         """Percentiles aggregation over the FULL match set — the
         tantivy-0.19.2 aggregation module's PercentilesAggregation on a
         numeric fast field (same default percents), re-expressed on the
@@ -1612,8 +1616,8 @@ class SearchEngine:
             raise ValueError("percents must be non-empty")
         if any(not (0.0 <= p <= 100.0) for p in pcts):
             raise ValueError(f"percents out of [0,100]: {pcts}")
-        dm = self._match_doc_meta(compile_query(query, filters, boosts),
-                                  caller="percentiles")
+        dm = _dm if _dm is not None else self._match_doc_meta(
+            compile_query(query, filters, boosts), caller="percentiles")
         # percent→fraction as p/100.0 in double; repr() round-trips the
         # exact double into the SQL literal so engine ≡ scalar oracle
         arr = ", ".join(repr(p / 100.0) for p in pcts)
@@ -1635,7 +1639,7 @@ class SearchEngine:
 
     def facet_stats(self, query: str, filters=(), boosts=(),
                     facet_col: str = "tags", col: str = "lastmodified",
-                    k_tags: int | None = None) -> DataFrame:
+                    k_tags: int | None = None, _dm=None) -> DataFrame:
         """Terms bucket aggregation with a nested stats metric over the
         FULL match set — tantivy-0.19.2's TermsAggregation with a
         StatsAggregation sub-aggregation, re-expressed as ONE
@@ -1652,8 +1656,8 @@ class SearchEngine:
         double(exact sum)/n in ONE division — hash-gradeable. Scale
         profile: the explode is doc-local, the single groupBy is
         map-side combinable, output is O(#facet values)."""
-        dm = self._match_doc_meta(compile_query(query, filters, boosts),
-                                  caller="facet_stats")
+        dm = _dm if _dm is not None else self._match_doc_meta(
+            compile_query(query, filters, boosts), caller="facet_stats")
         facet = dm.schema[facet_col]
         val = (F.explode(facet_col) if facet.dataType.typeName() == "array"
                else F.col(facet_col))
@@ -1677,7 +1681,7 @@ class SearchEngine:
 
     def range_agg(self, query: str, filters=(), boosts=(),
                   col: str = "lastmodified",
-                  ranges: tuple = ()) -> DataFrame:
+                  ranges: tuple = (), _dm=None) -> DataFrame:
         """Range bucket aggregation over the FULL match set — the
         tantivy-0.19.2 aggregation module's RangeAggregation on a
         numeric fast field: each requested range is a half-open
@@ -1699,8 +1703,8 @@ class SearchEngine:
             raise ValueError("ranges must be non-empty")
         if len({k for k, _, _ in rs}) != len(rs):
             raise ValueError("range keys must be unique")
-        dm = self._match_doc_meta(compile_query(query, filters, boosts),
-                                  caller="range_agg")
+        dm = _dm if _dm is not None else self._match_doc_meta(
+            compile_query(query, filters, boosts), caller="range_agg")
         c = F.col(col)
 
         def _lit(b):
@@ -1736,7 +1740,7 @@ class SearchEngine:
 
     def cardinality(self, query: str, filters=(), boosts=(),
                     col: str = "domain", facet_col: str | None = None,
-                    rsd: float | None = None) -> DataFrame:
+                    rsd: float | None = None, _dm=None) -> DataFrame:
         """Cardinality metric over the FULL match set — the distinct
         count of ``col`` among matching live docs (the aggregation
         module's cardinality metric; NULLs skipped like every metric).
@@ -1749,8 +1753,8 @@ class SearchEngine:
         approx_count_distinct (HyperLogLog++, bounded memory,
         relative error ≤ rsd) — the sketch/exact split the rest of
         the aggregation surface follows."""
-        dm = self._match_doc_meta(compile_query(query, filters, boosts),
-                                  caller="cardinality")
+        dm = _dm if _dm is not None else self._match_doc_meta(
+            compile_query(query, filters, boosts), caller="cardinality")
         c = F.col(col)
         agg = (F.approx_count_distinct(col, rsd) if rsd is not None
                else F.count_distinct(c)).alias("n_distinct")
@@ -1768,6 +1772,54 @@ class SearchEngine:
                         else F.count_distinct(F.col("_v")))
                        .alias("n_distinct"))
                   .orderBy(F.desc("doc_count"), F.asc("tag_id")))
+
+    AGG_KINDS = ("facets", "date_histogram", "stats", "percentiles",
+                 "facet_stats", "range", "cardinality")
+
+    def aggregate(self, query: str, filters=(), boosts=(),
+                  aggs: dict | None = None) -> dict:
+        """Aggregation REQUEST TREE over one match-set pass — tantivy's
+        aggregation collector executes every requested aggregation in a
+        single segment traversal; the per-kind methods here each
+        recompute the match set (posting decode + two metadata joins),
+        so an N-agg dashboard pays N×. This runs the match-set subtree
+        ONCE, persists the O(matches) doc-meta frame (MEMORY_AND_DISK —
+        spill-safe, recomputable on executor loss, unlike a
+        localCheckpoint), and serves every sub-aggregation from the
+        cached frame: 1 materialization job + N cheap agg jobs.
+
+        ``aggs``: {name: {"kind": <AGG_KINDS>, ...params}} — params are
+        the matching method's keyword args (facet_col, interval_us,
+        col, percents, ranges, rsd, ...). Returns {name: DataFrame}.
+        The cached frame is retained so the returned (lazy) DataFrames
+        stay cheap; the NEXT aggregate()/refresh() call unpersists it."""
+        if not aggs:
+            raise ValueError("aggs must be non-empty")
+        builders = {
+            "facets": self.facet_counts, "date_histogram": self.date_histogram,
+            "stats": self.field_stats, "percentiles": self.percentiles,
+            "facet_stats": self.facet_stats, "range": self.range_agg,
+            "cardinality": self.cardinality,
+        }
+        for name, spec in aggs.items():
+            if spec.get("kind") not in builders:
+                raise ValueError(
+                    f"agg {name!r}: kind must be one of {self.AGG_KINDS}")
+        dm = self._match_doc_meta(compile_query(query, filters, boosts),
+                                  caller="aggregate")
+        prev = getattr(self, "_agg_dm_cache", None)
+        if prev is not None:
+            prev.unpersist()
+        dm = dm.persist()
+        dm.count()  # materialize the shared pass eagerly
+        self._agg_dm_cache = dm
+        out = {}
+        for name, spec in aggs.items():
+            s = dict(spec)
+            kind = s.pop("kind")
+            out[name] = builders[kind](query, filters=filters,
+                                       boosts=boosts, _dm=dm, **s)
+        return out
 
     def materialize(self, hits: DataFrame, documents: DataFrame,
                     query: str, preview_words: int = 20) -> DataFrame:

@@ -451,6 +451,50 @@ def test_cardinality_vs_bruteforce(eng, built_index):
     assert abs(approx - exact) <= max(1, 0.05 * exact)
 
 
+def test_aggregate_request_tree_matches_singles(eng, built_index):
+    """aggregate() = one match-set pass serving every sub-aggregation:
+    each output equals its standalone method's output exactly, the
+    sub-agg plans read the cached frame (InMemoryTableScan), and the
+    cache is swapped out on the next call."""
+    query = "merge join table"
+    week = 7 * DAY_US
+    lo = min(_brute_match_vals(built_index["docs"], query, "lastmodified"))
+    out = eng.aggregate(query, aggs={
+        "by_tag": {"kind": "facets"},
+        "weekly": {"kind": "date_histogram", "interval_us": week},
+        "dates": {"kind": "stats"},
+        "pcts": {"kind": "percentiles", "percents": (50.0, 95.0)},
+        "tag_dates": {"kind": "facet_stats"},
+        "eras": {"kind": "range", "ranges": (("old", None, lo + 1),
+                                             ("rest", lo + 1, None))},
+        "domains": {"kind": "cardinality", "col": "domain"},
+    })
+    singles = {
+        "by_tag": eng.facet_counts(query),
+        "weekly": eng.date_histogram(query, interval_us=week),
+        "dates": eng.field_stats(query),
+        "pcts": eng.percentiles(query, percents=(50.0, 95.0)),
+        "tag_dates": eng.facet_stats(query),
+        "eras": eng.range_agg(query, ranges=(("old", None, lo + 1),
+                                             ("rest", lo + 1, None))),
+        "domains": eng.cardinality(query, col="domain"),
+    }
+    for name, df in out.items():
+        assert df.collect() == singles[name].collect(), name
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, name
+    first_cache = eng._agg_dm_cache
+    assert first_cache is not None
+    eng.aggregate(query, aggs={"n": {"kind": "stats"}})
+    assert eng._agg_dm_cache is not first_cache
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        eng.aggregate(query, aggs={})
+    with _pytest.raises(ValueError, match="kind"):
+        eng.aggregate(query, aggs={"x": {"kind": "nope"}})
+
+
 def test_date_histogram_guards(eng):
     with pytest.raises(ValueError, match="interval_us"):
         eng.date_histogram("fn index", interval_us=0)

@@ -193,6 +193,15 @@ section("Range buckets (RangeAggregation analog) over the match set",
         "  LocalRelation joined broadcast to the counts (empty buckets\n"
         "  survive as n=0). Nothing scales past the match-set subtree.", 50)
 
+section("Cardinality metric (exact two-phase distinct) over the match set",
+        eng.cardinality("spark merge join", col="domain",
+                        facet_col="tags"),
+        "- Exact form: count_distinct = two HashAggregate pairs (value\n"
+        "  de-dup then count) -- exact at any partitioning, shuffle\n"
+        "  O(#distinct). The rsd form swaps in approx_count_distinct\n"
+        "  (HyperLogLog++: fixed-size sketch, ONE partial->final agg,\n"
+        "  no value shuffle) for 100 TB cardinalities.", 50)
+
 from spyglass_spark.index.fsck import fsck
 
 section("Index integrity audit (fsck)",
