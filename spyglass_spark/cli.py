@@ -68,6 +68,13 @@ def main(argv=None, spark=None) -> int:
     s.add_argument("--as-of", type=int, default=None,
                    help="search the manifest snapshot at this commit_seq "
                         "(time travel; see index stats for current seq)")
+    s.add_argument("--sort-by", default=None,
+                   choices=["lastmodified", "published"],
+                   help="order the match set by this fast field instead "
+                        "of BM25 score (TopDocs::order_by_u64_field "
+                        "collector analog; url-asc tie-break)")
+    s.add_argument("--sort-asc", action="store_true",
+                   help="with --sort-by: ascending instead of descending")
 
     u = sub.add_parser("upsert", help="delete+re-add documents by url "
                                       "(delta generation)")
@@ -137,7 +144,7 @@ def main(argv=None, spark=None) -> int:
     ag.add_argument("--kind", default="facets",
                     choices=["facets", "date-histogram", "stats",
                              "percentiles", "facet-stats", "range",
-                             "cardinality"])
+                             "cardinality", "extended-stats", "top-hits"])
     ag.add_argument("--col", default="domain",
                     help="cardinality only: column to distinct-count")
     ag.add_argument("--rsd", type=float, default=None,
@@ -160,6 +167,18 @@ def main(argv=None, spark=None) -> int:
                     help="date-histogram bucket width in µs (default 1 day)")
     ag.add_argument("--date-col", default="lastmodified",
                     choices=["lastmodified", "published"])
+    ag.add_argument("--shift", type=int, default=0,
+                    help="extended-stats only: translation constant c in "
+                         "µs — variance is shift-invariant, and shifting "
+                         "by a corpus epoch keeps Σ(x−c)² inside "
+                         "decimal(38,0) at any match count")
+    ag.add_argument("--sigma", type=float, default=2.0,
+                    help="extended-stats only: std bound multiplier")
+    ag.add_argument("--k-hits", type=int, default=3,
+                    help="top-hits only: docs kept per facet bucket")
+    ag.add_argument("--hits-asc", action="store_true",
+                    help="top-hits only: oldest-first instead of "
+                         "most-recent-first")
     ag.add_argument("--tag", type=int, action="append", default=[],
                     help="tag filter Musts, repeatable")
     ag.add_argument("--k", type=int, default=None,
@@ -289,6 +308,16 @@ def main(argv=None, spark=None) -> int:
                 if v is not None:
                     filters.append((kind, v))
             boosts = [("tag", t) for t in args.boost_tag]
+            if args.sort_by is not None:
+                for r in eng.search_sorted(
+                        args.query, filters=filters, boosts=boosts,
+                        col=args.sort_by, k=args.k, offset=args.offset,
+                        asc=args.sort_asc).collect():
+                    print(json.dumps({
+                        "rank": r["rank"], "url": r["url"],
+                        "domain": r["domain"], "title": r["title"],
+                        args.sort_by: int(r[args.sort_by])}))
+                return 0
             common = dict(filters=filters, boosts=boosts, k=args.k,
                           offset=args.offset, algo=args.algo)
             if args.mode == "text":
@@ -366,6 +395,37 @@ def main(argv=None, spark=None) -> int:
                         "sum": None if r["sum"] is None else int(r["sum"]),
                         "avg": None if r["avg"] is None
                         else float(r["avg"])}))
+            elif args.kind == "extended-stats":
+                r = eng.extended_stats(args.query, filters=filters,
+                                       col=args.date_col, sigma=args.sigma,
+                                       shift=args.shift).collect()[0]
+                print(json.dumps({
+                    "n": int(r["n"]),
+                    "min": None if r["min"] is None else int(r["min"]),
+                    "max": None if r["max"] is None else int(r["max"]),
+                    "sum": None if r["sum"] is None else int(r["sum"]),
+                    "avg": None if r["avg"] is None else float(r["avg"]),
+                    "sum_of_squares": None if r["sum_of_squares"] is None
+                    else float(r["sum_of_squares"]),
+                    "variance": None if r["variance"] is None
+                    else float(r["variance"]),
+                    "std_deviation": None if r["std_deviation"] is None
+                    else float(r["std_deviation"]),
+                    "std_upper": None if r["std_upper"] is None
+                    else float(r["std_upper"]),
+                    "std_lower": None if r["std_lower"] is None
+                    else float(r["std_lower"])}))
+            elif args.kind == "top-hits":
+                rows = eng.top_hits(args.query, filters=filters,
+                                    facet_col=args.facet_col,
+                                    sort_col=args.date_col,
+                                    k_hits=args.k_hits,
+                                    asc=args.hits_asc).collect()
+                for r in rows:
+                    print(json.dumps({
+                        "tag_id": r["tag_id"], "rank": int(r["rank"]),
+                        "url": r["url"],
+                        "sort_value": int(r["sort_value"])}))
             else:
                 r = eng.field_stats(args.query, filters=filters,
                                     col=args.date_col).collect()[0]

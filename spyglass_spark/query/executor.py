@@ -1773,8 +1773,153 @@ class SearchEngine:
                        .alias("n_distinct"))
                   .orderBy(F.desc("doc_count"), F.asc("tag_id")))
 
+    def extended_stats(self, query: str, filters=(), boosts=(),
+                       col: str = "lastmodified", sigma: float = 2.0,
+                       shift: int = 0, _dm=None) -> DataFrame:
+        """Extended-stats metric over the FULL match set — the tantivy
+        aggregation module's ExtendedStatsAggregation (the ES-compatible
+        superset of the stats metric): ONE row (n, min, max, sum, avg,
+        sum_of_squares, variance, std_deviation, std_upper, std_lower)
+        of a numeric doc-meta column, NULLs skipped; bounds are
+        avg ± sigma·std (sigma default 2.0, the ES contract).
+
+        Arithmetic discipline (hash-gradeable like field_stats): every
+        sum is an EXACT decimal aggregate — partition-order independent —
+        and doubles appear only in one FIXED final expression tree:
+        avg = double(Σx)/n; variance = population variance via
+        (double(Σ(x−c)²) − double(Σ(x−c))·(double(Σ(x−c))/n))/n, clamped
+        at 0 (exact-cancellation can land one ulp negative);
+        std = sqrt(variance). The scalar fixture oracle replicates the
+        same op order bitwise (Python floats are IEEE doubles).
+
+        ``shift`` (the constant c) is the 100 TB knob: variance is
+        translation-invariant, and Σx² of raw µs dates (~1.8e15 each,
+        squares ~3.2e30) outgrows decimal(38,0) past ~3·10⁷ matched docs
+        — try_sum turns that overflow into NULL rather than an ANSI
+        error, and shifting by a corpus-epoch constant keeps the squared
+        sum small at any match count. The reported ``sum_of_squares``
+        stays the RAW Σx² (NULL once it overflows), matching the ES/
+        tantivy response field; ``variance`` stays exact under shift."""
+        dm = _dm if _dm is not None else self._match_doc_meta(
+            compile_query(query, filters, boosts), caller="extended_stats")
+        c = F.col(col)
+        x = dm.filter(c.isNotNull()).select(
+            c.cast("long").alias("_x"),
+            (c.cast("long") - F.lit(int(shift)).cast("long")).alias("_xs"))
+        # decimal(19,0) operands: the product type is decimal(38,0) with
+        # no precision loss (µs-scale squares have ≤ 32 digits)
+        sq = ("try_sum(cast({0} as decimal(19,0)) "
+              "* cast({0} as decimal(19,0)))")
+        agg = x.agg(
+            F.count("*").alias("n"),
+            F.min("_x").alias("min"),
+            F.max("_x").alias("max"),
+            F.sum(F.col("_x").cast("decimal(38,0)")).alias("_s"),
+            F.sum(F.col("_xs").cast("decimal(38,0)")).alias("_s_sh"),
+            F.expr(sq.format("_xs")).alias("_ssq_sh"),
+            F.expr(sq.format("_x")).alias("_ssq_raw"))
+        n_d = F.col("n").cast("double")
+        avg = F.col("_s").cast("double") / n_d
+        m_sh = F.col("_s_sh").cast("double") / n_d
+        var_raw = (F.col("_ssq_sh").cast("double")
+                   - F.col("_s_sh").cast("double") * m_sh) / n_d
+        # explicit when(), not greatest(): kills -0.0 identically to the
+        # fixture's `0.0 if v <= 0.0 else v`
+        var = F.when(var_raw <= F.lit(0.0), F.lit(0.0)).otherwise(var_raw)
+        std = F.sqrt(var)
+        sig = F.lit(float(sigma))
+        return agg.select(
+            "n", "min", "max",
+            F.expr("try_cast(_s AS BIGINT)").alias("sum"),
+            avg.alias("avg"),
+            F.col("_ssq_raw").cast("double").alias("sum_of_squares"),
+            var.alias("variance"),
+            std.alias("std_deviation"),
+            (avg + sig * std).alias("std_upper"),
+            (avg - sig * std).alias("std_lower"))
+
+    def top_hits(self, query: str, filters=(), boosts=(),
+                 facet_col: str = "tags", sort_col: str = "lastmodified",
+                 k_hits: int = 3, asc: bool = False,
+                 salt_buckets: int = 16, _dm=None) -> DataFrame:
+        """Top-hits sub-aggregation under a terms bucket — the tantivy
+        aggregation module's TopHitsAggregation: per facet value, the
+        k_hits first matching docs ordered by a fast field (date
+        descending by default, url ascending tie-break — url is unique,
+        so the ranking is total and hash-gradeable). Docs missing the
+        sort field are skipped (every metric's NULL contract). Output
+        (tag_id, rank, url, sort_value), tag-asc / rank-asc.
+
+        Scale shape: exact two-phase top-k in whole-stage-codegen
+        expressions — phase 1 groups on (tag_id, salt=doc_ord mod S) and
+        keeps slice(array_sort(collect_list(key)), 1, k) per salted
+        bucket, phase 2 merges ≤ S·k rows per tag the same way. The
+        shuffle is O(matched (doc,tag) pairs), the same profile as every
+        terms aggregation, but no single reducer ever materializes a hot
+        tag's full match list (the salt caps phase-2 input at S·k),
+        and nothing sorts more than a k-clamped array."""
+        if k_hits <= 0:
+            raise ValueError("k_hits must be positive")
+        dm = _dm if _dm is not None else self._match_doc_meta(
+            compile_query(query, filters, boosts), caller="top_hits")
+        facet = dm.schema[facet_col]
+        tag = (F.explode(facet_col) if facet.dataType.typeName() == "array"
+               else F.col(facet_col))
+        s = F.col(sort_col).cast("long")
+        # array_sort over struct compares fields in order: the sort key
+        # first (negated long for descending — µs dates are non-negative,
+        # so negation never overflows), then the unique url tie-break
+        key = F.struct((s if asc else -s).alias("_k"),
+                       F.col("url").alias("url"),
+                       s.alias("sort_value"))
+        x = dm.filter(F.col(sort_col).isNotNull()).select(
+            tag.alias("tag_id"), key.alias("_h"),
+            F.pmod(F.col("doc_ord"), F.lit(int(salt_buckets))).alias("_b"))
+        k = int(k_hits)
+        p1 = x.groupBy("tag_id", "_b").agg(
+            F.slice(F.array_sort(F.collect_list("_h")), 1, k).alias("_p"))
+        p2 = p1.groupBy("tag_id").agg(
+            F.slice(F.array_sort(F.flatten(F.collect_list("_p"))), 1, k)
+             .alias("_t"))
+        return (p2.selectExpr("tag_id", "posexplode(_t) as (_i, _h)")
+                  .select("tag_id",
+                          (F.col("_i") + 1).cast("int").alias("rank"),
+                          F.col("_h.url").alias("url"),
+                          F.col("_h.sort_value").alias("sort_value"))
+                  .orderBy(F.asc("tag_id"), F.asc("rank")))
+
+    def search_sorted(self, query: str, filters=(), boosts=(),
+                      col: str = "lastmodified", k: int = 5,
+                      offset: int = 0, asc: bool = False) -> DataFrame:
+        """Order-by-fast-field top-k — tantivy's
+        TopDocs::order_by_u64_field collector (the reference uses only
+        the score-ordered TopDocs, local.rs:120; this completes the
+        collector surface): the k matching docs ordered by a numeric
+        doc-meta column instead of BM25 score, url-asc tie-break (total
+        order), offset applied after the sort, docs missing the field
+        skipped. Output (rank, url, domain, title, <col>).
+
+        Plan shape: the match-set semijoin feeds ONE global
+        TakeOrderedAndProject of limit offset+k — each partition keeps
+        its local top-(offset+k), the driver merges; the rank window
+        then runs over that ≤ offset+k-row frame, so no stage ever
+        sorts more than the clamped head."""
+        if k <= 0:
+            raise ValueError("k must be positive")
+        dm = self._match_doc_meta(
+            compile_query(query, filters, boosts), caller="search_sorted")
+        order = [F.asc(col) if asc else F.desc(col), F.asc("url")]
+        top = (dm.filter(F.col(col).isNotNull())
+                 .select("url", "domain", "title", col)
+                 .orderBy(*order).limit(int(offset) + int(k)))
+        w = Window.orderBy(*order)
+        return (top.withColumn("rank", F.row_number().over(w))
+                   .filter(F.col("rank") > int(offset))
+                   .select("rank", "url", "domain", "title", col))
+
     AGG_KINDS = ("facets", "date_histogram", "stats", "percentiles",
-                 "facet_stats", "range", "cardinality")
+                 "facet_stats", "range", "cardinality", "extended_stats",
+                 "top_hits")
 
     def aggregate(self, query: str, filters=(), boosts=(),
                   aggs: dict | None = None) -> dict:
@@ -1800,6 +1945,7 @@ class SearchEngine:
             "stats": self.field_stats, "percentiles": self.percentiles,
             "facet_stats": self.facet_stats, "range": self.range_agg,
             "cardinality": self.cardinality,
+            "extended_stats": self.extended_stats, "top_hits": self.top_hits,
         }
         for name, spec in aggs.items():
             if spec.get("kind") not in builders:

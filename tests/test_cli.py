@@ -154,3 +154,49 @@ def test_cli_pattern_search_and_agg(spark, built_index, capsys):
     assert all(r["doc_count"] >= r["n"] > 0 for r in rows)
     dcs = [r["doc_count"] for r in rows]
     assert dcs == sorted(dcs, reverse=True)
+
+
+def test_cli_extended_stats_top_hits_and_sorted(spark, built_index, capsys):
+    """The round-5 additions' CLI surface: agg --kind extended-stats
+    (shift-invariant variance), agg --kind top-hits (per-tag recency
+    top-k), and search --sort-by (order-by-fast-field collector)."""
+    idx = built_index["index_dir"]
+
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind",
+                               "extended-stats", "--query", "fn index"])
+    x0 = json.loads(out)
+    assert x0["n"] > 0 and x0["variance"] >= 0.0
+    assert abs(x0["std_deviation"] ** 2 - x0["variance"]) <= 1e-6 * max(
+        x0["variance"], 1.0)
+    assert x0["std_lower"] <= x0["avg"] <= x0["std_upper"]
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind",
+                               "extended-stats", "--query", "fn index",
+                               "--shift", str(x0["min"])])
+    x1 = json.loads(out)
+    assert abs(x1["variance"] - x0["variance"]) <= 1e-6 * max(
+        x0["variance"], 1.0)
+    assert (x1["n"], x1["min"], x1["max"], x1["sum"]) == \
+        (x0["n"], x0["min"], x0["max"], x0["sum"])
+
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind", "top-hits",
+                               "--query", "fn index", "--k-hits", "2"])
+    rows = [json.loads(x) for x in out.strip().splitlines()]
+    assert rows and all(r["rank"] in (1, 2) for r in rows)
+    by_tag: dict[int, list] = {}
+    for r in rows:
+        by_tag.setdefault(r["tag_id"], []).append(r["sort_value"])
+    assert all(vs == sorted(vs, reverse=True) for vs in by_tag.values())
+
+    out = _run(capsys, spark, ["search", "--index", idx, "--query",
+                               "fn index", "--sort-by", "lastmodified",
+                               "--k", "3"])
+    rows = [json.loads(x) for x in out.strip().splitlines()]
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    vals = [r["lastmodified"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    out = _run(capsys, spark, ["search", "--index", idx, "--query",
+                               "fn index", "--sort-by", "lastmodified",
+                               "--sort-asc", "--k", "3"])
+    asc_rows = [json.loads(x) for x in out.strip().splitlines()]
+    avals = [r["lastmodified"] for r in asc_rows]
+    assert avals == sorted(avals) and avals[0] == min(vals + avals)

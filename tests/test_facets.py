@@ -468,6 +468,8 @@ def test_aggregate_request_tree_matches_singles(eng, built_index):
         "eras": {"kind": "range", "ranges": (("old", None, lo + 1),
                                              ("rest", lo + 1, None))},
         "domains": {"kind": "cardinality", "col": "domain"},
+        "xstats": {"kind": "extended_stats", "shift": lo},
+        "recent": {"kind": "top_hits", "k_hits": 2},
     })
     singles = {
         "by_tag": eng.facet_counts(query),
@@ -478,6 +480,8 @@ def test_aggregate_request_tree_matches_singles(eng, built_index):
         "eras": eng.range_agg(query, ranges=(("old", None, lo + 1),
                                              ("rest", lo + 1, None))),
         "domains": eng.cardinality(query, col="domain"),
+        "xstats": eng.extended_stats(query, shift=lo),
+        "recent": eng.top_hits(query, k_hits=2),
     }
     for name, df in out.items():
         assert df.collect() == singles[name].collect(), name
@@ -493,6 +497,160 @@ def test_aggregate_request_tree_matches_singles(eng, built_index):
         eng.aggregate(query, aggs={})
     with _pytest.raises(ValueError, match="kind"):
         eng.aggregate(query, aggs={"x": {"kind": "nope"}})
+
+
+def test_extended_stats_vs_bruteforce_bitwise(eng, built_index):
+    """ExtendedStats: the double expression tree (avg, variance via the
+    shifted sums, std, sigma bounds) replicated in scalar Python must be
+    BITWISE identical — partition-order independence comes from exact
+    decimal sums, the fixed final expression tree does the rest. Also:
+    variance is translation-invariant, so shift=0 and an epoch shift
+    agree to float tolerance, and the n/min/max/sum/avg head matches
+    field_stats exactly."""
+    import math
+
+    query, col = "merge join table", "lastmodified"
+    vals = _brute_match_vals(built_index["docs"], query, col)
+    assert vals
+    for shift in (0, 1_577_836_800_000_000):
+        row = eng.extended_stats(query, col=col, shift=shift).collect()[0]
+        n, s = len(vals), sum(vals)
+        s_sh = sum(v - shift for v in vals)
+        ssq_sh = sum((v - shift) ** 2 for v in vals)
+        avg = float(s) / n
+        m = float(s_sh) / n
+        var_raw = (float(ssq_sh) - float(s_sh) * m) / n
+        var = 0.0 if var_raw <= 0.0 else var_raw
+        std = math.sqrt(var)
+        assert (row["n"], row["min"], row["max"], row["sum"]) == \
+           (n, min(vals), max(vals), s)
+        assert row["avg"] == avg
+        assert row["sum_of_squares"] == float(sum(v * v for v in vals))
+        assert row["variance"] == var and row["std_deviation"] == std
+        assert row["std_upper"] == avg + 2.0 * std
+        assert row["std_lower"] == avg - 2.0 * std
+    v0 = eng.extended_stats(query, col=col, shift=0).collect()[0]
+    v1 = eng.extended_stats(query, col=col,
+                            shift=1_577_836_800_000_000).collect()[0]
+    assert math.isclose(v0["variance"], v1["variance"], rel_tol=1e-9)
+    head = eng.field_stats(query, col=col).collect()[0]
+    assert (v0["n"], v0["min"], v0["max"], v0["sum"], v0["avg"]) == \
+        (head["n"], head["min"], head["max"], head["sum"], head["avg"])
+
+
+def test_extended_stats_empty_match(eng):
+    row = eng.extended_stats("the fast key").collect()[0]
+    assert row["n"] == 0
+    for c in ("min", "max", "sum", "avg", "sum_of_squares", "variance",
+              "std_deviation", "std_upper", "std_lower"):
+        assert row[c] is None, c
+
+
+def test_extended_stats_raw_ssq_overflow_shift_survives(spark, tmp_path):
+    """The raw Σx² column try_sums to NULL once it exceeds decimal(38,0)
+    (two squares of ~9.2e18 do), while the SHIFTED variance stays exact —
+    the documented 100 TB contract: shift by a corpus epoch and the
+    metric survives any match count."""
+    import hashlib
+    import uuid
+
+    from spyglass_spark.corpus import SPYGLASS_NS
+    from spyglass_spark.index.builder import build_index
+    from spyglass_spark.query.executor import SearchEngine
+
+    big = 9_200_000_000_000_000_000  # x² ≈ 8.5e37; 3 docs overflow 38,0
+    docs = []
+    for i in range(3):
+        url = f"repo://x/f{i}.rs@{'a' * 40}"
+        docs.append(dict(
+            doc_id=str(uuid.uuid5(SPYGLASS_NS, url)), url=url, domain="x",
+            title=f"f{i}.rs", content="overflow probe doc",
+            tags=[1], content_sha256=hashlib.sha256(b"c").hexdigest(),
+            published=big, lastmodified=big + i))
+    idx = str(tmp_path / "xovf")
+    build_index(spark, spark.createDataFrame(docs), idx, num_partitions=2)
+    row = (SearchEngine(spark, idx)
+           .extended_stats("overflow probe", shift=big).collect()[0])
+    assert row["n"] == 3 and row["sum_of_squares"] is None
+    # shifted values are 0,1,2: population variance 2/3, exactly
+    assert row["variance"] == (float(5) - float(3) * (float(3) / 3)) / 3
+    assert row["min"] == big and row["max"] == big + 2
+
+
+def _brute_top_hits(docs, query, col="lastmodified", k=3, asc=False):
+    buckets: dict[int, list] = {}
+    sign = 1 if asc else -1
+    for d in docs:
+        fields = {
+            "content": {t for _, t in tokenize_en(d["content"] or "")},
+            "title": {t for _, t in tokenize_default(d["title"] or "")},
+        }
+        from spyglass_spark.query.compiler import compile_query
+        cq = compile_query(query)
+        if not any(t in fields.get(c.field, set())
+                   for c in cq.should_group for t in c.terms):
+            continue
+        if d.get(col) is None:
+            continue
+        for t in d["tags"]:
+            buckets.setdefault(int(t), []).append(
+                (sign * int(d[col]), d["url"]))
+    rows = []
+    for t in sorted(buckets):
+        for i, (sv, url) in enumerate(sorted(buckets[t])[:k]):
+            rows.append((t, i + 1, url, sign * sv))
+    return rows
+
+
+def test_top_hits_vs_bruteforce_and_salt_invariance(eng, built_index):
+    """TopHits per tag bucket: engine ≡ brute-force Python sort, and the
+    salted two-phase merge is a pure execution detail — any salt_buckets
+    yields identical rows (the property that makes the salt safe)."""
+    query = "merge join table"
+    expect = _brute_top_hits(built_index["docs"], query)
+    assert expect
+    for sb in (1, 4, 16):
+        got = [(r["tag_id"], r["rank"], r["url"], r["sort_value"])
+               for r in eng.top_hits(query, salt_buckets=sb).collect()]
+        assert got == expect, f"salt_buckets={sb}"
+    got_asc = [(r["tag_id"], r["rank"], r["url"], r["sort_value"])
+               for r in eng.top_hits(query, asc=True).collect()]
+    assert got_asc == _brute_top_hits(built_index["docs"], query, asc=True)
+    with pytest.raises(ValueError, match="k_hits"):
+        eng.top_hits(query, k_hits=0)
+
+
+def test_search_sorted_vs_bruteforce(eng, built_index):
+    """Order-by-fast-field collector: (date desc, url asc) total order,
+    offset applied after the sort with absolute ranks, asc variant,
+    k guard."""
+    query, col = "merge join table", "lastmodified"
+    from spyglass_spark.query.compiler import compile_query
+    cq = compile_query(query)
+    matched = []
+    for d in built_index["docs"]:
+        fields = {
+            "content": {t for _, t in tokenize_en(d["content"] or "")},
+            "title": {t for _, t in tokenize_default(d["title"] or "")},
+        }
+        if any(t in fields.get(c.field, set())
+               for c in cq.should_group for t in c.terms) \
+                and d.get(col) is not None:
+            matched.append(d)
+    desc = sorted(matched, key=lambda d: (-d[col], d["url"]))
+    got = [(r["rank"], r["url"], r[col]) for r in
+           eng.search_sorted(query, k=4, offset=3).collect()]
+    assert got == [(4 + i, d["url"], d[col])
+                   for i, d in enumerate(desc[3:7])]
+    asc = sorted(matched, key=lambda d: (d[col], d["url"]))
+    got_asc = [(r["rank"], r["url"], r[col]) for r in
+               eng.search_sorted(query, k=3, asc=True).collect()]
+    assert got_asc == [(1 + i, d["url"], d[col])
+                       for i, d in enumerate(asc[:3])]
+    # offset past the end of the match set: empty page, no error
+    assert eng.search_sorted(query, k=5, offset=10 ** 6).count() == 0
+    with pytest.raises(ValueError, match="k must"):
+        eng.search_sorted(query, k=0)
 
 
 def test_date_histogram_guards(eng):

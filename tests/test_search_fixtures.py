@@ -35,6 +35,14 @@ FIXTURE_QUERIES = [
     "search_date_histogram",
     "search_field_stats",
     "search_custom_boost",
+    "search_phrase_prefix",
+    "search_percentiles",
+    "search_facet_stats",
+    "search_range_agg",
+    "search_cardinality",
+    "search_extended_stats",
+    "search_top_hits",
+    "search_sorted",
 ]
 
 

@@ -202,6 +202,35 @@ section("Cardinality metric (exact two-phase distinct) over the match set",
         "  (HyperLogLog++: fixed-size sketch, ONE partial->final agg,\n"
         "  no value shuffle) for 100 TB cardinalities.", 50)
 
+section("Extended stats (ExtendedStatsAggregation analog) over the match set",
+        eng.extended_stats("spark merge join",
+                           shift=1_577_836_800_000_000),
+        "- ONE partial->final hash agg in codegen: every sum is an exact\n"
+        "  decimal aggregate (order-independent); avg/variance/std and\n"
+        "  the sigma bounds are a fixed double expression tree in the\n"
+        "  final project -- hash-gradeable at any partitioning. The\n"
+        "  epoch shift keeps sum((x-c)^2) inside decimal(38,0) at any\n"
+        "  match count; the raw sum-of-squares column degrades to NULL\n"
+        "  via try_sum instead of erroring. Output is ONE row.", 50)
+
+section("Top-hits sub-aggregation under the terms bucket",
+        eng.top_hits("spark merge join"),
+        "- Exact per-facet top-k with NO window over the full match\n"
+        "  set: phase 1 groups on (tag, doc_ord mod S) and keeps a\n"
+        "  k-clamped sorted array per salted bucket, phase 2 merges\n"
+        "  <= S*k rows per tag the same way -- a hot tag never\n"
+        "  materializes its full match list on one reducer. All\n"
+        "  array_sort/slice in codegen; shuffle O(matched doc-tag\n"
+        "  pairs), output O(#tags * k).", 50)
+
+section("Order-by-fast-field search (TopDocs::order_by_u64_field analog)",
+        eng.search_sorted("spark merge join", k=5, offset=2),
+        "- The match-set semijoin feeds ONE global TakeOrderedAndProject\n"
+        "  of limit offset+k: each partition keeps its local head, the\n"
+        "  driver merges O(P*(offset+k)) rows; the rank window then runs\n"
+        "  over that clamped frame only. No full sort of the match set\n"
+        "  at any scale; deep offsets belong to the cursor API instead.", 50)
+
 from spyglass_spark.index.fsck import fsck
 
 section("Index integrity audit (fsck)",

@@ -284,6 +284,9 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
     out["search_facet_stats"] = facet_stats_rows(docs, ckey)
     out["search_range_agg"] = range_agg_rows(docs, ckey)
     out["search_cardinality"] = cardinality_rows(docs, ckey)
+    out["search_extended_stats"] = xstats_rows(docs, ckey)
+    out["search_top_hits"] = top_hits_rows(docs, ckey)
+    out["search_sorted"] = sorted_rows(docs, ckey)
     return out
 
 
@@ -442,6 +445,88 @@ def range_agg_rows(docs: list[dict], ckey: int,
 
 CARD_FIELDS = [("tag_id", pa.int64()), ("doc_count", pa.int64()),
                ("n_distinct", pa.int64())]
+XSTATS_FIELDS = [("n", pa.int64()), ("min", pa.int64()), ("max", pa.int64()),
+                 ("sum", pa.int64()), ("avg", pa.float64()),
+                 ("sum_of_squares", pa.float64()), ("variance", pa.float64()),
+                 ("std_deviation", pa.float64()), ("std_upper", pa.float64()),
+                 ("std_lower", pa.float64())]
+TOPHITS_FIELDS = [("tag_id", pa.int64()), ("rank", pa.int32()),
+                  ("url", pa.string()), ("sort_value", pa.int64())]
+SORTED_FIELDS = [("rank", pa.int32()), ("url", pa.string()),
+                 ("domain", pa.string()), ("title", pa.string()),
+                 ("lastmodified", pa.int64())]
+
+
+def xstats_rows(docs: list[dict], ckey: int,
+                query: str = "spark merge join",
+                col: str = "lastmodified", sigma: float = 2.0) -> list[dict]:
+    """Expected extended_stats output: one ES-shaped row over the brute
+    match set's non-NULL dates. The double expression tree replicates the
+    engine's FIXED op order bitwise (Python floats are IEEE doubles):
+    avg = double(Σx)/n; m = double(Σ(x−c))/n; var = (double(Σ(x−c)²) −
+    double(Σ(x−c))·m)/n clamped at 0; std = sqrt(var); bounds =
+    avg ± sigma·std. The shift c is single-sourced from the entry."""
+    import math
+
+    from __spark_entry__ import ENTRY_XSTATS_SHIFT as shift
+
+    vals = [int(d[col]) for d in _brute_match(docs, query)
+            if d.get(col) is not None]
+    assert vals, "extended_stats fixture must be nonvacuous"
+    n = len(vals)
+    s = sum(vals)
+    s_sh = sum(v - shift for v in vals)
+    ssq_sh = sum((v - shift) ** 2 for v in vals)
+    avg = float(s) / n
+    m = float(s_sh) / n
+    var_raw = (float(ssq_sh) - float(s_sh) * m) / n
+    var = 0.0 if var_raw <= 0.0 else var_raw
+    std = math.sqrt(var)
+    return [{"corpus_key": ckey, "n": n, "min": min(vals), "max": max(vals),
+             "sum": s, "avg": avg,
+             "sum_of_squares": float(sum(v * v for v in vals)),
+             "variance": var, "std_deviation": std,
+             "std_upper": avg + sigma * std,
+             "std_lower": avg - sigma * std}]
+
+
+def top_hits_rows(docs: list[dict], ckey: int,
+                  query: str = "spark merge join",
+                  col: str = "lastmodified", k: int = 3) -> list[dict]:
+    """Expected top_hits output: per exploded tag, the k first matching
+    docs by (date desc, url asc — unique, so the ranking is total), docs
+    with a NULL date skipped; tag-asc/rank-asc. Plain Python sort —
+    independent of the engine's salted two-phase array-slice merge."""
+    buckets: dict[int, list] = {}
+    for d in _brute_match(docs, query):
+        if d.get(col) is None:
+            continue
+        for t in d["tags"]:
+            buckets.setdefault(int(t), []).append((-int(d[col]), d["url"]))
+    rows = []
+    for t in sorted(buckets):
+        for i, (negv, url) in enumerate(sorted(buckets[t])[:k]):
+            rows.append({"corpus_key": ckey, "tag_id": t, "rank": i + 1,
+                         "url": url, "sort_value": -negv})
+    assert rows, "top_hits fixture must be nonvacuous"
+    return rows
+
+
+def sorted_rows(docs: list[dict], ckey: int,
+                query: str = "spark merge join", col: str = "lastmodified",
+                k: int = 5, offset: int = 2) -> list[dict]:
+    """Expected search_sorted output: the match set ordered by
+    (date desc, url asc), rows offset+1..offset+k with their absolute
+    ranks — independent of the engine's TakeOrderedAndProject + window
+    plan."""
+    xs = sorted(((-int(d[col]), d["url"], d["domain"], d["title"])
+                 for d in _brute_match(docs, query)
+                 if d.get(col) is not None))
+    rows = [{"corpus_key": ckey, "rank": offset + 1 + i, "url": u,
+             "domain": dom, "title": ti, "lastmodified": -negv}
+            for i, (negv, u, dom, ti) in enumerate(xs[offset:offset + k])]
+    assert len(rows) == k, "sorted fixture must fill the page"
+    return rows
 
 
 def cardinality_rows(docs: list[dict], ckey: int,
@@ -532,7 +617,10 @@ def main() -> None:
                "search_percentiles": PCT_FIELDS,
                "search_facet_stats": FSTATS_FIELDS,
                "search_range_agg": RANGE_FIELDS,
-               "search_cardinality": CARD_FIELDS}
+               "search_cardinality": CARD_FIELDS,
+               "search_extended_stats": XSTATS_FIELDS,
+               "search_top_hits": TOPHITS_FIELDS,
+               "search_sorted": SORTED_FIELDS}
     for name, rows in merged.items():
         write_fixture(name, rows, special.get(name))
 
