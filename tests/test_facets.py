@@ -470,6 +470,9 @@ def test_aggregate_request_tree_matches_singles(eng, built_index):
         "domains": {"kind": "cardinality", "col": "domain"},
         "xstats": {"kind": "extended_stats", "shift": lo},
         "recent": {"kind": "top_hits", "k_hits": 2},
+        "filled": {"kind": "date_histogram", "interval_us": week,
+                   "min_doc_count": 0},
+        "top_tags": {"kind": "terms", "size": 3},
     })
     singles = {
         "by_tag": eng.facet_counts(query),
@@ -482,6 +485,9 @@ def test_aggregate_request_tree_matches_singles(eng, built_index):
         "domains": eng.cardinality(query, col="domain"),
         "xstats": eng.extended_stats(query, shift=lo),
         "recent": eng.top_hits(query, k_hits=2),
+        "filled": eng.date_histogram(query, interval_us=week,
+                                     min_doc_count=0),
+        "top_tags": eng.terms_agg(query, size=3),
     }
     for name, df in out.items():
         assert df.collect() == singles[name].collect(), name
@@ -651,6 +657,60 @@ def test_search_sorted_vs_bruteforce(eng, built_index):
     assert eng.search_sorted(query, k=5, offset=10 ** 6).count() == 0
     with pytest.raises(ValueError, match="k must"):
         eng.search_sorted(query, k=0)
+
+
+def test_date_histogram_gapfill_vs_bruteforce(eng, built_index):
+    """min_doc_count=0 (tantivy's histogram default): every bucket from
+    the first to the last occupied one, empties as n=0 — vs a plain
+    Python range fill over the brute match set; min_doc_count=k keeps
+    only buckets with >= k docs; None stays the occupied-only
+    contract."""
+    query, step = "merge join table", 7 * DAY_US
+    occupied = _brute_histogram(built_index["docs"], query, step)
+    assert occupied
+    lo, hi = min(occupied), max(occupied)
+    expect = [(b, occupied.get(b, 0)) for b in range(lo, hi + 1, step)]
+    got = [(r["bucket"], r["n"]) for r in eng.date_histogram(
+        query, interval_us=step, min_doc_count=0).collect()]
+    assert got == expect
+    assert len(got) >= len(occupied)  # grid is a superset of occupied
+    got3 = [(r["bucket"], r["n"]) for r in eng.date_histogram(
+        query, interval_us=step, min_doc_count=3).collect()]
+    assert got3 == [(b, n) for b, n in sorted(occupied.items()) if n >= 3]
+    # empty match set: NULL bounds -> zero grid rows, like tantivy
+    assert eng.date_histogram("the fast key", interval_us=step,
+                              min_doc_count=0).count() == 0
+    # the bucket-limit guard is folded into the sequence bound, so it
+    # survives column pruning and raises at execution
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    with pytest.raises((SparkRuntimeException, Py4JJavaError),
+                       match="max_buckets"):
+        eng.date_histogram(query, interval_us=1000,
+                           min_doc_count=0).collect()
+
+
+def test_terms_agg_vs_bruteforce(eng, built_index):
+    """TermsAggregation response shape: top-size buckets (count desc,
+    key asc) + constant sum_other_doc_count ≡ brute counts; size beyond
+    #distinct keeps every bucket with other=0; scalar facet column
+    groups directly."""
+    query = "merge join table"
+    counts = _brute_facets(built_index["docs"], query)
+    assert len(counts) > 3
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(counts.values())
+    for size in (3, len(counts) + 5):
+        got = [(r["tag_id"], r["doc_count"], r["sum_other_doc_count"])
+               for r in eng.terms_agg(query, size=size).collect()]
+        top = ranked[:size]
+        other = total - sum(n for _, n in top)
+        assert got == [(t, n, other) for t, n in top]
+    dom = [(r["tag_id"], r["doc_count"]) for r in
+           eng.terms_agg(query, facet_col="domain", size=2).collect()]
+    assert len(dom) == 2 and dom[0][1] >= dom[1][1]
+    with pytest.raises(ValueError, match="size"):
+        eng.terms_agg(query, size=0)
 
 
 def test_date_histogram_guards(eng):

@@ -43,6 +43,8 @@ FIXTURE_QUERIES = [
     "search_extended_stats",
     "search_top_hits",
     "search_sorted",
+    "search_histogram_gapfill",
+    "search_terms_topn",
 ]
 
 

@@ -231,6 +231,25 @@ section("Order-by-fast-field search (TopDocs::order_by_u64_field analog)",
         "  over that clamped frame only. No full sort of the match set\n"
         "  at any scale; deep offsets belong to the cursor API instead.", 50)
 
+section("Gap-filled date histogram (min_doc_count=0, tantivy's default)",
+        eng.date_histogram("spark merge join",
+                           interval_us=7 * 86_400_000_000,
+                           min_doc_count=0),
+        "- Occupied counts from the usual ONE hash agg; the empty-\n"
+        "  bucket grid comes from a sequence/explode over a single\n"
+        "  (min,max) agg row with the 65536-bucket limit guard folded\n"
+        "  into the sequence bound (an unused assert column would be\n"
+        "  pruned by Catalyst). Grid LEFT-joins the counts; both join\n"
+        "  sides are O(#buckets), never O(matches).", 50)
+
+section("Terms aggregation (size + sum_other_doc_count)",
+        eng.terms_agg("spark merge join", size=5),
+        "- facet_counts' single partial->final hash agg over the\n"
+        "  exploded (doc,tag) pairs, then top-size limit, two 1-row\n"
+        "  totals and broadcast crossJoins -- everything after the agg\n"
+        "  runs on O(#distinct tags) rows. The ES-contract other-count\n"
+        "  costs no second match-set pass.", 50)
+
 from spyglass_spark.index.fsck import fsck
 
 section("Index integrity audit (fsck)",

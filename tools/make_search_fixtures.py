@@ -287,6 +287,8 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
     out["search_extended_stats"] = xstats_rows(docs, ckey)
     out["search_top_hits"] = top_hits_rows(docs, ckey)
     out["search_sorted"] = sorted_rows(docs, ckey)
+    out["search_histogram_gapfill"] = histogram_gapfill_rows(docs, ckey)
+    out["search_terms_topn"] = terms_topn_rows(docs, ckey)
     return out
 
 
@@ -353,6 +355,54 @@ def histogram_rows(docs: list[dict], ckey: int,
             for b, n in sorted(counts.items())]
 
 
+def histogram_gapfill_rows(docs: list[dict], ckey: int,
+                           query: str = "spark merge join",
+                           interval_us: int = 7 * DAY_US,
+                           date_col: str = "lastmodified") -> list[dict]:
+    """Expected gap-filled date_histogram (min_doc_count=0) output:
+    every bucket between the first and last occupied one, empties as
+    n=0 — a plain Python range over the occupied dict, independent of
+    the engine's sequence/explode grid + left join. Asserts the corpus
+    actually HAS empty buckets at this interval, so the fixture grades
+    the gap filling and not just the occupied counts."""
+    counts: dict[int, int] = {}
+    for d in _brute_match(docs, query):
+        if d.get(date_col) is not None:
+            b = (d[date_col] // interval_us) * interval_us
+            counts[b] = counts.get(b, 0) + 1
+    assert counts, "gapfill fixture must be nonvacuous"
+    lo, hi = min(counts), max(counts)
+    rows = [{"corpus_key": ckey, "bucket": int(b),
+             "n": int(counts.get(b, 0))}
+            for b in range(lo, hi + 1, interval_us)]
+    assert any(r["n"] == 0 for r in rows), \
+        "gapfill fixture needs at least one empty bucket to grade the fill"
+    return rows
+
+
+def terms_topn_rows(docs: list[dict], ckey: int,
+                    query: str = "spark merge join",
+                    size: int = 5) -> list[dict]:
+    """Expected terms_agg output: top-``size`` tags by doc_count (count
+    desc, tag asc) plus the constant sum_other_doc_count column — a
+    plain Python counter + sort, independent of the engine's hash-agg /
+    limit / broadcast-total plan. Asserts the corpus has MORE distinct
+    tags than ``size`` so the other-count is actually exercised."""
+    counts: dict[int, int] = {}
+    for d in _brute_match(docs, query):
+        for t in d["tags"]:
+            counts[int(t)] = counts.get(int(t), 0) + 1
+    assert len(counts) > size, \
+        "terms fixture needs more distinct tags than size"
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:size]
+    other = sum(counts.values()) - sum(n for _, n in top)
+    assert other > 0, "terms fixture must have a non-zero other-count"
+    return [{"corpus_key": ckey, "tag_id": t, "doc_count": n,
+             "sum_other_doc_count": other} for t, n in top]
+
+
+TERMS_FIELDS = [("tag_id", pa.int64()), ("doc_count", pa.int64()),
+                ("sum_other_doc_count", pa.int64())]
 PCT_FIELDS = [("pct", pa.float64()), ("value", pa.float64())]
 FSTATS_FIELDS = [("tag_id", pa.int64()), ("doc_count", pa.int64()),
                  ("n", pa.int64()), ("min", pa.int64()), ("max", pa.int64()),
@@ -620,7 +670,9 @@ def main() -> None:
                "search_cardinality": CARD_FIELDS,
                "search_extended_stats": XSTATS_FIELDS,
                "search_top_hits": TOPHITS_FIELDS,
-               "search_sorted": SORTED_FIELDS}
+               "search_sorted": SORTED_FIELDS,
+               "search_histogram_gapfill": HIST_FIELDS,
+               "search_terms_topn": TERMS_FIELDS}
     for name, rows in merged.items():
         write_fixture(name, rows, special.get(name))
 
