@@ -1153,6 +1153,20 @@ def q_search_sorted(spark, sf_dir):  # fixture-oracle
         "spark merge join", k=5, offset=2)
 
 
+def q_search_sorted_after(spark, sf_dir):  # fixture-oracle
+    """Cursor page of the order-by-fast-field collector: collect page 1
+    (k=5) — a bounded k-row driver read — and return the page AFTER its
+    last hit via the (col_value, url) cursor, ranks restarting at 1.
+    O(k) per page at any depth (strict scan predicate + one
+    TakeOrderedAndProject of k), vs offset's O(offset) merge. The
+    fixture oracle is brute rows 6..10 of the Python-sorted match
+    set."""
+    eng = _get_engine(spark, sf_dir)
+    page1 = eng.search_sorted("spark merge join", k=5).collect()
+    cur = (page1[-1]["lastmodified"], page1[-1]["url"])
+    return eng.search_sorted("spark merge join", k=5, after=cur)
+
+
 def q_search_batch(spark, sf_dir):  # fixture-oracle
     eng = _get_engine(spark, sf_dir)
     return _contract_hits(eng.search_many([
@@ -1187,7 +1201,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "textstats_quality": q_textstats_quality,
@@ -1225,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_extended_stats": q_search_extended_stats,
         "search_top_hits": q_search_top_hits,
         "search_sorted": q_search_sorted,
+        "search_sorted_after": q_search_sorted_after,
         "search_bm25": q_search_bm25,
         "search_after_page": q_search_after_page,
         "search_phrase_tag_filter": q_search_phrase_tag_filter,
@@ -1245,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_date_range": q_search_date_range,
         "title_term_df": q_title_term_df,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "ann_ivf_topk": q_ann_ivf_topk,
         "library_stats": q_library_stats,
         "lens_list_ordered": q_lens_list_ordered,
@@ -1527,6 +1542,13 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
             "SELECT rank, url, domain, title, lastmodified "
             f"FROM '{FIXTURES_DIR}/"
             "search_expected_search_sorted.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
+            "ORDER BY rank"),
+        "search_sorted_after": (
+            "SELECT rank, url, domain, title, lastmodified "
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_sorted_after.parquet' "
             "WHERE corpus_key = "
             "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
             "ORDER BY rank"),

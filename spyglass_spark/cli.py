@@ -75,6 +75,15 @@ def main(argv=None, spark=None) -> int:
                         "collector analog; url-asc tie-break)")
     s.add_argument("--sort-asc", action="store_true",
                    help="with --sort-by: ascending instead of descending")
+    s.add_argument("--after-value", type=int, default=None,
+                   help="with --sort-by: deep-paging cursor — the sort "
+                        "value of the previous page's last hit (pair "
+                        "with --after-url; replaces --offset, O(k) at "
+                        "any depth)")
+    s.add_argument("--after-url", default=None,
+                   help="with --sort-by: the url of the previous page's "
+                        "last hit (the unique tie-break half of the "
+                        "cursor)")
 
     u = sub.add_parser("upsert", help="delete+re-add documents by url "
                                       "(delta generation)")
@@ -318,10 +327,14 @@ def main(argv=None, spark=None) -> int:
                     filters.append((kind, v))
             boosts = [("tag", t) for t in args.boost_tag]
             if args.sort_by is not None:
+                if (args.after_value is None) != (args.after_url is None):
+                    p.error("--after-value and --after-url go together")
+                after = (None if args.after_value is None
+                         else (args.after_value, args.after_url))
                 for r in eng.search_sorted(
                         args.query, filters=filters, boosts=boosts,
                         col=args.sort_by, k=args.k, offset=args.offset,
-                        asc=args.sort_asc).collect():
+                        asc=args.sort_asc, after=after).collect():
                     print(json.dumps({
                         "rank": r["rank"], "url": r["url"],
                         "domain": r["domain"], "title": r["title"],

@@ -1971,7 +1971,8 @@ class SearchEngine:
 
     def search_sorted(self, query: str, filters=(), boosts=(),
                       col: str = "lastmodified", k: int = 5,
-                      offset: int = 0, asc: bool = False) -> DataFrame:
+                      offset: int = 0, asc: bool = False,
+                      after=None) -> DataFrame:
         """Order-by-fast-field top-k — tantivy's
         TopDocs::order_by_u64_field collector (the reference uses only
         the score-ordered TopDocs, local.rs:120; this completes the
@@ -1980,6 +1981,18 @@ class SearchEngine:
         order), offset applied after the sort, docs missing the field
         skipped. Output (rank, url, domain, title, <col>).
 
+        ``after`` is the deep-paging cursor, mirroring the BM25
+        search_after contract: the (col_value, url) of the previous
+        page's last hit; the page is the top-k STRICTLY after it in
+        the (col, url) total order, ranks restarting at 1 (the
+        absolute position is unknowable in O(k)). Mutually exclusive
+        with ``offset`` — the cursor replaces it: an offset page costs
+        a parts×(offset+k) merge, a cursor page costs parts×k at ANY
+        depth, and the strict (col, url) predicate is a plain scan
+        filter Catalyst pushes below the sort. Pages concatenate to
+        exactly the one-shot order (total order ⇒ no hit is skipped or
+        repeated across a tie boundary).
+
         Plan shape: the match-set semijoin feeds ONE global
         TakeOrderedAndProject of limit offset+k — each partition keeps
         its local top-(offset+k), the driver merges; the rank window
@@ -1987,11 +2000,19 @@ class SearchEngine:
         sorts more than the clamped head."""
         if k <= 0:
             raise ValueError("k must be positive")
+        if after is not None and offset:
+            raise ValueError("after (cursor) and offset are mutually "
+                             "exclusive — the cursor replaces the offset")
         dm = self._match_doc_meta(
             compile_query(query, filters, boosts), caller="search_sorted")
+        dm = dm.filter(F.col(col).isNotNull())
+        if after is not None:
+            av, au = after
+            c, v = F.col(col), F.lit(int(av)).cast("long")
+            beyond = c > v if asc else c < v
+            dm = dm.filter(beyond | ((c == v) & (F.col("url") > F.lit(au))))
         order = [F.asc(col) if asc else F.desc(col), F.asc("url")]
-        top = (dm.filter(F.col(col).isNotNull())
-                 .select("url", "domain", "title", col)
+        top = (dm.select("url", "domain", "title", col)
                  .orderBy(*order).limit(int(offset) + int(k)))
         w = Window.orderBy(*order)
         return (top.withColumn("rank", F.row_number().over(w))

@@ -201,6 +201,21 @@ def test_cli_extended_stats_top_hits_and_sorted(spark, built_index, capsys):
     avals = [r["lastmodified"] for r in asc_rows]
     assert avals == sorted(avals) and avals[0] == min(vals + avals)
 
+    # cursor page: --after-value/--after-url from page 1's last hit
+    # must return exactly rows k+1..2k of a 2k one-shot, ranks 1..k
+    out = _run(capsys, spark, ["search", "--index", idx, "--query",
+                               "fn index", "--sort-by", "lastmodified",
+                               "--k", "6"])
+    six = [json.loads(x) for x in out.strip().splitlines()]
+    out = _run(capsys, spark, ["search", "--index", idx, "--query",
+                               "fn index", "--sort-by", "lastmodified",
+                               "--k", "3",
+                               "--after-value", str(six[2]["lastmodified"]),
+                               "--after-url", six[2]["url"]])
+    page2 = [json.loads(x) for x in out.strip().splitlines()]
+    assert [r["url"] for r in page2] == [r["url"] for r in six[3:6]]
+    assert [r["rank"] for r in page2] == list(range(1, len(page2) + 1))
+
 
 def test_cli_terms_and_gapfilled_histogram(spark, built_index, capsys):
     """agg --kind terms (size-limited buckets + sum_other_doc_count)

@@ -659,6 +659,37 @@ def test_search_sorted_vs_bruteforce(eng, built_index):
         eng.search_sorted(query, k=0)
 
 
+def test_search_sorted_cursor_pages_concatenate(eng, built_index):
+    """search_sorted(after=…): cursor pages walk the (col, url) total
+    order — concatenated pages ≡ the one-shot head, desc and asc, ranks
+    restarting at 1 per page; a cursor past the end yields an empty
+    page; cursor and offset are mutually exclusive."""
+    query, col, k = "merge join table", "lastmodified", 3
+    one_shot = [(r["url"], r[col]) for r in
+                eng.search_sorted(query, k=4 * k).collect()]
+    assert len(one_shot) > 2 * k  # enough matches for >2 pages
+    for asc in (False, True):
+        shot = [(r["url"], r[col]) for r in
+                eng.search_sorted(query, k=4 * k, asc=asc).collect()]
+        walked, cursor = [], None
+        while len(walked) < len(shot):
+            page = eng.search_sorted(query, k=k, asc=asc,
+                                     after=cursor).collect()
+            if not page:
+                break
+            assert [r["rank"] for r in page] == \
+                list(range(1, len(page) + 1))
+            walked.extend((r["url"], r[col]) for r in page)
+            cursor = (page[-1][col], page[-1]["url"])
+        assert walked == shot, f"asc={asc}"
+    # a desc cursor below EVERY matched value (global min from the
+    # stats agg, not just the collected head): empty page, no error
+    lo = eng.field_stats(query, col=col).collect()[0]["min"]
+    assert eng.search_sorted(query, k=k, after=(lo - 1, "")).count() == 0
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        eng.search_sorted(query, k=k, offset=2, after=(lo, ""))
+
+
 def test_date_histogram_gapfill_vs_bruteforce(eng, built_index):
     """min_doc_count=0 (tantivy's histogram default): every bucket from
     the first to the last occupied one, empties as n=0 — vs a plain

@@ -45,6 +45,7 @@ FIXTURE_QUERIES = [
     "search_sorted",
     "search_histogram_gapfill",
     "search_terms_topn",
+    "search_sorted_after",
 ]
 
 

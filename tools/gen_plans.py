@@ -231,6 +231,14 @@ section("Order-by-fast-field search (TopDocs::order_by_u64_field analog)",
         "  over that clamped frame only. No full sort of the match set\n"
         "  at any scale; deep offsets belong to the cursor API instead.", 50)
 
+section("Sorted-collector cursor page (search_sorted after=...)",
+        eng.search_sorted("spark merge join", k=5,
+                          after=(1_700_000_000_000_000, "")),
+        "- The (col,url) cursor is a strict scan predicate Catalyst\n"
+        "  pushes below the TakeOrderedAndProject of limit k: a page at\n"
+        "  ANY depth merges parts*k rows, vs offset's parts*(offset+k).\n"
+        "  Same O(k)-per-page shape as the BM25 search_after cursor.", 50)
+
 section("Gap-filled date histogram (min_doc_count=0, tantivy's default)",
         eng.date_histogram("spark merge join",
                            interval_us=7 * 86_400_000_000,

@@ -289,6 +289,7 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
     out["search_sorted"] = sorted_rows(docs, ckey)
     out["search_histogram_gapfill"] = histogram_gapfill_rows(docs, ckey)
     out["search_terms_topn"] = terms_topn_rows(docs, ckey)
+    out["search_sorted_after"] = sorted_after_rows(docs, ckey)
     return out
 
 
@@ -579,6 +580,24 @@ def sorted_rows(docs: list[dict], ckey: int,
     return rows
 
 
+def sorted_after_rows(docs: list[dict], ckey: int,
+                      query: str = "spark merge join",
+                      col: str = "lastmodified", k: int = 5) -> list[dict]:
+    """Expected search_sorted cursor-page output: the engine entry
+    collects page 1 (k hits) and asks for the page after its last hit,
+    so the expectation is brute rows k+1..2k with ranks RESTARTING at 1
+    (the cursor contract) — independent of the engine's strict
+    (col, url) predicate + TakeOrderedAndProject plan."""
+    xs = sorted(((-int(d[col]), d["url"], d["domain"], d["title"])
+                 for d in _brute_match(docs, query)
+                 if d.get(col) is not None))
+    rows = [{"corpus_key": ckey, "rank": 1 + i, "url": u,
+             "domain": dom, "title": ti, "lastmodified": -negv}
+            for i, (negv, u, dom, ti) in enumerate(xs[k:2 * k])]
+    assert len(rows) == k, "cursor-page fixture must fill the page"
+    return rows
+
+
 def cardinality_rows(docs: list[dict], ckey: int,
                      query: str = "spark merge join",
                      col: str = "domain") -> list[dict]:
@@ -672,7 +691,8 @@ def main() -> None:
                "search_top_hits": TOPHITS_FIELDS,
                "search_sorted": SORTED_FIELDS,
                "search_histogram_gapfill": HIST_FIELDS,
-               "search_terms_topn": TERMS_FIELDS}
+               "search_terms_topn": TERMS_FIELDS,
+               "search_sorted_after": SORTED_FIELDS}
     for name, rows in merged.items():
         write_fixture(name, rows, special.get(name))
 
