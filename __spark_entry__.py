@@ -198,6 +198,68 @@ def _get_custom_engine(spark: SparkSession, sf_dir: str):
     return SearchEngine(spark, index_dir)
 
 
+def _get_lifecycle_engine(spark: SparkSession, sf_dir: str):
+    """Engine over the post-lifecycle index: build the base index, then
+    apply the fixed mutation sequence of spyglass_spark.lifecycle_spec —
+    upsert one content-modified doc (same url => same UUIDv5 doc_id:
+    the delete+re-add contract, documents/mod.rs:135-195), predicate-
+    delete one domain (delete_domain analog), url-list-delete two urls,
+    then whole-index compaction. Post-compaction the index is a fresh
+    build over the mutated live set, so the scalar-oracle fixture grades
+    the WHOLE sequence hash-exactly: a wrong tombstone, a lost upsert, or
+    a compaction that resurrects/drops a doc all change the hit rows.
+
+    Cached on disk keyed by the source fingerprint; the completion
+    sentinel is written AFTER the compaction swap (a crash anywhere in
+    the sequence leaves no sentinel and the next call rebuilds from
+    scratch — the IVF sidecar-gate pattern)."""
+    import shutil
+
+    from spyglass_spark import lifecycle_spec as LS
+    from spyglass_spark.index.builder import (build_index, compact_index,
+                                              delete_by_domain,
+                                              delete_by_urls,
+                                              upsert_documents)
+    from spyglass_spark.query.executor import SearchEngine
+
+    fp = _data_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    tag = hashlib.md5(
+        f"v1life:{os.path.abspath(sf_dir)}:{fp}".encode()).hexdigest()[:10]
+    index_dir = os.path.join(
+        os.environ.get("SPYGLASS_INDEX_CACHE", "/tmp/spyglass_idx"),
+        f"life_{tag}")
+    sentinel = os.path.join(index_dir, "_lifecycle_complete")
+    if not os.path.exists(sentinel):
+        for d in (index_dir, index_dir + ".compacting", index_dir + ".old"):
+            shutil.rmtree(d, ignore_errors=True)
+        docs = to_documents(load_corpus(spark, sf_dir))
+        mod_url = (docs.filter(F.col("domain") == LS.MODIFY_DOMAIN)
+                   .agg(F.min("url")).collect()[0][0])
+        del_urls = [r["url"] for r in
+                    docs.filter(F.col("domain") == LS.DELETE_URLS_DOMAIN)
+                    .select("url").orderBy("url")
+                    .limit(LS.DELETE_URLS_N).collect()]
+        # system of record AFTER the edit: content swapped for the
+        # modified url, sha256 recomputed (input_hint invariant); tags /
+        # published / lastmodified keep their materialized values
+        sor = (docs.withColumn(
+                   "content",
+                   F.when(F.col("url") == mod_url,
+                          F.concat(F.col("content"),
+                                   F.lit("\n" + LS.MARKER)))
+                    .otherwise(F.col("content")))
+               .withColumn("content_sha256", F.sha2(F.col("content"), 256)))
+        build_index(spark, docs, index_dir, num_partitions=16, waves=1)
+        upsert_documents(spark, sor.filter(F.col("url") == mod_url),
+                         index_dir, num_partitions=16)
+        delete_by_domain(spark, index_dir, LS.DELETE_DOMAIN)
+        delete_by_urls(spark, index_dir, del_urls)
+        compact_index(spark, sor, index_dir, num_partitions=16)
+        with open(sentinel, "w") as f:
+            f.write(fp)
+    return SearchEngine(spark, index_dir)
+
+
 # ---------------------------------------------------------------------------
 # entry — flagship
 # ---------------------------------------------------------------------------
@@ -697,6 +759,29 @@ def q_search_bm25(spark, sf_dir):  # fixture-oracle: stemmed analyzer + quantize
         _get_engine(spark, sf_dir).search("spark merge join", k=10))
 
 
+def q_search_lifecycle(spark, sf_dir):  # fixture-oracle
+    """Flagship search over the post-lifecycle index (upsert + domain
+    delete + url deletes + whole-index compaction — lifecycle_spec):
+    grades the mutation surface end-to-end with float32-exact scores.
+    The fixture is the scalar oracle over the mutated corpus; a wrong
+    tombstone (deleted doc resurfaces), a lost upsert (marker content
+    absent => different stats), or a compaction that drops a live doc
+    all change the hit rows or their scores."""
+    return _contract_hits(
+        _get_lifecycle_engine(spark, sf_dir).search("spark merge join",
+                                                    k=10))
+
+
+def q_search_lifecycle_marker(spark, sf_dir):  # fixture-oracle
+    """The upserted content is live: searching the marker term returns
+    exactly the modified doc (same UUIDv5 doc_id as the pre-upsert copy
+    — the delete+re-add contract), with the exact float32 BM25 score of
+    a df=1 term in the post-compaction stats."""
+    return _contract_hits(
+        _get_lifecycle_engine(spark, sf_dir).search("zzlifecyclemarker",
+                                                    k=5))
+
+
 def q_search_after_page(spark, sf_dir):  # fixture-oracle (ranks 6-10 of search_bm25)
     """Cursor-based deep paging (search_after): page 2 of the flagship
     query via the (score, doc_ord) cursor of page 1's last hit. Unlike
@@ -1192,9 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (driver-hash-green in r4) to position 51 — still value-gated by
     # test_entry.
     return {
-        "corpus_derive": q_corpus_derive,
         "sha256_invariant": q_sha256_invariant,
-        "content_term_df": q_content_term_df,
         "bm25_topk_simple": q_bm25_topk_simple,
         "index_fsck": q_index_fsck,
         "dedup_exact": q_dedup_exact,
@@ -1240,6 +1323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_sorted": q_search_sorted,
         "search_sorted_after": q_search_sorted_after,
         "search_bm25": q_search_bm25,
+        "search_lifecycle": q_search_lifecycle,
+        "search_lifecycle_marker": q_search_lifecycle_marker,
         "search_after_page": q_search_after_page,
         "search_phrase_tag_filter": q_search_phrase_tag_filter,
         # multi-round hash-green entries rotated past the driver's
@@ -1254,6 +1339,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # curation_pack_sequences, which r4's window missed). Rotated
         # entries stay value-gated every run by tests/test_entry.py,
         # which applies the driver's own comparison.
+        # r5 second rotation: corpus_derive / content_term_df (hash-green
+        # r1-r4; both re-graded indirectly every round — the corpus
+        # derivation via every corpus_key-keyed fixture + doc_ids_uuid5,
+        # the analyzer via every search fixture) make room for the two
+        # lifecycle rows, the LAST pytest-only surface getting driver
+        # hash evidence.
+        "corpus_derive": q_corpus_derive,
+        "content_term_df": q_content_term_df,
         "search_with_lenses": q_search_with_lenses,
         "search_batch": q_search_batch,
         "search_date_range": q_search_date_range,
@@ -1385,6 +1478,13 @@ SELECT * FROM (
   UNION ALL SELECT 'url', (SELECT c FROM n), 0, 0
 ) ORDER BY field""",
         "search_bm25": _fixture_sql("search_bm25"),
+        # post-lifecycle index (upsert + deletes + compaction): fixtures
+        # precomputed by the scalar oracle over the MUTATED corpus —
+        # post-compaction the index is definitionally a fresh build over
+        # the live set (builder.compact_index), so no multi-generation
+        # stats accounting is needed oracle-side
+        "search_lifecycle": _fixture_sql("search_lifecycle"),
+        "search_lifecycle_marker": _fixture_sql("search_lifecycle_marker"),
         "search_custom_boost": _fixture_sql("search_custom_boost"),
         # page 2 via cursor ≡ ranks 6-10 of the one-shot top-10 fixture,
         # re-ranked 1-5 (search_after pages restart rank numbering)

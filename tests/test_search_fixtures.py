@@ -46,6 +46,8 @@ FIXTURE_QUERIES = [
     "search_histogram_gapfill",
     "search_terms_topn",
     "search_sorted_after",
+    "search_lifecycle",
+    "search_lifecycle_marker",
 ]
 
 

@@ -290,6 +290,48 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
     out["search_histogram_gapfill"] = histogram_gapfill_rows(docs, ckey)
     out["search_terms_topn"] = terms_topn_rows(docs, ckey)
     out["search_sorted_after"] = sorted_after_rows(docs, ckey)
+
+    # lifecycle rows: the entry mutates a dedicated index (upsert one
+    # content-modified doc, delete a domain + two urls, compact); post-
+    # compaction the index is a fresh build over the mutated live set
+    # (builder.compact_index re-indexes live rows), so the oracle simply
+    # builds over the mutated doc list. Tags/published/lastmodified keep
+    # the FULL-corpus materialized values (the entry transforms the
+    # materialized docs frame, never re-derives the tag dim).
+    ldocs = lifecycle_docs(docs)
+    oracle_l = OracleIndex.build(ldocs, num_partitions=P)
+    om_l = engine_ord_map(ldocs)
+    out["search_lifecycle"] = hits_to_rows(
+        oracle_l.search("spark merge join", k=10), om_l, ckey)
+    marker_hits = oracle_l.search("zzlifecyclemarker", k=5)
+    assert len(marker_hits) == 1, "marker term must hit exactly the upsert"
+    out["search_lifecycle_marker"] = hits_to_rows(marker_hits, om_l, ckey)
+    return out
+
+
+def lifecycle_docs(docs: list[dict]) -> list[dict]:
+    """Scalar mirror of __spark_entry__._get_lifecycle_engine's mutation
+    sequence, driven by the same spyglass_spark.lifecycle_spec constants
+    (pure data — no engine code)."""
+    import hashlib as _h
+
+    from spyglass_spark import lifecycle_spec as LS
+
+    del_urls = set(sorted(d["url"] for d in docs
+                          if d["domain"] == LS.DELETE_URLS_DOMAIN)
+                   [:LS.DELETE_URLS_N])
+    mod_url = min(d["url"] for d in docs if d["domain"] == LS.MODIFY_DOMAIN)
+    out = []
+    for d in docs:
+        if d["domain"] == LS.DELETE_DOMAIN or d["url"] in del_urls:
+            continue
+        if d["url"] == mod_url:
+            content = LS.modified_content(d["content"])
+            d = dict(d, content=content,
+                     content_sha256=_h.sha256(
+                         content.encode("utf-8")).hexdigest())
+        out.append(d)
+    assert len(out) < len(docs), "lifecycle deletes must remove docs"
     return out
 
 
