@@ -260,6 +260,66 @@ def _get_lifecycle_engine(spark: SparkSession, sf_dir: str):
     return SearchEngine(spark, index_dir)
 
 
+def _get_streamed_engine(spark: SparkSession, sf_dir: str):
+    """Engine over an index built by the REAL Structured Streaming ingest
+    path (streaming/incremental.py): the corpus is staged as two parquet
+    files, read with ``readStream`` + maxFilesPerTrigger=1 under an
+    availableNow trigger (two micro-batches), and driven through
+    ``start_incremental_indexer`` — foreachBatch → index_microbatch
+    (batch 1 bootstraps, batch 2 appends a delta generation via upsert,
+    epoch ids recorded in the manifest for exactly-once). The resulting
+    two-generation index must answer the flagship query with EXACTLY the
+    fresh-build hits: manifest stats (N, df, field totals) are global
+    sums, so BM25 scores are generation-split-invariant by design.
+    doc_ord is the one column that legitimately differs (the delta
+    generation's parts are offset), so the streamed driver row projects
+    it away; rank order is still pinned because the flagship top-11
+    oracle scores are strictly decreasing at every precomputed sf
+    (asserted by the fixture generator)."""
+    import glob
+    import shutil
+
+    from spyglass_spark.query.executor import SearchEngine
+    from spyglass_spark.streaming.incremental import start_incremental_indexer
+
+    fp = _data_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    tag = hashlib.md5(
+        f"v1stream:{os.path.abspath(sf_dir)}:{fp}".encode()).hexdigest()[:10]
+    base = os.path.join(
+        os.environ.get("SPYGLASS_INDEX_CACHE", "/tmp/spyglass_idx"),
+        f"stream_{tag}")
+    index_dir = os.path.join(base, "index")
+    sentinel = os.path.join(base, "_stream_complete")
+    if not os.path.exists(sentinel):
+        shutil.rmtree(base, ignore_errors=True)
+        staging = os.path.join(base, "staging")
+        os.makedirs(staging)
+        docs = to_documents(load_corpus(spark, sf_dir))
+        half = F.crc32(F.col("url")) % 2
+        for i in (0, 1):
+            tmp = os.path.join(base, f"tmp{i}")
+            docs.filter(half == i).coalesce(1).write.parquet(tmp)
+            part, = glob.glob(os.path.join(tmp, "part-*.parquet"))
+            dst = os.path.join(staging, f"batch{i}.parquet")
+            os.rename(part, dst)
+            shutil.rmtree(tmp)
+            # distinct mtimes pin the file-source batch order (the result
+            # is split-order-invariant anyway; this keeps runs identical)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(staging))
+        q = start_incremental_indexer(stream, index_dir,
+                                      os.path.join(base, "ckpt"),
+                                      num_partitions=16)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        with open(sentinel, "w") as f:
+            f.write(fp)
+    return SearchEngine(spark, index_dir)
+
+
 # ---------------------------------------------------------------------------
 # entry — flagship
 # ---------------------------------------------------------------------------
@@ -772,6 +832,19 @@ def q_search_lifecycle(spark, sf_dir):  # fixture-oracle
                                                     k=10))
 
 
+def q_search_streamed(spark, sf_dir):  # fixture-oracle (= search_bm25 minus doc_ord)
+    """Flagship search over the index built by the Structured Streaming
+    ingest path (two micro-batches: bootstrap + delta-generation upsert).
+    Hits must be bitwise the fresh-build search_bm25 fixture — manifest
+    stats are global sums, so the generation split cannot move a score.
+    doc_ord is projected away (the delta generation's parts are offset);
+    ranks stay pinned because the top-11 oracle scores are strictly
+    decreasing at every precomputed sf."""
+    return _contract_hits(
+        _get_streamed_engine(spark, sf_dir).search("spark merge join",
+                                                   k=10)).drop("doc_ord")
+
+
 def q_search_lifecycle_marker(spark, sf_dir):  # fixture-oracle
     """The upserted content is live: searching the marker term returns
     exactly the modified doc (same UUIDv5 doc_id as the pre-upsert copy
@@ -1278,7 +1351,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # test_entry.
     return {
         "sha256_invariant": q_sha256_invariant,
-        "bm25_topk_simple": q_bm25_topk_simple,
         "index_fsck": q_index_fsck,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1325,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": q_search_bm25,
         "search_lifecycle": q_search_lifecycle,
         "search_lifecycle_marker": q_search_lifecycle_marker,
+        "search_streamed": q_search_streamed,
         "search_after_page": q_search_after_page,
         "search_phrase_tag_filter": q_search_phrase_tag_filter,
         # multi-round hash-green entries rotated past the driver's
@@ -1347,6 +1420,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash evidence.
         "corpus_derive": q_corpus_derive,
         "content_term_df": q_content_term_df,
+        # bm25_topk_simple (hash-green r1-r4; its SQL-form scoring is
+        # re-proved every round by bench's bm25_sql_oracle_form leg and
+        # the search_bm25 fixture covers the engine path) rotated for
+        # search_streamed, the streaming-ingest driver row.
+        "bm25_topk_simple": q_bm25_topk_simple,
         "search_with_lenses": q_search_with_lenses,
         "search_batch": q_search_batch,
         "search_date_range": q_search_date_range,
@@ -1485,6 +1563,15 @@ SELECT * FROM (
         # stats accounting is needed oracle-side
         "search_lifecycle": _fixture_sql("search_lifecycle"),
         "search_lifecycle_marker": _fixture_sql("search_lifecycle_marker"),
+        # streamed ingest must reproduce the fresh-build flagship hits
+        # exactly (global manifest stats => split-invariant scores);
+        # doc_ord excluded — the delta generation's parts are offset
+        "search_streamed": (
+            "SELECT rank, doc_id, url, domain, title, description, tags, "
+            "score "
+            f"FROM '{FIXTURES_DIR}/search_expected_search_bm25.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)"),
         "search_custom_boost": _fixture_sql("search_custom_boost"),
         # page 2 via cursor ≡ ranks 6-10 of the one-shot top-10 fixture,
         # re-ranked 1-5 (search_after pages restart rank numbering)

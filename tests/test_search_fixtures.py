@@ -48,7 +48,11 @@ FIXTURE_QUERIES = [
     "search_sorted_after",
     "search_lifecycle",
     "search_lifecycle_marker",
+    "search_streamed",
 ]
+
+# entries whose oracle reads another entry's fixture file
+FIXTURE_FILE_ALIAS = {"search_streamed": "search_bm25"}
 
 
 def _canon(val):
@@ -93,10 +97,11 @@ def test_engine_matches_fixture(name, sf_dir, spark):
 def test_fixture_nonvacuous(name):
     """Every fixture must carry hit rows for every precomputed corpus —
     an empty fixture would green-light an engine returning nothing."""
+    fname = FIXTURE_FILE_ALIAS.get(name, name)
     con = duckdb.connect()
     counts = con.execute(
         f"SELECT corpus_key, count(*) FROM "
-        f"'{REPO}/fixtures/search_expected_{name}.parquet' "
+        f"'{REPO}/fixtures/search_expected_{fname}.parquet' "
         f"GROUP BY 1").fetchall()
     con.close()
     assert len(counts) == len(SF_DIRS)

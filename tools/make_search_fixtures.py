@@ -219,6 +219,13 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
     out: dict[str, list[dict]] = {}
     out["search_bm25"] = hits_to_rows(
         oracle.search("spark merge join", k=10), om, ckey)
+    # search_streamed reuses this fixture minus doc_ord (the streamed
+    # two-generation index offsets the delta generation's parts but may
+    # not move a score or a rank): strictly-decreasing top-11 scores
+    # guarantee rank order is tie-break-independent
+    _s11 = [h["score"] for h in oracle.search("spark merge join", k=11)]
+    assert all(a > b for a, b in zip(_s11, _s11[1:])), \
+        "flagship top-11 scores must be strictly decreasing (search_streamed)"
     out["search_phrase_tag_filter"] = hits_to_rows(
         oracle.search("key order sort", [("tag", rs_tag)], k=10), om, ckey)
     out["search_date_range"] = hits_to_rows(
