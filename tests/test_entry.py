@@ -142,3 +142,45 @@ def test_entry_smoke(spark, contract):
     rows = df.collect()
     assert len(df.columns) > 0
     assert len(rows) >= 0
+
+
+def test_lifecycle_cache_rebuilds_after_partial_crash(spark, contract):
+    """The lifecycle/streamed engines gate their disk caches on a
+    sentinel written AFTER the last mutation lands (the IVF
+    sidecar-gate pattern): a crash anywhere mid-sequence leaves no
+    sentinel, and the next call must rebuild from scratch — never serve
+    a half-mutated index. Simulate the crash by deleting the sentinel
+    and truncating the index dir, then assert the rebuilt engine still
+    matches the fixture row set."""
+    import shutil
+
+    sf = "/root/testdata/sf0.001"
+    eng = contract._get_lifecycle_engine(spark, sf)
+    idx = eng.index_dir if hasattr(eng, "index_dir") else eng._index_dir
+    sentinel = os.path.join(idx, "_lifecycle_complete")
+    assert os.path.exists(sentinel)
+    before = {(r["url"], r["score"]) for r in
+              eng.search("spark merge join", k=10).collect()}
+    # crash simulation: sentinel gone + manifest gone (mid-compaction)
+    os.remove(sentinel)
+    mf = os.path.join(idx, "manifest.json")
+    if os.path.exists(mf):
+        os.remove(mf)
+    eng2 = contract._get_lifecycle_engine(spark, sf)
+    after = {(r["url"], r["score"]) for r in
+             eng2.search("spark merge join", k=10).collect()}
+    assert after == before
+    # streamed engine: same gate — drop the sentinel, rebuild must work
+    seng = contract._get_streamed_engine(spark, sf)
+    sidx = seng.index_dir if hasattr(seng, "index_dir") else seng._index_dir
+    base = os.path.dirname(sidx)
+    shutil.rmtree(sidx, ignore_errors=True)
+    os.remove(os.path.join(base, "_stream_complete"))
+    shutil.rmtree(os.path.join(base, "ckpt"), ignore_errors=True)
+    seng2 = contract._get_streamed_engine(spark, sf)
+    got = {(r["url"], r["score"]) for r in
+           seng2.search("spark merge join", k=10).collect()}
+    fresh = {(r["url"], r["score"]) for r in
+             contract._get_engine(spark, sf)
+             .search("spark merge join", k=10).collect()}
+    assert got == fresh  # streamed rebuild ≡ fresh-build hits
