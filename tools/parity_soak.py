@@ -26,7 +26,8 @@ def main() -> None:
     import tempfile
 
     from pyspark.sql import SparkSession  # noqa: F401
-    from test_fuzz_parity import test_randomized_rank_identity
+    from test_fuzz_parity import (test_randomized_lifecycle_parity,
+                                  test_randomized_rank_identity)
 
     from spyglass_spark.session import get_spark
 
@@ -39,7 +40,12 @@ def main() -> None:
         seed = first + i
         with tempfile.TemporaryDirectory() as td:
             test_randomized_rank_identity(spark, pathlib.Path(td), seed)
-        print(json.dumps({"seed": seed, "ok": True,
+            # every 5th seed also soaks the mutation surface (upsert +
+            # deletes + compaction vs fresh oracle — slower: two builds)
+            if i % 5 == 0:
+                test_randomized_lifecycle_parity(spark, pathlib.Path(td),
+                                                 seed)
+        print(json.dumps({"seed": seed, "ok": True, "lifecycle": i % 5 == 0,
                           "elapsed": round(time.time() - t0, 1)}),
               flush=True)
     print(json.dumps({"soak": "clean", "seeds": n, "first": first,
