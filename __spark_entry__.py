@@ -315,6 +315,16 @@ def _get_streamed_engine(spark: SparkSession, sf_dir: str):
             q.processAllAvailable()
         finally:
             q.stop()
+        from spyglass_spark.index.manifest import load_manifest
+        m = load_manifest(index_dir)
+        # the row's claim is that the DELTA path reproduces fresh-build
+        # hits — if the file source ever folds both files into one
+        # micro-batch, this becomes a plain bootstrap and the grade is
+        # vacuous; fail loudly instead
+        assert len(m.gen_list()) == 2 and len(m.applied_epochs) == 2, (
+            "streamed ingest must produce exactly two generations "
+            f"(got gens={[g['gen'] for g in m.gen_list()]}, "
+            f"epochs={m.applied_epochs})")
         with open(sentinel, "w") as f:
             f.write(fp)
     return SearchEngine(spark, index_dir)
