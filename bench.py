@@ -431,6 +431,15 @@ def query_scaling() -> None:
     noise (a neighbor burst hitting only the second leg) can't inflate
     the ratio the way a single sequential pair can. bench main() embeds
     the best stationary pair on record as ``query_scaling_best``."""
+    from spyglass_spark.index.manifest import load_manifest
+
+    # /dev/shm is volatile: bootstrap the spot index if a reboot (or a
+    # cleanup) wiped it, so unattended watchers can't fail forever
+    m = load_manifest(f"{SPOT_DIR}/index")
+    if m is None or not m.committed:
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--spot-queries"],
+                       check=True, stdout=subprocess.DEVNULL)
     mini_before = _kernel_throughput(1)
     legs: dict[int, dict] = {}
     for cores in (32, 8, 32, 8):  # big leg first; one repeat per level
