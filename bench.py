@@ -481,17 +481,39 @@ def query_scaling() -> None:
 QUIET_FLAG = "/tmp/quietbench.running"
 
 
-def _holding_flag(fn) -> None:
+def _holding_flag(fn, wait_sec: int = 600) -> None:
     """Run ``fn`` while holding the window-watcher coordination flag:
     quiet_probe/leg_sniper/spot_watch/qscale_watch all skip while it
     exists, so a background capture can never contend with a committed
-    measurement's legs (both would read garbage)."""
-    held_flag = not os.path.exists(QUIET_FLAG)
-    if held_flag:
+    measurement's legs (both would read garbage).
+
+    If a watcher capture is already in flight (flag exists), WAIT for it
+    to finish (up to ``wait_sec``) and then take the flag — otherwise the
+    committed bench's legs would overlap the watcher's legs AND a new
+    capture could start mid-bench once the watcher released. A flag older
+    than an hour is an orphan (holder died without cleanup) and is reaped,
+    mirroring tools/flagutil.acquire. On timeout, proceed unheld rather
+    than fail: a late bench with a noisy window beats no bench at all."""
+    held_flag = False
+    deadline = time.time() + wait_sec
+    while True:
         try:
-            open(QUIET_FLAG, "w").close()
+            os.close(os.open(QUIET_FLAG,
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            held_flag = True
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(QUIET_FLAG) > 3600:
+                    os.unlink(QUIET_FLAG)
+                    continue
+            except OSError:
+                continue  # holder released between exists and getmtime
         except OSError:
-            held_flag = False
+            break  # flag dir unwritable: run unheld, as before
+        if time.time() >= deadline:
+            break
+        time.sleep(5)
     try:
         fn()
     finally:

@@ -143,3 +143,47 @@ def test_assembly_on_real_repo_logs_matches_committed_shape():
         assert best >= 0.8
         assert out["quiet_window_best"]["scaling_efficiency"] == pytest.approx(
             best)
+
+
+def test_holding_flag_waits_for_inflight_capture(tmp_path, monkeypatch):
+    """If a watcher capture holds the flag when the committed bench
+    starts, _holding_flag must WAIT for the release (not run unheld
+    alongside the watcher's legs), then take the flag itself; an
+    hour-old orphan flag is reaped; on timeout it proceeds unheld
+    WITHOUT unlinking the foreign holder's flag."""
+    import threading
+    import time as _time
+
+    flag = str(tmp_path / "quietbench.running")
+    monkeypatch.setattr(bench, "QUIET_FLAG", flag)
+
+    # flag absent: acquires, runs holding it, releases after
+    seen = []
+    bench._holding_flag(lambda: seen.append(os.path.exists(flag)))
+    assert seen == [True] and not os.path.exists(flag)
+
+    # in-flight capture releases mid-wait: bench acquires afterwards
+    open(flag, "w").close()
+    threading.Thread(
+        target=lambda: (_time.sleep(1.5), os.unlink(flag))).start()
+    t0 = _time.time()
+    seen = []
+    bench._holding_flag(lambda: seen.append(os.path.exists(flag)),
+                        wait_sec=30)
+    assert seen == [True] and _time.time() - t0 >= 1.0
+    assert not os.path.exists(flag)
+
+    # holder never releases: run unheld at deadline, flag left intact
+    open(flag, "w").close()
+    seen = []
+    bench._holding_flag(lambda: seen.append("ran"), wait_sec=1)
+    assert seen == ["ran"] and os.path.exists(flag)
+
+    # orphaned flag (holder died >1h ago): reaped and acquired at once
+    os.utime(flag, (_time.time() - 7200,) * 2)
+    t0 = _time.time()
+    seen = []
+    bench._holding_flag(lambda: seen.append(os.path.exists(flag)),
+                        wait_sec=30)
+    assert seen == [True] and _time.time() - t0 < 1.0
+    assert not os.path.exists(flag)
