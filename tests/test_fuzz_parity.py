@@ -170,6 +170,139 @@ def test_randomized_rank_identity(spark, tmp_path, seed):
                        for r in rep), (seed, [r.asDict() for r in rep])
 
 
+@pytest.mark.parametrize("seed", [606])
+def test_randomized_aggregation_parity(spark, tmp_path, seed):
+    """Random corpora × random match sets: every aggregation kind must
+    agree with a pandas/python brute-force computed over the ORACLE's
+    match set (oracle.search at unbounded k — the score>0 set, which
+    _match_doc_meta's union∩Musts−MustNots reproduces without scoring).
+    Generalizes test_facets' fixed-corpus brute-force comparisons to
+    random data shapes, random filters, and random agg parameters; the
+    soak runner replays this body across many fresh seeds."""
+    from collections import Counter, defaultdict
+
+    from spyglass_spark.index.builder import build_index
+    from spyglass_spark.oracle.engine import OracleIndex
+    from spyglass_spark.query.compiler import compile_query
+    from spyglass_spark.query.executor import SearchEngine
+    from spyglass_spark.query.percentile import exact_percentiles
+
+    rng = random.Random(seed)
+    docs = _mk_docs(rng, rng.randint(50, 90))
+    P = rng.choice([2, 4, 8])
+    idx = str(tmp_path / f"ag{seed}")
+    build_index(spark, spark.createDataFrame(docs), idx, num_partitions=P,
+                waves=rng.choice([1, 2]))
+    oracle = OracleIndex.build(docs, num_partitions=P)
+    eng = SearchEngine(spark, idx)
+    by_id = {d["doc_id"]: d for d in docs}
+    svals = sorted(d["lastmodified"] for d in docs)
+
+    checked = 0
+    for _ in range(20):
+        if checked >= 3:
+            break
+        q = " ".join(rng.choice(WORDS) for _ in range(rng.randint(1, 3)))
+        filters = []
+        if rng.random() < 0.5:
+            filters.append(("tag", rng.randint(1, 4)))
+        if rng.random() < 0.3:
+            filters.append(("lastmodified_ge", svals[len(svals) // 3]))
+        if not compile_query(q, filters, ()).should_group:
+            continue  # all-stopword query: aggregations need a Should
+        exp_hits = oracle.search(q, filters, (), k=100_000)
+        if len(exp_hits) < 2:
+            continue
+        checked += 1
+        matched = [by_id[h["doc_id"]] for h in exp_hits]
+        vals = [d["lastmodified"] for d in matched]
+
+        # facet counts (tags explode): count desc, key asc — total order
+        cnt = Counter(t for d in matched for t in d["tags"])
+        exp_fc = sorted(cnt.items(), key=lambda x: (-x[1], x[0]))
+        got_fc = [(r["tag_id"], r["n"])
+                  for r in eng.facet_counts(q, filters).collect()]
+        assert got_fc == exp_fc, (seed, q, filters)
+
+        # size-limited terms bucket + sum_other_doc_count
+        size = rng.randint(1, 4)
+        kept = exp_fc[:size]
+        other = sum(cnt.values()) - sum(n for _, n in kept)
+        got_t = [(r["tag_id"], r["doc_count"], r["sum_other_doc_count"])
+                 for r in eng.terms_agg(q, filters, size=size).collect()]
+        assert got_t == [(t, n, other) for t, n in kept], (seed, q, size)
+
+        # date histogram: occupied-only AND gap-filled, random interval
+        interval = rng.choice([1, 7, 30]) * 86_400_000_000
+        bc = Counter((v // interval) * interval for v in vals)
+        got_h = [(r["bucket"], r["n"]) for r in eng.date_histogram(
+            q, filters, interval_us=interval).collect()]
+        assert got_h == sorted(bc.items()), (seed, q, interval)
+        lo, hi = min(bc), max(bc)
+        exp_gf = [(b, bc.get(b, 0)) for b in range(lo, hi + interval,
+                                                   interval)]
+        got_gf = [(r["bucket"], r["n"]) for r in eng.date_histogram(
+            q, filters, interval_us=interval, min_doc_count=0).collect()]
+        assert got_gf == exp_gf, (seed, q, interval)
+
+        # stats: exact decimal sum, ONE double division (bitwise pin)
+        r = eng.field_stats(q, filters, col="lastmodified").collect()[0]
+        assert (r["n"], r["min"], r["max"], r["sum"]) == \
+            (len(vals), min(vals), max(vals), sum(vals)), (seed, q)
+        assert r["avg"] == float(sum(vals)) / len(vals), (seed, q)
+
+        # percentiles: engine ≡ the pinned scalar interpolation bitwise
+        pcts = sorted(rng.sample([1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0],
+                                 rng.randint(2, 4)))
+        got_p = [(row["pct"], row["value"]) for row in eng.percentiles(
+            q, filters, col="lastmodified", percents=pcts).collect()]
+        assert got_p == exact_percentiles(vals, pcts), (seed, q, pcts)
+
+        # range buckets: overlap + unbounded sides + an empty bucket
+        a, b = svals[len(svals) // 5], svals[len(svals) // 2]
+        c = svals[(4 * len(svals)) // 5]
+        ranges = [("lo", None, b), ("mid", a, c), ("hi", b, None),
+                  ("empty", 0, 1)]
+        exp_r = [(k, lo_, hi_, sum(1 for v in vals
+                                   if (lo_ is None or v >= lo_)
+                                   and (hi_ is None or v < hi_)))
+                 for k, lo_, hi_ in ranges]
+        got_r = [(row["range_key"], row["lo"], row["hi"], row["n"])
+                 for row in eng.range_agg(q, filters,
+                                          ranges=ranges).collect()]
+        assert got_r == exp_r, (seed, q)
+
+        # cardinality: flat + nested under the tags bucket
+        assert eng.cardinality(q, filters).collect()[0]["n_distinct"] == \
+            len({d["domain"] for d in matched}), (seed, q)
+        doms = defaultdict(set)
+        for d in matched:
+            for t in d["tags"]:
+                doms[t].add(d["domain"])
+        exp_n = sorted(((t, cnt[t], len(doms[t])) for t in cnt),
+                       key=lambda x: (-x[1], x[0]))
+        got_n = [(row["tag_id"], row["doc_count"], row["n_distinct"])
+                 for row in eng.cardinality(q, filters,
+                                            facet_col="tags").collect()]
+        assert got_n == exp_n, (seed, q)
+
+        # one aggregate() request tree must serve the SAME answers from
+        # its single cached match-set pass as the standalone methods
+        tree = eng.aggregate(q, filters, aggs={
+            "f": {"kind": "facets"},
+            "s": {"kind": "stats", "col": "lastmodified"},
+            "r": {"kind": "range", "col": "lastmodified",
+                  "ranges": ranges}})
+        assert [(row["tag_id"], row["n"])
+                for row in tree["f"].collect()] == exp_fc, (seed, q)
+        assert [(row["range_key"], row["lo"], row["hi"], row["n"])
+                for row in tree["r"].collect()] == exp_r, (seed, q)
+        ts = tree["s"].collect()[0]
+        assert (ts["n"], ts["sum"], ts["avg"]) == \
+            (r["n"], r["sum"], r["avg"]), (seed, q)
+    assert checked >= 3  # the fuzz must actually exercise aggregations
+
+
 @pytest.mark.parametrize("seed", [404, 505])
 def test_randomized_lifecycle_parity(spark, tmp_path, seed):
     """Random mutation sequences — upsert content-modified docs, a

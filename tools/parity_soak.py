@@ -4,7 +4,10 @@ this driver runs the SAME body (tests/test_fuzz_parity.py — random
 corpora x random query shapes at random P/waves: rank identity + bitwise
 float32 scores vs the scalar oracle, offset paging, search_after cursor
 walks, randomized wildcard/regex pattern queries vs the oracle's fnmatch
-enumeration, and a clean fsck audit per build) across many fresh seeds.
+enumeration, and a clean fsck audit per build) across many fresh seeds,
+plus the lifecycle-mutation body every 5th seed and the aggregation
+body (every agg kind vs a pandas brute-force over the oracle match set)
+on the offset-2 fifth seeds.
 
 Usage: python tools/parity_soak.py [n_seeds] [first_seed]
 Prints one summary JSON line; any failure raises with the seed attached.
@@ -26,7 +29,8 @@ def main() -> None:
     import tempfile
 
     from pyspark.sql import SparkSession  # noqa: F401
-    from test_fuzz_parity import (test_randomized_lifecycle_parity,
+    from test_fuzz_parity import (test_randomized_aggregation_parity,
+                                  test_randomized_lifecycle_parity,
                                   test_randomized_rank_identity)
 
     from spyglass_spark.session import get_spark
@@ -45,7 +49,13 @@ def main() -> None:
             if i % 5 == 0:
                 test_randomized_lifecycle_parity(spark, pathlib.Path(td),
                                                  seed)
+            # offset-2 fifth seeds soak the aggregation surface: every
+            # agg kind vs a pandas brute-force over the oracle match set
+            if i % 5 == 2:
+                test_randomized_aggregation_parity(spark, pathlib.Path(td),
+                                                   seed)
         print(json.dumps({"seed": seed, "ok": True, "lifecycle": i % 5 == 0,
+                          "aggregations": i % 5 == 2,
                           "elapsed": round(time.time() - t0, 1)}),
               flush=True)
     print(json.dumps({"soak": "clean", "seeds": n, "first": first,
