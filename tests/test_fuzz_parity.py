@@ -162,6 +162,29 @@ def test_randomized_rank_identity(spark, tmp_path, seed):
             assert np.isclose(np.float32(r["score"]), np.float32(h["score"]),
                               rtol=1e-5), (seed, q)
 
+    # fuzzy: a random single edit (substitute/delete/insert) applied to
+    # a corpus word, at random distance 1-2 — the dictionary-slice
+    # verify path (no SymSpell sidecar on a fresh random build) vs the
+    # oracle's brute Levenshtein enumeration over its own dictionary
+    for _ in range(3):
+        w = rng.choice(WORDS)
+        i = rng.randrange(len(w))
+        form = rng.randrange(3)
+        if form == 0:
+            t = w[:i] + rng.choice("abkz") + w[i + 1:]
+        elif form == 1 and len(w) >= 2:
+            t = w[:i] + w[i + 1:]
+        else:
+            t = w[:i] + rng.choice("abkz") + w[i:]
+        d = rng.choice([1, 2])
+        got = eng.search_fuzzy(t, distance=d, k=6).collect()
+        exp = oracle.search_fuzzy(t, distance=d, k=6)
+        assert [r["doc_id"] for r in got] == \
+            [h["doc_id"] for h in exp], (seed, t, d)
+        for r, h in zip(got, exp):
+            assert np.isclose(np.float32(r["score"]), np.float32(h["score"]),
+                              rtol=1e-5), (seed, t, d)
+
     # every random corpus/P/waves build must pass the integrity audit
     from spyglass_spark.index.fsck import fsck
 
