@@ -62,8 +62,9 @@ from pyspark.sql import functions as F
 from ..analysis.analyzer import ANALYZER_KIND, tokenize_arrays
 from .codecs import bulk_encode_postings
 from .fieldnorm import fieldnorm_to_id
-from .manifest import (Manifest, commit_manifest, load_checkpoint,
-                       load_manifest, save_checkpoint)
+from .manifest import (Manifest, commit_manifest, history_path,
+                       list_snapshots, load_checkpoint, load_manifest,
+                       save_checkpoint)
 
 ORD_SHIFT = 40  # doc_ord = part_id << 40 | local_rank
 
@@ -790,6 +791,17 @@ def compact_index(spark: SparkSession, documents: DataFrame, index_dir: str,
     new = build_index(spark, live_docs, tmp_dir,
                       num_partitions=num_partitions or m.num_partitions,
                       waves=1)
+    # Snapshot-id continuity across the swap: the rebuild starts a fresh
+    # manifest whose commit_seq restarts at 1, so a seq pinned BEFORE the
+    # compaction (as_of) would silently alias the NEW state after it.
+    # Snapshot ids must be unique over the index's lifetime — drop the
+    # rebuild's transient history entries and re-commit at old_seq + 1:
+    # pre-compaction seqs now raise loudly (their segments are gone) and
+    # the monotonic-seq cache-epoch invariant survives the rebuild.
+    for s in list_snapshots(tmp_dir):
+        os.unlink(history_path(tmp_dir, s))
+    new.commit_seq = m.commit_seq
+    commit_manifest(tmp_dir, new)
     old_dir = index_dir.rstrip("/") + ".old"
     shutil.rmtree(old_dir, ignore_errors=True)
     os.rename(index_dir, old_dir)

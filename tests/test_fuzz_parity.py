@@ -391,3 +391,177 @@ def test_randomized_lifecycle_parity(spark, tmp_path, seed):
     rep = fsck(spark, idx, source=spark.createDataFrame(sor)).collect()
     assert rep and all(r["violations"] == 0 and r["stats_mismatches"] == 0
                        for r in rep), (seed, [r.asDict() for r in rep])
+
+
+@pytest.mark.parametrize("seed", [707])
+def test_randomized_sorted_collector_parity(spark, tmp_path, seed):
+    """Random corpora × random match sets: search_sorted (the order-by-
+    fast-field collector) must reproduce a pure-Python brute-force total
+    order — (col asc/desc, url asc tie-break) over the oracle's
+    unbounded-k match set — at a random offset, and a k=3 search_after
+    cursor walk must concatenate to exactly the one-shot order (no hit
+    skipped or repeated across tie boundaries). The order is integer-
+    exact: no float tolerance anywhere in this body."""
+    from spyglass_spark.index.builder import build_index
+    from spyglass_spark.oracle.engine import OracleIndex
+    from spyglass_spark.query.compiler import compile_query
+    from spyglass_spark.query.executor import SearchEngine
+
+    rng = random.Random(seed)
+    docs = _mk_docs(rng, rng.randint(50, 90))
+    P = rng.choice([2, 4, 8])
+    idx = str(tmp_path / f"so{seed}")
+    build_index(spark, spark.createDataFrame(docs), idx, num_partitions=P,
+                waves=rng.choice([1, 2]))
+    oracle = OracleIndex.build(docs, num_partitions=P)
+    eng = SearchEngine(spark, idx)
+    by_id = {d["doc_id"]: d for d in docs}
+
+    checked = 0
+    for _ in range(20):
+        if checked >= 3:
+            break
+        q = " ".join(rng.choice(WORDS) for _ in range(rng.randint(1, 3)))
+        filters = []
+        if rng.random() < 0.5:
+            filters.append(("tag", rng.randint(1, 4)))
+        if not compile_query(q, filters, ()).should_group:
+            continue  # all-stopword query: no match set
+        matched = [by_id[h["doc_id"]]
+                   for h in oracle.search(q, filters, (), k=100_000)]
+        if len(matched) < 4:
+            continue
+        checked += 1
+        col = rng.choice(["lastmodified", "published"])
+        asc = rng.random() < 0.5
+        sgn = 1 if asc else -1
+        full = sorted(((d[col], d["url"]) for d in matched),
+                      key=lambda t: (sgn * t[0], t[1]))
+
+        k, offset = rng.randint(2, 6), rng.choice([0, 1, 3])
+        got = eng.search_sorted(q, filters=filters, col=col, k=k,
+                                offset=offset, asc=asc).collect()
+        assert [(r[col], r["url"]) for r in got] == full[offset:offset + k], \
+            (seed, q, filters, col, asc, k, offset)
+        assert [r["rank"] for r in got] == \
+            list(range(offset + 1, offset + 1 + len(got)))
+
+        # cursor walk: pages of 3 concatenate to the one-shot order
+        pages, after = [], None
+        for _pg in range(10):
+            rows = eng.search_sorted(q, filters=filters, col=col, k=3,
+                                     asc=asc, after=after).collect()
+            if not rows:
+                break
+            assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+            pages.extend((r[col], r["url"]) for r in rows)
+            after = (rows[-1][col], rows[-1]["url"])
+        assert len(pages) == min(len(full), 30), (seed, q, filters, col, asc)
+        assert pages == full[:len(pages)], (seed, q, filters, col, asc)
+    assert checked >= 2
+
+
+@pytest.mark.parametrize("seed", [808])
+def test_randomized_time_travel_parity(spark, tmp_path, seed):
+    """Random mutation sequences must be REPLAYABLE: ``as_of`` each
+    recorded commit_seq serves exactly the doc set live at that commit.
+    The build snapshot stays rank- AND bitwise-score-identical to a
+    fresh oracle even after later mutations land; post-mutation
+    snapshots are checked by per-query match-SET identity (the max_doc
+    stats model keeps counting tombstoned docs, so a fresh oracle over
+    the live list reproduces membership, not scores) plus bitwise
+    (doc_id, score, doc_ord) self-consistency across re-pinned engines.
+    Compaction then reclaims history: every pre-compaction seq must
+    fail loudly — never alias the rebuilt state — while the rebuilt
+    snapshot answers with fresh-build oracle parity."""
+    from spyglass_spark.index.builder import (build_index, compact_index,
+                                              delete_by_domain,
+                                              delete_by_urls,
+                                              upsert_documents)
+    from spyglass_spark.index.manifest import load_manifest
+    from spyglass_spark.oracle.engine import OracleIndex
+    from spyglass_spark.query.executor import SearchEngine
+
+    rng = random.Random(seed)
+    docs = _mk_docs(rng, rng.randint(50, 80))
+    P = rng.choice([2, 4])
+    idx = str(tmp_path / f"tt{seed}")
+    build_index(spark, spark.createDataFrame(docs), idx, num_partitions=P,
+                waves=1)
+    snaps = [(load_manifest(idx).commit_seq, list(docs))]
+
+    del_dom = f"f{rng.randint(0, 4)}"
+    rest = [d for d in docs if d["domain"] != del_dom]
+    del_urls = [d["url"] for d in rng.sample(rest, 3)]
+    pool = [d for d in rest if d["url"] not in del_urls]
+    mod = {d["url"] for d in rng.sample(pool, min(4, len(pool)))}
+    sor = []
+    for d in docs:
+        if d["url"] in mod:
+            content = d["content"] + " " + " ".join(
+                rng.choice(WORDS) for _ in range(rng.randint(1, 8)))
+            d = dict(d, content=content,
+                     content_sha256=hashlib.sha256(
+                         content.encode()).hexdigest())
+        sor.append(d)
+
+    upsert_documents(spark, spark.createDataFrame(
+        [d for d in sor if d["url"] in mod]), idx, num_partitions=P)
+    snaps.append((load_manifest(idx).commit_seq, list(sor)))
+    delete_by_domain(spark, idx, del_dom)
+    live2 = [d for d in sor if d["domain"] != del_dom]
+    snaps.append((load_manifest(idx).commit_seq, live2))
+    delete_by_urls(spark, idx, del_urls)
+    live3 = [d for d in live2 if d["url"] not in del_urls]
+    snaps.append((load_manifest(idx).commit_seq, live3))
+    assert len({s for s, _ in snaps}) == 4  # every commit bumps the seq
+
+    # build snapshot: full rank + bitwise float32 score parity
+    seq0, docs0 = snaps[0]
+    at0 = SearchEngine(spark, idx, as_of=seq0)
+    oracle0 = OracleIndex.build(docs0, num_partitions=P)
+    for _ in range(3):
+        q, f, b, _off = _mk_query(rng, docs0)
+        got = at0.search(q, filters=f, boosts=b, k=8).collect()
+        exp = oracle0.search(q, f, b, k=8)
+        assert [r["doc_id"] for r in got] == [h["doc_id"] for h in exp], \
+            (seed, seq0, q, f, b)
+        assert [np.float32(r["score"]) for r in got] == \
+            [np.float32(h["score"]) for h in exp], (seed, seq0, q)
+
+    # mutation snapshots: match-SET identity + re-pin self-consistency
+    for seq, live in snaps[1:]:
+        oracle = OracleIndex.build(live, num_partitions=P)
+        eng = SearchEngine(spark, idx, as_of=seq)
+        nonempty = 0
+        for _ in range(4):
+            q, f, b, _off = _mk_query(rng, live)
+            got = eng.search(q, filters=f, boosts=b, k=10_000).collect()
+            exp = oracle.search(q, f, b, k=10_000)
+            assert sorted(r["url"] for r in got) == \
+                sorted(h["url"] for h in exp), (seed, seq, q, f, b)
+            repin = SearchEngine(spark, idx, as_of=seq)\
+                .search(q, filters=f, boosts=b, k=10_000).collect()
+            key = lambda r: (r["doc_id"], r["score"], r["doc_ord"])
+            assert [key(r) for r in got] == [key(r) for r in repin]
+            nonempty += bool(exp)
+        assert nonempty >= 1
+
+    compact_index(spark, spark.createDataFrame(sor), idx, num_partitions=P)
+    cur = load_manifest(idx).commit_seq
+    assert cur == snaps[-1][0] + 1  # the seq line continues across rebuild
+    for seq, _ in snaps:  # reclaimed history: loud, never aliased
+        with pytest.raises(FileNotFoundError):
+            SearchEngine(spark, idx, as_of=seq)
+    atc = SearchEngine(spark, idx, as_of=cur)
+    oraclec = OracleIndex.build(live3, num_partitions=P)
+    ok = 0
+    for _ in range(4):
+        q, f, b, _off = _mk_query(rng, live3)
+        got = atc.search(q, filters=f, boosts=b, k=8).collect()
+        exp = oraclec.search(q, f, b, k=8)
+        assert [(r["doc_id"], np.float32(r["score"])) for r in got] == \
+            [(h["doc_id"], np.float32(h["score"])) for h in exp], \
+            (seed, cur, q, f, b)
+        ok += bool(exp)
+    assert ok >= 1

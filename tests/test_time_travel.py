@@ -122,3 +122,35 @@ def test_expire_history_keeps_newest(spark, corpus_rows, tmp_path):
     expired = expire_history(idx, keep_last=2)
     assert expired == seqs[:3]
     assert list_snapshots(idx) == seqs[-2:]
+
+
+def test_compaction_preserves_snapshot_id_uniqueness(spark, corpus_rows,
+                                                     tmp_path):
+    """compact_index rebuilds into a fresh directory whose manifest line
+    would restart at commit_seq=1 — the swap must CONTINUE the old line
+    instead: snapshot ids are unique over the index's lifetime, so a seq
+    pinned before the compaction can never silently alias the rebuilt
+    state (it fails loudly; the segments it named are gone)."""
+    from spyglass_spark.index.builder import (build_index, compact_index,
+                                              delete_by_urls)
+    from spyglass_spark.index.manifest import list_snapshots, load_manifest
+    from spyglass_spark.query.executor import SearchEngine
+    from spyglass_spark.testing import corpus_to_documents
+
+    docs, _ = corpus_to_documents(corpus_rows[:40])
+    idx = str(tmp_path / "ttc")
+    sdf = spark.createDataFrame(docs)
+    build_index(spark, sdf, idx, num_partitions=2, waves=1)
+    seq_build = load_manifest(idx).commit_seq
+    delete_by_urls(spark, idx, [docs[0]["url"]])
+    seq_del = load_manifest(idx).commit_seq
+
+    m = compact_index(spark, sdf, idx, num_partitions=2)
+    assert m.commit_seq == seq_del + 1             # the line continues
+    assert load_manifest(idx).commit_seq == seq_del + 1
+    assert list_snapshots(idx) == [seq_del + 1]    # no aliased old ids
+    for old in (seq_build, seq_del):               # loud, never aliased
+        with pytest.raises(FileNotFoundError):
+            SearchEngine(spark, idx, as_of=old)
+    cur = SearchEngine(spark, idx, as_of=m.commit_seq)
+    assert cur.manifest.num_docs == 39             # tombstone dropped

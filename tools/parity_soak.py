@@ -5,9 +5,12 @@ corpora x random query shapes at random P/waves: rank identity + bitwise
 float32 scores vs the scalar oracle, offset paging, search_after cursor
 walks, randomized wildcard/regex pattern queries vs the oracle's fnmatch
 enumeration, and a clean fsck audit per build) across many fresh seeds,
-plus the lifecycle-mutation body every 5th seed and the aggregation
-body (every agg kind vs a pandas brute-force over the oracle match set)
-on the offset-2 fifth seeds.
+plus, round-robin on the fifth seeds: the lifecycle-mutation body
+(offset 0), the aggregation body — every agg kind vs a pandas
+brute-force over the oracle match set (offset 2), the sorted-collector
+body — order-by fast field + cursor walk vs an integer-exact total
+order (offset 3), and the time-travel body — as_of snapshot replay
+under random mutations, then compaction reclaim (offset 4).
 
 Usage: python tools/parity_soak.py [n_seeds] [first_seed]
 Prints one summary JSON line; any failure raises with the seed attached.
@@ -31,7 +34,9 @@ def main() -> None:
     from pyspark.sql import SparkSession  # noqa: F401
     from test_fuzz_parity import (test_randomized_aggregation_parity,
                                   test_randomized_lifecycle_parity,
-                                  test_randomized_rank_identity)
+                                  test_randomized_rank_identity,
+                                  test_randomized_sorted_collector_parity,
+                                  test_randomized_time_travel_parity)
 
     from spyglass_spark.session import get_spark
 
@@ -54,8 +59,19 @@ def main() -> None:
             if i % 5 == 2:
                 test_randomized_aggregation_parity(spark, pathlib.Path(td),
                                                    seed)
+            # offset-3: the order-by-fast-field collector + its cursor
+            # walk vs an integer-exact brute-force total order
+            if i % 5 == 3:
+                test_randomized_sorted_collector_parity(
+                    spark, pathlib.Path(td), seed)
+            # offset-4: snapshot replay — as_of every recorded commit_seq
+            # under a random mutation sequence, then compaction reclaim
+            if i % 5 == 4:
+                test_randomized_time_travel_parity(spark, pathlib.Path(td),
+                                                   seed)
         print(json.dumps({"seed": seed, "ok": True, "lifecycle": i % 5 == 0,
-                          "aggregations": i % 5 == 2,
+                          "aggregations": i % 5 == 2, "sorted": i % 5 == 3,
+                          "time_travel": i % 5 == 4,
                           "elapsed": round(time.time() - t0, 1)}),
               flush=True)
     print(json.dumps({"soak": "clean", "seeds": n, "first": first,
