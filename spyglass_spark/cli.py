@@ -99,6 +99,16 @@ def main(argv=None, spark=None) -> int:
     st = sub.add_parser("stats", help="print the committed manifest")
     st.add_argument("--index", required=True)
 
+    sn = sub.add_parser("snapshots", help="list manifest-history snapshots "
+                                          "(the valid search --as-of "
+                                          "targets), newest last")
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--expire-keep", type=int, default=None,
+                    help="expire_snapshots maintenance: drop all but the "
+                         "newest N history pointers (small JSON only — "
+                         "segment data is reclaimed by merges/compaction, "
+                         "never by this)")
+
     d = sub.add_parser("delete", help="tombstone doc ids or urls "
                                       "(delete_document_by_url RPC analog)")
     d.add_argument("--index", required=True)
@@ -210,6 +220,15 @@ def main(argv=None, spark=None) -> int:
 
         m = load_manifest(args.index)
         print(m.to_json() if m else "{}")
+        return 0
+    if args.cmd == "snapshots":
+        from spyglass_spark.index.manifest import (expire_history,
+                                                   list_snapshots)
+
+        expired = (expire_history(args.index, keep_last=args.expire_keep)
+                   if args.expire_keep is not None else [])
+        print(json.dumps({"snapshots": list_snapshots(args.index),
+                          "expired": expired}))
         return 0
     if args.cmd == "delete":
         if not (args.doc_id or args.url or args.domain or args.tag):

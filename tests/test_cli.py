@@ -242,3 +242,43 @@ def test_cli_terms_and_gapfilled_histogram(spark, built_index, capsys):
     bs = [r["bucket"] for r in rows]
     assert all(bs[i + 1] - bs[i] == int(week) for i in range(len(bs) - 1))
     assert all(r["n"] >= 0 for r in rows)
+
+
+def test_cli_snapshots_and_as_of(spark, corpus_rows, tmp_path, capsys):
+    """`snapshots` lists every as_of target newest-last; --expire-keep
+    prunes the history pointers; `search --as-of` serves the pinned
+    state (the deleted doc is still a hit at the pre-delete seq)."""
+    corpus = str(tmp_path / "sn_corpus.parquet")
+    spark.createDataFrame(corpus_rows[:40]).write.parquet(corpus)
+    idx = str(tmp_path / "snidx")
+    _run(capsys, spark, ["build", "--corpus", corpus, "--index", idx,
+                         "--partitions", "4", "--waves", "1"])
+    out = _run(capsys, spark, ["snapshots", "--index", idx])
+    seqs = json.loads(out)["snapshots"]
+    assert len(seqs) == 1
+    seq_build = seqs[-1]
+
+    out = _run(capsys, spark, ["search", "--index", idx,
+                               "--query", "fn index", "--k", "1"])
+    top = json.loads(out.strip().splitlines()[0])
+    _run(capsys, spark, ["delete", "--index", idx, "--url", top["url"]])
+
+    out = _run(capsys, spark, ["snapshots", "--index", idx])
+    seqs = json.loads(out)["snapshots"]
+    assert len(seqs) == 2 and seqs[0] == seq_build
+
+    # the pinned read still surfaces the tombstoned doc; the live
+    # read does not
+    out = _run(capsys, spark, ["search", "--index", idx, "--query",
+                               "fn index", "--k", "1", "--as-of",
+                               str(seq_build)])
+    assert json.loads(out.strip().splitlines()[0])["url"] == top["url"]
+    out = _run(capsys, spark, ["search", "--index", idx,
+                               "--query", "fn index", "--k", "40"])
+    assert top["url"] not in {json.loads(x)["url"]
+                              for x in out.strip().splitlines()}
+
+    out = _run(capsys, spark, ["snapshots", "--index", idx,
+                               "--expire-keep", "1"])
+    rep = json.loads(out)
+    assert rep["expired"] == [seq_build] and rep["snapshots"] == [seqs[-1]]
