@@ -758,6 +758,47 @@ def delete_by_tag(spark: SparkSession, index_dir: str,
                         F.array_contains(F.col("tags"), F.lit(int(tag_id))))
 
 
+def recover_compaction(index_dir: str) -> str:
+    """Heal a compaction interrupted between its two directory renames —
+    the one non-atomic window in the index lifecycle (every other commit
+    is a single manifest rename). Idempotent; safe to call on a healthy
+    index. Returns what happened: ``"none"`` (healthy, nothing stray),
+    ``"cleaned"`` (healthy; stray .old/.compacting leftovers removed),
+    ``"completed"`` (index dir was missing and the rebuilt sibling holds
+    a committed manifest CONTINUING the old seq line — finish the swap),
+    or ``"rolled_back"`` (index dir missing, rebuild absent or its seq
+    line regressed — restore the pre-compaction directory).
+
+    The seq comparison is what makes completion safe: compact_index
+    re-commits the rebuild at old_seq+1 *before* the swap, so a rebuild
+    whose seq does not exceed the old directory's was interrupted before
+    that re-commit and must never win (its snapshot ids would alias the
+    pre-compaction history)."""
+    import shutil
+
+    old_dir = index_dir.rstrip("/") + ".old"
+    tmp_dir = index_dir.rstrip("/") + ".compacting"
+    if load_manifest(index_dir) is not None:
+        stray = False
+        for d in (old_dir, tmp_dir):
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+                stray = True
+        return "cleaned" if stray else "none"
+    old_m = load_manifest(old_dir) if os.path.isdir(old_dir) else None
+    if old_m is None:
+        return "none"  # nothing recoverable (never built, or foreign dir)
+    tmp_m = load_manifest(tmp_dir) if os.path.isdir(tmp_dir) else None
+    if tmp_m is not None and tmp_m.committed and \
+            tmp_m.commit_seq > old_m.commit_seq:
+        os.rename(tmp_dir, index_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        return "completed"
+    os.rename(old_dir, index_dir)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    return "rolled_back"
+
+
 def compact_index(spark: SparkSession, documents: DataFrame, index_dir: str,
                   num_partitions: int | None = None) -> Manifest:
     """Whole-index rewrite merge: collapse all generations into one and
@@ -769,10 +810,13 @@ def compact_index(spark: SparkSession, documents: DataFrame, index_dir: str,
     url is live in the current index are re-indexed.
 
     The rebuilt index is prepared in a sibling directory and swapped in via
-    directory rename + fresh manifest commit. Open SearchEngines must call
+    directory rename + fresh manifest commit; a crash anywhere is healed
+    by ``recover_compaction`` (run automatically here and by SearchEngine
+    when the manifest is missing). Open SearchEngines must call
     ``refresh()`` (or be rebuilt) after a compaction."""
     import shutil
 
+    recover_compaction(index_dir)
     m = load_manifest(index_dir)
     if m is None or not m.committed:
         raise FileNotFoundError(f"no committed index at {index_dir}")

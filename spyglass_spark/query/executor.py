@@ -569,6 +569,15 @@ class SearchEngine:
         generation it was opened on (tantivy reader-reload analog,
         local.rs:178-190)."""
         m = load_manifest(self.index_dir, as_of=self.as_of)
+        if (m is None or not m.committed) and self.as_of is None:
+            # a compaction interrupted between its two directory renames
+            # leaves the index under a sibling name — heal, then re-read
+            # (idempotent no-op on a genuinely absent index)
+            from ..index.builder import recover_compaction
+
+            if recover_compaction(self.index_dir) in ("completed",
+                                                      "rolled_back"):
+                m = load_manifest(self.index_dir)
         if m is None or not m.committed:
             raise FileNotFoundError(f"no committed index manifest in {self.index_dir}")
         prev_agg = getattr(self, "_agg_dm_cache", None)

@@ -509,3 +509,107 @@ def test_upsert_auto_merge_policy(spark, corpus_rows, tmp_path):
     # the re-added docs are searchable with their NEW content
     hits = eng.search("upsert round", k=10).collect()
     assert len(hits) == 4
+
+
+def test_compaction_crash_between_renames_self_heals(spark, corpus_rows,
+                                                     tmp_path, monkeypatch):
+    """Kill the compaction between its two directory renames — the one
+    non-atomic window in the lifecycle (the index dir is momentarily
+    ABSENT). The rebuilt sibling already carries the CONTINUED seq line
+    (re-committed before the swap), so recovery completes the swap:
+    automatically inside SearchEngine.refresh, idempotently thereafter."""
+    import os
+
+    from spyglass_spark.index.builder import (build_index, compact_index,
+                                              delete_by_urls,
+                                              recover_compaction)
+    from spyglass_spark.index.manifest import load_manifest
+    from spyglass_spark.query.executor import SearchEngine
+    from spyglass_spark.testing import corpus_to_documents
+
+    docs, _ = corpus_to_documents(corpus_rows[:40])
+    idx = str(tmp_path / "cc")
+    sdf = spark.createDataFrame(docs)
+    build_index(spark, sdf, idx, num_partitions=2, waves=1)
+    delete_by_urls(spark, idx, [docs[0]["url"]])
+    seq_del = load_manifest(idx).commit_seq
+
+    real_rename = os.rename
+
+    def crashing_rename(a, b):
+        real_rename(a, b)
+        if str(a) == idx:  # just moved index -> .old: die mid-swap
+            raise RuntimeError("injected crash mid-swap")
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        compact_index(spark, sdf, idx, num_partitions=2)
+    monkeypatch.undo()
+    assert load_manifest(idx) is None  # the outage recovery heals
+
+    eng = SearchEngine(spark, idx)  # auto-heal: completes the swap
+    assert eng.manifest.commit_seq == seq_del + 1
+    assert eng.manifest.num_docs == 39  # the tombstoned doc stayed gone
+    assert not os.path.isdir(idx + ".old")
+    assert not os.path.isdir(idx + ".compacting")
+    assert recover_compaction(idx) == "none"  # idempotent afterwards
+    assert eng.search("fn", k=3).count() > 0
+
+
+def test_compaction_crash_before_seq_recommit_rolls_back(spark, corpus_rows,
+                                                         tmp_path):
+    """If the crash hit BEFORE the rebuilt sibling's seq re-commit, its
+    snapshot line regressed (seq restarts at 1) — completing the swap
+    would alias pre-compaction snapshot ids, so recovery must restore
+    the pre-compaction directory instead, tombstones intact."""
+    import os
+
+    from spyglass_spark.index.builder import (build_index, delete_by_urls,
+                                              recover_compaction)
+    from spyglass_spark.index.manifest import load_manifest
+    from spyglass_spark.query.executor import SearchEngine
+    from spyglass_spark.testing import corpus_to_documents
+
+    docs, _ = corpus_to_documents(corpus_rows[:40])
+    idx = str(tmp_path / "cr")
+    sdf = spark.createDataFrame(docs)
+    build_index(spark, sdf, idx, num_partitions=2, waves=1)
+    delete_by_urls(spark, idx, [docs[0]["url"]])
+    seq_del = load_manifest(idx).commit_seq
+
+    # manufacture the crash state: a rebuild that never saw the seq
+    # re-commit (its line restarts at 1), index dir already moved aside
+    build_index(spark, sdf, idx + ".compacting", num_partitions=2, waves=1)
+    os.rename(idx, idx + ".old")
+
+    assert recover_compaction(idx) == "rolled_back"
+    m = load_manifest(idx)
+    assert m.commit_seq == seq_del  # the pre-compaction state, verbatim
+    assert not os.path.isdir(idx + ".old")
+    assert not os.path.isdir(idx + ".compacting")
+    eng = SearchEngine(spark, idx)
+    assert eng.manifest.num_docs == 40  # max_doc model: tombstone logical
+    assert not eng.is_document_indexed(docs[0]["url"])
+
+
+def test_recover_compaction_cleans_stray_dirs(spark, corpus_rows, tmp_path):
+    """On a healthy index, recovery only sweeps stray .old/.compacting
+    leftovers (crash AFTER the swap completed); a genuinely absent index
+    stays a loud error."""
+    import os
+
+    from spyglass_spark.index.builder import build_index, recover_compaction
+    from spyglass_spark.testing import corpus_to_documents
+
+    assert recover_compaction(str(tmp_path / "nope")) == "none"
+
+    docs, _ = corpus_to_documents(corpus_rows[:30])
+    idx = str(tmp_path / "cs")
+    build_index(spark, spark.createDataFrame(docs), idx,
+                num_partitions=2, waves=1)
+    os.makedirs(idx + ".old")
+    os.makedirs(idx + ".compacting")
+    assert recover_compaction(idx) == "cleaned"
+    assert not os.path.isdir(idx + ".old")
+    assert not os.path.isdir(idx + ".compacting")
+    assert recover_compaction(idx) == "none"
