@@ -39,8 +39,14 @@ payload column:
    the old content's hash). Payload-free on the index side (doc_meta
    columns only); the source side is one sha2 scan + hash join.
 
+7. manifest/snapshot layer (driver-side, zero jobs): history snapshots
+   parse, are committed, embed the seq their filename claims; the live
+   manifest is the newest snapshot and every generation dir it
+   references exists (reclaimed dirs behind OLD snapshots are legal —
+   those fail loudly at as_of load time instead).
+
 Report: one row per (generation, field) plus ``<doc_meta>`` per
-generation and ``<tombstones>`` per index; a healthy index has
+generation, ``<tombstones>`` and ``<history>`` per index; a healthy index has
 violations = 0 and stats_mismatches = 0 everywhere. At 1000 executors
 the audit runs at aggregate scan bandwidth; cost is O(index bytes) +
 four metadata-plane joins.
@@ -297,6 +303,44 @@ def _source_sha_report(spark: SparkSession, index_dir: str, m,
                           F.lit(0).cast("long").alias("stats_mismatches")))
 
 
+def _history_report(spark: SparkSession, index_dir: str, m) -> DataFrame:
+    """Manifest/snapshot-layer audit — driver-side, ZERO Spark jobs (the
+    row is a literal VALUES LocalRelation): every history snapshot must
+    parse, be committed and embed the seq its filename claims; ids never
+    repeat (unique by filename); the CURRENT manifest must be the newest
+    snapshot and every generation dir it references must exist on disk.
+    Older snapshots may legitimately reference reclaimed dirs — those
+    fail loudly at as_of load time instead (manifest.load_manifest)."""
+    import json as _json
+    import os
+
+    from .manifest import history_path, list_snapshots
+
+    bad = 0
+    seqs = list_snapshots(index_dir)
+    for s in seqs:
+        try:
+            with open(history_path(index_dir, s)) as f:
+                snap = _json.loads(f.read())
+            if not snap.get("committed") or \
+                    int(snap.get("commit_seq", -1)) != s:
+                bad += 1
+        except (OSError, ValueError):
+            bad += 1
+    cur = getattr(m, "commit_seq", 0)
+    if seqs and cur != seqs[-1]:
+        bad += 1  # a commit landed without (or after) its snapshot
+    for g in m.gen_list():
+        if not os.path.isdir(os.path.join(index_dir, g["prefix"])):
+            bad += 1  # the LIVE manifest references a reclaimed dir
+    return spark.sql(
+        "SELECT * FROM VALUES ('<index>', '<history>', "
+        f"CAST({len(seqs)} AS LONG), CAST(0 AS LONG), CAST(0 AS LONG), "
+        f"CAST(0 AS LONG), CAST({bad} AS LONG), CAST(0 AS LONG)) AS "
+        "t(gen, field, chunks, n_terms, sum_df, sum_cf, violations, "
+        "stats_mismatches)")
+
+
 def fsck(spark: SparkSession, index_dir: str,
          source: DataFrame | None = None) -> DataFrame:
     """Audit every generation of the index; see module docstring.
@@ -318,6 +362,7 @@ def fsck(spark: SparkSession, index_dir: str,
     tomb = _tombstone_report(spark, index_dir, m, part_sizes)
     if tomb is not None:
         reports.append(tomb)
+    reports.append(_history_report(spark, index_dir, m))
     if source is not None:
         reports.append(_source_sha_report(spark, index_dir, m, gens, source))
     return reduce(DataFrame.unionByName, reports)

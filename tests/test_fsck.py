@@ -274,3 +274,39 @@ def test_cli_fsck_exit_codes(spark, index_copy):
         pa.array([v + 1 for v in t["cf_part"].to_pylist()],
                  t["cf_part"].type)))
     assert main(["fsck", "--index", index_copy], spark=spark) == 1
+
+
+def test_history_audit(spark, index_copy):
+    """The manifest/snapshot-layer check: clean on a healthy index;
+    flags a corrupted snapshot file, a snapshot whose filename lies
+    about its seq, and a live manifest that is not the newest
+    snapshot."""
+    from spyglass_spark.index.manifest import history_path, list_snapshots
+
+    rep = _report(spark, index_copy)
+    row = rep[("<index>", "<history>")]
+    assert row["violations"] == 0 and row["chunks"] == len(
+        list_snapshots(index_copy))
+
+    # (a) corrupt a snapshot file in place: 1 violation (unparseable);
+    # the filename still lists, so the newest-check stays satisfied
+    seqs = list_snapshots(index_copy)
+    p = history_path(index_copy, seqs[-1])
+    saved = open(p).read()
+    with open(p, "w") as f:
+        f.write("{not json")
+    assert _report(spark, index_copy)[("<index>", "<history>")][
+        "violations"] == 1
+    with open(p, "w") as f:
+        f.write(saved)
+
+    # (b) a snapshot whose filename claims a different seq
+    import shutil
+    bogus = history_path(index_copy, seqs[-1] + 7)
+    shutil.copyfile(p, bogus)
+    row = _report(spark, index_copy)[("<index>", "<history>")]
+    # the copy embeds the OLD seq (filename lies) AND outranks the live
+    # manifest in the listing
+    assert row["violations"] == 2
+    os.unlink(bogus)
+    _assert_clean(_report(spark, index_copy))
