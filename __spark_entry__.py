@@ -1179,6 +1179,27 @@ def q_search_facets(spark, sf_dir):  # fixture-oracle
     return _get_engine(spark, sf_dir).facet_counts("spark merge join")
 
 
+def q_search_export(spark, sf_dir):  # fixture-oracle
+    """export_matches sink driven LIVE: the flagship query's FULL match
+    set materialized to a parquet dataset (system-of-record rows via a
+    broadcast leftsemi on the match urls — the 100 TB documents side
+    never shuffles), re-read and projected to (url, content_sha256).
+    The sha pins content fidelity through the sink; the fixture oracle
+    brute-forces the match set with the scalar analyzers."""
+    eng = _get_engine(spark, sf_dir)
+    docs = to_documents(load_corpus(spark, sf_dir))
+    fp = _data_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    tag = hashlib.md5(
+        f"export:{os.path.abspath(sf_dir)}:{fp}".encode()).hexdigest()[:10]
+    out_dir = os.path.join(
+        os.environ.get("SPYGLASS_INDEX_CACHE", "/tmp/spyglass_idx"),
+        f"export_{tag}")
+    stats = eng.export_matches("spark merge join", docs, out_dir,
+                               columns=["url", "content_sha256"])
+    assert stats["rows_exported"] == stats["matched_urls"], stats
+    return spark.read.parquet(out_dir).orderBy("url")
+
+
 def q_search_date_histogram(spark, sf_dir):  # fixture-oracle
     """Date-histogram aggregation over the FULL BM25 match set (tantivy
     aggregation-module HistogramAggregation on the lastmodified date
@@ -1389,6 +1410,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_segment_distance": q_semantic_segment_distance,
         "semantic_context_segments": q_semantic_context_segments,
         "search_facets": q_search_facets,
+        # r5 eighth-session addition: the export sink gets its first
+        # driver check; search_phrase_tag_filter (hash-green r4) slides
+        # to position 51 — still value-gated by test_entry
+        "search_export": q_search_export,
         "search_date_histogram": q_search_date_histogram,
         "search_field_stats": q_search_field_stats,
         "search_percentiles": q_search_percentiles,
@@ -1666,6 +1691,11 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
         "search_facets": (
             "SELECT tag_id, n "
             f"FROM '{FIXTURES_DIR}/search_expected_search_facets.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)"),
+        "search_export": (
+            "SELECT url, content_sha256 "
+            f"FROM '{FIXTURES_DIR}/search_expected_search_export.parquet' "
             "WHERE corpus_key = "
             "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)"),
         "search_date_histogram": (

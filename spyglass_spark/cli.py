@@ -156,6 +156,24 @@ def main(argv=None, spark=None) -> int:
                          "every live doc's stored content_sha256 against "
                          "sha256 of the source content")
 
+    ex = sub.add_parser("export", help="materialize a query's FULL match "
+                                       "set as a parquet dataset (the "
+                                       "training-data extraction sink)")
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--query", required=True)
+    ex.add_argument("--corpus", required=True,
+                    help="system-of-record table — the export carries its "
+                         "full rows, matched by url against the index")
+    ex.add_argument("--out", required=True, help="output parquet directory")
+    ex.add_argument("--columns", default=None,
+                    help="comma-separated exported columns (default: all)")
+    ex.add_argument("--partition-by", default=None,
+                    help="comma-separated layout columns (e.g. domain)")
+    ex.add_argument("--num-files", type=int, default=None)
+    ex.add_argument("--tag", type=int, action="append", default=[],
+                    help="tag filter Musts, repeatable")
+    ex.add_argument("--as-of", type=int, default=None)
+
     ag = sub.add_parser("agg", help="unscored aggregations over a query's "
                                     "FULL match set (not top-k)")
     ag.add_argument("--index", required=True)
@@ -376,6 +394,23 @@ def main(argv=None, spark=None) -> int:
             for r in rows:
                 print(json.dumps({"rank": r["rank"], "doc_id": r["doc_id"],
                                   "url": r["url"], "score": float(r["score"])}))
+        elif args.cmd == "export":
+            from spyglass_spark.corpus import to_documents
+            from spyglass_spark.query.executor import SearchEngine
+            from spyglass_spark.sources import read_corpus
+
+            eng = SearchEngine(spark, args.index, as_of=args.as_of)
+            df = read_corpus(spark, args.corpus)
+            if "url" not in df.columns:
+                df = to_documents(df)
+            stats = eng.export_matches(
+                args.query, df, args.out,
+                filters=[("tag", t) for t in args.tag],
+                columns=args.columns.split(",") if args.columns else None,
+                partition_by=(args.partition_by.split(",")
+                              if args.partition_by else ()),
+                num_files=args.num_files)
+            print(json.dumps(stats))
         elif args.cmd == "agg":
             from spyglass_spark.query.executor import SearchEngine
 

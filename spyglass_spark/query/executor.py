@@ -1490,6 +1490,56 @@ class SearchEngine:
                  .orderBy(F.desc("n"), F.asc("tag_id")))
         return out.limit(k_tags) if k_tags else out
 
+    def export_matches(self, query: str, documents: DataFrame,
+                       out_path: str, filters=(), boosts=(),
+                       columns=None, partition_by=(),
+                       num_files: int | None = None,
+                       broadcast_limit: int = 4_000_000,
+                       mode: str = "overwrite") -> dict:
+        """Materialize the FULL match set of a query as a parquet
+        dataset — the training-data extraction sink ("give me the
+        sub-corpus matching this query as a dataset"). ``documents`` is
+        the system-of-record row store (SURVEY §1.1); matching is by
+        url against the index's live match set (same exact
+        posting-union ∩ Musts − MustNots machinery as the unscored
+        aggregations, tombstones excluded), so the export carries full
+        original content, not the index's stored projection.
+
+        Scale shape: the match-set urls are ONE distinct column. Below
+        ``broadcast_limit`` they broadcast, so the (possibly 100 TB)
+        documents side is a map-side leftsemi — no shuffle of the big
+        side at all; above it, a shuffle-hash leftsemi on url. Filters
+        and column pruning on ``documents`` still reach its scan
+        (leftsemi preserves pushdown). ``columns`` prunes the exported
+        schema; ``partition_by`` lays out the dataset (e.g. by domain)
+        for downstream partition pruning; ``num_files`` repartitions
+        before the write to bound file count/size.
+
+        Returns {path, matched_urls, rows_exported, broadcast}."""
+        dm = self._match_doc_meta(
+            compile_query(query, filters, boosts), caller="export_matches")
+        urls = dm.select("url").distinct()
+        n_urls = urls.count()
+        right = F.broadcast(urls) if n_urls <= broadcast_limit else urls
+        out = documents.join(right, "url", "leftsemi")
+        if columns:
+            out = out.select(*columns)
+        if num_files:
+            out = out.repartition(num_files)
+        # row count via a JVM-side Observation on the write action itself
+        # — no second pass, no Python in the path
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
+        writer = out.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*list(partition_by))
+        writer.parquet(out_path)
+        return {"path": out_path, "matched_urls": int(n_urls),
+                "rows_exported": int(obs.get["rows"]),
+                "broadcast": n_urls <= broadcast_limit}
+
     def _match_doc_meta(self, cq: CompiledQuery,
                         caller: str = "aggregation") -> DataFrame:
         """Live doc-meta rows of a query's FULL match set — the shared

@@ -323,6 +323,18 @@ def test_randomized_aggregation_parity(spark, tmp_path, seed):
         ts = tree["s"].collect()[0]
         assert (ts["n"], ts["sum"], ts["avg"]) == \
             (r["n"], r["sum"], r["avg"]), (seed, q)
+
+        # export sink: the SAME match set materialized as a dataset,
+        # alternating the broadcast and shuffle-hash join strategies
+        if checked == 1:
+            out = str(tmp_path / f"exp{seed}")
+            stats = eng.export_matches(
+                q, spark.createDataFrame(docs), out, filters=filters,
+                broadcast_limit=rng.choice([0, 4_000_000]))
+            got_u = {row["url"]
+                     for row in spark.read.parquet(out).collect()}
+            assert got_u == {d["url"] for d in matched}, (seed, q)
+            assert stats["rows_exported"] == len(matched), (seed, q)
     assert checked >= 3  # the fuzz must actually exercise aggregations
 
 

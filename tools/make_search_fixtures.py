@@ -285,6 +285,7 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
     out["search_regex"] = hits_to_rows(
         oracle.search_regex("(scan|merg|valu)", k=10), om, ckey)
     out["search_facets"] = facet_rows(docs, ckey)
+    out["search_export"] = export_rows(docs, ckey)
     out["search_date_histogram"] = histogram_rows(docs, ckey)
     out["search_field_stats"] = stats_rows(docs, ckey)
     out["search_percentiles"] = percentile_fixture_rows(docs, ckey)
@@ -343,6 +344,7 @@ def lifecycle_docs(docs: list[dict]) -> list[dict]:
 
 
 FACET_FIELDS = [("tag_id", pa.int64()), ("n", pa.int64())]
+EXPORT_FIELDS = [("url", pa.string()), ("content_sha256", pa.string())]
 HIST_FIELDS = [("bucket", pa.int64()), ("n", pa.int64())]
 STATS_FIELDS = [("n", pa.int64()), ("min", pa.int64()), ("max", pa.int64()),
                 ("sum", pa.int64()), ("avg", pa.float64())]
@@ -475,6 +477,17 @@ def _brute_match(docs: list[dict], query: str):
         if any(t in fields.get(c.field, set())
                for c in cq.should_group for t in c.terms):
             yield d
+
+
+def export_rows(docs: list[dict], ckey: int,
+                query: str = "spark merge join") -> list[dict]:
+    """Expected export_matches dataset: the brute-force scalar match set
+    (independent of the engine's posting-union/leftsemi + broadcast-join
+    export plan), projected to (url, content_sha256) — the sha proves
+    the sink carried the system-of-record content byte-for-byte."""
+    return [{"corpus_key": ckey, "url": d["url"],
+             "content_sha256": d["content_sha256"]}
+            for d in _brute_match(docs, query)]
 
 
 def percentile_fixture_rows(docs: list[dict], ckey: int,
@@ -730,6 +743,7 @@ def main() -> None:
             merged[name].extend(rows)
     special = {"search_highlight": HIGHLIGHT_FIELDS,
                "search_facets": FACET_FIELDS,
+               "search_export": EXPORT_FIELDS,
                "search_date_histogram": HIST_FIELDS,
                "search_field_stats": STATS_FIELDS,
                "search_percentiles": PCT_FIELDS,
