@@ -1516,29 +1516,46 @@ class SearchEngine:
         before the write to bound file count/size.
 
         Returns {path, matched_urls, rows_exported, broadcast}."""
+        from pyspark import StorageLevel
+
         dm = self._match_doc_meta(
             compile_query(query, filters, boosts), caller="export_matches")
-        urls = dm.select("url").distinct()
-        n_urls = urls.count()
-        right = F.broadcast(urls) if n_urls <= broadcast_limit else urls
-        out = documents.join(right, "url", "leftsemi")
-        if columns:
-            out = out.select(*columns)
-        if num_files:
-            out = out.repartition(num_files)
-        # row count via a JVM-side Observation on the write action itself
-        # — no second pass, no Python in the path
-        from pyspark.sql import Observation
+        # persist the (small) url set: the count and the join otherwise
+        # each re-run the whole posting-union ∩ Musts − tombstones pass
+        urls = dm.select("url").distinct().persist(
+            StorageLevel.MEMORY_AND_DISK)
+        try:
+            n_urls = urls.count()
+            out = self._export_frame(urls, documents, columns,
+                                     n_urls <= broadcast_limit)
+            if num_files:
+                out = out.repartition(num_files)
+            # row count via a JVM-side Observation on the write action
+            # itself — no second pass, no Python in the path
+            from pyspark.sql import Observation
 
-        obs = Observation()
-        out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
-        writer = out.write.mode(mode)
-        if partition_by:
-            writer = writer.partitionBy(*list(partition_by))
-        writer.parquet(out_path)
+            obs = Observation()
+            out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
+            writer = out.write.mode(mode)
+            if partition_by:
+                writer = writer.partitionBy(*list(partition_by))
+            writer.parquet(out_path)
+        finally:
+            urls.unpersist()
         return {"path": out_path, "matched_urls": int(n_urls),
                 "rows_exported": int(obs.get["rows"]),
                 "broadcast": n_urls <= broadcast_limit}
+
+    @staticmethod
+    def _export_frame(urls: DataFrame, documents: DataFrame,
+                      columns, broadcast: bool) -> DataFrame:
+        """The export join plan, exposed for the PLANS.md audit: a
+        leftsemi keyed on url with the match-set side broadcast (map-
+        side, zero shuffle of the documents table) or shuffled (the
+        above-``broadcast_limit`` degradation)."""
+        right = F.broadcast(urls) if broadcast else urls
+        out = documents.join(right, "url", "leftsemi")
+        return out.select(*columns) if columns else out
 
     def _match_doc_meta(self, cq: CompiledQuery,
                         caller: str = "aggregation") -> DataFrame:

@@ -258,6 +258,24 @@ section("Terms aggregation (size + sum_other_doc_count)",
         "  runs on O(#distinct tags) rows. The ES-contract other-count\n"
         "  costs no second match-set pass.", 50)
 
+from spyglass_spark.query.compiler import compile_query
+
+_exp_urls = eng._match_doc_meta(
+    compile_query("spark merge join"), caller="plans").select(
+    "url").distinct()
+_exp_docs = to_documents(load_corpus(spark, SF))
+section("Export sink (match set -> parquet dataset of full rows)",
+        eng._export_frame(_exp_urls, _exp_docs,
+                          ["url", "content_sha256"], broadcast=True),
+        "- The match-set urls are ONE distinct column; broadcast below\n"
+        "  the limit makes the (100 TB) documents side a map-side\n"
+        "  BroadcastHashJoin LeftSemi -- NO exchange of the big side\n"
+        "  anywhere in the plan, and its scan keeps column pruning\n"
+        "  (ReadSchema carries only the exported columns). Above the\n"
+        "  limit the same frame degrades to a shuffle-hash leftsemi.\n"
+        "- At run time the url set is persisted across the count and\n"
+        "  the join, so the posting-union match machinery runs once.", 50)
+
 from spyglass_spark.index.fsck import fsck
 
 section("Index integrity audit (fsck)",
