@@ -1200,6 +1200,16 @@ def q_search_export(spark, sf_dir):  # fixture-oracle
     return spark.read.parquet(out_dir).orderBy("url")
 
 
+def q_search_count(spark, sf_dir):  # fixture-oracle
+    """tantivy Count-collector analog driven LIVE: the flagship query's
+    full live match-set size from count_matches (posting-union match
+    machinery, no scoring, no top-k). The oracle counts the export
+    fixture's brute-force scalar match set for the same query — an
+    independent recomputation of the same set, so the count is pinned
+    to an exact expected integer, not just a rows check."""
+    return _get_engine(spark, sf_dir).count_matches("spark merge join")
+
+
 def q_search_date_histogram(spark, sf_dir):  # fixture-oracle
     """Date-histogram aggregation over the FULL BM25 match set (tantivy
     aggregation-module HistogramAggregation on the lastmodified date
@@ -1389,7 +1399,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_indexed": q_ann_ivf_indexed,
-        "textstats_quality": q_textstats_quality,
         "search_custom_boost": q_search_custom_boost,
         "search_highlight": q_search_highlight,
         "textstats_repetition": q_textstats_repetition,
@@ -1414,6 +1423,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver check; search_phrase_tag_filter (hash-green r4) slides
         # to position 51 — still value-gated by test_entry
         "search_export": q_search_export,
+        # Count collector (ninth session): graded against the export
+        # fixture's brute-force match set; textstats_quality (hash-green
+        # since r4) rotates to the tail, still value-gated by test_entry
+        "search_count": q_search_count,
         "search_date_histogram": q_search_date_histogram,
         "search_field_stats": q_search_field_stats,
         "search_percentiles": q_search_percentiles,
@@ -1499,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_per_domain": q_docs_per_domain,
         "phrase_bigram_count": q_phrase_bigram_count,
         "token_counts": q_token_counts,
+        "textstats_quality": q_textstats_quality,
     }
 
 
@@ -1695,6 +1709,11 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
             "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)"),
         "search_export": (
             "SELECT url, content_sha256 "
+            f"FROM '{FIXTURES_DIR}/search_expected_search_export.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)"),
+        "search_count": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n "
             f"FROM '{FIXTURES_DIR}/search_expected_search_export.parquet' "
             "WHERE corpus_key = "
             "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)"),

@@ -182,7 +182,7 @@ def main(argv=None, spark=None) -> int:
                     choices=["facets", "date-histogram", "stats",
                              "percentiles", "facet-stats", "range",
                              "cardinality", "extended-stats", "top-hits",
-                             "terms"])
+                             "terms", "count"])
     ag.add_argument("--col", default="domain",
                     help="cardinality only: column to distinct-count")
     ag.add_argument("--rsd", type=float, default=None,
@@ -464,6 +464,10 @@ def main(argv=None, spark=None) -> int:
                         "lo": None if r["lo"] is None else int(r["lo"]),
                         "hi": None if r["hi"] is None else int(r["hi"]),
                         "n": int(r["n"])}))
+            elif args.kind == "count":
+                rows = eng.count_matches(args.query,
+                                         filters=filters).collect()
+                print(json.dumps({"n": int(rows[0]["n"])}))
             elif args.kind == "cardinality":
                 rows = eng.cardinality(args.query, filters=filters,
                                        col=args.col, rsd=args.rsd).collect()

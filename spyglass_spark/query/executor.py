@@ -1490,6 +1490,19 @@ class SearchEngine:
                  .orderBy(F.desc("n"), F.asc("tag_id")))
         return out.limit(k_tags) if k_tags else out
 
+    def count_matches(self, query: str, filters=(), boosts=()) -> DataFrame:
+        """tantivy ``collector::Count`` analog — the one collector shape
+        left after TopDocs (search), order_by_u64_field (search_sorted)
+        and the aggregation module: the size of a query's FULL live
+        match set, no scoring, no top-k. ONE partial→final count over
+        the shared match-set frame (posting-union ∩ Musts − MustNots −
+        tombstones); the postings scan is column-pruned to doc_ord and
+        the payload is never decoded or scored — the cheapest possible
+        full-match pass at any scale. Returns a 1-row (n BIGINT) frame."""
+        dm = self._match_doc_meta(
+            compile_query(query, filters, boosts), caller="count_matches")
+        return dm.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
     def export_matches(self, query: str, documents: DataFrame,
                        out_path: str, filters=(), boosts=(),
                        columns=None, partition_by=(),

@@ -756,3 +756,66 @@ def test_facet_counts_zero_boost_guard(eng):
         eng.facet_counts("fn index", boosts=[("custom:priority", 7)])
     with pytest.raises(ValueError, match="Should"):
         eng.facet_counts("")
+
+
+def _brute_count(docs, query, filters=()):
+    """Independent match-set size with the scalar analyzers."""
+    from spyglass_spark.query.compiler import compile_query
+
+    cq = compile_query(query, filters)
+    n = 0
+    for d in docs:
+        fields = {
+            "content": {t for _, t in tokenize_en(d["content"] or "")},
+            "title": {t for _, t in tokenize_default(d["title"] or "")},
+            "tags": {str(t) for t in d["tags"]},
+        }
+        should = any(t in fields.get(c.field, set())
+                     for c in cq.should_group for t in c.terms)
+        musts = all(all(t in fields.get(c.field, set()) for t in c.terms)
+                    for c in cq.musts)
+        n += should and musts
+    return n
+
+
+@pytest.mark.parametrize("query,filters", CASES)
+def test_count_matches_vs_bruteforce(eng, built_index, query, filters):
+    """Count collector (tantivy collector::Count analog): exact size of
+    the full live match set, incl. the empty-match case (n=0, 1 row)."""
+    rows = eng.count_matches(query, filters).collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == _brute_count(built_index["docs"], query, filters)
+
+
+def test_count_matches_with_tag_filter(eng, built_index):
+    tag = built_index["docs"][0]["tags"][0]
+    got = eng.count_matches("fn index",
+                            filters=[("tag", tag)]).collect()[0]["n"]
+    assert got == _brute_count(built_index["docs"], "fn index",
+                               [("tag", tag)])
+    assert got <= eng.count_matches("fn index").collect()[0]["n"]
+
+
+def test_count_matches_excludes_tombstones(spark, corpus_rows, tmp_path):
+    from spyglass_spark.index.builder import build_index, delete_by_urls
+    from spyglass_spark.query.executor import SearchEngine
+    from spyglass_spark.testing import corpus_to_documents
+
+    docs, _ = corpus_to_documents(corpus_rows[:40])
+    idx = str(tmp_path / "cidx")
+    build_index(spark, spark.createDataFrame(docs), idx, num_partitions=4)
+    eng = SearchEngine(spark, idx)
+    before = eng.count_matches("index search").collect()[0]["n"]
+    assert before == _brute_count(docs, "index search")
+    victim = next(d for d in docs if _brute_count([d], "index search"))
+    delete_by_urls(spark, idx, [victim["url"]])
+    eng.refresh()
+    after = eng.count_matches("index search").collect()[0]["n"]
+    assert after == before - 1
+
+
+def test_count_matches_guards(eng):
+    with pytest.raises(ValueError, match="zero-boost"):
+        eng.count_matches("fn index", boosts=[("custom:priority", 7)])
+    with pytest.raises(ValueError, match="Should"):
+        eng.count_matches("")

@@ -324,6 +324,10 @@ def test_randomized_aggregation_parity(spark, tmp_path, seed):
         assert (ts["n"], ts["sum"], ts["avg"]) == \
             (r["n"], r["sum"], r["avg"]), (seed, q)
 
+        # Count collector: the match-set size, every seed
+        assert eng.count_matches(q, filters=filters) \
+            .collect()[0]["n"] == len(matched), (seed, q)
+
         # export sink: the SAME match set materialized as a dataset,
         # alternating the broadcast and shuffle-hash join strategies
         if checked == 1:
