@@ -276,6 +276,14 @@ section("Export sink (match set -> parquet dataset of full rows)",
         "- At run time the url set is persisted across the count and\n"
         "  the join, so the posting-union match machinery runs once.", 50)
 
+section("Count collector (full-match-set size, no scoring)",
+        eng.count_matches("spark merge join"),
+        "- ONE partial->final HashAggregate pair over the shared\n"
+        "  match-set frame; the postings scan is column-pruned to\n"
+        "  doc_ord (payload/positions never in ReadSchema) and nothing\n"
+        "  is decoded or scored -- the cheapest full-match pass at any\n"
+        "  scale. Output is exactly one row.", 50)
+
 from spyglass_spark.index.fsck import fsck
 
 section("Index integrity audit (fsck)",
