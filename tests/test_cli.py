@@ -146,6 +146,10 @@ def test_cli_pattern_search_and_agg(spark, built_index, capsys):
     assert [r["pct"] for r in rows] == [50.0, 95.0]
     assert all(st["min"] <= r["value"] <= st["max"] for r in rows)
 
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind", "count",
+                               "--query", "fn index"])
+    assert json.loads(out)["n"] == len(oracle.search("fn index", k=10**6))
+
     out = _run(capsys, spark, ["agg", "--index", idx, "--kind",
                                "facet-stats", "--query", "fn index",
                                "--k", "3"])
