@@ -1200,6 +1200,31 @@ def q_search_export(spark, sf_dir):  # fixture-oracle
     return spark.read.parquet(out_dir).orderBy("url")
 
 
+def q_search_export_scored(spark, sf_dir):  # fixture-oracle
+    """export_scored sink driven LIVE: the flagship query's FULL scored
+    match set materialized as a parquet dataset (system-of-record rows +
+    float32 BM25 score; the (url, score) frame broadcasts so the
+    documents side joins map-side), re-read and projected to
+    (url, score). The fixture oracle is the scalar engine's unbounded-k
+    search — the grade pins every match's score BITWISE at every rank,
+    not just the top-k."""
+    eng = _get_engine(spark, sf_dir)
+    docs = to_documents(load_corpus(spark, sf_dir))
+    fp = _data_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    tag = hashlib.md5(
+        f"export_scored:{os.path.abspath(sf_dir)}:{fp}".encode()
+    ).hexdigest()[:10]
+    out_dir = os.path.join(
+        os.environ.get("SPYGLASS_INDEX_CACHE", "/tmp/spyglass_idx"),
+        f"export_{tag}")
+    stats = eng.export_scored("spark merge join", docs, out_dir,
+                              columns=["url"])
+    assert stats["rows_exported"] == stats["matched_urls"], stats
+    return (spark.read.parquet(out_dir)
+            .select("url", F.col("score").cast("float").alias("score"))
+            .orderBy("url"))
+
+
 def q_search_count(spark, sf_dir):  # fixture-oracle
     """tantivy Count-collector analog driven LIVE: the flagship query's
     full live match-set size from count_matches (posting-union match
@@ -1396,7 +1421,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "search_custom_boost": q_search_custom_boost,
@@ -1427,6 +1451,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixture's brute-force match set; textstats_quality (hash-green
         # since r4) rotates to the tail, still value-gated by test_entry
         "search_count": q_search_count,
+        # Scored export (ninth session): full match set with bitwise
+        # float32 scores through the sink; dedup_simhash_pairs
+        # (hash-green r2-r4) rotates to the tail
+        "search_export_scored": q_search_export_scored,
         "search_date_histogram": q_search_date_histogram,
         "search_field_stats": q_search_field_stats,
         "search_percentiles": q_search_percentiles,
@@ -1513,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_bigram_count": q_phrase_bigram_count,
         "token_counts": q_token_counts,
         "textstats_quality": q_textstats_quality,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
     }
 
 
@@ -1717,6 +1746,13 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
             f"FROM '{FIXTURES_DIR}/search_expected_search_export.parquet' "
             "WHERE corpus_key = "
             "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)"),
+        "search_export_scored": (
+            "SELECT url, score "
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_export_scored.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
+            "ORDER BY url"),
         "search_date_histogram": (
             "SELECT bucket, n "
             f"FROM '{FIXTURES_DIR}/"

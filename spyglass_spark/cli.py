@@ -173,6 +173,12 @@ def main(argv=None, spark=None) -> int:
     ex.add_argument("--tag", type=int, action="append", default=[],
                     help="tag filter Musts, repeatable")
     ex.add_argument("--as-of", type=int, default=None)
+    ex.add_argument("--scored", action="store_true",
+                    help="attach a float32 BM25 score column (full scored "
+                         "match set, export_scored)")
+    ex.add_argument("--min-score", type=float, default=None,
+                    help="with --scored: export only docs with score >= "
+                         "this relevance threshold")
 
     ag = sub.add_parser("agg", help="unscored aggregations over a query's "
                                     "FULL match set (not top-k)")
@@ -403,13 +409,17 @@ def main(argv=None, spark=None) -> int:
             df = read_corpus(spark, args.corpus)
             if "url" not in df.columns:
                 df = to_documents(df)
-            stats = eng.export_matches(
-                args.query, df, args.out,
+            kwargs = dict(
                 filters=[("tag", t) for t in args.tag],
                 columns=args.columns.split(",") if args.columns else None,
                 partition_by=(args.partition_by.split(",")
                               if args.partition_by else ()),
                 num_files=args.num_files)
+            if args.scored:
+                stats = eng.export_scored(args.query, df, args.out,
+                                          min_score=args.min_score, **kwargs)
+            else:
+                stats = eng.export_matches(args.query, df, args.out, **kwargs)
             print(json.dumps(stats))
         elif args.cmd == "agg":
             from spyglass_spark.query.executor import SearchEngine

@@ -912,17 +912,22 @@ class SearchEngine:
 
         return build_fuzzy_dict(self.spark, self.index_dir)
 
-    def _execute_compiled(self, compiled: list[CompiledQuery], k: int = 5,
-                          offset: int = 0, algo: str = "auto",
-                          afters=None) -> DataFrame:
-        spark = self.spark
+    def _scoring_partial(self, compiled: list[CompiledQuery],
+                         limit: int | None, algo: str = "auto",
+                         afters=None) -> DataFrame | None:
+        """Distributed per-partition scoring frame for a compiled batch:
+        (query_id, doc_ord, score) rows, truncated per part at ``limit``
+        (None = the FULL score>0 set, the scored-export path — numpy's
+        ``[:None]`` keeps every candidate). Shared by the top-k search
+        collectors and score_matches/export_scored. None when the batch
+        carries no term keys (all-stopword queries)."""
         m = self.manifest
         keys = set()
         for cq in compiled:
             keys |= cq.term_keys()
         if not keys:
             self._last_wand_eligible = 0
-            return self._empty_result()
+            return None
 
         fields = sorted({f for f, _ in keys})
         terms = sorted({t for _, t in keys})
@@ -952,7 +957,7 @@ class SearchEngine:
             1 for q in plan["queries"] if _wand_eligible(q["specs"]))
         plan |= {
             "caches": caches,
-            "limit": k + offset,
+            "limit": limit,
             "algo": algo,
             # norm/fast-field arrays are read DIRECTLY by the scoring UDF
             # (part-pruned pyarrow over kind=1/kind=4, cached per worker) —
@@ -979,7 +984,14 @@ class SearchEngine:
         if not needs_pos:
             postings = postings.drop("pos_bytes")
 
-        partial = self._partial_frame(plan, postings)
+        return self._partial_frame(plan, postings)
+
+    def _execute_compiled(self, compiled: list[CompiledQuery], k: int = 5,
+                          offset: int = 0, algo: str = "auto",
+                          afters=None) -> DataFrame:
+        partial = self._scoring_partial(compiled, k + offset, algo, afters)
+        if partial is None:
+            return self._empty_result()
 
         total_parts = sum(g["num_partitions"] for g in self.gens)
         bound = total_parts * (k + offset) * len(compiled)
@@ -1502,6 +1514,82 @@ class SearchEngine:
         dm = self._match_doc_meta(
             compile_query(query, filters, boosts), caller="count_matches")
         return dm.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def score_matches(self, query: str, filters=(), boosts=(),
+                      min_score: float | None = None) -> DataFrame:
+        """FULL scored match set of a query as a DISTRIBUTED frame
+        (url, score float32, doc_ord) — the relevance-weighted companion
+        of count_matches / export_matches: every live doc with score >
+        0, no top-k truncation, never collected. Scoring is the same
+        float32 clause-order kernel as search, forced exhaustive (with
+        no k there is no top-k threshold for WAND to prune against), so
+        a doc's score here is bitwise equal to its search score at any
+        rank. ``min_score`` pushes a relevance threshold into the frame
+        — the BM25-relevance corpus-filtering primitive.
+
+        Scale shape: per-part scoring emits O(matches) tiny rows (no
+        payload), and the url attachment is one join against the
+        column-pruned doc_meta metadata — both sides O(matches) /
+        O(docs·16B), never the content."""
+        partial = self._scoring_partial(
+            [compile_query(query, filters, boosts)], limit=None,
+            algo="exhaustive")
+        if partial is None:
+            return self.spark.createDataFrame(
+                [], "url string, score float, doc_ord bigint")
+        scored = partial.drop("query_id")
+        if min_score is not None:
+            scored = scored.filter(F.col("score") >= float(min_score))
+        dm = self._doc_meta_base.select("doc_ord", "url")
+        return scored.join(dm, "doc_ord").select(
+            "url", F.col("score").cast("float").alias("score"), "doc_ord")
+
+    def export_scored(self, query: str, documents: DataFrame,
+                      out_path: str, filters=(), boosts=(),
+                      min_score: float | None = None,
+                      columns=None, partition_by=(),
+                      num_files: int | None = None,
+                      broadcast_limit: int = 4_000_000,
+                      mode: str = "overwrite") -> dict:
+        """``export_matches`` with relevance attached: materialize the
+        FULL scored match set as a parquet dataset of system-of-record
+        rows + a float32 ``score`` column — "every doc matching Q with
+        BM25 score ≥ τ, scored" (relevance-weighted training-corpus
+        construction). Same scale shape as export_matches: the (url,
+        score) pairs are ONE small frame, persisted across the count and
+        the join; below ``broadcast_limit`` they broadcast so the
+        (possibly 100 TB) documents side joins map-side with its scan
+        pruning intact, above it a shuffle-hash join on url.
+
+        Returns {path, matched_urls, rows_exported, broadcast}."""
+        from pyspark import StorageLevel
+        from pyspark.sql import Observation
+
+        scored = self.score_matches(query, filters, boosts,
+                                    min_score=min_score) \
+            .select("url", "score").persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n_urls = scored.count()
+            bcast = n_urls <= broadcast_limit
+            right = F.broadcast(scored) if bcast else scored
+            out = documents.join(right, "url")  # inner: match set only
+            if columns:
+                cols = list(columns)
+                if "score" not in cols:
+                    cols.append("score")
+                out = out.select(*cols)
+            if num_files:
+                out = out.repartition(num_files)
+            obs = Observation()
+            out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
+            writer = out.write.mode(mode)
+            if partition_by:
+                writer = writer.partitionBy(*list(partition_by))
+            writer.parquet(out_path)
+        finally:
+            scored.unpersist()
+        return {"path": out_path, "matched_urls": int(n_urls),
+                "rows_exported": int(obs.get["rows"]), "broadcast": bcast}
 
     def export_matches(self, query: str, documents: DataFrame,
                        out_path: str, filters=(), boosts=(),

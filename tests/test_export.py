@@ -133,6 +133,95 @@ def test_cli_export(spark, built_index, tmp_path, capsys):
     assert {r["url"]
             for r in spark.read.parquet(out_dir).collect()} == expect
 
+    # --scored: same sink with the relevance column attached
+    import numpy as np
+
+    out_sc = str(tmp_path / "cli_export_scored")
+    assert main(["export", "--index", built_index["index_dir"],
+                 "--query", "fn index", "--corpus", corpus,
+                 "--out", out_sc, "--columns", "url", "--scored"],
+                spark=spark) == 0
+    json.loads(capsys.readouterr().out)
+    got = {(r["url"], np.float32(r["score"]))
+           for r in spark.read.parquet(out_sc).collect()}
+    assert got == _oracle_scored(built_index["oracle"], "fn index")
+
+
+def _oracle_scored(oracle, query, filters=()):
+    """(url, float32 score) of the oracle's FULL score>0 match set."""
+    import numpy as np
+
+    return {(h["url"], np.float32(h["score"]))
+            for h in oracle.search(query, filters, k=10**6)}
+
+
+def test_score_matches_vs_oracle(eng, built_index):
+    """score_matches: the full scored match set, bitwise float32 equal
+    to the oracle's unbounded-k search — a doc's score here must be
+    identical to its score at any rank of a top-k search."""
+    import numpy as np
+
+    for query, filters in [("fn index", ()),
+                           ("parsing postings segment", ()),
+                           ("fn index", [("tag", built_index["docs"][0]["tags"][0])])]:
+        got = {(r["url"], np.float32(r["score"]))
+               for r in eng.score_matches(query, filters).collect()}
+        assert got == _oracle_scored(built_index["oracle"], query, filters), \
+            (query, filters)
+
+
+def test_score_matches_min_score(eng, built_index):
+    import numpy as np
+
+    exp = _oracle_scored(built_index["oracle"], "fn index")
+    tau = float(sorted(s for _, s in exp)[len(exp) // 2])
+    got = {(r["url"], np.float32(r["score"]))
+           for r in eng.score_matches("fn index", min_score=tau).collect()}
+    assert got == {(u, s) for u, s in exp if s >= np.float32(tau)}
+    assert 0 < len(got) < len(exp)
+
+
+def test_export_scored_vs_oracle(eng, built_index, spark, tmp_path):
+    """export_scored: system-of-record rows + bitwise float32 score."""
+    import numpy as np
+
+    docs = built_index["docs"]
+    out = str(tmp_path / "scored")
+    stats = eng.export_scored("fn index", spark.createDataFrame(docs), out,
+                              columns=["url", "content_sha256"])
+    exp = _oracle_scored(built_index["oracle"], "fn index")
+    back = spark.read.parquet(out).collect()
+    assert {(r["url"], np.float32(r["score"])) for r in back} == exp
+    assert stats["rows_exported"] == stats["matched_urls"] == len(exp)
+    assert set(back[0].asDict()) == {"url", "content_sha256", "score"}
+    # content fidelity through the scored sink
+    by_url = {d["url"]: d for d in docs}
+    assert all(r["content_sha256"] == by_url[r["url"]]["content_sha256"]
+               for r in back)
+
+
+def test_export_scored_threshold_and_shuffle_path(eng, built_index, spark,
+                                                  tmp_path):
+    import numpy as np
+
+    docs = built_index["docs"]
+    exp = _oracle_scored(built_index["oracle"], "fn index")
+    tau = float(sorted(s for _, s in exp)[len(exp) // 2])
+    out_b = str(tmp_path / "thr_b")
+    out_s = str(tmp_path / "thr_s")
+    sdf = spark.createDataFrame(docs)
+    sb = eng.export_scored("fn index", sdf, out_b, min_score=tau)
+    ss = eng.export_scored("fn index", sdf, out_s, min_score=tau,
+                           broadcast_limit=0)
+    assert sb["broadcast"] is True and ss["broadcast"] is False
+    want = {(u, s) for u, s in exp if s >= np.float32(tau)}
+    got_b = {(r["url"], np.float32(r["score"]))
+             for r in spark.read.parquet(out_b).collect()}
+    got_s = {(r["url"], np.float32(r["score"]))
+             for r in spark.read.parquet(out_s).collect()}
+    assert got_b == got_s == want
+    assert sb["rows_exported"] == ss["rows_exported"] == len(want)
+
 
 def test_export_excludes_tombstones(spark, built_index, tmp_path):
     """A deleted doc's url must not reach the export even though the

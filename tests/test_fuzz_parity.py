@@ -328,6 +328,13 @@ def test_randomized_aggregation_parity(spark, tmp_path, seed):
         assert eng.count_matches(q, filters=filters) \
             .collect()[0]["n"] == len(matched), (seed, q)
 
+        # scored match set: bitwise float32 vs the oracle's unbounded-k
+        # hits, every seed (the score_matches/export_scored kernel)
+        got_sc = {(row["url"], np.float32(row["score"]))
+                  for row in eng.score_matches(q, filters=filters).collect()}
+        assert got_sc == {(h["url"], np.float32(h["score"]))
+                          for h in exp_hits}, (seed, q)
+
         # export sink: the SAME match set materialized as a dataset,
         # alternating the broadcast and shuffle-hash join strategies
         if checked == 1:

@@ -49,10 +49,14 @@ FIXTURE_QUERIES = [
     "search_lifecycle",
     "search_lifecycle_marker",
     "search_streamed",
+    "search_export",
+    "search_export_scored",
+    "search_count",
 ]
 
 # entries whose oracle reads another entry's fixture file
-FIXTURE_FILE_ALIAS = {"search_streamed": "search_bm25"}
+FIXTURE_FILE_ALIAS = {"search_streamed": "search_bm25",
+                      "search_count": "search_export"}
 
 
 def _canon(val):

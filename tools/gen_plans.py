@@ -276,6 +276,18 @@ section("Export sink (match set -> parquet dataset of full rows)",
         "- At run time the url set is persisted across the count and\n"
         "  the join, so the posting-union match machinery runs once.", 50)
 
+section("Scored export (relevance-weighted extraction sink)",
+        _exp_docs.join(
+            F.broadcast(eng.score_matches("spark merge join")
+                        .select("url", "score")), "url"),
+        "- score_matches: the SAME scan->score shape as search but with\n"
+        "  no per-part truncation (exhaustive, limit=None) -- per-part\n"
+        "  output is O(matches) tiny (doc_ord, score) rows, joined to\n"
+        "  the column-pruned doc_meta metadata for urls. The (url,\n"
+        "  score) frame then broadcasts, so the system-of-record side\n"
+        "  joins map-side with NO exchange and keeps column pruning --\n"
+        "  identical scale shape to the unscored export.", 55)
+
 section("Count collector (full-match-set size, no scoring)",
         eng.count_matches("spark merge join"),
         "- ONE partial->final HashAggregate pair over the shared\n"

@@ -286,6 +286,7 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
         oracle.search_regex("(scan|merg|valu)", k=10), om, ckey)
     out["search_facets"] = facet_rows(docs, ckey)
     out["search_export"] = export_rows(docs, ckey)
+    out["search_export_scored"] = scored_export_rows(oracle, ckey)
     out["search_date_histogram"] = histogram_rows(docs, ckey)
     out["search_field_stats"] = stats_rows(docs, ckey)
     out["search_percentiles"] = percentile_fixture_rows(docs, ckey)
@@ -345,6 +346,19 @@ def lifecycle_docs(docs: list[dict]) -> list[dict]:
 
 FACET_FIELDS = [("tag_id", pa.int64()), ("n", pa.int64())]
 EXPORT_FIELDS = [("url", pa.string()), ("content_sha256", pa.string())]
+SCORED_EXPORT_FIELDS = [("url", pa.string()), ("score", pa.float32())]
+
+
+def scored_export_rows(oracle, ckey: int,
+                       query: str = "spark merge join") -> list[dict]:
+    """Expected export_scored dataset: the oracle's FULL score>0 match
+    set with raw float32 scores — the engine's clause-order float32
+    summation is bitwise identical at every rank (parity invariants),
+    so the scored sink grades on exact float bits, not a rows check."""
+    hits = oracle.search(query, k=10**6)
+    assert hits, "scored-export fixture must be nonvacuous"
+    return [{"corpus_key": ckey, "url": h["url"],
+             "score": float(np.float32(h["score"]))} for h in hits]
 HIST_FIELDS = [("bucket", pa.int64()), ("n", pa.int64())]
 STATS_FIELDS = [("n", pa.int64()), ("min", pa.int64()), ("max", pa.int64()),
                 ("sum", pa.int64()), ("avg", pa.float64())]
@@ -744,6 +758,7 @@ def main() -> None:
     special = {"search_highlight": HIGHLIGHT_FIELDS,
                "search_facets": FACET_FIELDS,
                "search_export": EXPORT_FIELDS,
+               "search_export_scored": SCORED_EXPORT_FIELDS,
                "search_date_histogram": HIST_FIELDS,
                "search_field_stats": STATS_FIELDS,
                "search_percentiles": PCT_FIELDS,
