@@ -1502,7 +1502,8 @@ class SearchEngine:
                  .orderBy(F.desc("n"), F.asc("tag_id")))
         return out.limit(k_tags) if k_tags else out
 
-    def count_matches(self, query: str, filters=(), boosts=()) -> DataFrame:
+    def count_matches(self, query: str, filters=(), boosts=(),
+                      _dm=None) -> DataFrame:
         """tantivy ``collector::Count`` analog — the one collector shape
         left after TopDocs (search), order_by_u64_field (search_sorted)
         and the aggregation module: the size of a query's FULL live
@@ -1510,9 +1511,12 @@ class SearchEngine:
         the shared match-set frame (posting-union ∩ Musts − MustNots −
         tombstones); the postings scan is column-pruned to doc_ord and
         the payload is never decoded or scored — the cheapest possible
-        full-match pass at any scale. Returns a 1-row (n BIGINT) frame."""
+        full-match pass at any scale. Returns a 1-row (n BIGINT) frame.
+        As a ``kind="count"`` sub-aggregation of ``aggregate()`` it is
+        served from the request tree's cached frame (``_dm``)."""
         dm = self._match_doc_meta(
-            compile_query(query, filters, boosts), caller="count_matches")
+            compile_query(query, filters, boosts),
+            caller="count_matches") if _dm is None else _dm
         return dm.agg(F.count(F.lit(1)).cast("long").alias("n"))
 
     def score_matches(self, query: str, filters=(), boosts=(),
@@ -2198,7 +2202,7 @@ class SearchEngine:
 
     AGG_KINDS = ("facets", "date_histogram", "stats", "percentiles",
                  "facet_stats", "range", "cardinality", "extended_stats",
-                 "top_hits", "terms")
+                 "top_hits", "terms", "count")
 
     def aggregate(self, query: str, filters=(), boosts=(),
                   aggs: dict | None = None) -> dict:
@@ -2225,7 +2229,7 @@ class SearchEngine:
             "facet_stats": self.facet_stats, "range": self.range_agg,
             "cardinality": self.cardinality,
             "extended_stats": self.extended_stats, "top_hits": self.top_hits,
-            "terms": self.terms_agg,
+            "terms": self.terms_agg, "count": self.count_matches,
         }
         for name, spec in aggs.items():
             if spec.get("kind") not in builders:

@@ -473,6 +473,7 @@ def test_aggregate_request_tree_matches_singles(eng, built_index):
         "filled": {"kind": "date_histogram", "interval_us": week,
                    "min_doc_count": 0},
         "top_tags": {"kind": "terms", "size": 3},
+        "total": {"kind": "count"},
     })
     singles = {
         "by_tag": eng.facet_counts(query),
@@ -488,6 +489,7 @@ def test_aggregate_request_tree_matches_singles(eng, built_index):
         "filled": eng.date_histogram(query, interval_us=week,
                                      min_doc_count=0),
         "top_tags": eng.terms_agg(query, size=3),
+        "total": eng.count_matches(query),
     }
     for name, df in out.items():
         assert df.collect() == singles[name].collect(), name
