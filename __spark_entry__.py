@@ -993,6 +993,17 @@ def q_search_regex(spark, sf_dir):  # fixture-oracle: tantivy RegexQuery
         _get_engine(spark, sf_dir).search_regex("(scan|merg|valu)", k=10))
 
 
+def q_search_term_range(spark, sf_dir):  # fixture-oracle: byte-range read
+    """tantivy RangeQuery ['sc','sp') over the term dictionary — the
+    engine's expansion is a pure pyarrow byte-range predicate over the
+    (field, term)-sorted term_stats (row-group pruned on BOTH bounds, no
+    post-filter); the fixture oracle enumerates its whole dictionary
+    with plain Python string comparisons. The exclusive upper bound is
+    graded: 'spark' (>= 'sp') must not contribute."""
+    return _contract_hits(
+        _get_engine(spark, sf_dir).search_term_range("sc", "sp", k=10))
+
+
 def q_fuzzy_term_candidates(spark, sf_dir):
     """Distributed SymSpell (ops/fuzzy.py): dictionary df + broadcast
     deletion-key equi-join + built-in levenshtein verify — graded against
@@ -1426,7 +1437,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_custom_boost": q_search_custom_boost,
         "search_highlight": q_search_highlight,
         "textstats_repetition": q_textstats_repetition,
-        "dedup_passages": q_dedup_passages,
         "ann_l2_topk": q_ann_l2_topk,
         "ann_ivf_trained": q_ann_ivf_trained,
         "search_semantic_boost": q_search_semantic_boost,
@@ -1439,6 +1449,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_fuzzy": q_search_fuzzy,
         "search_wildcard": q_search_wildcard,
         "search_regex": q_search_regex,
+        # term-range (tenth session): tantivy RangeQuery, the last
+        # tantivy-0.19 query shape; dedup_passages (hash-green r4)
+        # rotates to the tail, still value-gated by test_entry
+        "search_term_range": q_search_term_range,
         "fuzzy_term_candidates": q_fuzzy_term_candidates,
         "semantic_segment_distance": q_semantic_segment_distance,
         "semantic_context_segments": q_semantic_context_segments,
@@ -1476,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_streamed": q_search_streamed,
         "search_after_page": q_search_after_page,
         "search_phrase_tag_filter": q_search_phrase_tag_filter,
+        "dedup_passages": q_dedup_passages,
         # multi-round hash-green entries rotated past the driver's
         # 50-entry grading window (tags_dim / query_tag_boost_rewrite /
         # unsynced_docs_predicate / library_stats / lens_list_ordered
@@ -1837,6 +1852,7 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
         "search_fuzzy": _fixture_sql("search_fuzzy"),
         "search_wildcard": _fixture_sql("search_wildcard"),
         "search_regex": _fixture_sql("search_regex"),
+        "search_term_range": _fixture_sql("search_term_range"),
         # independent-algorithm cross-check: DuckDB enumerates the whole
         # dictionary × query cross join with its own levenshtein; Spark
         # only ever JOINS on deletion keys (complete for dist<=1)

@@ -58,12 +58,18 @@ def main(argv=None, spark=None) -> int:
     s.add_argument("--published-before-us", type=int, default=None)
     s.add_argument("--mode", default="text",
                    choices=["text", "prefix", "fuzzy", "wildcard", "regex",
-                            "phrase-prefix"],
+                            "phrase-prefix", "term-range"],
                    help="query interpretation: free text (default) or a "
                         "multi-term pattern rewrite over the dictionary "
                         "(phrase-prefix = search-as-you-type: the last "
-                        "token is a prefix completing the phrase)")
+                        "token is a prefix completing the phrase; "
+                        "term-range = tantivy RangeQuery, --query "
+                        "'lower,upper' with either side empty for "
+                        "unbounded, lower inclusive / upper exclusive "
+                        "unless --include-upper)")
     s.add_argument("--fuzzy-distance", type=int, default=1)
+    s.add_argument("--include-upper", action="store_true",
+                   help="term-range mode: make the upper bound inclusive")
     s.add_argument("--algo", default="auto", choices=["auto", "exhaustive"])
     s.add_argument("--as-of", type=int, default=None,
                    help="search the manifest snapshot at this commit_seq "
@@ -391,6 +397,12 @@ def main(argv=None, spark=None) -> int:
                 rows = eng.search_fuzzy(args.query,
                                         distance=args.fuzzy_distance,
                                         **common).collect()
+            elif args.mode == "term-range":
+                # --query "lower,upper" (either side empty = unbounded)
+                lo, _, hi = args.query.partition(",")
+                rows = eng.search_term_range(
+                    lo or None, hi or None,
+                    include_upper=args.include_upper, **common).collect()
             else:
                 fn = {"prefix": eng.search_prefix,
                       "wildcard": eng.search_wildcard,

@@ -35,7 +35,8 @@ from ..query.compiler import (CompiledQuery, compile_expanded,
                               compile_phrase_prefix, compile_query,
                               split_phrase_prefix)
 from ..query.expand import (DEFAULT_MAX_EXPANSIONS, levenshtein_le,
-                            normalize_pattern, normalize_wildcard)
+                            normalize_bound, normalize_pattern,
+                            normalize_wildcard)
 from ..query.scoring import K1, bm25_weight, idf, norm_cache, sloppy_phrase_count
 
 BASE_FIELDS = ("content", "title", "id", "domain", "url", "tags")
@@ -319,6 +320,31 @@ class OracleIndex:
             f: self._expand(f, lambda t: rx.fullmatch(t) is not None,
                             max_expansions)
             for f in fields} if pattern else {}
+        return self.execute(compile_expanded(per_field, filters, boosts),
+                            k=k, offset=offset)
+
+    def search_term_range(self, lower=None, upper=None,
+                          include_lower: bool = True,
+                          include_upper: bool = False,
+                          k: int = 5, offset: int = 0,
+                          fields=("content", "title"),
+                          max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+                          filters=(), boosts=()):
+        """tantivy RangeQuery twin: plain Python string comparisons over
+        the WHOLE enumerated dictionary — deliberately independent of
+        the engine's pyarrow byte-range predicate, so parity checks the
+        pruned read's bound handling (inclusive/exclusive/unbounded)."""
+        lo, hi = normalize_bound(lower), normalize_bound(upper)
+
+        def match(t: str) -> bool:
+            if lo and not (t >= lo if include_lower else t > lo):
+                return False
+            if hi and not (t <= hi if include_upper else t < hi):
+                return False
+            return True
+
+        per_field = {f: self._expand(f, match, max_expansions)
+                     for f in fields}
         return self.execute(compile_expanded(per_field, filters, boosts),
                             k=k, offset=offset)
 

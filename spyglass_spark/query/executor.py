@@ -50,8 +50,8 @@ from ..index.codecs import (decode_positions_selected, decode_postings,
 from ..index.manifest import Manifest, load_manifest
 from .compiler import CompiledQuery, compile_expanded, compile_query
 from .expand import (DEFAULT_MAX_EXPANSIONS, expand_fuzzy, expand_prefix,
-                     expand_regex, expand_wildcard, normalize_pattern,
-                     normalize_wildcard)
+                     expand_regex, expand_term_range, expand_wildcard,
+                     normalize_pattern, normalize_wildcard)
 from .scoring import (K1, idf, norm_cache, score_postings,
                       sloppy_phrase_count, sloppy_phrase_counts_batch)
 
@@ -679,7 +679,9 @@ class SearchEngine:
 
         Pattern shapes batch too: a dict may carry ``prefix`` /
         ``wildcard`` / ``regex`` / ``fuzzy`` (optionally
-        ``fuzzy_distance``, ``max_expansions``) instead of ``query`` —
+        ``fuzzy_distance``, ``max_expansions``) / ``term_range``
+        (a (lower, upper) pair, optionally ``include_lower`` /
+        ``include_upper``) instead of ``query`` —
         the expansion is the same driver-side metadata-plane read the
         single-query methods use, so a mixed batch of N queries still
         costs exactly ONE scoring job.
@@ -725,6 +727,13 @@ class SearchEngine:
                                              fuzzy_paths=fuzzy)) \
                 if norm else (lambda f: [])
             label = f"fuzzy:{q['fuzzy']}~{dist}"
+        elif "term_range" in q:
+            lo, hi = q["term_range"]
+            inc_lo = q.get("include_lower", True)
+            inc_hi = q.get("include_upper", False)
+            expand = (lambda f: expand_term_range(stats, f, lo, hi,
+                                                  inc_lo, inc_hi, cap))
+            label = f"term_range:{lo},{hi}"
         elif "phrase_prefix" in q:
             from .compiler import compile_phrase_prefix, split_phrase_prefix
 
@@ -739,7 +748,7 @@ class SearchEngine:
         else:
             raise ValueError(
                 "batch entry needs one of query/prefix/wildcard/"
-                f"regex/fuzzy/phrase_prefix: {sorted(q)}")
+                f"regex/fuzzy/term_range/phrase_prefix: {sorted(q)}")
         per_field = {f: [t for t, _ in expand(f)]
                      for f in self.EXPAND_FIELDS}
         return (compile_expanded(per_field, filters=filters,
@@ -874,6 +883,40 @@ class SearchEngine:
         cq = compile_expanded(per_field, filters=filters, boosts=boosts)
         return self._run_compiled_batch(
             [cq], [f"wildcard:{pattern}"], k, offset, algo,
+            afters=[search_after]).drop("query_id")
+
+    def search_term_range(self, lower: str | None = None,
+                          upper: str | None = None,
+                          include_lower: bool = True,
+                          include_upper: bool = False,
+                          k: int = 5, offset: int = 0,
+                          fields: tuple = EXPAND_FIELDS,
+                          max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+                          filters=(), boosts=(), algo: str = "auto",
+                          search_after=None) -> DataFrame:
+        """tantivy RangeQuery over a str field: dictionary terms in
+        [lower, upper) (bounds normalized to the folded alphabet;
+        include flags / None-unbounded per tantivy's Bound semantics)
+        scored as a Should group. The expansion is a pure byte-range
+        pyarrow read over the (field, term)-sorted term_stats — row-group
+        pruned on BOTH bounds with no post-filter, the best-pruned member
+        of the pattern family. tantivy const-scores ranges at 1.0; here
+        the match SET is identical and the ordering is the deterministic
+        df-ranked BM25 Should group every other pattern query uses (the
+        documented family contract, expand.py module docstring). Paging
+        via ``offset``/``search_after`` composes exactly as in
+        ``search``."""
+        stats = self._paths("term_stats")
+        per_field = {f: [t for t, _ in expand_term_range(
+                         stats, f, lower, upper, include_lower,
+                         include_upper, max_expansions)]
+                     for f in fields}
+        self.last_expansion = per_field
+        cq = compile_expanded(per_field, filters=filters, boosts=boosts)
+        lb = "[" if include_lower else "("
+        ub = "]" if include_upper else ")"
+        return self._run_compiled_batch(
+            [cq], [f"term_range:{lb}{lower},{upper}{ub}"], k, offset, algo,
             afters=[search_after]).drop("query_id")
 
     def search_regex(self, pattern: str, k: int = 5, offset: int = 0,

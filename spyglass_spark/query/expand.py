@@ -299,6 +299,52 @@ def expand_regex(stats_paths, field: str, pattern: str,
                             max_expansions)
 
 
+def normalize_bound(bound: str | None) -> str:
+    """Lowercase + ascii-fold a term-range BOUND the way the tokenizers
+    normalize dictionary terms. Unlike ``normalize_pattern`` the whole
+    string is kept (a bound is a comparison point against the folded
+    dictionary, not a token — 'sp' and 'sp-' are both valid bounds) and
+    no length cap applies (a >40-byte bound still orders correctly
+    against the capped dictionary). ''/None mean unbounded."""
+    return ascii_fold((bound or "").lower())
+
+
+def expand_term_range(stats_paths, field: str, lower: str | None = None,
+                      upper: str | None = None, include_lower: bool = True,
+                      include_upper: bool = False,
+                      max_expansions: int = DEFAULT_MAX_EXPANSIONS
+                      ) -> list[tuple[str, int]]:
+    """tantivy ``RangeQuery`` over a str field (query/range_query.rs:
+    ``RangeQuery::new_str_bounds`` — the last tantivy-0.19 query shape;
+    the reference's searcher reaches it through the same BooleanQuery
+    machinery as every other clause): dictionary terms with
+    lower ≤/< term </≤ upper as [(term, df)], ranked df DESC / term ASC,
+    capped. Bounds are normalized with ``normalize_bound`` (the folded
+    dictionary alphabet); a missing bound is unbounded on that side.
+
+    This is the best-pruned member of the pattern family: the whole
+    predicate is a byte-range over the (field, term)-sorted term_stats
+    layout — row groups outside [lower, upper] are eliminated from
+    footer min/max statistics and there is NO post-filter at all (prefix
+    needs the synthetic upper bound, wildcard/regex verify candidates).
+    An unbounded-both-sides range degrades to the field's dictionary
+    slice, the same documented vocab-scale cost as a leading wildcard."""
+    import pyarrow.dataset as pads
+
+    lo, hi = normalize_bound(lower), normalize_bound(upper)
+    if lo and hi and (lo > hi or (lo == hi
+                                  and not (include_lower and include_upper))):
+        return []  # empty interval — no read needed
+    flt = pads.field("field") == field
+    if lo:
+        flt = flt & ((pads.field("term") >= lo) if include_lower
+                     else (pads.field("term") > lo))
+    if hi:
+        flt = flt & ((pads.field("term") <= hi) if include_upper
+                     else (pads.field("term") < hi))
+    return _rank_cap(_read_terms(stats_paths, flt), max_expansions)
+
+
 def expand_fuzzy(stats_paths, field: str, term: str, distance: int = 1,
                  max_expansions: int = DEFAULT_MAX_EXPANSIONS,
                  fuzzy_paths=None) -> list[tuple[str, int]]:

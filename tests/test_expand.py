@@ -386,3 +386,95 @@ def test_search_phrase_prefix_batch_and_paging(engines):
     assert paged == one_shot
     want = _hits(oracle.search_phrase_prefix("merge jo", k=4, offset=4))
     assert paged[4:] == want
+
+
+def test_normalize_bound():
+    from spyglass_spark.query.expand import normalize_bound
+    assert normalize_bound(None) == ""
+    assert normalize_bound("") == ""
+    assert normalize_bound("Résumé") == "resume"
+    # whole string kept (no tokenization), no length cap
+    assert normalize_bound("sp-ark z") == "sp-ark z"
+    assert normalize_bound("a" * 60) == "a" * 60
+
+
+def test_expand_term_range_empty_interval_no_read():
+    """lo > hi (and lo == hi half-open) short-circuit before any file
+    access — bogus paths prove no read happens."""
+    from spyglass_spark.query.expand import expand_term_range
+    assert expand_term_range(["/nonexistent"], "content", "z", "a") == []
+    assert expand_term_range(["/nonexistent"], "content", "m", "m") == []
+    assert expand_term_range(["/nonexistent"], "content", "m", "m",
+                             include_upper=False,
+                             include_lower=False) == []
+
+
+TERM_RANGES = [
+    ("f", "n", True, False),      # plain half-open
+    ("f", "n", False, True),      # flipped bound flags
+    ("q", "re", True, True),      # inclusive upper
+    ("merge", "merge", True, True),  # degenerate single-term range
+    (None, "d", True, False),     # unbounded lower
+    ("t", None, True, False),     # unbounded upper
+    ("zzz", None, True, False),   # empty tail
+]
+
+
+def test_search_term_range_parity(engines):
+    """Engine term-range (pyarrow byte-range read, no post-filter) must
+    equal the oracle's whole-dictionary Python-comparison enumeration
+    bitwise for every bound shape: half-open/inclusive/degenerate/
+    unbounded-side/empty."""
+    eng, oracle = engines
+    for lo, hi, ilo, ihi in TERM_RANGES:
+        got = _hits(eng.search_term_range(
+            lo, hi, include_lower=ilo, include_upper=ihi, k=8).collect())
+        want = _hits(oracle.search_term_range(
+            lo, hi, include_lower=ilo, include_upper=ihi, k=8))
+        assert got == want, (lo, hi, ilo, ihi)
+    assert eng.last_meta["spark_jobs"] <= 1
+    # reversed bounds: empty without error
+    assert eng.search_term_range("x", "c").count() == 0
+
+
+def test_search_term_range_wand_matches_exhaustive(engines):
+    eng, _ = engines
+    for lo, hi in [("f", "n"), ("q", "s")]:
+        auto = _hits(eng.search_term_range(lo, hi, k=10).collect())
+        exh = _hits(eng.search_term_range(lo, hi, k=10,
+                                          algo="exhaustive").collect())
+        assert auto == exh, (lo, hi)
+
+
+def test_search_term_range_with_filters_and_paging(engines):
+    eng, oracle = engines
+    got = _hits(eng.search_term_range("f", "n", k=8,
+                                      filters=[("tag", 1)]).collect())
+    want = _hits(oracle.search_term_range("f", "n", k=8,
+                                          filters=[("tag", 1)]))
+    assert got == want
+    full = _hits(eng.search_term_range("f", "n", k=10).collect())
+    page2 = _hits(eng.search_term_range("f", "n", k=5, offset=5).collect())
+    assert page2 == full[5:]
+
+
+def test_search_many_term_range_batch(engines):
+    """term_range batches with every other shape in one scoring job and
+    each row set equals its single-query method bitwise."""
+    eng, _ = engines
+    batch = eng.search_many([
+        {"term_range": ("f", "n")},
+        {"term_range": ("q", "re"), "include_upper": True},
+        {"query": "merge"},
+    ], k=6)
+    rows = batch.collect()
+    assert eng.last_meta["spark_jobs"] <= 1
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"],
+                                                   float(r["score"])))
+    single0 = _hits(eng.search_term_range("f", "n", k=6).collect())
+    single1 = _hits(eng.search_term_range("q", "re", include_upper=True,
+                                          k=6).collect())
+    assert by_q.get(0, []) == single0
+    assert by_q.get(1, []) == single1

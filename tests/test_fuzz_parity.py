@@ -146,6 +146,31 @@ def test_randomized_rank_identity(spark, tmp_path, seed):
         assert [r["doc_id"] for r in got] == \
             [h["doc_id"] for h in exp], (seed, pat)
 
+    # term-range: random bounds from corpus-word fragments with random
+    # include flags / a random unbounded side — the engine's pyarrow
+    # byte-range read (no post-filter) vs the oracle's plain-Python
+    # comparison enumeration
+    for _ in range(3):
+        wa, wb = rng.choice(WORDS), rng.choice(WORDS)
+        lo = wa[: rng.randrange(1, len(wa) + 1)]
+        hi = wb[: rng.randrange(1, len(wb) + 1)]
+        if lo > hi:
+            lo, hi = hi, lo
+        if rng.randrange(4) == 0:
+            lo = None
+        elif rng.randrange(4) == 0:
+            hi = None
+        ilo, ihi = rng.randrange(2) == 0, rng.randrange(2) == 0
+        got = eng.search_term_range(lo, hi, include_lower=ilo,
+                                    include_upper=ihi, k=6).collect()
+        exp = oracle.search_term_range(lo, hi, include_lower=ilo,
+                                       include_upper=ihi, k=6)
+        assert [r["doc_id"] for r in got] == \
+            [h["doc_id"] for h in exp], (seed, lo, hi, ilo, ihi)
+        for r, h in zip(got, exp):
+            assert np.isclose(np.float32(r["score"]), np.float32(h["score"]),
+                              rtol=1e-5), (seed, lo, hi)
+
     # phrase-prefix: random fixed word + prefix of a second word,
     # sometimes with a stopword between (position-hole shape); engine
     # range-scan expansion + distributed phrase kernel vs the oracle's

@@ -31,6 +31,7 @@ FIXTURE_QUERIES = [
     "search_fuzzy",
     "search_wildcard",
     "search_regex",
+    "search_term_range",
     "search_facets",
     "search_date_histogram",
     "search_field_stats",

@@ -284,6 +284,11 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
     out["search_phrase_prefix"] = pp
     out["search_regex"] = hits_to_rows(
         oracle.search_regex("(scan|merg|valu)", k=10), om, ckey)
+    # term-range: tantivy RangeQuery ['sc','sp') — catches scan/small/
+    # session/... but NOT spark (upper bound exclusive is graded)
+    tr = hits_to_rows(oracle.search_term_range("sc", "sp", k=10), om, ckey)
+    assert tr, "term-range fixture must be nonvacuous"
+    out["search_term_range"] = tr
     out["search_facets"] = facet_rows(docs, ckey)
     out["search_export"] = export_rows(docs, ckey)
     out["search_export_scored"] = scored_export_rows(oracle, ckey)
