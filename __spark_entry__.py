@@ -1004,6 +1004,18 @@ def q_search_term_range(spark, sf_dir):  # fixture-oracle: byte-range read
         _get_engine(spark, sf_dir).search_term_range("sc", "sp", k=10))
 
 
+def q_search_term_set(spark, sf_dir):  # fixture-oracle: IN-list read
+    """tantivy TermSetQuery {scan, merg, valu, zzabsent} — the engine
+    reads the set through a pyarrow IN-list predicate over the sorted
+    term_stats (row-group pruned to [min,max] + dictionary-page
+    filtering); the fixture oracle enumerates its whole dictionary and
+    tests membership. The absent term is graded: it must be silently
+    skipped (tantivy semantics), not error or alter scoring."""
+    return _contract_hits(
+        _get_engine(spark, sf_dir).search_term_set(
+            ["scan", "merg", "valu", "zzabsent"], k=10))
+
+
 def q_fuzzy_term_candidates(spark, sf_dir):
     """Distributed SymSpell (ops/fuzzy.py): dictionary df + broadcast
     deletion-key equi-join + built-in levenshtein verify — graded against
@@ -1436,7 +1448,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "search_custom_boost": q_search_custom_boost,
         "search_highlight": q_search_highlight,
-        "textstats_repetition": q_textstats_repetition,
         "ann_l2_topk": q_ann_l2_topk,
         "ann_ivf_trained": q_ann_ivf_trained,
         "search_semantic_boost": q_search_semantic_boost,
@@ -1449,10 +1460,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_fuzzy": q_search_fuzzy,
         "search_wildcard": q_search_wildcard,
         "search_regex": q_search_regex,
-        # term-range (tenth session): tantivy RangeQuery, the last
-        # tantivy-0.19 query shape; dedup_passages (hash-green r4)
-        # rotates to the tail, still value-gated by test_entry
+        # term-range + term-set (tenth session): tantivy RangeQuery and
+        # TermSetQuery complete the tantivy-0.19 query surface;
+        # dedup_passages and textstats_repetition (both hash-green r4)
+        # rotate to the tail, still value-gated by test_entry
         "search_term_range": q_search_term_range,
+        "search_term_set": q_search_term_set,
         "fuzzy_term_candidates": q_fuzzy_term_candidates,
         "semantic_segment_distance": q_semantic_segment_distance,
         "semantic_context_segments": q_semantic_context_segments,
@@ -1491,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after_page": q_search_after_page,
         "search_phrase_tag_filter": q_search_phrase_tag_filter,
         "dedup_passages": q_dedup_passages,
+        "textstats_repetition": q_textstats_repetition,
         # multi-round hash-green entries rotated past the driver's
         # 50-entry grading window (tags_dim / query_tag_boost_rewrite /
         # unsynced_docs_predicate / library_stats / lens_list_ordered
@@ -1853,6 +1867,7 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
         "search_wildcard": _fixture_sql("search_wildcard"),
         "search_regex": _fixture_sql("search_regex"),
         "search_term_range": _fixture_sql("search_term_range"),
+        "search_term_set": _fixture_sql("search_term_set"),
         # independent-algorithm cross-check: DuckDB enumerates the whole
         # dictionary × query cross join with its own levenshtein; Spark
         # only ever JOINS on deletion keys (complete for dist<=1)

@@ -58,7 +58,7 @@ def main(argv=None, spark=None) -> int:
     s.add_argument("--published-before-us", type=int, default=None)
     s.add_argument("--mode", default="text",
                    choices=["text", "prefix", "fuzzy", "wildcard", "regex",
-                            "phrase-prefix", "term-range"],
+                            "phrase-prefix", "term-range", "term-set"],
                    help="query interpretation: free text (default) or a "
                         "multi-term pattern rewrite over the dictionary "
                         "(phrase-prefix = search-as-you-type: the last "
@@ -403,6 +403,10 @@ def main(argv=None, spark=None) -> int:
                 rows = eng.search_term_range(
                     lo or None, hi or None,
                     include_upper=args.include_upper, **common).collect()
+            elif args.mode == "term-set":
+                # --query "term1,term2,..." (exact terms, comma-separated)
+                terms = [t for t in args.query.split(",") if t]
+                rows = eng.search_term_set(terms, **common).collect()
             else:
                 fn = {"prefix": eng.search_prefix,
                       "wildcard": eng.search_wildcard,

@@ -348,6 +348,20 @@ class OracleIndex:
         return self.execute(compile_expanded(per_field, filters, boosts),
                             k=k, offset=offset)
 
+    def search_term_set(self, terms, k: int = 5, offset: int = 0,
+                        fields=("content", "title"),
+                        max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+                        filters=(), boosts=()):
+        """tantivy TermSetQuery twin: normalize the set, then test every
+        enumerated dictionary term for membership — independent of the
+        engine's pyarrow IN-list read."""
+        keys = {t for t in (normalize_bound(t) for t in terms) if t}
+        per_field = {f: self._expand(f, lambda t: t in keys,
+                                     max_expansions)
+                     for f in fields} if keys else {}
+        return self.execute(compile_expanded(per_field, filters, boosts),
+                            k=k, offset=offset)
+
     def search_phrase_prefix(self, query: str, k: int = 5, offset: int = 0,
                              fields=("content", "title"),
                              max_expansions: int = DEFAULT_MAX_EXPANSIONS,

@@ -50,8 +50,8 @@ from ..index.codecs import (decode_positions_selected, decode_postings,
 from ..index.manifest import Manifest, load_manifest
 from .compiler import CompiledQuery, compile_expanded, compile_query
 from .expand import (DEFAULT_MAX_EXPANSIONS, expand_fuzzy, expand_prefix,
-                     expand_regex, expand_term_range, expand_wildcard,
-                     normalize_pattern, normalize_wildcard)
+                     expand_regex, expand_term_range, expand_term_set,
+                     expand_wildcard, normalize_pattern, normalize_wildcard)
 from .scoring import (K1, idf, norm_cache, score_postings,
                       sloppy_phrase_count, sloppy_phrase_counts_batch)
 
@@ -681,7 +681,8 @@ class SearchEngine:
         ``wildcard`` / ``regex`` / ``fuzzy`` (optionally
         ``fuzzy_distance``, ``max_expansions``) / ``term_range``
         (a (lower, upper) pair, optionally ``include_lower`` /
-        ``include_upper``) instead of ``query`` —
+        ``include_upper``) / ``term_set`` (an iterable of exact
+        terms) instead of ``query`` —
         the expansion is the same driver-side metadata-plane read the
         single-query methods use, so a mixed batch of N queries still
         costs exactly ONE scoring job.
@@ -734,6 +735,10 @@ class SearchEngine:
             expand = (lambda f: expand_term_range(stats, f, lo, hi,
                                                   inc_lo, inc_hi, cap))
             label = f"term_range:{lo},{hi}"
+        elif "term_set" in q:
+            ts = tuple(q["term_set"])
+            expand = (lambda f: expand_term_set(stats, f, ts, cap))
+            label = "term_set:" + ",".join(sorted(map(str, ts))[:8])
         elif "phrase_prefix" in q:
             from .compiler import compile_phrase_prefix, split_phrase_prefix
 
@@ -747,8 +752,8 @@ class SearchEngine:
                     f"phrase_prefix:{q['phrase_prefix']}")
         else:
             raise ValueError(
-                "batch entry needs one of query/prefix/wildcard/"
-                f"regex/fuzzy/term_range/phrase_prefix: {sorted(q)}")
+                "batch entry needs one of query/prefix/wildcard/regex/"
+                f"fuzzy/term_range/term_set/phrase_prefix: {sorted(q)}")
         per_field = {f: [t for t, _ in expand(f)]
                      for f in self.EXPAND_FIELDS}
         return (compile_expanded(per_field, filters=filters,
@@ -917,6 +922,31 @@ class SearchEngine:
         ub = "]" if include_upper else ")"
         return self._run_compiled_batch(
             [cq], [f"term_range:{lb}{lower},{upper}{ub}"], k, offset, algo,
+            afters=[search_after]).drop("query_id")
+
+    def search_term_set(self, terms, k: int = 5, offset: int = 0,
+                        fields: tuple = EXPAND_FIELDS,
+                        max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+                        filters=(), boosts=(), algo: str = "auto",
+                        search_after=None) -> DataFrame:
+        """tantivy TermSetQuery (new in 0.19): the subset of ``terms``
+        present in the dictionary scored as a Should group. The set is
+        normalized (lowercase + fold, NOT stemmed — tantivy takes raw
+        Terms) and read via a pyarrow IN-list predicate over the sorted
+        term_stats: row-group pruned to [min, max] plus parquet
+        dictionary-page filtering. tantivy const-scores the union at
+        1.0; as with every pattern shape here the match SET is identical
+        and ordering is the deterministic df-ranked BM25 Should group
+        (expand.py family contract). Paging composes as in ``search``."""
+        stats = self._paths("term_stats")
+        per_field = {f: [t for t, _ in expand_term_set(
+                         stats, f, terms, max_expansions)]
+                     for f in fields}
+        self.last_expansion = per_field
+        cq = compile_expanded(per_field, filters=filters, boosts=boosts)
+        label = "term_set:" + ",".join(sorted(map(str, terms))[:8])
+        return self._run_compiled_batch(
+            [cq], [label], k, offset, algo,
             afters=[search_after]).drop("query_id")
 
     def search_regex(self, pattern: str, k: int = 5, offset: int = 0,

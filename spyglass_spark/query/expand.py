@@ -345,6 +345,28 @@ def expand_term_range(stats_paths, field: str, lower: str | None = None,
     return _rank_cap(_read_terms(stats_paths, flt), max_expansions)
 
 
+def expand_term_set(stats_paths, field: str, terms,
+                    max_expansions: int = DEFAULT_MAX_EXPANSIONS
+                    ) -> list[tuple[str, int]]:
+    """tantivy ``TermSetQuery`` (query/term_set_query.rs, new in 0.19):
+    the subset of ``terms`` present in the field's dictionary as
+    [(term, df)], ranked df DESC / term ASC, capped. Terms are
+    normalized with ``normalize_bound`` (lowercase + fold — the set
+    addresses the folded dictionary verbatim, like every pattern shape;
+    NOT stemmed: tantivy takes raw Terms). The read is a pyarrow
+    IN-list predicate over the sorted term_stats — row groups outside
+    [min(terms), max(terms)] prune from footer statistics, and parquet
+    dictionary filtering drops non-matching pages; absent terms simply
+    don't appear (no error, per tantivy)."""
+    import pyarrow.dataset as pads
+
+    keys = sorted({t for t in (normalize_bound(t) for t in terms) if t})
+    if not keys:
+        return []
+    flt = (pads.field("field") == field) & (pads.field("term").isin(keys))
+    return _rank_cap(_read_terms(stats_paths, flt), max_expansions)
+
+
 def expand_fuzzy(stats_paths, field: str, term: str, distance: int = 1,
                  max_expansions: int = DEFAULT_MAX_EXPANSIONS,
                  fuzzy_paths=None) -> list[tuple[str, int]]:

@@ -127,6 +127,14 @@ def test_cli_pattern_search_and_agg(spark, built_index, capsys):
     assert [h["doc_id"] for h in hits] == [w["doc_id"] for w in want]
     assert hits, "term-range [f,n) must hit the fn/merge vocabulary"
 
+    out = _run(capsys, spark, ["search", "--index", idx, "--mode",
+                               "term-set", "--query", "merge,fn,zzabsent",
+                               "--k", "4"])
+    hits = [json.loads(x) for x in out.strip().splitlines()]
+    want = oracle.search_term_set(["merge", "fn", "zzabsent"], k=4)
+    assert [h["doc_id"] for h in hits] == [w["doc_id"] for w in want]
+    assert hits, "term-set {merge,fn} must hit"
+
     out = _run(capsys, spark, ["agg", "--index", idx,
                                "--query", "fn index"])
     rows = [json.loads(x) for x in out.strip().splitlines()]

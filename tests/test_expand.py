@@ -478,3 +478,49 @@ def test_search_many_term_range_batch(engines):
                                           k=6).collect())
     assert by_q.get(0, []) == single0
     assert by_q.get(1, []) == single1
+
+
+def test_expand_term_set_normalization_and_absent_terms():
+    from spyglass_spark.query.expand import expand_term_set
+    # all-empty set short-circuits without touching files
+    assert expand_term_set(["/nonexistent"], "content", ["", None]) == []
+
+
+def test_search_term_set_parity(engines):
+    """Engine term-set (pyarrow IN-list read) must equal the oracle's
+    whole-dictionary membership enumeration bitwise — including absent
+    terms (silently skipped, per tantivy), duplicates, fold-normalized
+    input, and the empty set."""
+    eng, oracle = engines
+    sets = [
+        ["merge", "fn", "nosuchtermzz"],
+        ["MERGE", "Fn"],              # normalization
+        ["fn", "fn", "fn"],           # duplicates collapse
+        ["nosuchtermzz", "alsoabsent"],
+    ]
+    for ts in sets:
+        got = _hits(eng.search_term_set(ts, k=8).collect())
+        want = _hits(oracle.search_term_set(ts, k=8))
+        assert got == want, ts
+    assert eng.last_meta["spark_jobs"] <= 1
+    assert eng.search_term_set([]).count() == 0
+    assert oracle.search_term_set([]) == []
+
+
+def test_search_term_set_wand_filters_and_batch(engines):
+    eng, oracle = engines
+    ts = ["merge", "fn", "index"]
+    auto = _hits(eng.search_term_set(ts, k=10).collect())
+    exh = _hits(eng.search_term_set(ts, k=10, algo="exhaustive").collect())
+    assert auto == exh
+    got = _hits(eng.search_term_set(ts, k=8, filters=[("tag", 1)]).collect())
+    want = _hits(oracle.search_term_set(ts, k=8, filters=[("tag", 1)]))
+    assert got == want
+    rows = eng.search_many([{"term_set": ts}, {"query": "merge"}],
+                           k=6).collect()
+    assert eng.last_meta["spark_jobs"] <= 1
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"],
+                                                   float(r["score"])))
+    assert by_q.get(0, []) == _hits(eng.search_term_set(ts, k=6).collect())

@@ -171,6 +171,19 @@ def test_randomized_rank_identity(spark, tmp_path, seed):
             assert np.isclose(np.float32(r["score"]), np.float32(h["score"]),
                               rtol=1e-5), (seed, lo, hi)
 
+    # term-set: a random subset of corpus words plus guaranteed-absent
+    # terms — the engine's pyarrow IN-list read vs the oracle's
+    # membership enumeration
+    ts = rng.sample(WORDS, k=min(len(WORDS), rng.randrange(1, 5)))
+    ts += ["zzabsent" + str(rng.randrange(10))] * rng.randrange(2)
+    got = eng.search_term_set(ts, k=6).collect()
+    exp = oracle.search_term_set(ts, k=6)
+    assert [r["doc_id"] for r in got] == \
+        [h["doc_id"] for h in exp], (seed, ts)
+    for r, h in zip(got, exp):
+        assert np.isclose(np.float32(r["score"]), np.float32(h["score"]),
+                          rtol=1e-5), (seed, ts)
+
     # phrase-prefix: random fixed word + prefix of a second word,
     # sometimes with a stopword between (position-hole shape); engine
     # range-scan expansion + distributed phrase kernel vs the oracle's

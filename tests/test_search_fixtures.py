@@ -32,6 +32,7 @@ FIXTURE_QUERIES = [
     "search_wildcard",
     "search_regex",
     "search_term_range",
+    "search_term_set",
     "search_facets",
     "search_date_histogram",
     "search_field_stats",

@@ -289,6 +289,11 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
     tr = hits_to_rows(oracle.search_term_range("sc", "sp", k=10), om, ckey)
     assert tr, "term-range fixture must be nonvacuous"
     out["search_term_range"] = tr
+    # term-set: exact folded terms incl. one absent (silently skipped)
+    tset = hits_to_rows(oracle.search_term_set(
+        ["scan", "merg", "valu", "zzabsent"], k=10), om, ckey)
+    assert tset, "term-set fixture must be nonvacuous"
+    out["search_term_set"] = tset
     out["search_facets"] = facet_rows(docs, ckey)
     out["search_export"] = export_rows(docs, ckey)
     out["search_export_scored"] = scored_export_rows(oracle, ckey)
