@@ -1016,6 +1016,20 @@ def q_search_term_set(spark, sf_dir):  # fixture-oracle: IN-list read
             ["scan", "merg", "valu", "zzabsent"], k=10))
 
 
+def q_search_dismax(spark, sf_dir):  # fixture-oracle: dismax combiner
+    """Lucene DisjunctionMaxQuery / tantivy-0.19 DisjunctionMaxQuery over
+    the compiled Should group (ES multi_match best_fields): score = best
+    matching clause + tie_breaker × the other matching clauses, float32
+    op-ordered m + tie·(s−m) on both sides. The fixture oracle runs the
+    scalar twin with the identical op order; the generator asserts the
+    hit list DIFFERS from the sum combiner's, so the combiner itself is
+    graded, not just the clause scores."""
+    return _contract_hits(
+        _get_engine(spark, sf_dir).search("window merge sort", k=10,
+                                          combiner="dismax",
+                                          tie_breaker=0.35))
+
+
 def q_fuzzy_term_candidates(spark, sf_dir):
     """Distributed SymSpell (ops/fuzzy.py): dictionary df + broadcast
     deletion-key equi-join + built-in levenshtein verify — graded against
@@ -1466,8 +1480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotate to the tail, still value-gated by test_entry
         "search_term_range": q_search_term_range,
         "search_term_set": q_search_term_set,
+        "search_dismax": q_search_dismax,
         "fuzzy_term_candidates": q_fuzzy_term_candidates,
-        "semantic_segment_distance": q_semantic_segment_distance,
         "semantic_context_segments": q_semantic_context_segments,
         "search_facets": q_search_facets,
         # r5 eighth-session addition: the export sink gets its first
@@ -1571,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "textstats_quality": q_textstats_quality,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "semantic_segment_distance": q_semantic_segment_distance,
     }
 
 
@@ -1868,6 +1883,7 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
         "search_regex": _fixture_sql("search_regex"),
         "search_term_range": _fixture_sql("search_term_range"),
         "search_term_set": _fixture_sql("search_term_set"),
+        "search_dismax": _fixture_sql("search_dismax"),
         # independent-algorithm cross-check: DuckDB enumerates the whole
         # dictionary × query cross join with its own levenshtein; Spark
         # only ever JOINS on deletion keys (complete for dist<=1)

@@ -71,6 +71,13 @@ def main(argv=None, spark=None) -> int:
     s.add_argument("--include-upper", action="store_true",
                    help="term-range mode: make the upper bound inclusive")
     s.add_argument("--algo", default="auto", choices=["auto", "exhaustive"])
+    s.add_argument("--combiner", default="sum", choices=["sum", "dismax"],
+                   help="Should-group score combiner: clause sum "
+                        "(default, tantivy BooleanQuery) or dismax "
+                        "(Lucene DisjunctionMaxQuery: best clause + "
+                        "tie-breaker x the rest; text mode)")
+    s.add_argument("--tie-breaker", type=float, default=0.0,
+                   help="dismax tie breaker in [0, 1]")
     s.add_argument("--as-of", type=int, default=None,
                    help="search the manifest snapshot at this commit_seq "
                         "(time travel; see index stats for current seq)")
@@ -392,7 +399,9 @@ def main(argv=None, spark=None) -> int:
             common = dict(filters=filters, boosts=boosts, k=args.k,
                           offset=args.offset, algo=args.algo)
             if args.mode == "text":
-                rows = eng.search(args.query, **common).collect()
+                rows = eng.search(args.query, combiner=args.combiner,
+                                  tie_breaker=args.tie_breaker,
+                                  **common).collect()
             elif args.mode == "fuzzy":
                 rows = eng.search_fuzzy(args.query,
                                         distance=args.fuzzy_distance,

@@ -237,12 +237,28 @@ class OracleIndex:
         candidates -= self.tombstoned
         extra_scores = [self._clause_scores(c, caches) for c in cq.should_extra]
 
+        dismax = getattr(cq, "combiner", "sum") == "dismax"
+        tie = np.float32(getattr(cq, "tie_breaker", 0.0))
         results = []
         for ord_ in candidates:
             s = np.float32(0.0)
-            for gs in group_scores:
-                if ord_ in gs:
-                    s += gs[ord_]
+            if dismax:
+                # DisjunctionMaxQuery combiner twin: same float32 op
+                # order as _score_partition's vectorized branch — m =
+                # running max, s = clause-order sum over the Should
+                # group, core = m + tie·(s − m); Musts/extras then add.
+                m = np.float32(0.0)
+                for gs in group_scores:
+                    if ord_ in gs:
+                        v = gs[ord_]
+                        s = s + v
+                        if v > m:
+                            m = v
+                s = m + tie * (s - m)
+            else:
+                for gs in group_scores:
+                    if ord_ in gs:
+                        s += gs[ord_]
             for ms in must_scores:
                 if ord_ in ms:
                     s += ms[ord_]
@@ -263,8 +279,12 @@ class OracleIndex:
                         "score": s, "doc_ord": o})
         return out
 
-    def search(self, query: str, filters=(), boosts=(), k: int = 5, offset: int = 0):
-        return self.execute(compile_query(query, filters, boosts), k=k, offset=offset)
+    def search(self, query: str, filters=(), boosts=(), k: int = 5,
+               offset: int = 0, combiner: str = "sum",
+               tie_breaker: float = 0.0):
+        cq = compile_query(query, filters, boosts)
+        cq.combiner, cq.tie_breaker = combiner, float(tie_breaker)
+        return self.execute(cq, k=k, offset=offset)
 
     # -- multi-term pattern queries (brute-force twin of query/expand) --
     # The oracle enumerates its whole dictionary and tests every term —

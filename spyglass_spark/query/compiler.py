@@ -69,6 +69,17 @@ class CompiledQuery:
     # — the tantivy RangeQuery-on-fast-field analog (schema.rs:179-195)
     range_musts: list[tuple] = dc_field(default_factory=list)
     term_count: int = 0
+    # Should-group score combiner: 'sum' (tantivy/Lucene BooleanQuery —
+    # the reference shape) or 'dismax' (Lucene DisjunctionMaxQuery /
+    # tantivy-0.19 query::DisjunctionMaxQuery: best matching clause +
+    # tie_breaker × the other matching clauses' scores — the ES
+    # multi_match best_fields semantics). Applies to ``should_group``
+    # only; scoring Musts and favorite should-extras still ADD on top,
+    # mirroring Must(DisMax(disjuncts)) + extra clauses. float32 op
+    # order: m = running max, s = clause-order sum, score =
+    # m + tie·(s − m), each op float32 (engine and oracle identical).
+    combiner: str = "sum"
+    tie_breaker: float = 0.0  # dismax only; Lucene requires 0 ≤ tie ≤ 1
 
     def all_clauses(self) -> list[Clause]:
         out = self.should_group + self.musts + self.should_extra + self.must_nots

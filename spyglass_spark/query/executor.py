@@ -172,7 +172,9 @@ def _run_wand(q, payload, caches, norm_arrays, fast_arrays, limit,
                 exclude = m if exclude is None else np.union1d(exclude, m)
     if include is not None and include.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.float32)
-    return wand_top_k(scoring, include, exclude, limit, after=after_local)
+    return wand_top_k(scoring, include, exclude, limit, after=after_local,
+                      combiner=(q.get("combiner", "sum"),
+                                q.get("tie", 0.0)))
 
 
 def _clause_specs(cq: CompiledQuery, dfs: dict, n_docs: int) -> list[dict]:
@@ -517,14 +519,42 @@ def _score_partition(plan: dict, postings_pdf: pd.DataFrame):
         if cand.size == 0:
             continue
         # accumulate float32 scores in clause order (oracle-identical)
-        acc = np.zeros(cand.size, dtype=np.float32)
-        for ords_c, scores_c, spec in clause_results:
-            if spec["role"] in ("must_not", "must_range") or ords_c.size == 0:
-                continue
-            pos = np.searchsorted(cand, ords_c)
-            ok = (pos < cand.size)
-            ok[ok] = cand[pos[ok]] == ords_c[ok]
-            acc[pos[ok]] = acc[pos[ok]] + scores_c[ok]
+        if q.get("combiner", "sum") == "dismax":
+            # DisjunctionMaxQuery over the Should group: per doc,
+            # m = max clause score, s = clause-order float32 sum;
+            # core = m + tie·(s − m), each op float32 — then scoring
+            # Musts / should-extras ADD in clause order as in sum mode.
+            # Clause scores are ≥ 0, so max seeded at 0 only counts
+            # matching clauses.
+            tie = np.float32(q.get("tie", 0.0))
+            acc = np.zeros(cand.size, dtype=np.float32)
+            mx = np.zeros(cand.size, dtype=np.float32)
+            for ords_c, scores_c, spec in clause_results:
+                if spec["role"] != "should" or ords_c.size == 0:
+                    continue
+                pos = np.searchsorted(cand, ords_c)
+                ok = (pos < cand.size)
+                ok[ok] = cand[pos[ok]] == ords_c[ok]
+                acc[pos[ok]] = acc[pos[ok]] + scores_c[ok]
+                mx[pos[ok]] = np.maximum(mx[pos[ok]], scores_c[ok])
+            acc = mx + tie * (acc - mx)
+            for ords_c, scores_c, spec in clause_results:
+                if (spec["role"] in ("should", "must_not", "must_range")
+                        or ords_c.size == 0):
+                    continue
+                pos = np.searchsorted(cand, ords_c)
+                ok = (pos < cand.size)
+                ok[ok] = cand[pos[ok]] == ords_c[ok]
+                acc[pos[ok]] = acc[pos[ok]] + scores_c[ok]
+        else:
+            acc = np.zeros(cand.size, dtype=np.float32)
+            for ords_c, scores_c, spec in clause_results:
+                if spec["role"] in ("must_not", "must_range") or ords_c.size == 0:
+                    continue
+                pos = np.searchsorted(cand, ords_c)
+                ok = (pos < cand.size)
+                ok[ok] = cand[pos[ok]] == ords_c[ok]
+                acc[pos[ok]] = acc[pos[ok]] + scores_c[ok]
         keep = acc > 0.0
         cand, acc = cand[keep], acc[keep]
         if after_local is not None and cand.size:
@@ -650,10 +680,18 @@ class SearchEngine:
 
     def search(self, query: str, filters=(), boosts=(), k: int = 5,
                offset: int = 0, algo: str = "auto",
-               search_after=None) -> DataFrame:
+               search_after=None, combiner: str = "sum",
+               tie_breaker: float = 0.0) -> DataFrame:
+        """``combiner='dismax'`` switches the Should-group score from the
+        clause sum (tantivy/Lucene BooleanQuery, the reference shape) to
+        Lucene DisjunctionMaxQuery semantics — best matching clause +
+        ``tie_breaker`` × the others (ES multi_match best_fields). WAND
+        pruning stays available (tie ∈ [0,1] keeps the Σ-UB bound valid,
+        wand.py); results remain bitwise exhaustive-identical."""
         return self.search_many(
             [{"query": query, "filters": filters, "boosts": boosts,
-              "after": search_after}],
+              "after": search_after, "combiner": combiner,
+              "tie_breaker": tie_breaker}],
             k=k, offset=offset, algo=algo).drop("query_id")
 
     def search_many(self, queries: list[dict], k: int = 5, offset: int = 0,
@@ -699,7 +737,25 @@ class SearchEngine:
         """One batch entry → (CompiledQuery, label). Free-text compiles
         directly; pattern shapes run the matching dictionary expansion
         (driver-side pyarrow, no Spark job) and compile as a Should
-        group — identical semantics to the single-query methods."""
+        group — identical semantics to the single-query methods. An
+        optional ``combiner``/``tie_breaker`` pair selects the
+        Should-group score combiner (sum | dismax) for THIS entry —
+        any shape may carry it, since every shape compiles to a Should
+        group (a dismax pattern query is Lucene's top-terms blended
+        rewrite with max scoring)."""
+        comb = q.get("combiner", "sum")
+        if comb not in ("sum", "dismax"):
+            raise ValueError(f"combiner must be 'sum' or 'dismax': {comb!r}")
+        tie = float(q.get("tie_breaker", 0.0))
+        if comb == "dismax" and not 0.0 <= tie <= 1.0:
+            # Lucene DisjunctionMaxQuery contract; also what keeps the
+            # WAND Σ-UB bound valid (wand.py)
+            raise ValueError(f"tie_breaker must be in [0, 1]: {tie}")
+        cq, label = self._compile_one_shape(q)
+        cq.combiner, cq.tie_breaker = comb, tie
+        return cq, label
+
+    def _compile_one_shape(self, q: dict):
         filters, boosts = q.get("filters", ()), q.get("boosts", ())
         if "query" in q:
             return (compile_query(q["query"], filters, boosts), q["query"])
@@ -1018,6 +1074,10 @@ class SearchEngine:
             # _score_partition
             "queries": [{"query_id": qi,
                          "specs": _clause_specs(cq, dfs, m.num_docs),
+                         # Should-group score combiner (compiler.py):
+                         # 'sum' (default) or 'dismax' with tie ∈ [0,1]
+                         "combiner": getattr(cq, "combiner", "sum"),
+                         "tie": float(getattr(cq, "tie_breaker", 0.0)),
                          "after": (float(afters[qi][0]), int(afters[qi][1]))
                          if afters is not None and afters[qi] is not None
                          else None}
@@ -1593,7 +1653,9 @@ class SearchEngine:
         return dm.agg(F.count(F.lit(1)).cast("long").alias("n"))
 
     def score_matches(self, query: str, filters=(), boosts=(),
-                      min_score: float | None = None) -> DataFrame:
+                      min_score: float | None = None,
+                      combiner: str = "sum",
+                      tie_breaker: float = 0.0) -> DataFrame:
         """FULL scored match set of a query as a DISTRIBUTED frame
         (url, score float32, doc_ord) — the relevance-weighted companion
         of count_matches / export_matches: every live doc with score >
@@ -1608,9 +1670,10 @@ class SearchEngine:
         payload), and the url attachment is one join against the
         column-pruned doc_meta metadata — both sides O(matches) /
         O(docs·16B), never the content."""
-        partial = self._scoring_partial(
-            [compile_query(query, filters, boosts)], limit=None,
-            algo="exhaustive")
+        cq, _ = self._compile_one({"query": query, "filters": filters,
+                                   "boosts": boosts, "combiner": combiner,
+                                   "tie_breaker": tie_breaker})
+        partial = self._scoring_partial([cq], limit=None, algo="exhaustive")
         if partial is None:
             return self.spark.createDataFrame(
                 [], "url string, score float, doc_ord bigint")
@@ -1627,7 +1690,8 @@ class SearchEngine:
                       columns=None, partition_by=(),
                       num_files: int | None = None,
                       broadcast_limit: int = 4_000_000,
-                      mode: str = "overwrite") -> dict:
+                      mode: str = "overwrite", combiner: str = "sum",
+                      tie_breaker: float = 0.0) -> dict:
         """``export_matches`` with relevance attached: materialize the
         FULL scored match set as a parquet dataset of system-of-record
         rows + a float32 ``score`` column — "every doc matching Q with
@@ -1643,7 +1707,8 @@ class SearchEngine:
         from pyspark.sql import Observation
 
         scored = self.score_matches(query, filters, boosts,
-                                    min_score=min_score) \
+                                    min_score=min_score, combiner=combiner,
+                                    tie_breaker=tie_breaker) \
             .select("url", "score").persist(StorageLevel.MEMORY_AND_DISK)
         try:
             n_urls = scored.count()

@@ -14,7 +14,9 @@ Replicates tantivy-0.19.2's BM25 as configured by the reference
 the exact global token total / N. N counts all docs in the index (max_doc
 across segments, incl. tombstoned). All float math in float32 like the
 reference engine; clause scores combine by SUM (boolean Should/Must sum
-combiner, no coord factor).
+combiner, no coord factor) — or, per query, by the Lucene
+DisjunctionMaxQuery combiner over the Should group (compiler.py
+``combiner='dismax'``: m + tie·(s − m) in float32 op order).
 
 Phrase clauses (PhraseQuery with slop, query.rs:24-33, 80-94) score as
 BM25 with idf = SUM of the member terms' idfs and tf = sloppy-match count.

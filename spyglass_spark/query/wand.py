@@ -129,7 +129,8 @@ class _ClauseData:
 
 
 def wand_top_k(scoring_clauses, filter_include, filter_exclude, k,
-               batch_segments: int = 16, after=None):
+               batch_segments: int = 16, after=None,
+               combiner=("sum", 0.0)):
     """Block-max WAND top-k for one partition.
 
     scoring_clauses: list of (_ClauseData, spec) — the Should-group (and
@@ -144,6 +145,12 @@ def wand_top_k(scoring_clauses, filter_include, filter_exclude, k,
       only ever reflects valid candidates — block pruning stays correct
       (a pruned block's UB < θ ≤ the k-th valid score). θ must NOT be
       seeded from the cursor score: the page's docs all score ≤ cursor.
+    combiner: ('sum', _) or ('dismax', tie) — the Should-group score
+      combiner (compiler.py). Pruning stays valid for dismax with
+      tie ∈ [0, 1]: clause scores are ≥ 0, so the dismax score
+      m + tie·(s − m) ≤ s ≤ the segment's Σ-of-block-UBs bound; θ is
+      maintained from real combined scores, so UB < θ still proves no
+      remaining doc can enter the top set.
     Returns (ords int64, scores float32) of the top-k by
     (score desc, ord asc) — identical to exhaustive scoring + truncation.
     """
@@ -200,7 +207,8 @@ def wand_top_k(scoring_clauses, filter_include, filter_exclude, k,
             continue
         lo_arr, hi_arr = seg_lo[batch], seg_hi[batch]
         ords, scores = _score_segments(scoring_clauses, lo_arr, hi_arr,
-                                       filter_include, filter_exclude)
+                                       filter_include, filter_exclude,
+                                       combiner)
         if after is not None and ords.size:
             a_s, a_o = np.float32(after[0]), np.int64(after[1])
             keep = (scores < a_s) | ((scores == a_s) & (ords > a_o))
@@ -219,10 +227,13 @@ def wand_top_k(scoring_clauses, filter_include, filter_exclude, k,
     return top_ords[sel], top_scores[sel]
 
 
-def _score_segments(scoring_clauses, lo_arr, hi_arr, include, exclude):
+def _score_segments(scoring_clauses, lo_arr, hi_arr, include, exclude,
+                    combiner=("sum", 0.0)):
     """Exact float32 scores for all docs in the given segments that match
     ≥1 scoring clause (and the filters). Identical score math/order to the
-    exhaustive path: accumulate per clause in clause order."""
+    exhaustive path: accumulate per clause in clause order ('sum'), or the
+    dismax two-pass (Should max + tie·rest, then scoring Musts/extras add
+    — the same float32 op sequence as _score_partition's dismax branch)."""
     per_clause = []  # (ords, scores) restricted to the segments
     for cd in scoring_clauses:
         spec = cd.spec
@@ -271,14 +282,35 @@ def _score_segments(scoring_clauses, lo_arr, hi_arr, include, exclude):
         cand = np.setdiff1d(cand, exclude, assume_unique=True)
     if cand.size == 0:
         return cand, np.empty(0, np.float32)
-    acc = np.zeros(cand.size, dtype=np.float32)
-    for docs, scores in per_clause:
-        if docs.size == 0:
-            continue
-        pos = np.searchsorted(cand, docs)
-        ok = pos < cand.size
-        ok[ok] = cand[pos[ok]] == docs[ok]
-        acc[pos[ok]] = acc[pos[ok]] + scores[ok]
+    if combiner[0] == "dismax":
+        tie = np.float32(combiner[1])
+        acc = np.zeros(cand.size, dtype=np.float32)
+        mx = np.zeros(cand.size, dtype=np.float32)
+        for (docs, scores), cd in zip(per_clause, scoring_clauses):
+            if cd.spec["role"] != "should" or docs.size == 0:
+                continue
+            pos = np.searchsorted(cand, docs)
+            ok = pos < cand.size
+            ok[ok] = cand[pos[ok]] == docs[ok]
+            acc[pos[ok]] = acc[pos[ok]] + scores[ok]
+            mx[pos[ok]] = np.maximum(mx[pos[ok]], scores[ok])
+        acc = mx + tie * (acc - mx)
+        for (docs, scores), cd in zip(per_clause, scoring_clauses):
+            if cd.spec["role"] == "should" or docs.size == 0:
+                continue
+            pos = np.searchsorted(cand, docs)
+            ok = pos < cand.size
+            ok[ok] = cand[pos[ok]] == docs[ok]
+            acc[pos[ok]] = acc[pos[ok]] + scores[ok]
+    else:
+        acc = np.zeros(cand.size, dtype=np.float32)
+        for docs, scores in per_clause:
+            if docs.size == 0:
+                continue
+            pos = np.searchsorted(cand, docs)
+            ok = pos < cand.size
+            ok[ok] = cand[pos[ok]] == docs[ok]
+            acc[pos[ok]] = acc[pos[ok]] + scores[ok]
     keep = acc > 0.0
     return cand[keep], acc[keep]
 

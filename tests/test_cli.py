@@ -135,6 +135,16 @@ def test_cli_pattern_search_and_agg(spark, built_index, capsys):
     assert [h["doc_id"] for h in hits] == [w["doc_id"] for w in want]
     assert hits, "term-set {merge,fn} must hit"
 
+    out = _run(capsys, spark, ["search", "--index", idx,
+                               "--query", "parse token stream", "--k", "4",
+                               "--combiner", "dismax",
+                               "--tie-breaker", "0.35"])
+    hits = [json.loads(x) for x in out.strip().splitlines()]
+    want = oracle.search("parse token stream", k=4, combiner="dismax",
+                         tie_breaker=0.35)
+    assert [h["doc_id"] for h in hits] == [w["doc_id"] for w in want]
+    assert hits, "dismax 'parse token stream' must hit"
+
     out = _run(capsys, spark, ["agg", "--index", idx,
                                "--query", "fn index"])
     rows = [json.loads(x) for x in out.strip().splitlines()]

@@ -75,7 +75,13 @@ def test_randomized_rank_identity(spark, tmp_path, seed):
     eng = SearchEngine(spark, idx)
 
     cases = [_mk_query(rng, docs) for _ in range(8)]
-    batch = [{"query": q, "filters": f, "boosts": b} for q, f, b, _ in cases]
+    # combiner axis: ~40% of cases run as DisjunctionMaxQuery with a
+    # random tie_breaker — same mixed batch, same oracle-bitwise bar
+    combs = [("dismax", round(rng.uniform(0.0, 1.0), 3))
+             if rng.random() < 0.4 else ("sum", 0.0) for _ in cases]
+    batch = [{"query": q, "filters": f, "boosts": b,
+              "combiner": c, "tie_breaker": t}
+             for (q, f, b, _), (c, t) in zip(cases, combs)]
     res = eng.search_many(batch, k=7).collect()
     by_q = {}
     for r in res:
@@ -83,11 +89,13 @@ def test_randomized_rank_identity(spark, tmp_path, seed):
     nonempty = 0
     for qi, (q, f, b, _off) in enumerate(cases):
         got = sorted(by_q.get(qi, []), key=lambda r: r["rank"])
-        exp = oracle.search(q, f, b, k=7)
-        assert [r["doc_id"] for r in got] == [h["doc_id"] for h in exp], (seed, q, f, b)
+        c, t = combs[qi]
+        exp = oracle.search(q, f, b, k=7, combiner=c, tie_breaker=t)
+        assert [r["doc_id"] for r in got] == [h["doc_id"] for h in exp], \
+            (seed, q, f, b, c, t)
         for r, h in zip(got, exp):
             assert np.isclose(np.float32(r["score"]), np.float32(h["score"]),
-                              rtol=1e-5), (seed, q, r["score"], h["score"])
+                              rtol=1e-5), (seed, q, c, t, r["score"], h["score"])
         nonempty += bool(exp)
     assert nonempty >= 3  # the fuzz must actually exercise matches
 

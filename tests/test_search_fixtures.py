@@ -33,6 +33,7 @@ FIXTURE_QUERIES = [
     "search_regex",
     "search_term_range",
     "search_term_set",
+    "search_dismax",
     "search_facets",
     "search_date_histogram",
     "search_field_stats",

@@ -294,6 +294,17 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
         ["scan", "merg", "valu", "zzabsent"], k=10), om, ckey)
     assert tset, "term-set fixture must be nonvacuous"
     out["search_term_set"] = tset
+    # dismax combiner (Lucene DisjunctionMaxQuery / ES best_fields):
+    # multi-clause query where max ≠ sum, tie_breaker 0.35 — the oracle
+    # applies the same float32 m + tie·(s−m) op order as the engine
+    dm = hits_to_rows(oracle.search("window merge sort", k=10,
+                                    combiner="dismax", tie_breaker=0.35),
+                      om, ckey)
+    assert dm, "dismax fixture must be nonvacuous"
+    assert dm != hits_to_rows(oracle.search("window merge sort", k=10),
+                              om, ckey), \
+        "dismax fixture must differ from the sum combiner (else vacuous)"
+    out["search_dismax"] = dm
     out["search_facets"] = facet_rows(docs, ckey)
     out["search_export"] = export_rows(docs, ckey)
     out["search_export_scored"] = scored_export_rows(oracle, ckey)
