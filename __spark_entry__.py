@@ -1030,6 +1030,22 @@ def q_search_dismax(spark, sf_dir):  # fixture-oracle: dismax combiner
                                           tie_breaker=0.35))
 
 
+def q_search_parsed(spark, sf_dir):  # fixture-oracle: QueryParser analog
+    """Query-string grammar (query/parser.py — the tantivy QueryParser /
+    Lucene classic-syntax analog) compiled driver-side: '+merge' is a
+    Must(OR over default fields) that still scores, the quoted phrase
+    carries an explicit slop, title:file^2.5 multiplies the field boost,
+    -domain:src5 excludes a raw-field term, and content:[sca TO sp]
+    expands the dictionary range through the same pyarrow byte-range
+    read as term-range. The fixture oracle parses the SAME string but
+    expands over its own enumerated dictionary and scores scalar-side;
+    the generator asserts the -domain exclusion actually bites."""
+    return _contract_hits(
+        _get_engine(spark, sf_dir).search_parsed(
+            '+merge "window sort"~2 title:file^2.5 -domain:src5 '
+            'content:[sca TO sp]', k=10))
+
+
 def q_fuzzy_term_candidates(spark, sf_dir):
     """Distributed SymSpell (ops/fuzzy.py): dictionary df + broadcast
     deletion-key equi-join + built-in levenshtein verify — graded against
@@ -1481,8 +1497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_term_range": q_search_term_range,
         "search_term_set": q_search_term_set,
         "search_dismax": q_search_dismax,
+        "search_parsed": q_search_parsed,
         "fuzzy_term_candidates": q_fuzzy_term_candidates,
-        "semantic_context_segments": q_semantic_context_segments,
         "search_facets": q_search_facets,
         # r5 eighth-session addition: the export sink gets its first
         # driver check; search_phrase_tag_filter (hash-green r4) slides
@@ -1586,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textstats_quality": q_textstats_quality,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "semantic_segment_distance": q_semantic_segment_distance,
+        "semantic_context_segments": q_semantic_context_segments,
     }
 
 
@@ -1884,6 +1901,7 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
         "search_term_range": _fixture_sql("search_term_range"),
         "search_term_set": _fixture_sql("search_term_set"),
         "search_dismax": _fixture_sql("search_dismax"),
+        "search_parsed": _fixture_sql("search_parsed"),
         # independent-algorithm cross-check: DuckDB enumerates the whole
         # dictionary × query cross join with its own levenshtein; Spark
         # only ever JOINS on deletion keys (complete for dist<=1)

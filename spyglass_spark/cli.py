@@ -58,7 +58,8 @@ def main(argv=None, spark=None) -> int:
     s.add_argument("--published-before-us", type=int, default=None)
     s.add_argument("--mode", default="text",
                    choices=["text", "prefix", "fuzzy", "wildcard", "regex",
-                            "phrase-prefix", "term-range", "term-set"],
+                            "phrase-prefix", "term-range", "term-set",
+                            "parsed"],
                    help="query interpretation: free text (default) or a "
                         "multi-term pattern rewrite over the dictionary "
                         "(phrase-prefix = search-as-you-type: the last "
@@ -66,7 +67,9 @@ def main(argv=None, spark=None) -> int:
                         "term-range = tantivy RangeQuery, --query "
                         "'lower,upper' with either side empty for "
                         "unbounded, lower inclusive / upper exclusive "
-                        "unless --include-upper)")
+                        "unless --include-upper; parsed = the full "
+                        "query-string grammar: +must -not field:term "
+                        "\"phrase\"~slop term^boost field:[a TO b])")
     s.add_argument("--fuzzy-distance", type=int, default=1)
     s.add_argument("--include-upper", action="store_true",
                    help="term-range mode: make the upper bound inclusive")
@@ -402,6 +405,11 @@ def main(argv=None, spark=None) -> int:
                 rows = eng.search(args.query, combiner=args.combiner,
                                   tie_breaker=args.tie_breaker,
                                   **common).collect()
+            elif args.mode == "parsed":
+                rows = eng.search_parsed(args.query,
+                                         combiner=args.combiner,
+                                         tie_breaker=args.tie_breaker,
+                                         **common).collect()
             elif args.mode == "fuzzy":
                 rows = eng.search_fuzzy(args.query,
                                         distance=args.fuzzy_distance,

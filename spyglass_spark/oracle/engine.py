@@ -382,6 +382,36 @@ class OracleIndex:
         return self.execute(compile_expanded(per_field, filters, boosts),
                             k=k, offset=offset)
 
+    def search_parsed(self, qs: str, filters=(), boosts=(), k: int = 5,
+                      offset: int = 0,
+                      max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+                      combiner: str = "sum", tie_breaker: float = 0.0):
+        """Query-string parser twin (query/parser.py grammar — the
+        tantivy QueryParser analog). The PARSER is shared scalar code
+        like the compiler; the oracle supplies its whole-dictionary
+        comparison enumeration for [a TO b] atoms — independent of the
+        engine's pyarrow byte-range read, so parity checks the pruned
+        read under every parsed range shape."""
+        from ..query.parser import parse_with_filters
+
+        def expand_rng(f, lo, hi, ilo, ihi, cap):
+            lo_n, hi_n = normalize_bound(lo), normalize_bound(hi)
+
+            def match(t: str) -> bool:
+                if lo_n and not (t >= lo_n if ilo else t > lo_n):
+                    return False
+                if hi_n and not (t <= hi_n if ihi else t < hi_n):
+                    return False
+                return True
+
+            return self._expand(f, match, cap)
+
+        cq = parse_with_filters(qs, filters, boosts,
+                                expand_range=expand_rng,
+                                max_expansions=max_expansions)
+        cq.combiner, cq.tie_breaker = combiner, float(tie_breaker)
+        return self.execute(cq, k=k, offset=offset)
+
     def search_phrase_prefix(self, query: str, k: int = 5, offset: int = 0,
                              fields=("content", "title"),
                              max_expansions: int = DEFAULT_MAX_EXPANSIONS,

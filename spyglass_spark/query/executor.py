@@ -795,6 +795,20 @@ class SearchEngine:
             ts = tuple(q["term_set"])
             expand = (lambda f: expand_term_set(stats, f, ts, cap))
             label = "term_set:" + ",".join(sorted(map(str, ts))[:8])
+        elif "parsed" in q:
+            # query-string grammar (query/parser.py — the tantivy
+            # QueryParser analog); [a TO b] atoms expand through the
+            # same driver-side pyarrow byte-range read as term_range
+            from .parser import parse_with_filters
+
+            def expand_rng(f, lo, hi, ilo, ihi, rcap):
+                return [t for t, _ in expand_term_range(
+                    stats, f, lo, hi, ilo, ihi, rcap)]
+
+            return (parse_with_filters(q["parsed"], filters, boosts,
+                                       expand_range=expand_rng,
+                                       max_expansions=cap),
+                    f"parsed:{q['parsed']}")
         elif "phrase_prefix" in q:
             from .compiler import compile_phrase_prefix, split_phrase_prefix
 
@@ -809,7 +823,8 @@ class SearchEngine:
         else:
             raise ValueError(
                 "batch entry needs one of query/prefix/wildcard/regex/"
-                f"fuzzy/term_range/term_set/phrase_prefix: {sorted(q)}")
+                "fuzzy/term_range/term_set/phrase_prefix/parsed: "
+                f"{sorted(q)}")
         per_field = {f: [t for t, _ in expand(f)]
                      for f in self.EXPAND_FIELDS}
         return (compile_expanded(per_field, filters=filters,
@@ -1026,6 +1041,24 @@ class SearchEngine:
         return self._run_compiled_batch(
             [cq], [f"regex:{pattern}"], k, offset, algo,
             afters=[search_after]).drop("query_id")
+
+    def search_parsed(self, query: str, filters=(), boosts=(), k: int = 5,
+                      offset: int = 0, algo: str = "auto",
+                      max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+                      search_after=None, combiner: str = "sum",
+                      tie_breaker: float = 0.0) -> DataFrame:
+        """Query-string search — the tantivy ``QueryParser`` analog
+        (query/parser.py documents the grammar: ``+must -not
+        field:term "phrase"~slop term^boost field:[a TO b]``). Parsing
+        and range expansion are driver-side (zero Spark jobs); the
+        compiled clause tree scores through the standard kernel, so
+        deep paging, batching, algo and the dismax combiner all
+        compose."""
+        return self.search_many(
+            [{"parsed": query, "filters": filters, "boosts": boosts,
+              "max_expansions": max_expansions, "after": search_after,
+              "combiner": combiner, "tie_breaker": tie_breaker}],
+            k=k, offset=offset, algo=algo).drop("query_id")
 
     def _fuzzy_dict_paths(self) -> list[str] | None:
         import os

@@ -145,6 +145,14 @@ def test_cli_pattern_search_and_agg(spark, built_index, capsys):
     assert [h["doc_id"] for h in hits] == [w["doc_id"] for w in want]
     assert hits, "dismax 'parse token stream' must hit"
 
+    qs = '+merge "parse token"~1 title:file^2.5 -domain:org1/repo1'
+    out = _run(capsys, spark, ["search", "--index", idx, "--mode",
+                               "parsed", "--query", qs, "--k", "4"])
+    hits = [json.loads(x) for x in out.strip().splitlines()]
+    want = oracle.search_parsed(qs, k=4)
+    assert [h["doc_id"] for h in hits] == [w["doc_id"] for w in want]
+    assert hits, "parsed query string must hit"
+
     out = _run(capsys, spark, ["agg", "--index", idx,
                                "--query", "fn index"])
     rows = [json.loads(x) for x in out.strip().splitlines()]

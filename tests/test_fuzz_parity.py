@@ -59,6 +59,33 @@ def _mk_query(rng: random.Random, docs):
     return q, filters, boosts, offset
 
 
+def _mk_parsed(rng: random.Random) -> str:
+    """Random query-string grammar composition (query/parser.py): bare
+    words, +/- occurs, field restriction, quoted phrases with slop,
+    boosts, dictionary ranges."""
+    parts = []
+    for _ in range(rng.randint(1, 4)):
+        r = rng.random()
+        occ = rng.choice(["", "", "", "+", "-"])
+        if r < 0.18:
+            a = rng.choice(WORDS)[: rng.randint(1, 4)]
+            b = rng.choice(WORDS)[: rng.randint(1, 4)]
+            lo, hi = sorted([a, b])
+            lb, rb = rng.choice(["[", "{"]), rng.choice(["]", "}"])
+            parts.append(f"{occ}content:{lb}{lo} TO {hi}{rb}")
+        elif r < 0.38:
+            ph = " ".join(rng.choice(WORDS) for _ in range(rng.randint(2, 3)))
+            parts.append(f'{occ}"{ph}"' + rng.choice(["", "~1", "~2"]))
+        elif r < 0.52:
+            parts.append(f"{occ}title:{rng.choice(WORDS)}")
+        elif r < 0.68:
+            parts.append(
+                f"{occ}{rng.choice(WORDS)}^{round(rng.uniform(0.5, 3.0), 1)}")
+        else:
+            parts.append(occ + rng.choice(WORDS))
+    return " ".join(parts)
+
+
 @pytest.mark.parametrize("seed", [101, 202, 303])
 def test_randomized_rank_identity(spark, tmp_path, seed):
     from spyglass_spark.index.builder import build_index
@@ -191,6 +218,21 @@ def test_randomized_rank_identity(spark, tmp_path, seed):
     for r, h in zip(got, exp):
         assert np.isclose(np.float32(r["score"]), np.float32(h["score"]),
                           rtol=1e-5), (seed, ts)
+
+    # parsed query strings: random grammar compositions (occurs, field
+    # restriction, phrases+slop, boosts, dictionary ranges) — the
+    # engine's pyarrow range expansion + distributed kernel vs the
+    # oracle twin's enumeration + scalar kernel
+    for _ in range(3):
+        qs = _mk_parsed(rng)
+        got = sorted(eng.search_parsed(qs, k=6).collect(),
+                     key=lambda r: r["rank"])
+        exp = oracle.search_parsed(qs, k=6)
+        assert [r["doc_id"] for r in got] == \
+            [h["doc_id"] for h in exp], (seed, qs)
+        for r, h in zip(got, exp):
+            assert np.isclose(np.float32(r["score"]), np.float32(h["score"]),
+                              rtol=1e-5), (seed, qs)
 
     # phrase-prefix: random fixed word + prefix of a second word,
     # sometimes with a stopword between (position-hole shape); engine

@@ -34,6 +34,7 @@ FIXTURE_QUERIES = [
     "search_term_range",
     "search_term_set",
     "search_dismax",
+    "search_parsed",
     "search_facets",
     "search_date_histogram",
     "search_field_stats",

@@ -305,6 +305,17 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
                               om, ckey), \
         "dismax fixture must differ from the sum combiner (else vacuous)"
     out["search_dismax"] = dm
+    # parsed query string (QueryParser analog): '+' Must(OR) group,
+    # sloppy phrase, field boost, domain exclusion and a dictionary
+    # range in ONE string; the oracle twin parses through the shared
+    # grammar but expands the range over its own enumerated dictionary
+    ps = hits_to_rows(oracle.search_parsed(
+        '+merge "window sort"~2 title:file^2.5 -domain:src5 '
+        'content:[sca TO sp]', k=10), om, ckey)
+    assert ps, "parsed fixture must be nonvacuous"
+    assert all(not r["url"].startswith("repo://src5/") for r in ps), \
+        "parsed fixture must grade the -domain exclusion"
+    out["search_parsed"] = ps
     out["search_facets"] = facet_rows(docs, ckey)
     out["search_export"] = export_rows(docs, ckey)
     out["search_export_scored"] = scored_export_rows(oracle, ckey)
