@@ -195,11 +195,17 @@ def main(argv=None, spark=None) -> int:
     ex.add_argument("--min-score", type=float, default=None,
                     help="with --scored: export only docs with score >= "
                          "this relevance threshold")
+    ex.add_argument("--parsed", action="store_true",
+                    help="interpret --query with the query-string grammar "
+                         "(--mode parsed of search) instead of free text")
 
     ag = sub.add_parser("agg", help="unscored aggregations over a query's "
                                     "FULL match set (not top-k)")
     ag.add_argument("--index", required=True)
     ag.add_argument("--query", required=True)
+    ag.add_argument("--parsed", action="store_true",
+                    help="interpret --query with the query-string grammar "
+                         "(--mode parsed of search) instead of free text")
     ag.add_argument("--kind", default="facets",
                     choices=["facets", "date-histogram", "stats",
                              "percentiles", "facet-stats", "range",
@@ -442,6 +448,8 @@ def main(argv=None, spark=None) -> int:
             df = read_corpus(spark, args.corpus)
             if "url" not in df.columns:
                 df = to_documents(df)
+            q_arg = ({"parsed": args.query} if args.parsed
+                     else args.query)
             kwargs = dict(
                 filters=[("tag", t) for t in args.tag],
                 columns=args.columns.split(",") if args.columns else None,
@@ -449,32 +457,34 @@ def main(argv=None, spark=None) -> int:
                               if args.partition_by else ()),
                 num_files=args.num_files)
             if args.scored:
-                stats = eng.export_scored(args.query, df, args.out,
+                stats = eng.export_scored(q_arg, df, args.out,
                                           min_score=args.min_score, **kwargs)
             else:
-                stats = eng.export_matches(args.query, df, args.out, **kwargs)
+                stats = eng.export_matches(q_arg, df, args.out, **kwargs)
             print(json.dumps(stats))
         elif args.cmd == "agg":
             from spyglass_spark.query.executor import SearchEngine
 
             eng = SearchEngine(spark, args.index, as_of=args.as_of)
             filters = [("tag", t) for t in args.tag]
+            q_arg = ({"parsed": args.query} if args.parsed
+                     else args.query)
             if args.kind == "facets":
-                rows = eng.facet_counts(args.query, filters=filters,
+                rows = eng.facet_counts(q_arg, filters=filters,
                                         k_tags=args.k).collect()
                 for r in rows:
                     print(json.dumps({"tag_id": r["tag_id"],
                                       "n": int(r["n"])}))
             elif args.kind == "date-histogram":
                 rows = eng.date_histogram(
-                    args.query, filters=filters,
+                    q_arg, filters=filters,
                     interval_us=args.interval_us, date_col=args.date_col,
                     min_doc_count=args.min_doc_count).collect()
                 for r in rows:
                     print(json.dumps({"bucket": int(r["bucket"]),
                                       "n": int(r["n"])}))
             elif args.kind == "terms":
-                rows = eng.terms_agg(args.query, filters=filters,
+                rows = eng.terms_agg(q_arg, filters=filters,
                                      facet_col=args.facet_col,
                                      size=args.size).collect()
                 for r in rows:
@@ -486,7 +496,7 @@ def main(argv=None, spark=None) -> int:
             elif args.kind == "percentiles":
                 from spyglass_spark.query.percentile import DEFAULT_PERCENTS
                 rows = eng.percentiles(
-                    args.query, filters=filters, col=args.date_col,
+                    q_arg, filters=filters, col=args.date_col,
                     percents=tuple(args.percent) or DEFAULT_PERCENTS,
                     approx_accuracy=args.approx_accuracy).collect()
                 for r in rows:
@@ -498,7 +508,7 @@ def main(argv=None, spark=None) -> int:
                     key, lo, hi = spec.split(":")
                     ranges.append((key, int(lo) if lo else None,
                                    int(hi) if hi else None))
-                rows = eng.range_agg(args.query, filters=filters,
+                rows = eng.range_agg(q_arg, filters=filters,
                                      col=args.date_col,
                                      ranges=ranges).collect()
                 for r in rows:
@@ -508,15 +518,15 @@ def main(argv=None, spark=None) -> int:
                         "hi": None if r["hi"] is None else int(r["hi"]),
                         "n": int(r["n"])}))
             elif args.kind == "count":
-                rows = eng.count_matches(args.query,
+                rows = eng.count_matches(q_arg,
                                          filters=filters).collect()
                 print(json.dumps({"n": int(rows[0]["n"])}))
             elif args.kind == "cardinality":
-                rows = eng.cardinality(args.query, filters=filters,
+                rows = eng.cardinality(q_arg, filters=filters,
                                        col=args.col, rsd=args.rsd).collect()
                 print(json.dumps({"n_distinct": int(rows[0]["n_distinct"])}))
             elif args.kind == "facet-stats":
-                rows = eng.facet_stats(args.query, filters=filters,
+                rows = eng.facet_stats(q_arg, filters=filters,
                                        facet_col=args.facet_col,
                                        col=args.date_col,
                                        k_tags=args.k).collect()
@@ -530,7 +540,7 @@ def main(argv=None, spark=None) -> int:
                         "avg": None if r["avg"] is None
                         else float(r["avg"])}))
             elif args.kind == "extended-stats":
-                r = eng.extended_stats(args.query, filters=filters,
+                r = eng.extended_stats(q_arg, filters=filters,
                                        col=args.date_col, sigma=args.sigma,
                                        shift=args.shift).collect()[0]
                 print(json.dumps({
@@ -550,7 +560,7 @@ def main(argv=None, spark=None) -> int:
                     "std_lower": None if r["std_lower"] is None
                     else float(r["std_lower"])}))
             elif args.kind == "top-hits":
-                rows = eng.top_hits(args.query, filters=filters,
+                rows = eng.top_hits(q_arg, filters=filters,
                                     facet_col=args.facet_col,
                                     sort_col=args.date_col,
                                     k_hits=args.k_hits,
@@ -561,7 +571,7 @@ def main(argv=None, spark=None) -> int:
                         "url": r["url"],
                         "sort_value": int(r["sort_value"])}))
             else:
-                r = eng.field_stats(args.query, filters=filters,
+                r = eng.field_stats(q_arg, filters=filters,
                                     col=args.date_col).collect()[0]
                 print(json.dumps({
                     "n": int(r["n"]),

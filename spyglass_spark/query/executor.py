@@ -755,6 +755,22 @@ class SearchEngine:
         cq.combiner, cq.tie_breaker = comb, tie
         return cq, label
 
+    def _compile_arg(self, query, filters=(), boosts=()):
+        """Compile a query argument for the collector/aggregation
+        surface: a plain string is the reference free-text shape
+        (compile_query), a dict is ANY ``search_many`` batch entry —
+        ``{"parsed": ...}``, ``{"prefix": ...}``, ``{"term_set": ...}``,
+        … — so every collector (count/export/facets/stats/sorted/…)
+        runs over every query shape the engine can search.
+        ``filters``/``boosts`` given positionally merge in unless the
+        dict carries its own."""
+        if isinstance(query, dict):
+            q = dict(query)
+            q.setdefault("filters", filters)
+            q.setdefault("boosts", boosts)
+            return self._compile_one(q)[0]
+        return compile_query(query, filters, boosts)
+
     def _compile_one_shape(self, q: dict):
         filters, boosts = q.get("filters", ()), q.get("boosts", ())
         if "query" in q:
@@ -1381,7 +1397,7 @@ class SearchEngine:
         pyarrow norms read — never a corpus scan."""
         from ..index.fieldnorm import id_to_fieldnorm
 
-        cq = compile_query(query, filters, boosts)
+        cq = self._compile_arg(query, filters, boosts)
         keys = cq.term_keys()
         m = self.manifest
         out: dict = {"url": url, "found": False, "matches": False,
@@ -1659,7 +1675,7 @@ class SearchEngine:
         tags come from the doc-meta scan of matched ords; output is
         O(#tags). No corpus scan, no driver materialization."""
         dm = _dm if _dm is not None else self._match_doc_meta(
-            compile_query(query, filters, boosts), caller="facet_counts")
+            self._compile_arg(query, filters, boosts), caller="facet_counts")
         facet = dm.schema[facet_col]
         val = (F.explode(facet_col) if facet.dataType.typeName() == "array"
                else F.col(facet_col))
@@ -1681,7 +1697,7 @@ class SearchEngine:
         As a ``kind="count"`` sub-aggregation of ``aggregate()`` it is
         served from the request tree's cached frame (``_dm``)."""
         dm = self._match_doc_meta(
-            compile_query(query, filters, boosts),
+            self._compile_arg(query, filters, boosts),
             caller="count_matches") if _dm is None else _dm
         return dm.agg(F.count(F.lit(1)).cast("long").alias("n"))
 
@@ -1703,9 +1719,12 @@ class SearchEngine:
         payload), and the url attachment is one join against the
         column-pruned doc_meta metadata — both sides O(matches) /
         O(docs·16B), never the content."""
-        cq, _ = self._compile_one({"query": query, "filters": filters,
-                                   "boosts": boosts, "combiner": combiner,
-                                   "tie_breaker": tie_breaker})
+        arg = dict(query) if isinstance(query, dict) else {"query": query}
+        arg.setdefault("filters", filters)
+        arg.setdefault("boosts", boosts)
+        arg.setdefault("combiner", combiner)
+        arg.setdefault("tie_breaker", tie_breaker)
+        cq, _ = self._compile_one(arg)
         partial = self._scoring_partial([cq], limit=None, algo="exhaustive")
         if partial is None:
             return self.spark.createDataFrame(
@@ -1795,7 +1814,7 @@ class SearchEngine:
         from pyspark import StorageLevel
 
         dm = self._match_doc_meta(
-            compile_query(query, filters, boosts), caller="export_matches")
+            self._compile_arg(query, filters, boosts), caller="export_matches")
         # persist the (small) url set: the count and the join otherwise
         # each re-run the whole posting-union ∩ Musts − tombstones pass
         urls = dm.select("url").distinct().persist(
@@ -1852,13 +1871,29 @@ class SearchEngine:
                 "search instead")
         union_pairs = {(c.field, t) for c in cq.should_group
                        if c.kind == "term" for t in c.terms}
-        # a should group of ONLY phrase clauses still nominates docs — use
-        # the phrase terms' postings (superset) ∩ nothing else would
-        # over-count; real compile_query output always pairs each phrase
-        # with its term clauses, so union_pairs is never empty here
-        if not union_pairs:
-            union_pairs = {(c.field, t) for c in cq.should_group
-                           for t in c.terms}
+        # a phrase's matches are a SUBSET of each member term's postings,
+        # so the term-posting union is exact only when every phrase is
+        # absorbed by a same-field term clause already in the union
+        # (compile_query always pairs each phrase with its term clauses;
+        # a parsed standalone '"a b"' is not absorbable → raise rather
+        # than over-count)
+        for c in cq.should_group:
+            if c.kind == "phrase" and not any(
+                    (c.field, t) in union_pairs for t in c.terms):
+                raise ValueError(
+                    f"{caller} cannot run a standalone phrase Should "
+                    "exactly (its term-posting union over-counts); use "
+                    "a scored search / score_matches instead")
+        for grp_name, clauses in (("extra_group", [c for g in
+                                                   cq.extra_groups
+                                                   for c in g]),
+                                  ("must", cq.musts),
+                                  ("must_not", cq.must_nots)):
+            for c in clauses:
+                if c.kind != "term":
+                    raise ValueError(
+                        f"{caller} filters must be term clauses; a "
+                        f"phrase {grp_name} needs a scored search")
         match = self._pair_ords(union_pairs)
         for grp in cq.extra_groups:
             match = match.join(
@@ -1912,7 +1947,7 @@ class SearchEngine:
         if interval_us <= 0:
             raise ValueError("interval_us must be positive")
         dm = _dm if _dm is not None else self._match_doc_meta(
-            compile_query(query, filters, boosts), caller="date_histogram")
+            self._compile_arg(query, filters, boosts), caller="date_histogram")
         # integer `div`, not float floor: µs values sit near the double
         # mantissa edge, and both the scalar oracle and DuckDB use the
         # same exact integer arithmetic (dates are non-negative µs)
@@ -1968,7 +2003,7 @@ class SearchEngine:
         if size <= 0:
             raise ValueError("size must be positive")
         dm = _dm if _dm is not None else self._match_doc_meta(
-            compile_query(query, filters, boosts), caller="terms_agg")
+            self._compile_arg(query, filters, boosts), caller="terms_agg")
         facet = dm.schema[facet_col]
         val = (F.explode(facet_col) if facet.dataType.typeName() == "array"
                else F.col(facet_col))
@@ -1999,7 +2034,7 @@ class SearchEngine:
         facet_counts/date_histogram; the aggregate is a single
         partial→final hash agg in whole-stage codegen."""
         dm = _dm if _dm is not None else self._match_doc_meta(
-            compile_query(query, filters, boosts), caller="field_stats")
+            self._compile_arg(query, filters, boosts), caller="field_stats")
         c = F.col(col)
         # EXACT decimal sum, then ONE double division: F.avg(long)
         # accumulates in double, so its last bit depends on partition
@@ -2050,7 +2085,7 @@ class SearchEngine:
         if any(not (0.0 <= p <= 100.0) for p in pcts):
             raise ValueError(f"percents out of [0,100]: {pcts}")
         dm = _dm if _dm is not None else self._match_doc_meta(
-            compile_query(query, filters, boosts), caller="percentiles")
+            self._compile_arg(query, filters, boosts), caller="percentiles")
         # percent→fraction as p/100.0 in double; repr() round-trips the
         # exact double into the SQL literal so engine ≡ scalar oracle
         arr = ", ".join(repr(p / 100.0) for p in pcts)
@@ -2090,7 +2125,7 @@ class SearchEngine:
         profile: the explode is doc-local, the single groupBy is
         map-side combinable, output is O(#facet values)."""
         dm = _dm if _dm is not None else self._match_doc_meta(
-            compile_query(query, filters, boosts), caller="facet_stats")
+            self._compile_arg(query, filters, boosts), caller="facet_stats")
         facet = dm.schema[facet_col]
         val = (F.explode(facet_col) if facet.dataType.typeName() == "array"
                else F.col(facet_col))
@@ -2137,7 +2172,7 @@ class SearchEngine:
         if len({k for k, _, _ in rs}) != len(rs):
             raise ValueError("range keys must be unique")
         dm = _dm if _dm is not None else self._match_doc_meta(
-            compile_query(query, filters, boosts), caller="range_agg")
+            self._compile_arg(query, filters, boosts), caller="range_agg")
         c = F.col(col)
 
         def _lit(b):
@@ -2187,7 +2222,7 @@ class SearchEngine:
         relative error ≤ rsd) — the sketch/exact split the rest of
         the aggregation surface follows."""
         dm = _dm if _dm is not None else self._match_doc_meta(
-            compile_query(query, filters, boosts), caller="cardinality")
+            self._compile_arg(query, filters, boosts), caller="cardinality")
         c = F.col(col)
         agg = (F.approx_count_distinct(col, rsd) if rsd is not None
                else F.count_distinct(c)).alias("n_distinct")
@@ -2234,7 +2269,7 @@ class SearchEngine:
         stays the RAW Σx² (NULL once it overflows), matching the ES/
         tantivy response field; ``variance`` stays exact under shift."""
         dm = _dm if _dm is not None else self._match_doc_meta(
-            compile_query(query, filters, boosts), caller="extended_stats")
+            self._compile_arg(query, filters, boosts), caller="extended_stats")
         c = F.col(col)
         x = dm.filter(c.isNotNull()).select(
             c.cast("long").alias("_x"),
@@ -2294,7 +2329,7 @@ class SearchEngine:
         if k_hits <= 0:
             raise ValueError("k_hits must be positive")
         dm = _dm if _dm is not None else self._match_doc_meta(
-            compile_query(query, filters, boosts), caller="top_hits")
+            self._compile_arg(query, filters, boosts), caller="top_hits")
         facet = dm.schema[facet_col]
         tag = (F.explode(facet_col) if facet.dataType.typeName() == "array"
                else F.col(facet_col))
@@ -2356,7 +2391,7 @@ class SearchEngine:
             raise ValueError("after (cursor) and offset are mutually "
                              "exclusive — the cursor replaces the offset")
         dm = self._match_doc_meta(
-            compile_query(query, filters, boosts), caller="search_sorted")
+            self._compile_arg(query, filters, boosts), caller="search_sorted")
         dm = dm.filter(F.col(col).isNotNull())
         if after is not None:
             av, au = after
@@ -2406,7 +2441,7 @@ class SearchEngine:
             if spec.get("kind") not in builders:
                 raise ValueError(
                     f"agg {name!r}: kind must be one of {self.AGG_KINDS}")
-        dm = self._match_doc_meta(compile_query(query, filters, boosts),
+        dm = self._match_doc_meta(self._compile_arg(query, filters, boosts),
                                   caller="aggregate")
         prev = getattr(self, "_agg_dm_cache", None)
         if prev is not None:

@@ -153,6 +153,13 @@ def test_cli_pattern_search_and_agg(spark, built_index, capsys):
     assert [h["doc_id"] for h in hits] == [w["doc_id"] for w in want]
     assert hits, "parsed query string must hit"
 
+    # collectors over a parsed string: count pinned to the oracle's
+    # full match-set size
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind", "count",
+                               "--parsed", "--query", "+fn main merge"])
+    n = json.loads(out.strip().splitlines()[-1])["n"]
+    assert n == len(oracle.search_parsed("+fn main merge", k=10**6)) > 0
+
     out = _run(capsys, spark, ["agg", "--index", idx,
                                "--query", "fn index"])
     rows = [json.loads(x) for x in out.strip().splitlines()]

@@ -203,3 +203,62 @@ def test_parsed_wand_batch_and_dismax(engine, built_index):
     got = sorted(by_q.get(1, []), key=lambda r: r["rank"])
     assert [(r["doc_id"], _bits(r["score"])) for r in got] == \
         [(h["doc_id"], _bits(h["score"])) for h in want]
+
+
+# ---- collectors/aggregations over ANY query shape ----------------------
+
+def test_collectors_accept_dict_query_shapes(engine, built_index, spark):
+    """count/facets/export/score_matches take a search_many-style dict —
+    the collector surface runs over parsed (and pattern) queries, graded
+    against oracle brute force."""
+    oracle = built_index["oracle"]
+    qs = "+fn main merge"
+    want = oracle.search_parsed(qs, k=10**6)
+    n = engine.count_matches({"parsed": qs}).collect()[0]["n"]
+    assert n == len(want) > 0
+
+    # pattern shape on a collector: term-set count
+    ts = ["fn", "merg", "zzabsent"]
+    n = engine.count_matches({"term_set": ts}).collect()[0]["n"]
+    assert n == len(oracle.search_term_set(ts, k=10**6)) > 0
+
+    # facet counts over the parsed match set vs oracle tag histogram
+    from collections import Counter
+
+    tagc = Counter(t for h in want for t in h["tags"])
+    got = {r["tag_id"]: r["n"]
+           for r in engine.facet_counts({"parsed": qs}).collect()}
+    assert got == dict(tagc)
+
+    # scored export frame is bitwise the parsed search at every rank
+    full = {r["url"]: r["score"]
+            for r in engine.score_matches({"parsed": qs}).collect()}
+    hits = engine.search_parsed(qs, k=50).collect()
+    assert hits and all(
+        np.float32(full[h["url"]]).tobytes() ==
+        np.float32(h["score"]).tobytes() for h in hits)
+
+    # export sink: matched urls == the oracle's match set
+    docs_df = spark.createDataFrame(built_index["docs"])
+    out = str(built_index["index_dir"]) + "_parsed_export"
+    res = engine.export_matches({"parsed": qs}, docs_df, out)
+    assert res["matched_urls"] == len(want)
+    got_urls = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert got_urls == {h["url"] for h in want}
+
+
+def test_match_set_guards_on_parsed_shapes(engine):
+    """The unscored match-set machinery must REFUSE shapes it cannot
+    count exactly (phrase-posting unions over/under-count) instead of
+    silently miscounting."""
+    with pytest.raises(ValueError, match="standalone phrase"):
+        engine.count_matches({"parsed": '"parse token"'})
+    with pytest.raises(ValueError, match="phrase must_not"):
+        engine.count_matches({"parsed": 'fn -"parse token"'})
+    # '+phrase' is refused twice over: the scoring-Should copy trips the
+    # standalone-phrase guard, the group copy the term-only filter guard
+    with pytest.raises(ValueError, match="phrase"):
+        engine.count_matches({"parsed": 'fn +"parse token"'})
+    # the absorbable shape stays allowed: phrase + its own terms
+    n = engine.count_matches({"query": "parse token"}).collect()[0]["n"]
+    assert n > 0
