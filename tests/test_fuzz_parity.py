@@ -416,6 +416,28 @@ def test_randomized_aggregation_parity(spark, tmp_path, seed):
         assert eng.count_matches(q, filters=filters) \
             .collect()[0]["n"] == len(matched), (seed, q)
 
+        # any-shape collectors: the parsed-grammar dict form of the
+        # SAME words reaches the identical match set through a second
+        # compile path (parser: bare-word Shoulds, no phrase clause —
+        # the union is the same), every seed
+        assert eng.count_matches({"parsed": q, "filters": filters}) \
+            .collect()[0]["n"] == len(matched), (seed, q)
+        got_fcp = [(r["tag_id"], r["n"]) for r in eng.facet_counts(
+            {"parsed": q, "filters": filters}).collect()]
+        assert got_fcp == exp_fc, (seed, q, filters)
+
+        # a random grammar composition counted against oracle brute
+        # force (guarded shapes — standalone phrases — skip)
+        for _ in range(6):
+            qs = _mk_parsed(rng)
+            try:
+                n_p = eng.count_matches({"parsed": qs}).collect()[0]["n"]
+            except ValueError:
+                continue
+            assert n_p == len(oracle.search_parsed(qs, k=100_000)), \
+                (seed, qs)
+            break
+
         # scored match set: bitwise float32 vs the oracle's unbounded-k
         # hits, every seed (the score_matches/export_scored kernel)
         got_sc = {(row["url"], np.float32(row["score"]))
