@@ -1017,7 +1017,7 @@ def q_search_term_set(spark, sf_dir):  # fixture-oracle: IN-list read
 
 
 def q_search_dismax(spark, sf_dir):  # fixture-oracle: dismax combiner
-    """Lucene DisjunctionMaxQuery / tantivy-0.19 DisjunctionMaxQuery over
+    """Lucene DisjunctionMaxQuery (public Lucene/ES surface) over
     the compiled Should group (ES multi_match best_fields): score = best
     matching clause + tie_breaker × the other matching clauses, float32
     op-ordered m + tie·(s−m) on both sides. The fixture oracle runs the

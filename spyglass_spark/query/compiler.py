@@ -70,10 +70,10 @@ class CompiledQuery:
     range_musts: list[tuple] = dc_field(default_factory=list)
     term_count: int = 0
     # Should-group score combiner: 'sum' (tantivy/Lucene BooleanQuery —
-    # the reference shape) or 'dismax' (Lucene DisjunctionMaxQuery /
-    # tantivy-0.19 query::DisjunctionMaxQuery: best matching clause +
-    # tie_breaker × the other matching clauses' scores — the ES
-    # multi_match best_fields semantics). Applies to ``should_group``
+    # the reference shape) or 'dismax' (Lucene DisjunctionMaxQuery,
+    # public Lucene/ES surface: best matching clause + tie_breaker ×
+    # the other matching clauses' scores — the ES multi_match
+    # best_fields semantics). Applies to ``should_group``
     # only; scoring Musts and favorite should-extras still ADD on top,
     # mirroring Must(DisMax(disjuncts)) + extra clauses. float32 op
     # order: m = running max, s = clause-order sum, score =

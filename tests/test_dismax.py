@@ -1,5 +1,5 @@
-"""DisjunctionMaxQuery combiner parity (Lucene DisMax / tantivy-0.19
-query::DisjunctionMaxQuery): the Should-group score becomes
+"""DisjunctionMaxQuery combiner parity (Lucene DisMax, public
+Lucene/ES surface): the Should-group score becomes
 max(clause scores) + tie_breaker × (sum of the other matching clauses)
 — ES multi_match best_fields semantics. The engine must be bitwise
 float32-identical to the oracle twin at every rank, WAND must stay a
