@@ -1378,10 +1378,14 @@ class SearchEngine:
         return (hits.filter(F.col("doc_id") != doc_id)
                 .orderBy("rank").limit(k))
 
-    def explain(self, query: str, url: str, filters=(), boosts=()) -> dict:
+    def explain(self, query, url: str, filters=(), boosts=()) -> dict:
         """Per-clause BM25 score breakdown for one document — the tantivy
         ``Query::explain``/``Explanation`` analog [tantivy-0.19.2 public
-        API], and this rebuild's rank-identity debugging tool. Returns::
+        API], and this rebuild's rank-identity debugging tool. ``query``
+        takes any _compile_arg shape (a string, or a search_many-style
+        dict incl. ``parsed``/pattern shapes with a ``combiner``); the
+        reported ``score`` applies the query's combiner with the same
+        float32 op order as the scorer. Returns::
 
             {"url", "found", "matches", "score", "clauses": [
                {"role", "kind", "field", "terms", "boost", "weight",
@@ -1453,6 +1457,12 @@ class SearchEngine:
         should_hit = False
         group_hit: dict[int, bool] = {}
         acc = np.float32(0.0)
+        # dismax bookkeeping (combiner, compiler.py): shoulds come first
+        # in spec order, so core = m + tie·(s − m) then the non-should
+        # scoring contributions add in order — the same float32 op
+        # sequence as _score_partition's dismax branch
+        sh_sum, sh_max = np.float32(0.0), np.float32(0.0)
+        rest_cs: list = []
         for spec in specs:
             field = spec["field"]
             entry = {"role": spec["role"], "kind": spec["kind"],
@@ -1488,6 +1498,12 @@ class SearchEngine:
                                        spec["weight"], caches[field])[0]
                     entry["contribution"] = float(c)
                     acc = np.float32(acc + np.float32(c))
+                    if spec["role"] == "should":
+                        sh_sum = np.float32(sh_sum + np.float32(c))
+                        if np.float32(c) > sh_max:
+                            sh_max = np.float32(c)
+                    else:
+                        rest_cs.append(np.float32(c))
             if spec["role"] == "should":
                 should_hit = should_hit or entry["matched"]
             elif spec["role"] == "extra_group":
@@ -1500,6 +1516,11 @@ class SearchEngine:
             out["clauses"].append(entry)
 
         has_should = any(s["role"] == "should" for s in specs)
+        if getattr(cq, "combiner", "sum") == "dismax":
+            tie = np.float32(getattr(cq, "tie_breaker", 0.0))
+            acc = sh_max + tie * (sh_sum - sh_max)
+            for c in rest_cs:
+                acc = np.float32(acc + c)
         out["score"] = float(acc)
         out["matches"] = bool(
             (should_hit or not has_should)

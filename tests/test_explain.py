@@ -118,3 +118,33 @@ def test_explain_phrase_clause_detail(eng, built_index):
         assert c["tf"] >= 1
         assert len(c["df"]) == len(c["terms"]) >= 2
     assert toks  # the analyzed doc is non-trivial
+
+
+def test_explain_dict_shapes_and_combiner(eng):
+    """explain accepts any _compile_arg shape: a dismax dict reports the
+    combined score bitwise vs search, and a parsed string's '+' group
+    gates membership."""
+    q = {"query": "merge join table", "combiner": "dismax",
+         "tie_breaker": 0.35}
+    hits = eng.search("merge join table", k=8, combiner="dismax",
+                      tie_breaker=0.35).collect()
+    assert hits
+    for h in hits[:4]:
+        ex = eng.explain(q, h["url"])
+        assert ex["matches"]
+        assert np.float32(ex["score"]) == np.float32(h["score"]), h["url"]
+
+    phits = eng.search_parsed("+fn main", k=8).collect()
+    assert phits
+    ex = eng.explain({"parsed": "+fn main"}, phits[0]["url"])
+    assert ex["matches"]
+    assert np.float32(ex["score"]) == np.float32(phits[0]["score"])
+    # a doc outside the '+' group must gate to matches=False even if it
+    # matches the bare word — a 'merge' hit that is NOT a 'struct' hit
+    # (independent corpus words, so this set is nonempty)
+    st_urls = {h["url"] for h in eng.search("struct", k=500).collect()}
+    only_merge = [h for h in eng.search("merge", k=500).collect()
+                  if h["url"] not in st_urls]
+    assert only_merge
+    ex = eng.explain({"parsed": "+struct merge"}, only_merge[0]["url"])
+    assert ex["found"] and not ex["matches"]
