@@ -1030,6 +1030,50 @@ def q_search_dismax(spark, sf_dir):  # fixture-oracle: dismax combiner
                                           tie_breaker=0.35))
 
 
+def q_search_msm(spark, sf_dir):  # fixture-oracle: minimum_should_match
+    """Lucene BooleanQuery setMinimumNumberShouldMatch (public Lucene/ES
+    surface — ES minimum_should_match): a doc is a candidate only when
+    >= 3 DISTINCT Should clauses match; scoring is unchanged (matching
+    clauses sum exactly as before), so scores stay bitwise float32 ==
+    the oracle twin's. 'dup' is a rare high-idf content term, so the
+    UNFILTERED top-10 is dominated by dup-only docs matching 1-2
+    clauses — the gate evicts them; the fixture generator asserts the
+    top-10 actually changes AND the full match set strictly shrinks,
+    so the grade covers the gate itself, not just the clause scores.
+    msm >= 2 forces the exhaustive scorer (WAND is a pruning strategy
+    with no clause-count bound); auto == exhaustive is pinned by
+    test_msm."""
+    return _contract_hits(
+        _get_engine(spark, sf_dir).search("dup merge sort", k=10,
+                                          min_should_match=3))
+
+
+def q_search_suggest(spark, sf_dir):  # fixture-oracle: term suggester
+    """Spelling suggestions (Lucene DirectSpellChecker / ES term
+    suggester, mode='popular' distance=2): the engine reads the field's
+    sorted term_stats dictionary slice in the pyarrow metadata plane and
+    verifies with banded Levenshtein (query/expand.suggest_terms) — ZERO
+    Spark jobs for the lookup (the dictionary is vocab-scale, not
+    corpus-scale, at any SF); the fixture oracle brute-forces Levenshtein
+    over its whole enumerated dictionary. rank grades the documented
+    (dist ASC, df DESC, term ASC) order that the limit-5 cap makes
+    load-bearing. The driver-side rows land in a literal VALUES
+    LocalRelation, so the whole entry stays job-free."""
+    eng = _get_engine(spark, sf_dir)
+    vals = []
+    for inp in ("sow", "windoe", "sorrt"):
+        for i, s in enumerate(eng.suggest(inp, field="content",
+                                          distance=2, limit=5,
+                                          mode="popular")):
+            # analyzer-normalized terms are [a-z0-9]+ — no escaping needed
+            vals.append(f"('{inp}',{i + 1},'{s['term']}',"
+                        f"{int(s['df'])}L,{int(s['dist'])})")
+    return spark.sql(
+        "SELECT col1 AS input, CAST(col2 AS INT) AS rank, col3 AS term, "
+        "col4 AS df, CAST(col5 AS INT) AS dist "
+        f"FROM (VALUES {','.join(vals)})")
+
+
 def q_search_parsed(spark, sf_dir):  # fixture-oracle: QueryParser analog
     """Query-string grammar (query/parser.py — the tantivy QueryParser /
     Lucene classic-syntax analog) compiled driver-side: '+merge' is a
@@ -1471,8 +1515,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sha256_invariant": q_sha256_invariant,
         "index_fsck": q_index_fsck,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        # r5 third rotation: dedup_exact / dedup_minhash_lsh (hash-green
+        # r1-r4 AND re-proved every round by their bench legs) make room
+        # for the final-session additions — minimum_should_match and the
+        # term suggester — so both get driver hash evidence. Rotated
+        # entries stay value-gated every run by tests/test_entry.py.
+        "search_msm": q_search_msm,
+        "search_suggest": q_search_suggest,
         "dedup_clusters": q_dedup_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -1533,6 +1582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_streamed": q_search_streamed,
         "search_after_page": q_search_after_page,
         "search_phrase_tag_filter": q_search_phrase_tag_filter,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_passages": q_dedup_passages,
         "textstats_repetition": q_textstats_repetition,
         # multi-round hash-green entries rotated past the driver's
@@ -1901,6 +1952,14 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
         "search_term_range": _fixture_sql("search_term_range"),
         "search_term_set": _fixture_sql("search_term_set"),
         "search_dismax": _fixture_sql("search_dismax"),
+        "search_msm": _fixture_sql("search_msm"),
+        # term-suggester fixture: rank pins the (dist ASC, df DESC,
+        # term ASC) contract; corpus_key selects the sf (fixture pattern)
+        "search_suggest": (
+            "SELECT input, rank, term, df, dist FROM "
+            f"'{FIXTURES_DIR}/search_expected_search_suggest.parquet' "
+            "WHERE corpus_key = (SELECT CAST(sum(length(text)) AS BIGINT) "
+            "FROM documents)"),
         "search_parsed": _fixture_sql("search_parsed"),
         # independent-algorithm cross-check: DuckDB enumerates the whole
         # dictionary × query cross join with its own levenshtein; Spark

@@ -81,6 +81,12 @@ def main(argv=None, spark=None) -> int:
                         "tie-breaker x the rest; text mode)")
     s.add_argument("--tie-breaker", type=float, default=0.0,
                    help="dismax tie breaker in [0, 1]")
+    s.add_argument("--min-should-match", type=int, default=0,
+                   help="require at least this many distinct Should "
+                        "clauses to match (Lucene BooleanQuery "
+                        "setMinimumNumberShouldMatch / ES "
+                        "minimum_should_match; 0/1 = plain union; "
+                        "text and parsed modes)")
     s.add_argument("--as-of", type=int, default=None,
                    help="search the manifest snapshot at this commit_seq "
                         "(time travel; see index stats for current seq)")
@@ -124,6 +130,21 @@ def main(argv=None, spark=None) -> int:
                          "newest N history pointers (small JSON only — "
                          "segment data is reclaimed by merges/compaction, "
                          "never by this)")
+
+    sg = sub.add_parser("suggest", help="spelling suggestions for a term "
+                                        "(Lucene DirectSpellChecker / ES "
+                                        "term-suggester analog; pyarrow "
+                                        "metadata plane, no Spark session)")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--term", required=True)
+    sg.add_argument("--field", default="content")
+    sg.add_argument("--distance", type=int, default=2)
+    sg.add_argument("--limit", type=int, default=5)
+    sg.add_argument("--mode", default="popular",
+                    choices=["missing", "popular", "always"],
+                    help="ES suggest_mode: missing = only when the term "
+                         "is absent; popular = only more-frequent "
+                         "corrections (default); always = all in-distance")
 
     d = sub.add_parser("delete", help="tombstone doc ids or urls "
                                       "(delete_document_by_url RPC analog)")
@@ -276,6 +297,30 @@ def main(argv=None, spark=None) -> int:
         print(json.dumps({"snapshots": list_snapshots(args.index),
                           "expired": expired}))
         return 0
+    if args.cmd == "suggest":
+        import os
+
+        from spyglass_spark.index.fuzzy_dict import fuzzy_dict_path
+        from spyglass_spark.index.manifest import load_manifest
+        from spyglass_spark.query.expand import (normalize_pattern,
+                                                 suggest_terms)
+
+        m = load_manifest(args.index)
+        if m is None or not m.committed:
+            p.error(f"no committed index manifest in {args.index}")
+        stats = [f"{args.index}/{g['prefix']}/term_stats"
+                 for g in m.gen_list()]
+        fz = fuzzy_dict_path(args.index, m.commit_seq)
+        fuzzy_paths = ([fz] if os.path.exists(os.path.join(fz, "_SUCCESS"))
+                       else None)
+        norm = normalize_pattern(args.term)
+        out = (suggest_terms(stats, args.field, norm,
+                             distance=args.distance, limit=args.limit,
+                             mode=args.mode, fuzzy_paths=fuzzy_paths)
+               if norm else [])
+        print(json.dumps({"term": norm, "suggestions": [
+            {"term": t, "df": d, "dist": x} for t, d, x in out]}))
+        return 0
     if args.cmd == "delete":
         if not (args.doc_id or args.url or args.domain or args.tag):
             p.error("delete: provide --doc-id, --url, --domain and/or --tag")
@@ -410,11 +455,13 @@ def main(argv=None, spark=None) -> int:
             if args.mode == "text":
                 rows = eng.search(args.query, combiner=args.combiner,
                                   tie_breaker=args.tie_breaker,
+                                  min_should_match=args.min_should_match,
                                   **common).collect()
             elif args.mode == "parsed":
                 rows = eng.search_parsed(args.query,
                                          combiner=args.combiner,
                                          tie_breaker=args.tie_breaker,
+                                         min_should_match=args.min_should_match,
                                          **common).collect()
             elif args.mode == "fuzzy":
                 rows = eng.search_fuzzy(args.query,

@@ -205,12 +205,23 @@ class OracleIndex:
         must_scores = [self._clause_scores(c, caches) if c.scoring else
                        {o: np.float32(0.0) for o in self._matches(c)}
                        for c in cq.musts]
-        # candidate set: every Must group/clause must match
+        # candidate set: every Must group/clause must match. The Should
+        # group requires ≥ max(1, min_should_match) DISTINCT matching
+        # clauses (Lucene setMinimumNumberShouldMatch; 0/1 = the
+        # reference's plain Must-wrap union).
+        msm = max(1, int(getattr(cq, "min_should_match", 0)))
         must_sets: list[set[int]] = []
         if cq.should_group:
-            u: set[int] = set()
-            for gs in group_scores:
-                u |= set(gs)
+            if msm <= 1:
+                u: set[int] = set()
+                for gs in group_scores:
+                    u |= set(gs)
+            else:
+                cnt: dict[int, int] = defaultdict(int)
+                for gs in group_scores:
+                    for o in gs:
+                        cnt[o] += 1
+                u = {o for o, c in cnt.items() if c >= msm}
             must_sets.append(u)
         for grp in cq.extra_groups:
             u = set()
@@ -281,9 +292,10 @@ class OracleIndex:
 
     def search(self, query: str, filters=(), boosts=(), k: int = 5,
                offset: int = 0, combiner: str = "sum",
-               tie_breaker: float = 0.0):
+               tie_breaker: float = 0.0, min_should_match: int = 0):
         cq = compile_query(query, filters, boosts)
         cq.combiner, cq.tie_breaker = combiner, float(tie_breaker)
+        cq.min_should_match = int(min_should_match)
         return self.execute(cq, k=k, offset=offset)
 
     # -- multi-term pattern queries (brute-force twin of query/expand) --
@@ -385,7 +397,8 @@ class OracleIndex:
     def search_parsed(self, qs: str, filters=(), boosts=(), k: int = 5,
                       offset: int = 0,
                       max_expansions: int = DEFAULT_MAX_EXPANSIONS,
-                      combiner: str = "sum", tie_breaker: float = 0.0):
+                      combiner: str = "sum", tie_breaker: float = 0.0,
+                      min_should_match: int = 0):
         """Query-string parser twin (query/parser.py grammar — the
         tantivy QueryParser analog). The PARSER is shared scalar code
         like the compiler; the oracle supplies its whole-dictionary
@@ -410,6 +423,7 @@ class OracleIndex:
                                 expand_range=expand_rng,
                                 max_expansions=max_expansions)
         cq.combiner, cq.tie_breaker = combiner, float(tie_breaker)
+        cq.min_should_match = int(min_should_match)
         return self.execute(cq, k=k, offset=offset)
 
     def search_phrase_prefix(self, query: str, k: int = 5, offset: int = 0,
@@ -427,6 +441,40 @@ class OracleIndex:
         return self.execute(
             compile_phrase_prefix(fixed, per_field, filters, boosts),
             k=k, offset=offset)
+
+    def suggest(self, term: str, field: str = "content",
+                distance: int = 2, limit: int = 5,
+                mode: str = "popular") -> list[dict]:
+        """Term-suggester twin (Lucene DirectSpellChecker / ES term
+        suggester — expand.suggest_terms documents the contract): brute
+        Levenshtein over the WHOLE enumerated dictionary, deliberately
+        independent of the engine's SymSpell deletion-key sidecar and
+        pyarrow slice reads, ranked (dist ASC, df DESC, term ASC)."""
+        from ..query.expand import (SUGGEST_MODES, levenshtein_le,
+                                    normalize_pattern)
+
+        if mode not in SUGGEST_MODES:
+            raise ValueError(f"mode must be one of {SUGGEST_MODES}: {mode!r}")
+        norm = normalize_pattern(term)
+        if not norm or distance < 1:
+            return []
+        self_df = self.df(field, norm)
+        if mode == "missing" and self_df > 0:
+            return []
+        floor = self_df if mode == "popular" else -1
+        hits = []
+        for (f, t) in self.postings:
+            if f != field or t == norm:
+                continue
+            d = self.df(field, t)
+            if d <= floor:
+                continue
+            dist = levenshtein_le(norm, t, distance)
+            if dist <= distance:
+                hits.append((t, d, dist))
+        hits.sort(key=lambda x: (x[2], -x[1], x[0]))
+        return [{"term": t, "df": d, "dist": x}
+                for t, d, x in hits[:limit]]
 
     def search_fuzzy(self, term: str, distance: int = 1, k: int = 5,
                      offset: int = 0, fields=("content", "title"),

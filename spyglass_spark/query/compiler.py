@@ -80,6 +80,14 @@ class CompiledQuery:
     # m + tie·(s − m), each op float32 (engine and oracle identical).
     combiner: str = "sum"
     tie_breaker: float = 0.0  # dismax only; Lucene requires 0 ≤ tie ≤ 1
+    # Lucene BooleanQuery.Builder#setMinimumNumberShouldMatch (public
+    # Lucene/ES surface — ES minimum_should_match): a doc is a candidate
+    # only when at least this many DISTINCT should_group clauses match.
+    # 0/1 are the reference shape (the Must-wrap already requires ≥1);
+    # m > len(should_group) matches nothing (Lucene semantics). Scoring
+    # is unchanged — matching clauses combine exactly as before (sum or
+    # dismax); msm only gates candidacy.
+    min_should_match: int = 0
 
     def all_clauses(self) -> list[Clause]:
         out = self.should_group + self.musts + self.should_extra + self.must_nots

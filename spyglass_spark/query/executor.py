@@ -408,7 +408,8 @@ def _score_partition(plan: dict, postings_pdf: pd.DataFrame):
         after = q.get("after")
         after_local = ((np.float32(after[0]), int(after[1]) - base_i)
                        if after is not None else None)
-        if algo != "exhaustive" and _wand_eligible(q["specs"]):
+        if algo != "exhaustive" and q.get("msm", 0) <= 1 \
+                and _wand_eligible(q["specs"]):
             res = _run_wand(q, payload, caches, norm_arrays, fast_arrays,
                             limit, local_tomb, shared, after_local)
             if res is not None:
@@ -494,8 +495,15 @@ def _score_partition(plan: dict, postings_pdf: pd.DataFrame):
         should = [r for r in clause_results if r[2]["role"] == "should"]
         must_sets = []
         if should:
-            u = np.unique(np.concatenate([r[0] for r in should])) if should else \
-                np.empty(0, np.int64)
+            # each clause's ords are unique, so occurrence counts across
+            # the concatenation = number of DISTINCT matching should
+            # clauses per doc — the Lucene minimumNumberShouldMatch gate
+            # (msm ≤ 1 is the plain union / reference Must-wrap shape)
+            u, cnts = np.unique(np.concatenate([r[0] for r in should]),
+                                return_counts=True)
+            msm = q.get("msm", 0)
+            if msm > 1:
+                u = u[cnts >= msm]
             must_sets.append(u)
         groups: dict[int, list] = {}
         for r in clause_results:
@@ -681,17 +689,27 @@ class SearchEngine:
     def search(self, query: str, filters=(), boosts=(), k: int = 5,
                offset: int = 0, algo: str = "auto",
                search_after=None, combiner: str = "sum",
-               tie_breaker: float = 0.0) -> DataFrame:
+               tie_breaker: float = 0.0,
+               min_should_match: int = 0) -> DataFrame:
         """``combiner='dismax'`` switches the Should-group score from the
         clause sum (tantivy/Lucene BooleanQuery, the reference shape) to
         Lucene DisjunctionMaxQuery semantics — best matching clause +
         ``tie_breaker`` × the others (ES multi_match best_fields). WAND
         pruning stays available (tie ∈ [0,1] keeps the Σ-UB bound valid,
-        wand.py); results remain bitwise exhaustive-identical."""
+        wand.py); results remain bitwise exhaustive-identical.
+
+        ``min_should_match`` is Lucene BooleanQuery's
+        setMinimumNumberShouldMatch (ES minimum_should_match): a doc is
+        a candidate only when ≥ that many DISTINCT Should clauses match
+        (0/1 = the reference's plain Must-wrap). Scoring is unchanged —
+        msm only gates candidacy; msm ≥ 2 scores exhaustively (WAND is
+        a pruning strategy and its Σ-UB advance has no clause-count
+        bound)."""
         return self.search_many(
             [{"query": query, "filters": filters, "boosts": boosts,
               "after": search_after, "combiner": combiner,
-              "tie_breaker": tie_breaker}],
+              "tie_breaker": tie_breaker,
+              "min_should_match": min_should_match}],
             k=k, offset=offset, algo=algo).drop("query_id")
 
     def search_many(self, queries: list[dict], k: int = 5, offset: int = 0,
@@ -751,8 +769,12 @@ class SearchEngine:
             # Lucene DisjunctionMaxQuery contract; also what keeps the
             # WAND Σ-UB bound valid (wand.py)
             raise ValueError(f"tie_breaker must be in [0, 1]: {tie}")
+        msm = int(q.get("min_should_match", 0))
+        if msm < 0:
+            raise ValueError(f"min_should_match must be >= 0: {msm}")
         cq, label = self._compile_one_shape(q)
         cq.combiner, cq.tie_breaker = comb, tie
+        cq.min_should_match = msm
         return cq, label
 
     def _compile_arg(self, query, filters=(), boosts=()):
@@ -1062,7 +1084,8 @@ class SearchEngine:
                       offset: int = 0, algo: str = "auto",
                       max_expansions: int = DEFAULT_MAX_EXPANSIONS,
                       search_after=None, combiner: str = "sum",
-                      tie_breaker: float = 0.0) -> DataFrame:
+                      tie_breaker: float = 0.0,
+                      min_should_match: int = 0) -> DataFrame:
         """Query-string search — the tantivy ``QueryParser`` analog
         (query/parser.py documents the grammar: ``+must -not
         field:term "phrase"~slop term^boost field:[a TO b]``). Parsing
@@ -1073,7 +1096,8 @@ class SearchEngine:
         return self.search_many(
             [{"parsed": query, "filters": filters, "boosts": boosts,
               "max_expansions": max_expansions, "after": search_after,
-              "combiner": combiner, "tie_breaker": tie_breaker}],
+              "combiner": combiner, "tie_breaker": tie_breaker,
+              "min_should_match": min_should_match}],
             k=k, offset=offset, algo=algo).drop("query_id")
 
     def _fuzzy_dict_paths(self) -> list[str] | None:
@@ -1089,6 +1113,30 @@ class SearchEngine:
         from ..index.fuzzy_dict import build_fuzzy_dict
 
         return build_fuzzy_dict(self.spark, self.index_dir)
+
+    def suggest(self, term: str, field: str = "content",
+                distance: int = 2, limit: int = 5,
+                mode: str = "popular") -> list[dict]:
+        """Spelling suggestions ("did you mean") for one term — the
+        Lucene DirectSpellChecker / ES term-suggester analog
+        (query/expand.suggest_terms documents the ranking and the ES
+        ``suggest_mode`` contract: missing | popular | always).
+        Driver-side by construction — the SymSpell sidecar IN-list read
+        when it covers ``distance``, the field's dictionary slice
+        otherwise, both in the pyarrow metadata plane: ZERO Spark jobs
+        (the dictionary is vocab-scale, not corpus-scale, at any SF).
+        Returns [{"term", "df", "dist"}] — raw dictionary terms (the
+        content field's are stemmed, like every pattern query's)."""
+        from .expand import normalize_pattern, suggest_terms
+
+        norm = normalize_pattern(term)
+        if not norm:
+            return []
+        out = suggest_terms(self._paths("term_stats"), field, norm,
+                            distance=distance, limit=limit, mode=mode,
+                            fuzzy_paths=self._fuzzy_dict_paths())
+        return [{"term": t, "df": int(d), "dist": int(x)}
+                for t, d, x in out]
 
     def _scoring_partial(self, compiled: list[CompiledQuery],
                          limit: int | None, algo: str = "auto",
@@ -1127,6 +1175,10 @@ class SearchEngine:
                          # 'sum' (default) or 'dismax' with tie ∈ [0,1]
                          "combiner": getattr(cq, "combiner", "sum"),
                          "tie": float(getattr(cq, "tie_breaker", 0.0)),
+                         # Lucene minimumNumberShouldMatch candidate
+                         # gate (compiler.py); ≥2 disables WAND (pruning
+                         # strategy only — msm shapes score exhaustively)
+                         "msm": int(getattr(cq, "min_should_match", 0)),
                          "after": (float(afters[qi][0]), int(afters[qi][1]))
                          if afters is not None and afters[qi] is not None
                          else None}
@@ -1136,7 +1188,8 @@ class SearchEngine:
         # last_meta can report how many of the batch's queries took the
         # WAND pruning path (vs exhaustive fallback)
         self._last_wand_eligible = sum(
-            1 for q in plan["queries"] if _wand_eligible(q["specs"]))
+            1 for q in plan["queries"]
+            if q["msm"] <= 1 and _wand_eligible(q["specs"]))
         plan |= {
             "caches": caches,
             "limit": limit,
@@ -1454,7 +1507,7 @@ class SearchEngine:
             return n if n > 0 else None
 
         must_ok, must_not_hit = True, False
-        should_hit = False
+        should_matched_n = 0
         group_hit: dict[int, bool] = {}
         acc = np.float32(0.0)
         # dismax bookkeeping (combiner, compiler.py): shoulds come first
@@ -1505,7 +1558,7 @@ class SearchEngine:
                     else:
                         rest_cs.append(np.float32(c))
             if spec["role"] == "should":
-                should_hit = should_hit or entry["matched"]
+                should_matched_n += int(entry["matched"])
             elif spec["role"] == "extra_group":
                 group_hit[spec["group"]] = (group_hit.get(spec["group"], False)
                                             or entry["matched"])
@@ -1522,8 +1575,12 @@ class SearchEngine:
             for c in rest_cs:
                 acc = np.float32(acc + c)
         out["score"] = float(acc)
+        # Lucene minimumNumberShouldMatch gate: ≥ max(1, msm) DISTINCT
+        # should clauses must match (the scorer's candidate rule)
+        msm = max(1, int(getattr(cq, "min_should_match", 0)))
+        out["should_matched"] = should_matched_n
         out["matches"] = bool(
-            (should_hit or not has_should)
+            (should_matched_n >= msm or not has_should)
             and all(group_hit.values())
             and must_ok and not must_not_hit and float(acc) > 0.0)
         return out
@@ -1669,6 +1726,49 @@ class SearchEngine:
                        pd.DataFrame({"doc_ord": pd.Series([], dtype="int64")}))
 
         return rows.mapInPandas(decode, "doc_ord long").distinct()
+
+    def _clause_count_ords(self, clause_pairs: list, msm: int) -> DataFrame:
+        """doc_ords matching at least ``msm`` DISTINCT clauses, where
+        clause i matches a doc iff ANY of ``clause_pairs[i]``'s
+        (field, term) postings contain it — the Lucene
+        minimumNumberShouldMatch gate for the unscored collector path.
+        Same pruned posting scan as ``_pair_ords``; the decode emits
+        (doc_ord, clause_id) pairs and ONE partial→final distinct-count
+        aggregation applies the gate (doc-local keys, skew-free)."""
+        by_pair: dict[tuple, list[int]] = {}
+        for ci, pairs in enumerate(clause_pairs):
+            for p in pairs:
+                by_pair.setdefault(p, []).append(ci)
+        fields = sorted({f for f, _ in by_pair})
+        terms = sorted({t for _, t in by_pair})
+        rows = (self._postings_base
+                .filter(F.col("field").isin(fields)
+                        & F.col("term").isin(terms))
+                .select("part_id", "field", "term", "doc_bytes", "tf_bytes"))
+
+        def decode(batches):
+            for pdf in batches:
+                outs = []
+                for _, r in pdf.iterrows():
+                    cids = by_pair.get((r["field"], r["term"]))
+                    if not cids:
+                        continue
+                    docs, _ = decode_postings(r["doc_bytes"], r["tf_bytes"])
+                    base = np.uint64(int(r["part_id"])) << np.uint64(ORD_SHIFT)
+                    ords = (base + docs).astype(np.int64)
+                    for ci in cids:
+                        outs.append(pd.DataFrame(
+                            {"doc_ord": ords,
+                             "cid": np.full(ords.size, ci, dtype=np.int64)}))
+                yield (pd.concat(outs) if outs else
+                       pd.DataFrame({"doc_ord": pd.Series([], dtype="int64"),
+                                     "cid": pd.Series([], dtype="int64")}))
+
+        return (rows.mapInPandas(decode, "doc_ord long, cid long")
+                .groupBy("doc_ord")
+                .agg(F.countDistinct("cid").alias("_nc"))
+                .filter(F.col("_nc") >= int(msm))
+                .select("doc_ord"))
 
     def facet_counts(self, query: str, filters=(), boosts=(),
                      k_tags: int | None = None,
@@ -1882,7 +1982,14 @@ class SearchEngine:
         = UNION of the should TERM postings ∩ Musts − MustNots. The
         score>0 post-filter (local.rs:138) is implied when every Should
         clause scores; a zero-boost should breaks the implication, so
-        that shape raises rather than miscounting."""
+        that shape raises rather than miscounting.
+
+        ``min_should_match`` ≥ 2 (Lucene setMinimumNumberShouldMatch)
+        replaces the union with a per-doc DISTINCT-matching-clause count
+        gate — exact for term clauses only; a phrase clause's match set
+        is a position-dependent subset of its term-posting intersection,
+        so any phrase Should under msm ≥ 2 raises (a scored search /
+        score_matches handles that shape exactly)."""
         if not cq.should_group:
             raise ValueError(f"{caller} needs at least one Should clause")
         if not all(c.scoring for c in cq.should_group):
@@ -1890,6 +1997,7 @@ class SearchEngine:
                 f"{caller} is exact only when every Should clause "
                 "scores (score>0 gate); zero-boost shoulds need a scored "
                 "search instead")
+        msm = int(getattr(cq, "min_should_match", 0))
         union_pairs = {(c.field, t) for c in cq.should_group
                        if c.kind == "term" for t in c.terms}
         # a phrase's matches are a SUBSET of each member term's postings,
@@ -1899,6 +2007,12 @@ class SearchEngine:
         # a parsed standalone '"a b"' is not absorbable → raise rather
         # than over-count)
         for c in cq.should_group:
+            if c.kind == "phrase" and msm > 1:
+                raise ValueError(
+                    f"{caller} cannot count a phrase Should under "
+                    "min_should_match >= 2 exactly (positions decide "
+                    "whether the CLAUSE matched); use a scored search / "
+                    "score_matches instead")
             if c.kind == "phrase" and not any(
                     (c.field, t) in union_pairs for t in c.terms):
                 raise ValueError(
@@ -1915,7 +2029,12 @@ class SearchEngine:
                     raise ValueError(
                         f"{caller} filters must be term clauses; a "
                         f"phrase {grp_name} needs a scored search")
-        match = self._pair_ords(union_pairs)
+        if msm > 1:
+            match = self._clause_count_ords(
+                [{(c.field, t) for t in c.terms}
+                 for c in cq.should_group], msm)
+        else:
+            match = self._pair_ords(union_pairs)
         for grp in cq.extra_groups:
             match = match.join(
                 self._pair_ords({(c.field, t) for c in grp for t in c.terms}),

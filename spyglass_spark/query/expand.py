@@ -400,3 +400,65 @@ def expand_fuzzy(stats_paths, field: str, term: str, distance: int = 1,
     hits = {t: d for t, d in cands.items()
             if levenshtein_le(term, t, distance) <= distance}
     return _rank_cap(hits, max_expansions)
+
+
+SUGGEST_MODES = ("missing", "popular", "always")
+
+
+def suggest_terms(stats_paths, field: str, term: str, distance: int = 2,
+                  limit: int = 5, mode: str = "popular",
+                  fuzzy_paths=None) -> list[tuple[str, int, int]]:
+    """Spelling suggestions for ``term`` — the Lucene DirectSpellChecker
+    / ES term-suggester analog (public Lucene/ES surface; tantivy users
+    build the same thing over FuzzyTermQuery's dictionary automaton).
+    Returns [(suggestion, df, dist)] ranked (dist ASC, df DESC, term
+    ASC) — closer corrections first, popularity breaks ties — capped at
+    ``limit``; the input term itself is never suggested.
+
+    ``mode`` is the ES ``suggest_mode`` contract:
+      - 'missing'  — suggest only when the input term is NOT in the
+        dictionary (df == 0); the spell-check-on-zero-results shape.
+      - 'popular'  — only corrections with df strictly greater than the
+        input's own df (the did-you-mean shape; default).
+      - 'always'   — every in-distance dictionary term.
+
+    Candidate generation reuses the fuzzy machinery: the SymSpell
+    deletion-key sidecar when it covers ``distance`` (a pruned IN-list
+    read), the field's dictionary slice + banded-Levenshtein verify
+    otherwise — driver-side pyarrow either way, ZERO Spark jobs. The
+    input's own df rides the same read (exact-match candidate at
+    dist 0), so no second dictionary lookup is needed."""
+    import pyarrow.dataset as pads
+
+    if mode not in SUGGEST_MODES:
+        raise ValueError(f"mode must be one of {SUGGEST_MODES}: {mode!r}")
+    if distance < 1:
+        raise ValueError(f"distance must be >= 1: {distance}")
+    if not term:
+        return []
+    if fuzzy_paths and distance <= 1:
+        keys = sorted(deletion_variants(term, 1))
+        flt = (pads.field("field") == field) & (
+            pads.field("del_key").isin(keys))
+        cands: dict[str, int] = {}
+        for p in fuzzy_paths:
+            tbl = pads.dataset(p, format="parquet").to_table(
+                columns=["term", "df"], filter=flt)
+            for t, d in zip(tbl.column("term").to_pylist(),
+                            tbl.column("df").to_pylist()):
+                cands[t] = max(cands.get(t, 0), int(d))
+    else:
+        cands = _read_terms(stats_paths, pads.field("field") == field)
+    self_df = cands.get(term, 0)
+    if mode == "missing" and self_df > 0:
+        return []
+    floor = self_df if mode == "popular" else -1
+    hits = []
+    for t, d in cands.items():
+        if t == term or d <= floor:
+            continue
+        dist = levenshtein_le(term, t, distance)
+        if dist <= distance:
+            hits.append((t, d, dist))
+    hits.sort(key=lambda x: (x[2], -x[1], x[0]))
+    return hits[:limit]

@@ -326,3 +326,39 @@ def test_cli_snapshots_and_as_of(spark, corpus_rows, tmp_path, capsys):
                                "--expire-keep", "1"])
     rep = json.loads(out)
     assert rep["expired"] == [seq_build] and rep["snapshots"] == [seqs[-1]]
+
+
+def test_cli_msm_and_suggest(spark, built_index, capsys):
+    """--min-should-match gates candidacy through the CLI (text and
+    parsed modes, pinned to the oracle twin) and the session-free
+    suggest subcommand returns the oracle's ranked corrections."""
+    idx = built_index["index_dir"]
+    oracle = built_index["oracle"]
+
+    q = "parse token stream"
+    out = _run(capsys, spark, ["search", "--index", idx, "--query", q,
+                               "--k", "6", "--min-should-match", "2"])
+    hits = [json.loads(x) for x in out.strip().splitlines()]
+    want = oracle.search(q, k=6, min_should_match=2)
+    assert hits, "msm=2 CLI search must be nonvacuous"
+    assert [h["doc_id"] for h in hits] == [w["doc_id"] for w in want]
+
+    out = _run(capsys, spark, ["search", "--index", idx, "--mode",
+                               "parsed", "--query", "parse token",
+                               "--k", "6", "--min-should-match", "2"])
+    hits = [json.loads(x) for x in out.strip().splitlines()]
+    want = oracle.search_parsed("parse token", k=6, min_should_match=2)
+    assert [h["doc_id"] for h in hits] == [w["doc_id"] for w in want]
+
+    for term, mode in (("tokn", "always"), ("sow", "popular")):
+        out = _run(capsys, spark, ["suggest", "--index", idx,
+                                   "--term", term, "--distance", "2",
+                                   "--limit", "5", "--mode", mode])
+        rep = json.loads(out)
+        assert rep["suggestions"] == \
+            oracle.suggest(term, distance=2, limit=5, mode=mode), (term, mode)
+    assert any(_run(capsys, spark,
+                    ["suggest", "--index", idx, "--term", t,
+                     "--mode", "always"]) .count('"term"') > 1
+               for t in ("tokn", "sow", "parze")), \
+        "CLI suggest must be nonvacuous on some probe term"

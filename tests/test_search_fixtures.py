@@ -56,6 +56,8 @@ FIXTURE_QUERIES = [
     "search_export",
     "search_export_scored",
     "search_count",
+    "search_msm",
+    "search_suggest",
 ]
 
 # entries whose oracle reads another entry's fixture file

@@ -305,6 +305,26 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
                               om, ckey), \
         "dismax fixture must differ from the sum combiner (else vacuous)"
     out["search_dismax"] = dm
+    # minimum_should_match (Lucene BooleanQuery
+    # setMinimumNumberShouldMatch / ES minimum_should_match): msm=3
+    # keeps only docs matching >=3 DISTINCT Should clauses; scoring is
+    # unchanged. 'dup' is the corpora's one shared rare content term
+    # (df ~10/500), so the UNFILTERED top-10 is dominated by
+    # high-idf dup-only docs that match 1-2 clauses — the gate evicts
+    # them, which is what both asserts grade: the gate must strictly
+    # shrink the full match set AND change the top-10 (else the
+    # fixture could green-light an engine that ignores msm).
+    m1 = hits_to_rows(oracle.search("dup merge sort", k=10), om, ckey)
+    m3 = hits_to_rows(oracle.search("dup merge sort", k=10,
+                                    min_should_match=3), om, ckey)
+    assert len(m3) == 10, "msm fixture must fill the top-10"
+    assert m3 != m1, "msm=3 must change the top-10 (else vacuous)"
+    assert len(oracle.search("dup merge sort", k=10**6,
+                             min_should_match=3)) < \
+        len(oracle.search("dup merge sort", k=10**6)), \
+        "msm=3 must strictly shrink the full match set"
+    out["search_msm"] = m3
+    out["search_suggest"] = suggest_rows(oracle, ckey)
     # parsed query string (QueryParser analog): '+' Must(OR) group,
     # sloppy phrase, field boost, domain exclusion and a dictionary
     # range in ONE string; the oracle twin parses through the shared
@@ -374,6 +394,31 @@ def lifecycle_docs(docs: list[dict]) -> list[dict]:
         out.append(d)
     assert len(out) < len(docs), "lifecycle deletes must remove docs"
     return out
+
+
+SUGGEST_FIELDS = [("input", pa.string()), ("rank", pa.int32()),
+                  ("term", pa.string()), ("df", pa.int64()),
+                  ("dist", pa.int32())]
+SUGGEST_INPUTS = ("sow", "windoe", "sorrt")
+
+
+def suggest_rows(oracle, ckey: int) -> list[dict]:
+    """Expected term-suggester output (Lucene DirectSpellChecker / ES
+    term suggester, mode='popular' distance=2): the oracle twin runs
+    brute Levenshtein over its WHOLE enumerated dictionary
+    (oracle/engine.py suggest), independent of the engine's pyarrow
+    dictionary-slice read. rank pins the documented (dist ASC, df DESC,
+    term ASC) order, which the limit-5 cap makes load-bearing."""
+    rows = []
+    for inp in SUGGEST_INPUTS:
+        sug = oracle.suggest(inp, field="content", distance=2, limit=5,
+                             mode="popular")
+        assert sug, f"suggest fixture must be nonvacuous for {inp!r}"
+        for i, s in enumerate(sug):
+            rows.append({"corpus_key": ckey, "input": inp, "rank": i + 1,
+                         "term": s["term"], "df": int(s["df"]),
+                         "dist": int(s["dist"])})
+    return rows
 
 
 FACET_FIELDS = [("tag_id", pa.int64()), ("n", pa.int64())]
@@ -802,7 +847,8 @@ def main() -> None:
                "search_sorted": SORTED_FIELDS,
                "search_histogram_gapfill": HIST_FIELDS,
                "search_terms_topn": TERMS_FIELDS,
-               "search_sorted_after": SORTED_FIELDS}
+               "search_sorted_after": SORTED_FIELDS,
+               "search_suggest": SUGGEST_FIELDS}
     for name, rows in merged.items():
         write_fixture(name, rows, special.get(name))
 
