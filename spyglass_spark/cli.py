@@ -81,12 +81,14 @@ def main(argv=None, spark=None) -> int:
                         "tie-breaker x the rest; text mode)")
     s.add_argument("--tie-breaker", type=float, default=0.0,
                    help="dismax tie breaker in [0, 1]")
-    s.add_argument("--min-should-match", type=int, default=0,
+    s.add_argument("--min-should-match", default="0",
                    help="require at least this many distinct Should "
                         "clauses to match (Lucene BooleanQuery "
                         "setMinimumNumberShouldMatch / ES "
                         "minimum_should_match; 0/1 = plain union; "
-                        "text and parsed modes)")
+                        "accepts ES spec strings: -1 = all but one, "
+                        "75%% / -25%% of the compiled Should count, "
+                        "floor-rounded; text and parsed modes)")
     s.add_argument("--as-of", type=int, default=None,
                    help="search the manifest snapshot at this commit_seq "
                         "(time travel; see index stats for current seq)")

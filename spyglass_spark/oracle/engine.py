@@ -33,7 +33,7 @@ from ..analysis.analyzer import analyze
 from ..index.fieldnorm import fieldnorm_to_id, id_to_fieldnorm
 from ..query.compiler import (CompiledQuery, compile_expanded,
                               compile_phrase_prefix, compile_query,
-                              split_phrase_prefix)
+                              resolve_min_should_match, split_phrase_prefix)
 from ..query.expand import (DEFAULT_MAX_EXPANSIONS, levenshtein_le,
                             normalize_bound, normalize_pattern,
                             normalize_wildcard)
@@ -292,10 +292,12 @@ class OracleIndex:
 
     def search(self, query: str, filters=(), boosts=(), k: int = 5,
                offset: int = 0, combiner: str = "sum",
-               tie_breaker: float = 0.0, min_should_match: int = 0):
+               tie_breaker: float = 0.0,
+               min_should_match: int | str = 0):
         cq = compile_query(query, filters, boosts)
         cq.combiner, cq.tie_breaker = combiner, float(tie_breaker)
-        cq.min_should_match = int(min_should_match)
+        cq.min_should_match = resolve_min_should_match(
+            min_should_match, len(cq.should_group))
         return self.execute(cq, k=k, offset=offset)
 
     # -- multi-term pattern queries (brute-force twin of query/expand) --
@@ -398,7 +400,7 @@ class OracleIndex:
                       offset: int = 0,
                       max_expansions: int = DEFAULT_MAX_EXPANSIONS,
                       combiner: str = "sum", tie_breaker: float = 0.0,
-                      min_should_match: int = 0):
+                      min_should_match: int | str = 0):
         """Query-string parser twin (query/parser.py grammar — the
         tantivy QueryParser analog). The PARSER is shared scalar code
         like the compiler; the oracle supplies its whole-dictionary
@@ -423,7 +425,8 @@ class OracleIndex:
                                 expand_range=expand_rng,
                                 max_expansions=max_expansions)
         cq.combiner, cq.tie_breaker = combiner, float(tie_breaker)
-        cq.min_should_match = int(min_should_match)
+        cq.min_should_match = resolve_min_should_match(
+            min_should_match, len(cq.should_group))
         return self.execute(cq, k=k, offset=offset)
 
     def search_phrase_prefix(self, query: str, k: int = 5, offset: int = 0,

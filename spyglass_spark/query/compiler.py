@@ -99,6 +99,48 @@ class CompiledQuery:
         return {(c.field, t) for c in self.all_clauses() for t in c.terms}
 
 
+def resolve_min_should_match(spec, n_should: int) -> int:
+    """ES ``minimum_should_match`` spec resolution (public ES surface;
+    Lucene's BooleanQuery itself takes only the int). Accepted forms:
+
+    - positive int / digit string ``N`` — require N clauses;
+    - negative int ``-N`` — require ``n_should - N`` (at most N of the
+      optional clauses may be missing);
+    - ``'N%'`` — ``floor(n_should * N / 100)`` (the documented
+      round-DOWN: "the percentage is rounded down to the nearest
+      integer");
+    - ``'-N%'`` — at most that percentage missing:
+      ``n_should - floor(n_should * N / 100)``.
+
+    Combination / conditional forms (``'3<90%'``) are not supported and
+    raise. Resolved values < 0 clamp to 0 (the plain-union reference
+    shape); values > n_should are returned as-is and match nothing
+    (Lucene semantics, preserved by the gate)."""
+    if isinstance(spec, bool):
+        raise ValueError(f"min_should_match must be int or str: {spec!r}")
+    if isinstance(spec, int):
+        n = spec
+    else:
+        s = str(spec).strip()
+        if "<" in s:
+            raise ValueError(
+                f"conditional min_should_match forms are not supported: "
+                f"{spec!r}")
+        try:
+            if s.endswith("%"):
+                pct = int(s[:-1])
+                part = (abs(pct) * n_should) // 100
+                n = part if pct >= 0 else n_should - part
+            else:
+                n = int(s)
+        except ValueError:
+            raise ValueError(f"invalid min_should_match spec: {spec!r}")
+    if not isinstance(spec, str) or not spec.strip().endswith("%"):
+        if n < 0:
+            n = n_should + n
+    return max(0, n)
+
+
 def _term(field: str, term: str, boost: float) -> Clause:
     return Clause("term", field, (term,), (0,), boost)
 

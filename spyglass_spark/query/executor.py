@@ -690,7 +690,7 @@ class SearchEngine:
                offset: int = 0, algo: str = "auto",
                search_after=None, combiner: str = "sum",
                tie_breaker: float = 0.0,
-               min_should_match: int = 0) -> DataFrame:
+               min_should_match: int | str = 0) -> DataFrame:
         """``combiner='dismax'`` switches the Should-group score from the
         clause sum (tantivy/Lucene BooleanQuery, the reference shape) to
         Lucene DisjunctionMaxQuery semantics — best matching clause +
@@ -701,10 +701,13 @@ class SearchEngine:
         ``min_should_match`` is Lucene BooleanQuery's
         setMinimumNumberShouldMatch (ES minimum_should_match): a doc is
         a candidate only when ≥ that many DISTINCT Should clauses match
-        (0/1 = the reference's plain Must-wrap). Scoring is unchanged —
-        msm only gates candidacy; msm ≥ 2 scores exhaustively (WAND is
-        a pruning strategy and its Σ-UB advance has no clause-count
-        bound)."""
+        (0/1 = the reference's plain Must-wrap). An int or an ES spec
+        string — ``'-1'`` (all but one), ``'75%'``/``'-25%'``
+        (floor-rounded percentage of the compiled Should-clause count;
+        compiler.resolve_min_should_match documents the contract).
+        Scoring is unchanged — msm only gates candidacy; msm ≥ 2 scores
+        exhaustively (WAND is a pruning strategy and its Σ-UB advance
+        has no clause-count bound)."""
         return self.search_many(
             [{"query": query, "filters": filters, "boosts": boosts,
               "after": search_after, "combiner": combiner,
@@ -769,12 +772,15 @@ class SearchEngine:
             # Lucene DisjunctionMaxQuery contract; also what keeps the
             # WAND Σ-UB bound valid (wand.py)
             raise ValueError(f"tie_breaker must be in [0, 1]: {tie}")
-        msm = int(q.get("min_should_match", 0))
-        if msm < 0:
-            raise ValueError(f"min_should_match must be >= 0: {msm}")
+        from .compiler import resolve_min_should_match
+
         cq, label = self._compile_one_shape(q)
         cq.combiner, cq.tie_breaker = comb, tie
-        cq.min_should_match = msm
+        # int or ES spec string ('2', '-1', '75%', '-25%') resolved
+        # against THIS query's compiled Should-clause count — shared
+        # scalar code (compiler.py), so the oracle resolves identically
+        cq.min_should_match = resolve_min_should_match(
+            q.get("min_should_match", 0), len(cq.should_group))
         return cq, label
 
     def _compile_arg(self, query, filters=(), boosts=()):
@@ -1085,7 +1091,7 @@ class SearchEngine:
                       max_expansions: int = DEFAULT_MAX_EXPANSIONS,
                       search_after=None, combiner: str = "sum",
                       tie_breaker: float = 0.0,
-                      min_should_match: int = 0) -> DataFrame:
+                      min_should_match: int | str = 0) -> DataFrame:
         """Query-string search — the tantivy ``QueryParser`` analog
         (query/parser.py documents the grammar: ``+must -not
         field:term "phrase"~slop term^boost field:[a TO b]``). Parsing

@@ -106,9 +106,14 @@ def test_randomized_rank_identity(spark, tmp_path, seed):
     # random tie_breaker — same mixed batch, same oracle-bitwise bar
     combs = [("dismax", round(rng.uniform(0.0, 1.0), 3))
              if rng.random() < 0.4 else ("sum", 0.0) for _ in cases]
+    # minimum_should_match axis: ~30% of cases gate on 2-4 DISTINCT
+    # matching Should clauses (composes with the combiner axis; msm >= 2
+    # rides the exhaustive path — the auto == exhaustive bar is test_msm)
+    msms = [rng.choice([2, 3, 4]) if rng.random() < 0.3 else 0
+            for _ in cases]
     batch = [{"query": q, "filters": f, "boosts": b,
-              "combiner": c, "tie_breaker": t}
-             for (q, f, b, _), (c, t) in zip(cases, combs)]
+              "combiner": c, "tie_breaker": t, "min_should_match": m}
+             for (q, f, b, _), (c, t), m in zip(cases, combs, msms)]
     res = eng.search_many(batch, k=7).collect()
     by_q = {}
     for r in res:
@@ -117,9 +122,10 @@ def test_randomized_rank_identity(spark, tmp_path, seed):
     for qi, (q, f, b, _off) in enumerate(cases):
         got = sorted(by_q.get(qi, []), key=lambda r: r["rank"])
         c, t = combs[qi]
-        exp = oracle.search(q, f, b, k=7, combiner=c, tie_breaker=t)
+        exp = oracle.search(q, f, b, k=7, combiner=c, tie_breaker=t,
+                            min_should_match=msms[qi])
         assert [r["doc_id"] for r in got] == [h["doc_id"] for h in exp], \
-            (seed, q, f, b, c, t)
+            (seed, q, f, b, c, t, msms[qi])
         for r, h in zip(got, exp):
             assert np.isclose(np.float32(r["score"]), np.float32(h["score"]),
                               rtol=1e-5), (seed, q, c, t, r["score"], h["score"])

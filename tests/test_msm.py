@@ -214,6 +214,49 @@ def test_msm_explain_reports_the_gate(engine, built_index):
     assert ex2["matches"] and ex2["should_matched"] >= 2
 
 
+def test_msm_spec_resolution():
+    """ES minimum_should_match spec forms (public ES surface), incl. the
+    documented round-DOWN for percentages and all-but-N negatives."""
+    from spyglass_spark.query.compiler import resolve_min_should_match as r
+
+    assert r(3, 5) == 3
+    assert r("3", 5) == 3
+    assert r(-1, 5) == 4          # all but one
+    assert r("-1", 5) == 4
+    assert r("75%", 5) == 3       # floor(3.75)
+    assert r("-25%", 5) == 4      # 5 - floor(1.25)
+    assert r("100%", 7) == 7
+    assert r("0%", 7) == 0
+    assert r(-10, 5) == 0         # over-negative clamps to plain union
+    assert r(0, 0) == 0
+    assert r("50%", 0) == 0
+    assert r(9, 5) == 9           # > n_should passes through: matches nothing
+    for bad in ("3<90%", "abc", "", "%", True):
+        with pytest.raises(ValueError):
+            r(bad, 5)
+
+
+def test_msm_spec_parity(engine, built_index):
+    """Spec strings resolve against the COMPILED Should-clause count via
+    the shared scalar resolver — engine and oracle stay bitwise
+    rank-identical under every accepted form."""
+    oracle = built_index["oracle"]
+    q = "parse token stream"
+    for spec in ("-1", "-25%", "50%", "2", -1):
+        got = _rows(engine.search(q, k=10, min_should_match=spec))
+        want = oracle.search(q, k=10, min_should_match=spec)
+        assert [(r["doc_id"], _bits(r["score"])) for r in got] == \
+            [(h["doc_id"], _bits(h["score"])) for h in want], spec
+    # '100%' = every Should clause: subset of any laxer gate
+    full = {h["doc_id"] for h in oracle.search(q, k=10**6,
+                                               min_should_match="100%")}
+    lax = {h["doc_id"] for h in oracle.search(q, k=10**6,
+                                              min_should_match=2)}
+    assert full <= lax
+
+
 def test_msm_validation(engine):
     with pytest.raises(ValueError, match="min_should_match"):
-        engine.search("fn", min_should_match=-1)
+        engine.search("fn", min_should_match="3<90%")
+    with pytest.raises(ValueError, match="min_should_match"):
+        engine.search("fn", min_should_match="abc")
