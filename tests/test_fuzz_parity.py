@@ -279,6 +279,27 @@ def test_randomized_rank_identity(spark, tmp_path, seed):
             assert np.isclose(np.float32(r["score"]), np.float32(h["score"]),
                               rtol=1e-5), (seed, t, d)
 
+    # suggest: random misspellings (same edit forms as fuzzy) at random
+    # distance/mode — the engine's dictionary-slice + banded-Levenshtein
+    # read vs the oracle twin's brute enumeration, incl. the ranked
+    # (dist, -df, term) order the limit cap makes load-bearing
+    for _ in range(3):
+        w = rng.choice(WORDS)
+        i = rng.randrange(len(w))
+        form = rng.randrange(3)
+        if form == 0:
+            t = w[:i] + rng.choice("abkz") + w[i + 1:]
+        elif form == 1 and len(w) >= 2:
+            t = w[:i] + w[i + 1:]
+        else:
+            t = w  # in-dictionary input: grades the popular floor/missing
+        d = rng.choice([1, 2])
+        mode = rng.choice(["missing", "popular", "always"])
+        fld = rng.choice(["content", "title"])
+        got = eng.suggest(t, field=fld, distance=d, limit=4, mode=mode)
+        exp = oracle.suggest(t, field=fld, distance=d, limit=4, mode=mode)
+        assert got == exp, (seed, t, fld, d, mode)
+
     # every random corpus/P/waves build must pass the integrity audit
     from spyglass_spark.index.fsck import fsck
 
