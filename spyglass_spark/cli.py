@@ -147,6 +147,14 @@ def main(argv=None, spark=None) -> int:
                     help="ES suggest_mode: missing = only when the term "
                          "is absent; popular = only more-frequent "
                          "corrections (default); always = all in-distance")
+    sg.add_argument("--whole-query", action="store_true",
+                    help="treat --term as a whole query: analyze it with "
+                         "the field's analyzer, correct each analyzed "
+                         "term (Lucene SpellChecker collate-style "
+                         "rewrite; use --mode missing for the classic "
+                         "fix-only-absent-terms shape) and print the "
+                         "rewritten query — one dictionary read, no "
+                         "Spark session")
 
     d = sub.add_parser("delete", help="tombstone doc ids or urls "
                                       "(delete_document_by_url RPC analog)")
@@ -315,6 +323,28 @@ def main(argv=None, spark=None) -> int:
         fz = fuzzy_dict_path(args.index, m.commit_seq)
         fuzzy_paths = ([fz] if os.path.exists(os.path.join(fz, "_SUCCESS"))
                        else None)
+        if args.whole_query:
+            from spyglass_spark.analysis.analyzer import (tokenize_default,
+                                                          tokenize_en)
+            from spyglass_spark.query.expand import suggest_query_terms
+
+            tok = (tokenize_en if args.field == "content"
+                   else tokenize_default)
+            toks = [t for _, t in tok(args.term or "")]
+            sug = suggest_query_terms(stats, args.field, toks,
+                                      distance=args.distance,
+                                      limit=args.limit, mode=args.mode,
+                                      fuzzy_paths=fuzzy_paths)
+            corrected = " ".join(sug[t][0][0] if sug.get(t) else t
+                                 for t in toks)
+            print(json.dumps({
+                "query": " ".join(toks), "corrected": corrected,
+                "changed": corrected != " ".join(toks),
+                "terms": [{"term": t, "suggestions": [
+                    {"term": s, "df": d, "dist": x}
+                    for s, d, x in sug.get(t, [])]}
+                    for t in dict.fromkeys(toks)]}))
+            return 0
         norm = normalize_pattern(args.term)
         out = (suggest_terms(stats, args.field, norm,
                              distance=args.distance, limit=args.limit,

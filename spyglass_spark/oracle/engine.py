@@ -479,6 +479,29 @@ class OracleIndex:
         return [{"term": t, "df": d, "dist": x}
                 for t, d, x in hits[:limit]]
 
+    def suggest_query(self, query: str, field: str = "content",
+                      distance: int = 2, limit_per_term: int = 3,
+                      mode: str = "missing") -> dict:
+        """Whole-query did-you-mean twin (SearchEngine.suggest_query
+        documents the contract): the SAME shared scalar analyzer
+        produces the term stream, each term goes through this oracle's
+        own brute-dictionary ``suggest``, and the rewrite composes
+        identically — independent of the engine's batched one-read
+        pyarrow path."""
+        from ..analysis.analyzer import tokenize_default, tokenize_en
+
+        tok = tokenize_en if field == "content" else tokenize_default
+        toks = [t for _, t in tok(query or "")]
+        per = {t: self.suggest(t, field=field, distance=distance,
+                               limit=limit_per_term, mode=mode)
+               for t in dict.fromkeys(toks)}
+        corrected = " ".join(per[t][0]["term"] if per.get(t) else t
+                             for t in toks)
+        return {"corrected": corrected,
+                "changed": corrected != " ".join(toks),
+                "terms": [{"term": t, "suggestions": per[t]}
+                          for t in dict.fromkeys(toks)]}
+
     def search_fuzzy(self, term: str, distance: int = 1, k: int = 5,
                      offset: int = 0, fields=("content", "title"),
                      max_expansions: int = DEFAULT_MAX_EXPANSIONS,

@@ -1144,6 +1144,44 @@ class SearchEngine:
         return [{"term": t, "df": int(d), "dist": int(x)}
                 for t, d, x in out]
 
+    def suggest_query(self, query: str, field: str = "content",
+                      distance: int = 2, limit_per_term: int = 3,
+                      mode: str = "missing") -> dict:
+        """Whole-query "did you mean" — the Lucene SpellChecker
+        collate-style rewrite / the ES phrase-suggester use case,
+        composed from the term suggester (suggest). The query is
+        analyzed with the FIELD's analyzer, so corrections live in the
+        same stemmed/normalized term space every pattern query uses;
+        each analyzed term gets term-suggester corrections (default
+        mode 'missing' — only out-of-dictionary terms are corrected,
+        the classic spell-check-on-zero-results shape; 'popular'
+        upgrades every term to a strictly-more-frequent neighbor when
+        one exists), and ``corrected`` is the analyzed term stream with
+        each correctable term replaced by its TOP suggestion. ONE
+        dictionary read serves the whole query
+        (expand.suggest_query_terms) — still ZERO Spark jobs. Returns
+        {"corrected", "changed", "terms": [{"term", "suggestions":
+        [{"term", "df", "dist"}, ...]}  per distinct analyzed term]}."""
+        from ..analysis.analyzer import tokenize_default, tokenize_en
+        from .expand import suggest_query_terms
+
+        tok = tokenize_en if field == "content" else tokenize_default
+        toks = [t for _, t in tok(query or "")]
+        sug = suggest_query_terms(self._paths("term_stats"), field, toks,
+                                  distance=distance, limit=limit_per_term,
+                                  mode=mode,
+                                  fuzzy_paths=self._fuzzy_dict_paths())
+        corrected = " ".join(sug[t][0][0] if sug.get(t) else t
+                             for t in toks)
+        return {
+            "corrected": corrected,
+            "changed": corrected != " ".join(toks),
+            "terms": [{"term": t, "suggestions": [
+                {"term": s, "df": int(d), "dist": int(x)}
+                for s, d, x in sug.get(t, [])]}
+                for t in dict.fromkeys(toks)],
+        }
+
     def _scoring_partial(self, compiled: list[CompiledQuery],
                          limit: int | None, algo: str = "auto",
                          afters=None) -> DataFrame | None:

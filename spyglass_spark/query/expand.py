@@ -428,16 +428,34 @@ def suggest_terms(stats_paths, field: str, term: str, distance: int = 2,
     otherwise — driver-side pyarrow either way, ZERO Spark jobs. The
     input's own df rides the same read (exact-match candidate at
     dist 0), so no second dictionary lookup is needed."""
+    out = suggest_query_terms(stats_paths, field, [term],
+                              distance=distance, limit=limit, mode=mode,
+                              fuzzy_paths=fuzzy_paths)
+    return out.get(term, [])
+
+
+def suggest_query_terms(stats_paths, field: str, terms, distance: int = 2,
+                        limit: int = 5, mode: str = "popular",
+                        fuzzy_paths=None) -> dict[str, list[tuple[str, int, int]]]:
+    """Batch form of ``suggest_terms`` for a whole query's term stream:
+    ONE dictionary read serves EVERY input term — the sidecar path
+    unions the deletion keys into a single IN-list (per-term exactness
+    is unchanged: the union is a superset of each term's own key
+    neighborhood and the exact Levenshtein verify runs per term), the
+    slice path reads the field's dictionary once. Returns
+    {input_term: ranked suggestions}; ranking/mode semantics are
+    ``suggest_terms``'s, per input term."""
     import pyarrow.dataset as pads
 
     if mode not in SUGGEST_MODES:
         raise ValueError(f"mode must be one of {SUGGEST_MODES}: {mode!r}")
     if distance < 1:
         raise ValueError(f"distance must be >= 1: {distance}")
-    if not term:
-        return []
+    uniq = [t for t in dict.fromkeys(terms) if t]
+    if not uniq:
+        return {}
     if fuzzy_paths and distance <= 1:
-        keys = sorted(deletion_variants(term, 1))
+        keys = sorted({k for t in uniq for k in deletion_variants(t, 1)})
         flt = (pads.field("field") == field) & (
             pads.field("del_key").isin(keys))
         cands: dict[str, int] = {}
@@ -449,16 +467,20 @@ def suggest_terms(stats_paths, field: str, term: str, distance: int = 2,
                 cands[t] = max(cands.get(t, 0), int(d))
     else:
         cands = _read_terms(stats_paths, pads.field("field") == field)
-    self_df = cands.get(term, 0)
-    if mode == "missing" and self_df > 0:
-        return []
-    floor = self_df if mode == "popular" else -1
-    hits = []
-    for t, d in cands.items():
-        if t == term or d <= floor:
+    out: dict[str, list[tuple[str, int, int]]] = {}
+    for term in uniq:
+        self_df = cands.get(term, 0)
+        if mode == "missing" and self_df > 0:
+            out[term] = []
             continue
-        dist = levenshtein_le(term, t, distance)
-        if dist <= distance:
-            hits.append((t, d, dist))
-    hits.sort(key=lambda x: (x[2], -x[1], x[0]))
-    return hits[:limit]
+        floor = self_df if mode == "popular" else -1
+        hits = []
+        for t, d in cands.items():
+            if t == term or d <= floor:
+                continue
+            dist = levenshtein_le(term, t, distance)
+            if dist <= distance:
+                hits.append((t, d, dist))
+        hits.sort(key=lambda x: (x[2], -x[1], x[0]))
+        out[term] = hits[:limit]
+    return out

@@ -362,3 +362,13 @@ def test_cli_msm_and_suggest(spark, built_index, capsys):
                      "--mode", "always"]) .count('"term"') > 1
                for t in ("tokn", "sow", "parze")), \
         "CLI suggest must be nonvacuous on some probe term"
+
+    out = _run(capsys, spark, ["suggest", "--index", idx, "--whole-query",
+                               "--term", "parze the tokn stream",
+                               "--mode", "missing"])
+    rep = json.loads(out)
+    want = oracle.suggest_query("parze the tokn stream", distance=2,
+                                limit_per_term=5, mode="missing")
+    assert rep["corrected"] == want["corrected"]
+    assert rep["changed"] == want["changed"]
+    assert rep["terms"] == want["terms"]

@@ -90,3 +90,52 @@ def test_suggest_normalization_and_validation(engine):
         engine.suggest("sow", mode="top")
     with pytest.raises(ValueError, match="distance"):
         engine.suggest("sow", distance=0)
+
+
+def test_suggest_query_parity_and_rewrite(engine, built_index):
+    """Whole-query did-you-mean (Lucene SpellChecker collate-style
+    rewrite): engine's one-read batched path must equal the oracle
+    twin's per-term brute composition, and 'missing' mode must leave
+    in-dictionary terms untouched while fixing absent ones."""
+    oracle = built_index["oracle"]
+    changed = 0
+    for q in ("parze the tokn stream", "merge sow vectr",
+              "fn import sys", "zzzzzz"):
+        for mode in ("missing", "popular", "always"):
+            got = engine.suggest_query(q, distance=2, limit_per_term=3,
+                                       mode=mode)
+            want = oracle.suggest_query(q, distance=2, limit_per_term=3,
+                                        mode=mode)
+            assert got == want, (q, mode)
+            changed += got["changed"]
+    assert changed >= 3, "whole-query rewrite must be nonvacuous"
+
+    got = engine.suggest_query("parze the tokn stream", mode="missing")
+    present = {t for (f, t) in oracle.postings if f == "content"}
+    for ent in got["terms"]:
+        if ent["term"] in present:
+            assert ent["suggestions"] == [], ent
+    assert not engine.suggest_query("", mode="missing")["changed"]
+
+
+def test_suggest_query_batched_read_equals_per_term(engine, built_index):
+    """suggest_query_terms (ONE dictionary read for all inputs) must
+    equal independent per-term suggest_terms calls on both the sidecar
+    and slice paths."""
+    from spyglass_spark.query.expand import (suggest_query_terms,
+                                             suggest_terms)
+
+    engine.ensure_fuzzy_dict()
+    stats = engine._paths("term_stats")
+    inputs = ["sow", "parze", "tokn", "fn", "zzzzzz"]
+    for fuzzy, dist in ((engine._fuzzy_dict_paths(), 1), (None, 1),
+                        (None, 2)):
+        for mode in ("missing", "popular", "always"):
+            batch = suggest_query_terms(stats, "content", inputs,
+                                        distance=dist, limit=4, mode=mode,
+                                        fuzzy_paths=fuzzy)
+            for t in inputs:
+                single = suggest_terms(stats, "content", t, distance=dist,
+                                       limit=4, mode=mode,
+                                       fuzzy_paths=fuzzy)
+                assert batch[t] == single, (t, mode, dist, fuzzy is None)
