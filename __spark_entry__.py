@@ -1424,6 +1424,23 @@ def q_search_histogram_gapfill(spark, sf_dir):  # fixture-oracle
         min_doc_count=0)
 
 
+def q_search_histogram_knobs(spark, sf_dir):  # fixture-oracle
+    """Generic HistogramAggregation (tantivy-0.19.2
+    aggregation/bucket/histogram.rs; ES `histogram`) with the full knob
+    set live at once over the FULL BM25 match set: offset-translated
+    7-day grid, hard_bounds cutting values outside the closed range
+    (the fixture generator asserts matched docs ARE cut), gap fill
+    (min_doc_count=0) with extended_bounds == hard_bounds pinning the
+    grid to the bounds' buckets. Bucket key = value - pmod(value -
+    offset, interval) — pure integer floor-mod arithmetic in codegen on
+    the engine side, a plain Python loop in the fixture oracle."""
+    step = 7 * 86_400_000_000
+    hard = (1_664_000_000_000_000, 1_704_067_200_000_000)
+    return _get_engine(spark, sf_dir).histogram(
+        "spark merge join", interval=step, offset=3 * 86_400_000_000 + 54_321,
+        min_doc_count=0, hard_bounds=hard, extended_bounds=hard)
+
+
 def q_search_terms_topn(spark, sf_dir):  # fixture-oracle
     """Size-limited terms bucket (tantivy TermsAggregation response
     shape) over the FULL BM25 match set: top-5 tags by doc_count
@@ -1523,7 +1540,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_msm": q_search_msm,
         "search_suggest": q_search_suggest,
         "dedup_clusters": q_dedup_clusters,
-        "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "search_custom_boost": q_search_custom_boost,
         "search_highlight": q_search_highlight,
@@ -1571,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_c4_clean": q_curation_c4_clean,
         "curation_pack_sequences": q_curation_pack_sequences,
         "search_histogram_gapfill": q_search_histogram_gapfill,
+        "search_histogram_knobs": q_search_histogram_knobs,
         "search_terms_topn": q_search_terms_topn,
         "search_extended_stats": q_search_extended_stats,
         "search_top_hits": q_search_top_hits,
@@ -1654,6 +1671,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "semantic_segment_distance": q_semantic_segment_distance,
         "semantic_context_segments": q_semantic_context_segments,
+        # rotated to the tail for round 5's search_histogram_knobs slot:
+        # hash-green in BOTH r3 and r4, value-gated locally every run
+        "ann_cosine_topk": q_ann_cosine_topk,
     }
 
 
@@ -1908,6 +1928,13 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
             "SELECT bucket, n "
             f"FROM '{FIXTURES_DIR}/"
             "search_expected_search_histogram_gapfill.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
+            "ORDER BY bucket"),
+        "search_histogram_knobs": (
+            "SELECT bucket, n "
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_histogram_knobs.parquet' "
             "WHERE corpus_key = "
             "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
             "ORDER BY bucket"),

@@ -238,8 +238,8 @@ def main(argv=None, spark=None) -> int:
                     help="interpret --query with the query-string grammar "
                          "(--mode parsed of search) instead of free text")
     ag.add_argument("--kind", default="facets",
-                    choices=["facets", "date-histogram", "stats",
-                             "percentiles", "facet-stats", "range",
+                    choices=["facets", "date-histogram", "histogram",
+                             "stats", "percentiles", "facet-stats", "range",
                              "cardinality", "extended-stats", "top-hits",
                              "terms", "count"])
     ag.add_argument("--col", default="domain",
@@ -277,10 +277,19 @@ def main(argv=None, spark=None) -> int:
                     help="top-hits only: oldest-first instead of "
                          "most-recent-first")
     ag.add_argument("--min-doc-count", type=int, default=None,
-                    help="date-histogram only: 0 = tantivy's gap-filled "
+                    help="histogram kinds only: 0 = tantivy's gap-filled "
                          "default (empty buckets between first and last "
                          "emitted as n=0), k>0 = keep buckets with >= k "
                          "docs; omit for occupied-only")
+    ag.add_argument("--offset", type=int, default=0,
+                    help="histogram only: bucket grid translation "
+                         "(HistogramAggregation offset)")
+    ag.add_argument("--hard-bounds", default=None, metavar="LO:HI",
+                    help="histogram only: values outside the closed "
+                         "[LO, HI] range are ignored")
+    ag.add_argument("--extended-bounds", default=None, metavar="LO:HI",
+                    help="histogram only (with --min-doc-count 0): widen "
+                         "the gap-filled grid to cover [LO, HI]")
     ag.add_argument("--size", type=int, default=10,
                     help="terms only: buckets kept (count desc, key asc); "
                          "sum_other_doc_count reports what fell outside")
@@ -559,6 +568,21 @@ def main(argv=None, spark=None) -> int:
                     q_arg, filters=filters,
                     interval_us=args.interval_us, date_col=args.date_col,
                     min_doc_count=args.min_doc_count).collect()
+                for r in rows:
+                    print(json.dumps({"bucket": int(r["bucket"]),
+                                      "n": int(r["n"])}))
+            elif args.kind == "histogram":
+                def _bounds(spec):
+                    if spec is None:
+                        return None
+                    lo, hi = spec.split(":")
+                    return (int(lo), int(hi))
+                rows = eng.histogram(
+                    q_arg, filters=filters, col=args.date_col,
+                    interval=args.interval_us, offset=args.offset,
+                    min_doc_count=args.min_doc_count,
+                    hard_bounds=_bounds(args.hard_bounds),
+                    extended_bounds=_bounds(args.extended_bounds)).collect()
                 for r in rows:
                     print(json.dumps({"bucket": int(r["bucket"]),
                                       "n": int(r["n"])}))

@@ -287,6 +287,28 @@ def test_cli_terms_and_gapfilled_histogram(spark, built_index, capsys):
     assert all(bs[i + 1] - bs[i] == int(week) for i in range(len(bs) - 1))
     assert all(r["n"] >= 0 for r in rows)
 
+    # generic histogram: the offset translates the gap-filled grid and
+    # every bucket key lands on the shifted lattice; CLI bounds parsing
+    off = 12_345
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind",
+                               "histogram", "--query", "fn index",
+                               "--interval-us", week, "--offset", str(off),
+                               "--min-doc-count", "0"])
+    hrows = [json.loads(x) for x in out.strip().splitlines()]
+    assert hrows and all((r["bucket"] - off) % int(week) == 0
+                         for r in hrows)
+    assert sum(r["n"] for r in hrows) == sum(r["n"] for r in rows)
+    lo = min(r["bucket"] for r in hrows)
+    hi = max(r["bucket"] for r in hrows)
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind",
+                               "histogram", "--query", "fn index",
+                               "--interval-us", week, "--offset", str(off),
+                               "--min-doc-count", "0",
+                               "--hard-bounds", f"{lo}:{hi}",
+                               "--extended-bounds", f"{lo}:{hi}"])
+    brows = [json.loads(x) for x in out.strip().splitlines()]
+    assert {r["bucket"] for r in brows} >= {r["bucket"] for r in hrows}
+
 
 def test_cli_snapshots_and_as_of(spark, corpus_rows, tmp_path, capsys):
     """`snapshots` lists every as_of target newest-last; --expire-keep

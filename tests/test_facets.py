@@ -723,6 +723,114 @@ def test_date_histogram_gapfill_vs_bruteforce(eng, built_index):
                            min_doc_count=0).collect()
 
 
+def _hkey(v, interval, offset=0):
+    """Floor-mod bucket key (exact for any sign) — the scalar twin of
+    the engine's histogram bucket expression."""
+    return v - ((v - offset) % interval)
+
+
+def test_histogram_generic_vs_bruteforce(eng, built_index):
+    """The generic HistogramAggregation (tantivy-0.19.2
+    aggregation/bucket/histogram.rs knobs): offset translates the grid,
+    hard_bounds drops out-of-range values entirely, extended_bounds
+    widens the gap-filled grid — each vs a pure-Python brute force over
+    the same match set; offset=0 must agree with date_histogram."""
+    query, step = "merge join table", 7 * DAY_US
+    docs = built_index["docs"]
+    base = _brute_histogram(docs, query, step)
+    assert base
+
+    # offset=0 ≡ date_histogram (same buckets, same counts, same order)
+    got0 = [(r["bucket"], r["n"]) for r in eng.histogram(
+        query, interval=step, col="lastmodified").collect()]
+    exp_dh = [(r["bucket"], r["n"]) for r in eng.date_histogram(
+        query, interval_us=step).collect()]
+    assert got0 == exp_dh == sorted(base.items())
+
+    # offset: every bucket key shifts onto the translated grid
+    off = 3 * DAY_US + 12_345
+    vals = [d["lastmodified"] for d in docs
+            if d["doc_id"] in _match_ids(docs, query)
+            and d.get("lastmodified") is not None]
+    from collections import Counter
+    expc = Counter(_hkey(v, step, off) for v in vals)
+    got = [(r["bucket"], r["n"]) for r in eng.histogram(
+        query, interval=step, offset=off).collect()]
+    assert got == sorted(expc.items())
+    assert all((b - off) % step == 0 for b, _ in got)
+
+    # hard_bounds: closed [lo, hi], values outside ignored entirely
+    svals = sorted(vals)
+    lo_v, hi_v = svals[len(svals) // 4], svals[(3 * len(svals)) // 4]
+    exph = Counter(_hkey(v, step) for v in vals if lo_v <= v <= hi_v)
+    goth = [(r["bucket"], r["n"]) for r in eng.histogram(
+        query, interval=step, hard_bounds=(lo_v, hi_v)).collect()]
+    assert goth == sorted(exph.items())
+    assert len(goth) < len(got0)  # the bounds actually cut something
+
+    # extended_bounds + min_doc_count=0: grid covers the bounds' buckets
+    ext = (min(vals) - 3 * step, max(vals) + 2 * step)
+    glo, ghi = _hkey(ext[0], step), _hkey(ext[1], step)
+    expg = [(b, base.get(b, 0)) for b in range(glo, ghi + step, step)]
+    gotg = [(r["bucket"], r["n"]) for r in eng.histogram(
+        query, interval=step, min_doc_count=0,
+        extended_bounds=ext).collect()]
+    assert gotg == expg
+    assert gotg[0][1] == 0 and gotg[-1][1] == 0  # the widening is real
+
+    # an EMPTY match set with extended_bounds still emits the extended
+    # grid, all n=0 (the ES/tantivy guarantee); without it, zero rows
+    gote = [(r["bucket"], r["n"]) for r in eng.histogram(
+        "the fast key", interval=step, min_doc_count=0,
+        extended_bounds=(0, 3 * step)).collect()]
+    assert gote == [(b, 0) for b in range(0, 3 * step + step, step)]
+    assert eng.histogram("the fast key", interval=step,
+                         min_doc_count=0).count() == 0
+
+    # validation: tantivy's own error shapes
+    with pytest.raises(ValueError, match="interval must be positive"):
+        eng.histogram(query, interval=0)
+    with pytest.raises(ValueError, match="lo must be <= hi"):
+        eng.histogram(query, interval=step, hard_bounds=(10, 5))
+    with pytest.raises(ValueError, match="within hard_bounds"):
+        eng.histogram(query, interval=step, hard_bounds=(lo_v, hi_v),
+                      extended_bounds=(lo_v - 1, hi_v))
+
+
+def _match_ids(docs, query, filters=()):
+    from spyglass_spark.query.compiler import compile_query
+
+    cq = compile_query(query, filters)
+    out = set()
+    for d in docs:
+        fields = {
+            "content": {t for _, t in tokenize_en(d["content"] or "")},
+            "title": {t for _, t in tokenize_default(d["title"] or "")},
+            "tags": {str(t) for t in d["tags"]},
+        }
+        should = any(t in fields.get(c.field, set())
+                     for c in cq.should_group for t in c.terms)
+        musts = all(all(t in fields.get(c.field, set()) for t in c.terms)
+                    for c in cq.musts)
+        if should and musts:
+            out.add(d["doc_id"])
+    return out
+
+
+def test_histogram_in_aggregate_tree(eng, built_index):
+    """The `histogram` kind serves from aggregate()'s single cached
+    match-set pass with the same answer as the standalone method."""
+    query, step = "merge join table", 7 * DAY_US
+    off = DAY_US // 2
+    exp = [(r["bucket"], r["n"]) for r in eng.histogram(
+        query, interval=step, offset=off).collect()]
+    tree = eng.aggregate(query, aggs={
+        "h": {"kind": "histogram", "interval": step, "offset": off},
+        "c": {"kind": "count"}})
+    assert [(r["bucket"], r["n"]) for r in tree["h"].collect()] == exp
+    assert tree["c"].collect()[0]["n"] == sum(n for _, n in exp)
+
+
 def test_terms_agg_vs_bruteforce(eng, built_index):
     """TermsAggregation response shape: top-size buckets (count desc,
     key asc) + constant sum_other_doc_count ≡ brute counts; size beyond

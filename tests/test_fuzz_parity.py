@@ -383,6 +383,35 @@ def test_randomized_aggregation_parity(spark, tmp_path, seed):
             q, filters, interval_us=interval, min_doc_count=0).collect()]
         assert got_gf == exp_gf, (seed, q, interval)
 
+        # generic histogram: random offset + optional hard/extended
+        # bounds vs the same floor-mod brute force (the remaining
+        # tantivy HistogramAggregation knobs)
+        off = rng.randrange(interval)
+        hkey = lambda v: v - ((v - off) % interval)  # noqa: E731
+        hb = None
+        hvals = vals
+        if rng.random() < 0.5 and len(set(vals)) >= 2:
+            lo_v, hi_v = sorted(rng.sample(sorted(set(vals)), 2))
+            hb, hvals = (lo_v, hi_v), [v for v in vals
+                                       if lo_v <= v <= hi_v]
+        hc = Counter(hkey(v) for v in hvals)
+        got_hh = [(r["bucket"], r["n"]) for r in eng.histogram(
+            q, filters, interval=interval, offset=off,
+            hard_bounds=hb).collect()]
+        assert got_hh == sorted(hc.items()), (seed, q, interval, off, hb)
+        if hc:
+            # widen where the bounds allow: ext must stay inside hb
+            ext = hb if hb else (min(hvals) - 2 * interval,
+                                 max(hvals) + interval)
+            glo = min(hkey(ext[0]), min(hc))
+            ghi = max(hkey(ext[1]), max(hc))
+            exp_hg = [(b, hc.get(b, 0))
+                      for b in range(glo, ghi + interval, interval)]
+            got_hg = [(r["bucket"], r["n"]) for r in eng.histogram(
+                q, filters, interval=interval, offset=off, hard_bounds=hb,
+                extended_bounds=ext, min_doc_count=0).collect()]
+            assert got_hg == exp_hg, (seed, q, interval, off, hb, ext)
+
         # stats: exact decimal sum, ONE double division (bitwise pin)
         r = eng.field_stats(q, filters, col="lastmodified").collect()[0]
         assert (r["n"], r["min"], r["max"], r["sum"]) == \

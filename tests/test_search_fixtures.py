@@ -48,6 +48,7 @@ FIXTURE_QUERIES = [
     "search_top_hits",
     "search_sorted",
     "search_histogram_gapfill",
+    "search_histogram_knobs",
     "search_terms_topn",
     "search_sorted_after",
     "search_lifecycle",

@@ -349,6 +349,7 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
     out["search_top_hits"] = top_hits_rows(docs, ckey)
     out["search_sorted"] = sorted_rows(docs, ckey)
     out["search_histogram_gapfill"] = histogram_gapfill_rows(docs, ckey)
+    out["search_histogram_knobs"] = histogram_knobs_rows(docs, ckey)
     out["search_terms_topn"] = terms_topn_rows(docs, ckey)
     out["search_sorted_after"] = sorted_after_rows(docs, ckey)
 
@@ -520,6 +521,42 @@ def histogram_gapfill_rows(docs: list[dict], ckey: int,
             for b in range(lo, hi + 1, interval_us)]
     assert any(r["n"] == 0 for r in rows), \
         "gapfill fixture needs at least one empty bucket to grade the fill"
+    return rows
+
+
+HKNOBS_INTERVAL = 7 * DAY_US
+HKNOBS_OFFSET = 3 * DAY_US + 54_321
+HKNOBS_HARD = (1_664_000_000_000_000, 1_704_067_200_000_000)
+
+
+def histogram_knobs_rows(docs: list[dict], ckey: int,
+                         query: str = "spark merge join") -> list[dict]:
+    """Expected generic-histogram output with the full
+    HistogramAggregation knob set live at once: offset-translated grid,
+    hard_bounds cutting values outside the closed range, gap fill
+    (min_doc_count=0) with extended_bounds == hard_bounds pinning the
+    grid to the bounds' buckets. Brute-forced with floor-mod arithmetic
+    over the scalar match set — independent of the engine's
+    pmod/sequence/left-join plan. Asserts the hard cut is nonvacuous
+    (some matched doc falls outside) so the fixture grades the cut."""
+    step, off = HKNOBS_INTERVAL, HKNOBS_OFFSET
+    lo_v, hi_v = HKNOBS_HARD
+    vals = [d["lastmodified"] for d in _brute_match(docs, query)
+            if d.get("lastmodified") is not None]
+    kept = [v for v in vals if lo_v <= v <= hi_v]
+    assert kept and len(kept) < len(vals), \
+        "histogram_knobs fixture must grade the hard_bounds cut"
+    counts: dict[int, int] = {}
+    for v in kept:
+        b = v - ((v - off) % step)
+        counts[b] = counts.get(b, 0) + 1
+    glo = min(min(counts), lo_v - ((lo_v - off) % step))
+    ghi = max(max(counts), hi_v - ((hi_v - off) % step))
+    rows = [{"corpus_key": ckey, "bucket": int(b),
+             "n": int(counts.get(b, 0))}
+            for b in range(glo, ghi + step, step)]
+    assert any(r["n"] == 0 for r in rows), \
+        "histogram_knobs fixture needs an empty bucket to grade the fill"
     return rows
 
 
@@ -846,6 +883,7 @@ def main() -> None:
                "search_top_hits": TOPHITS_FIELDS,
                "search_sorted": SORTED_FIELDS,
                "search_histogram_gapfill": HIST_FIELDS,
+               "search_histogram_knobs": HIST_FIELDS,
                "search_terms_topn": TERMS_FIELDS,
                "search_sorted_after": SORTED_FIELDS,
                "search_suggest": SUGGEST_FIELDS}
