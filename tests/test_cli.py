@@ -309,6 +309,20 @@ def test_cli_terms_and_gapfilled_histogram(spark, built_index, capsys):
     brows = [json.loads(x) for x in out.strip().splitlines()]
     assert {r["bucket"] for r in brows} >= {r["bucket"] for r in hrows}
 
+    # histogram-stats: nested published stats per bucket; totals tie
+    # back to the plain histogram's bucket counts
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind",
+                               "histogram-stats", "--query", "fn index",
+                               "--interval-us", week,
+                               "--stats-col", "published"])
+    srows = [json.loads(x) for x in out.strip().splitlines()]
+    assert srows and all(r["n"] <= r["doc_count"] for r in srows)
+    occupied = {r["bucket"]: r["n"] for r in rows if r["n"] > 0}
+    assert {r["bucket"]: r["doc_count"] for r in srows} == occupied
+    for r in srows:
+        if r["n"] > 0:
+            assert r["min"] <= r["avg"] <= r["max"]
+
 
 def test_cli_snapshots_and_as_of(spark, corpus_rows, tmp_path, capsys):
     """`snapshots` lists every as_of target newest-last; --expire-keep

@@ -817,6 +817,71 @@ def _match_ids(docs, query, filters=()):
     return out
 
 
+def test_histogram_stats_vs_bruteforce(eng, built_index):
+    """Nested stats metric under histogram buckets (HistogramAggregation
+    + StatsAggregation sub-agg): per-bucket doc_count vs stats-n split
+    (NULL stats_col docs count in doc_count, not n), exact decimal sum,
+    avg = double(sum)/n bitwise, gap-filled empties as
+    (doc_count=0, n=0, NULL stats) — vs a pure-Python brute force."""
+    query, step = "merge join table", 7 * DAY_US
+    docs = built_index["docs"]
+    ids = _match_ids(docs, query)
+    matched = [d for d in docs if d["doc_id"] in ids
+               and d.get("lastmodified") is not None]
+    assert matched
+    buckets: dict[int, list] = {}
+    for d in matched:
+        buckets.setdefault(_hkey(d["lastmodified"], step), []).append(
+            d.get("published"))
+
+    def _exp_row(b):
+        vs = [v for v in buckets.get(b, []) if v is not None]
+        return (b, len(buckets.get(b, [])), len(vs),
+                min(vs) if vs else None, max(vs) if vs else None,
+                sum(vs) if vs else None,
+                float(sum(vs)) / len(vs) if vs else None)
+
+    got = [(r["bucket"], r["doc_count"], r["n"], r["min"], r["max"],
+            r["sum"], r["avg"])
+           for r in eng.histogram_stats(query, interval=step).collect()]
+    assert got == [_exp_row(b) for b in sorted(buckets)]
+    assert any(r[2] < r[1] for r in got) or all(
+        d.get("published") is not None for d in matched)
+
+    # gap fill: contiguous grid, empties emit zero counts + NULL stats
+    lo, hi = min(buckets), max(buckets)
+    gotg = [(r["bucket"], r["doc_count"], r["n"], r["min"], r["max"],
+             r["sum"], r["avg"])
+            for r in eng.histogram_stats(query, interval=step,
+                                         min_doc_count=0).collect()]
+    expg = []
+    for b in range(lo, hi + step, step):
+        expg.append(_exp_row(b) if b in buckets
+                    else (b, 0, 0, None, None, None, None))
+    assert gotg == expg
+    assert any(r[1] == 0 for r in gotg)  # the fill is nonvacuous
+
+    # min_doc_count=k filter + hard_bounds cut agree with the brute
+    gotk = [(r["bucket"], r["doc_count"]) for r in eng.histogram_stats(
+        query, interval=step, min_doc_count=2).collect()]
+    assert gotk == [(b, len(v)) for b, v in sorted(buckets.items())
+                    if len(v) >= 2]
+    svals = sorted(d["lastmodified"] for d in matched)
+    lo_v, hi_v = svals[len(svals) // 4], svals[(3 * len(svals)) // 4]
+    goth = [(r["bucket"], r["doc_count"]) for r in eng.histogram_stats(
+        query, interval=step, hard_bounds=(lo_v, hi_v)).collect()]
+    from collections import Counter
+    exph = Counter(_hkey(d["lastmodified"], step) for d in matched
+                   if lo_v <= d["lastmodified"] <= hi_v)
+    assert goth == sorted(exph.items())
+
+    # the aggregate() tree serves the same rows from its cached pass
+    tree = eng.aggregate(query, aggs={
+        "hs": {"kind": "histogram_stats", "interval": step}})
+    assert [(r["bucket"], r["doc_count"], r["n"], r["min"], r["max"],
+             r["sum"], r["avg"]) for r in tree["hs"].collect()] == got
+
+
 def test_histogram_in_aggregate_tree(eng, built_index):
     """The `histogram` kind serves from aggregate()'s single cached
     match-set pass with the same answer as the standalone method."""

@@ -412,6 +412,26 @@ def test_randomized_aggregation_parity(spark, tmp_path, seed):
                 extended_bounds=ext, min_doc_count=0).collect()]
             assert got_hg == exp_hg, (seed, q, interval, off, hb, ext)
 
+        # nested stats under histogram buckets: per-bucket exact sum,
+        # one double division, NULL-stats split (doc_count vs n)
+        hbuckets = defaultdict(list)
+        for d in matched:
+            if d.get("lastmodified") is not None:
+                hbuckets[hkey(d["lastmodified"])].append(d.get("published"))
+        exp_hs = []
+        for b in sorted(hbuckets):
+            pv = [v for v in hbuckets[b] if v is not None]
+            exp_hs.append((b, len(hbuckets[b]), len(pv),
+                           min(pv) if pv else None, max(pv) if pv else None,
+                           sum(pv) if pv else None,
+                           float(sum(pv)) / len(pv) if pv else None))
+        got_hs = [(r["bucket"], r["doc_count"], r["n"], r["min"],
+                   r["max"], r["sum"], r["avg"])
+                  for r in eng.histogram_stats(
+                      q, filters, interval=interval, offset=off,
+                      stats_col="published").collect()]
+        assert got_hs == exp_hs, (seed, q, interval, off)
+
         # stats: exact decimal sum, ONE double division (bitwise pin)
         r = eng.field_stats(q, filters, col="lastmodified").collect()[0]
         assert (r["n"], r["min"], r["max"], r["sum"]) == \

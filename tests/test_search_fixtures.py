@@ -49,6 +49,7 @@ FIXTURE_QUERIES = [
     "search_sorted",
     "search_histogram_gapfill",
     "search_histogram_knobs",
+    "search_histogram_stats",
     "search_terms_topn",
     "search_sorted_after",
     "search_lifecycle",

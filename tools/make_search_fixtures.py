@@ -350,6 +350,7 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
     out["search_sorted"] = sorted_rows(docs, ckey)
     out["search_histogram_gapfill"] = histogram_gapfill_rows(docs, ckey)
     out["search_histogram_knobs"] = histogram_knobs_rows(docs, ckey)
+    out["search_histogram_stats"] = histogram_stats_rows(docs, ckey)
     out["search_terms_topn"] = terms_topn_rows(docs, ckey)
     out["search_sorted_after"] = sorted_after_rows(docs, ckey)
 
@@ -558,6 +559,45 @@ def histogram_knobs_rows(docs: list[dict], ckey: int,
     assert any(r["n"] == 0 for r in rows), \
         "histogram_knobs fixture needs an empty bucket to grade the fill"
     return rows
+
+
+def histogram_stats_rows(docs: list[dict], ckey: int,
+                         query: str = "spark merge join",
+                         interval_us: int = 7 * DAY_US) -> list[dict]:
+    """Expected gap-filled histogram_stats output: per 7-day
+    lastmodified bucket, doc_count plus the nested published stats
+    (exact integer min/max/sum, avg = ONE float division), empty
+    buckets as (0, 0, NULL stats) — a plain Python dict fill,
+    independent of the engine's decimal hash-agg + grid left-join.
+    Asserts empty buckets exist so the NULL-stats fill is graded."""
+    buckets: dict[int, list[int]] = {}
+    for d in _brute_match(docs, query):
+        if d.get("lastmodified") is not None:
+            b = (d["lastmodified"] // interval_us) * interval_us
+            buckets.setdefault(b, []).append(d["published"])
+    assert buckets, "histogram_stats fixture must be nonvacuous"
+    # empty buckets carry -1 sentinels, not NULLs: the driver's rows
+    # compare sorts rows in Python, and None < int raises (CLAUDE.md
+    # gotcha) — the queries() entry coalesces the engine's NULLs to the
+    # same sentinel, so the 0-count fill is still what's graded
+    rows = []
+    for b in range(min(buckets), max(buckets) + 1, interval_us):
+        pv = buckets.get(b, [])
+        rows.append({"corpus_key": ckey, "bucket": int(b),
+                     "doc_count": len(pv), "n": len(pv),
+                     "min": min(pv) if pv else -1,
+                     "max": max(pv) if pv else -1,
+                     "sum": sum(pv) if pv else -1,
+                     "avg": float(sum(pv)) / len(pv) if pv else -1.0})
+    assert any(r["doc_count"] == 0 for r in rows), \
+        "histogram_stats fixture needs an empty bucket (NULL-stats fill)"
+    return rows
+
+
+HSTATS_FIELDS = [("bucket", pa.int64()), ("doc_count", pa.int64()),
+                 ("n", pa.int64()), ("min", pa.int64()),
+                 ("max", pa.int64()), ("sum", pa.int64()),
+                 ("avg", pa.float64())]
 
 
 def terms_topn_rows(docs: list[dict], ckey: int,
@@ -884,6 +924,7 @@ def main() -> None:
                "search_sorted": SORTED_FIELDS,
                "search_histogram_gapfill": HIST_FIELDS,
                "search_histogram_knobs": HIST_FIELDS,
+               "search_histogram_stats": HSTATS_FIELDS,
                "search_terms_topn": TERMS_FIELDS,
                "search_sorted_after": SORTED_FIELDS,
                "search_suggest": SUGGEST_FIELDS}
