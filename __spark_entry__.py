@@ -1463,6 +1463,22 @@ def q_search_histogram_stats(spark, sf_dir):  # fixture-oracle
         F.coalesce("avg", F.lit(-1.0)).alias("avg"))
 
 
+def q_search_derivative(spark, sf_dir):  # fixture-oracle
+    """ES `derivative` parent pipeline aggregation over the gap-filled
+    weekly histogram of the FULL BM25 match set: per bucket, count
+    minus the previous bucket's count, FIRST bucket omitted (the ES
+    contract — nothing to differ against). The pipeline agg transforms
+    the sibling bucket frame only (one O(#buckets) lag window, bounded
+    by the 65536 max_buckets guard) — the match set is never
+    re-traversed. Integer-exact; the fixture swings both signs."""
+    eng = _get_engine(spark, sf_dir)
+    tree = eng.aggregate("spark merge join", aggs={
+        "weekly": {"kind": "date_histogram",
+                   "interval_us": 7 * 86_400_000_000, "min_doc_count": 0},
+        "deriv": {"kind": "derivative", "buckets_path": "weekly"}})
+    return tree["deriv"]
+
+
 def q_search_terms_topn(spark, sf_dir):  # fixture-oracle
     """Size-limited terms bucket (tantivy TermsAggregation response
     shape) over the FULL BM25 match set: top-5 tags by doc_count
@@ -1552,7 +1568,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (driver-hash-green in r4) to position 51 — still value-gated by
     # test_entry.
     return {
-        "sha256_invariant": q_sha256_invariant,
         "index_fsck": q_index_fsck,
         # r5 third rotation: dedup_exact / dedup_minhash_lsh (hash-green
         # r1-r4 AND re-proved every round by their bench legs) make room
@@ -1610,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_histogram_gapfill": q_search_histogram_gapfill,
         "search_histogram_knobs": q_search_histogram_knobs,
         "search_histogram_stats": q_search_histogram_stats,
+        "search_derivative": q_search_derivative,
         "search_terms_topn": q_search_terms_topn,
         "search_extended_stats": q_search_extended_stats,
         "search_top_hits": q_search_top_hits,
@@ -1694,10 +1710,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_segment_distance": q_semantic_segment_distance,
         "semantic_context_segments": q_semantic_context_segments,
         # rotated to the tail for round 5's search_histogram_knobs /
-        # search_histogram_stats slots: hash-green in BOTH r3 and r4,
+        # search_histogram_stats / search_derivative slots: each
+        # hash-green in r3 AND r4 (sha256_invariant since r1), all
         # value-gated locally every run by tests/test_entry.py
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_indexed": q_ann_ivf_indexed,
+        "sha256_invariant": q_sha256_invariant,
     }
 
 
@@ -1959,6 +1977,13 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
             "SELECT bucket, n "
             f"FROM '{FIXTURES_DIR}/"
             "search_expected_search_histogram_knobs.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
+            "ORDER BY bucket"),
+        "search_derivative": (
+            "SELECT bucket, value "
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_derivative.parquet' "
             "WHERE corpus_key = "
             "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
             "ORDER BY bucket"),

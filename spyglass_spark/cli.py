@@ -289,6 +289,11 @@ def main(argv=None, spark=None) -> int:
                     choices=["lastmodified", "published"],
                     help="histogram-stats only: the nested stats metric "
                          "column")
+    ag.add_argument("--pipeline", default=None,
+                    choices=["cumulative-sum", "derivative"],
+                    help="histogram kinds only: apply an ES parent "
+                         "pipeline aggregation to the bucket counts "
+                         "(prints (bucket, value) instead)")
     ag.add_argument("--hard-bounds", default=None, metavar="LO:HI",
                     help="histogram only: values outside the closed "
                          "[LO, HI] range are ignored")
@@ -569,28 +574,42 @@ def main(argv=None, spark=None) -> int:
                     print(json.dumps({"tag_id": r["tag_id"],
                                       "n": int(r["n"])}))
             elif args.kind == "date-histogram":
-                rows = eng.date_histogram(
+                df = eng.date_histogram(
                     q_arg, filters=filters,
                     interval_us=args.interval_us, date_col=args.date_col,
-                    min_doc_count=args.min_doc_count).collect()
-                for r in rows:
-                    print(json.dumps({"bucket": int(r["bucket"]),
-                                      "n": int(r["n"])}))
+                    min_doc_count=args.min_doc_count)
+                if args.pipeline:
+                    fn = {"cumulative-sum": eng.cumulative_sum,
+                          "derivative": eng.derivative}[args.pipeline]
+                    for r in fn(df).collect():
+                        print(json.dumps({"bucket": int(r["bucket"]),
+                                          "value": int(r["value"])}))
+                else:
+                    for r in df.collect():
+                        print(json.dumps({"bucket": int(r["bucket"]),
+                                          "n": int(r["n"])}))
             elif args.kind == "histogram":
                 def _bounds(spec):
                     if spec is None:
                         return None
                     lo, hi = spec.split(":")
                     return (int(lo), int(hi))
-                rows = eng.histogram(
+                df = eng.histogram(
                     q_arg, filters=filters, col=args.date_col,
                     interval=args.interval_us, offset=args.offset,
                     min_doc_count=args.min_doc_count,
                     hard_bounds=_bounds(args.hard_bounds),
-                    extended_bounds=_bounds(args.extended_bounds)).collect()
-                for r in rows:
-                    print(json.dumps({"bucket": int(r["bucket"]),
-                                      "n": int(r["n"])}))
+                    extended_bounds=_bounds(args.extended_bounds))
+                if args.pipeline:
+                    fn = {"cumulative-sum": eng.cumulative_sum,
+                          "derivative": eng.derivative}[args.pipeline]
+                    for r in fn(df).collect():
+                        print(json.dumps({"bucket": int(r["bucket"]),
+                                          "value": int(r["value"])}))
+                else:
+                    for r in df.collect():
+                        print(json.dumps({"bucket": int(r["bucket"]),
+                                          "n": int(r["n"])}))
             elif args.kind == "terms":
                 rows = eng.terms_agg(q_arg, filters=filters,
                                      facet_col=args.facet_col,

@@ -2765,7 +2765,14 @@ class SearchEngine:
         the matching method's keyword args (facet_col, interval_us,
         col, percents, ranges, rsd, ...). Returns {name: DataFrame}.
         The cached frame is retained so the returned (lazy) DataFrames
-        stay cheap; the NEXT aggregate()/refresh() call unpersists it."""
+        stay cheap; the NEXT aggregate()/refresh() call unpersists it.
+
+        PIPELINE kinds (<PIPELINE_KINDS> — the ES parent pipeline
+        aggregations) don't touch the match set at all: they transform
+        a SIBLING bucket aggregation's output, referenced ES-style via
+        ``buckets_path``: ``"weekly"`` (value column defaults to n) or
+        ``"weekly>doc_count"``. They run after every bucket agg is
+        built and cost one O(#buckets) window over the sibling frame."""
         if not aggs:
             raise ValueError("aggs must be non-empty")
         builders = {
@@ -2778,10 +2785,21 @@ class SearchEngine:
             "extended_stats": self.extended_stats, "top_hits": self.top_hits,
             "terms": self.terms_agg, "count": self.count_matches,
         }
+        pipeline_fns = {"cumulative_sum": self.cumulative_sum,
+                        "derivative": self.derivative}
         for name, spec in aggs.items():
-            if spec.get("kind") not in builders:
+            kind = spec.get("kind")
+            if kind in pipeline_fns:
+                path = str(spec.get("buckets_path", "")).split(">")[0]
+                if path not in aggs or aggs[path].get("kind") in \
+                        pipeline_fns or path == name:
+                    raise ValueError(
+                        f"agg {name!r}: buckets_path must name a sibling "
+                        "bucket aggregation")
+            elif kind not in builders:
                 raise ValueError(
-                    f"agg {name!r}: kind must be one of {self.AGG_KINDS}")
+                    f"agg {name!r}: kind must be one of "
+                    f"{self.AGG_KINDS + self.PIPELINE_KINDS}")
         dm = self._match_doc_meta(self._compile_arg(query, filters, boosts),
                                   caller="aggregate")
         prev = getattr(self, "_agg_dm_cache", None)
@@ -2792,11 +2810,53 @@ class SearchEngine:
         self._agg_dm_cache = dm
         out = {}
         for name, spec in aggs.items():
+            if spec.get("kind") in pipeline_fns:
+                continue
             s = dict(spec)
             kind = s.pop("kind")
             out[name] = builders[kind](query, filters=filters,
                                        boosts=boosts, _dm=dm, **s)
+        for name, spec in aggs.items():  # pipeline pass: siblings exist
+            if spec.get("kind") not in pipeline_fns:
+                continue
+            path = str(spec["buckets_path"])
+            sib, _, vcol = path.partition(">")
+            out[name] = pipeline_fns[spec["kind"]](out[sib], vcol or "n")
         return out
+
+    PIPELINE_KINDS = ("cumulative_sum", "derivative")
+
+    @staticmethod
+    def cumulative_sum(buckets: DataFrame, val_col: str = "n") -> DataFrame:
+        """ES `cumulative_sum` parent pipeline aggregation: per bucket,
+        the running total of a sibling histogram's ``val_col`` in
+        bucket-ascending order — (bucket, value), integer-exact. A
+        single unpartitioned running-sum window over O(#buckets) rows:
+        the 65536 max_buckets guard upstream bounds it, so one window
+        partition is never a scale concern (the match set itself is
+        NOT re-traversed — the defining property of a pipeline agg)."""
+        w = (Window.orderBy(F.asc("bucket"))
+                   .rowsBetween(Window.unboundedPreceding, 0))
+        return (buckets.select("bucket",
+                               F.sum(val_col).over(w).alias("value"))
+                       .orderBy(F.asc("bucket")))
+
+    @staticmethod
+    def derivative(buckets: DataFrame, val_col: str = "n") -> DataFrame:
+        """ES `derivative` parent pipeline aggregation: per bucket, the
+        difference from the previous bucket's ``val_col``,
+        bucket-ascending — (bucket, value), integer-exact. ES emits no
+        derivative for the FIRST bucket (nothing to differ against);
+        that row is dropped here rather than emitted NULL. Callers on a
+        gapped (occupied-only) histogram get differences between
+        CONSECUTIVE EMITTED buckets, exactly like ES; gap-fill first
+        (min_doc_count=0) for a uniform-lag derivative."""
+        w = Window.orderBy(F.asc("bucket"))
+        return (buckets.select(
+                    "bucket",
+                    (F.col(val_col) - F.lag(val_col).over(w)).alias("value"))
+                       .filter(F.col("value").isNotNull())
+                       .orderBy(F.asc("bucket")))
 
     def materialize(self, hits: DataFrame, documents: DataFrame,
                     query: str, preview_words: int = 20) -> DataFrame:

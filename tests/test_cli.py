@@ -309,6 +309,26 @@ def test_cli_terms_and_gapfilled_histogram(spark, built_index, capsys):
     brows = [json.loads(x) for x in out.strip().splitlines()]
     assert {r["bucket"] for r in brows} >= {r["bucket"] for r in hrows}
 
+    # pipeline flags: cumulative-sum's last value is the total count;
+    # derivative omits the first bucket and sums back to last-first
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind",
+                               "date-histogram", "--query", "fn index",
+                               "--interval-us", week,
+                               "--min-doc-count", "0",
+                               "--pipeline", "cumulative-sum"])
+    crows = [json.loads(x) for x in out.strip().splitlines()]
+    assert crows[-1]["value"] == sum(r["n"] for r in rows)
+    vals = [r["value"] for r in crows]
+    assert vals == sorted(vals)  # running total is monotone
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind",
+                               "date-histogram", "--query", "fn index",
+                               "--interval-us", week,
+                               "--min-doc-count", "0",
+                               "--pipeline", "derivative"])
+    drows = [json.loads(x) for x in out.strip().splitlines()]
+    assert len(drows) == len(rows) - 1
+    assert sum(r["value"] for r in drows) == rows[-1]["n"] - rows[0]["n"]
+
     # histogram-stats: nested published stats per bucket; totals tie
     # back to the plain histogram's bucket counts
     out = _run(capsys, spark, ["agg", "--index", idx, "--kind",

@@ -882,6 +882,55 @@ def test_histogram_stats_vs_bruteforce(eng, built_index):
              r["sum"], r["avg"]) for r in tree["hs"].collect()] == got
 
 
+def test_pipeline_aggs_vs_bruteforce(eng, built_index):
+    """ES parent pipeline aggregations over sibling histogram buckets:
+    cumulative_sum (running total, integer-exact) and derivative
+    (difference vs previous bucket, first bucket omitted — the ES
+    contract) vs plain Python over the brute-forced bucket counts;
+    buckets_path wiring (with and without >col) through aggregate()."""
+    query, step = "merge join table", 7 * DAY_US
+    occupied = _brute_histogram(built_index["docs"], query, step)
+    assert len(occupied) >= 3
+    lo, hi = min(occupied), max(occupied)
+    grid = [(b, occupied.get(b, 0)) for b in range(lo, hi + step, step)]
+
+    tree = eng.aggregate(query, aggs={
+        "weekly": {"kind": "histogram", "interval": step,
+                   "min_doc_count": 0},
+        "cum": {"kind": "cumulative_sum", "buckets_path": "weekly"},
+        "deriv": {"kind": "derivative", "buckets_path": "weekly>n"}})
+    run, exp_cum = 0, []
+    for b, n in grid:
+        run += n
+        exp_cum.append((b, run))
+    got_cum = [(r["bucket"], r["value"]) for r in tree["cum"].collect()]
+    assert got_cum == exp_cum
+    exp_d = [(grid[i][0], grid[i][1] - grid[i - 1][1])
+             for i in range(1, len(grid))]
+    got_d = [(r["bucket"], r["value"]) for r in tree["deriv"].collect()]
+    assert got_d == exp_d
+    assert len(got_d) == len(grid) - 1  # first bucket omitted
+
+    # occupied-only sibling: derivative differences consecutive EMITTED
+    # buckets (the ES contract on a sparse histogram)
+    occ = sorted(occupied.items())
+    tree2 = eng.aggregate(query, aggs={
+        "w": {"kind": "histogram", "interval": step},
+        "d": {"kind": "derivative", "buckets_path": "w"}})
+    assert [(r["bucket"], r["value"]) for r in tree2["d"].collect()] == \
+        [(occ[i][0], occ[i][1] - occ[i - 1][1]) for i in range(1, len(occ))]
+
+    # validation: a pipeline agg must reference a sibling BUCKET agg
+    with pytest.raises(ValueError, match="sibling"):
+        eng.aggregate(query, aggs={
+            "c": {"kind": "cumulative_sum", "buckets_path": "nope"}})
+    with pytest.raises(ValueError, match="sibling"):
+        eng.aggregate(query, aggs={
+            "w": {"kind": "histogram", "interval": step},
+            "a": {"kind": "cumulative_sum", "buckets_path": "b"},
+            "b": {"kind": "derivative", "buckets_path": "a"}})
+
+
 def test_histogram_in_aggregate_tree(eng, built_index):
     """The `histogram` kind serves from aggregate()'s single cached
     match-set pass with the same answer as the standalone method."""

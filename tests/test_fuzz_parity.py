@@ -412,6 +412,24 @@ def test_randomized_aggregation_parity(spark, tmp_path, seed):
                 extended_bounds=ext, min_doc_count=0).collect()]
             assert got_hg == exp_hg, (seed, q, interval, off, hb, ext)
 
+        # pipeline aggs over the gap-filled weekly histogram: running
+        # total + first-bucket-omitted difference, integer-exact
+        ptree = eng.aggregate(q, filters, aggs={
+            "w": {"kind": "date_histogram", "interval_us": interval,
+                  "min_doc_count": 0},
+            "c": {"kind": "cumulative_sum", "buckets_path": "w"},
+            "d": {"kind": "derivative", "buckets_path": "w>n"}})
+        run, exp_c = 0, []
+        for b, nv in exp_gf:
+            run += nv
+            exp_c.append((b, run))
+        assert [(r["bucket"], r["value"])
+                for r in ptree["c"].collect()] == exp_c, (seed, q)
+        assert [(r["bucket"], r["value"])
+                for r in ptree["d"].collect()] == \
+            [(exp_gf[i][0], exp_gf[i][1] - exp_gf[i - 1][1])
+             for i in range(1, len(exp_gf))], (seed, q)
+
         # nested stats under histogram buckets: per-bucket exact sum,
         # one double division, NULL-stats split (doc_count vs n)
         hbuckets = defaultdict(list)

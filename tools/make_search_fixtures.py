@@ -351,6 +351,7 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
     out["search_histogram_gapfill"] = histogram_gapfill_rows(docs, ckey)
     out["search_histogram_knobs"] = histogram_knobs_rows(docs, ckey)
     out["search_histogram_stats"] = histogram_stats_rows(docs, ckey)
+    out["search_derivative"] = derivative_rows(docs, ckey)
     out["search_terms_topn"] = terms_topn_rows(docs, ckey)
     out["search_sorted_after"] = sorted_after_rows(docs, ckey)
 
@@ -593,6 +594,33 @@ def histogram_stats_rows(docs: list[dict], ckey: int,
         "histogram_stats fixture needs an empty bucket (NULL-stats fill)"
     return rows
 
+
+def derivative_rows(docs: list[dict], ckey: int,
+                    query: str = "spark merge join",
+                    interval_us: int = 7 * DAY_US) -> list[dict]:
+    """Expected ES `derivative` pipeline output over the gap-filled
+    weekly histogram: per bucket, count minus the previous bucket's
+    count, FIRST bucket omitted (ES emits no derivative for it) — a
+    plain Python difference loop, independent of the engine's
+    lag-window plan. Integer-exact, no NULLs (gap fill feeds 0s)."""
+    counts: dict[int, int] = {}
+    for d in _brute_match(docs, query):
+        if d.get("lastmodified") is not None:
+            b = (d["lastmodified"] // interval_us) * interval_us
+            counts[b] = counts.get(b, 0) + 1
+    assert counts, "derivative fixture must be nonvacuous"
+    grid = [(b, counts.get(b, 0))
+            for b in range(min(counts), max(counts) + 1, interval_us)]
+    rows = [{"corpus_key": ckey, "bucket": int(grid[i][0]),
+             "value": int(grid[i][1] - grid[i - 1][1])}
+            for i in range(1, len(grid))]
+    assert any(r["value"] < 0 for r in rows) and \
+        any(r["value"] > 0 for r in rows), \
+        "derivative fixture should swing both ways to grade the lag"
+    return rows
+
+
+DERIV_FIELDS = [("bucket", pa.int64()), ("value", pa.int64())]
 
 HSTATS_FIELDS = [("bucket", pa.int64()), ("doc_count", pa.int64()),
                  ("n", pa.int64()), ("min", pa.int64()),
@@ -925,6 +953,7 @@ def main() -> None:
                "search_histogram_gapfill": HIST_FIELDS,
                "search_histogram_knobs": HIST_FIELDS,
                "search_histogram_stats": HSTATS_FIELDS,
+               "search_derivative": DERIV_FIELDS,
                "search_terms_topn": TERMS_FIELDS,
                "search_sorted_after": SORTED_FIELDS,
                "search_suggest": SUGGEST_FIELDS}
