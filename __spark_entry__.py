@@ -1479,6 +1479,25 @@ def q_search_derivative(spark, sf_dir):  # fixture-oracle
     return tree["deriv"]
 
 
+def q_search_percentile_ranks(spark, sf_dir):  # fixture-oracle
+    """ES `percentile_ranks` — the exact INVERSE of the percentiles
+    aggregation — over the FULL BM25 match set: per probe value, the
+    percent at which the linear percentile interpolation reaches it
+    (below-min → 0, at/above-max → 100). The engine never sorts the
+    data: per probe it aggregates only (count ≤ v, neighbor values) in
+    ONE partial→final pass — O(#probes) memory at any scale, no sketch
+    needed — and the fixture oracle recomputes the pinned scalar
+    inverse (query/percentile.py) over the brute-force match set;
+    engine ≡ oracle bitwise in double. Probe list == the generator's
+    PRANK_PROBES (tools/make_search_fixtures.py), incl. a fractional
+    probe grading the double comparison path."""
+    return _get_engine(spark, sf_dir).percentile_ranks(
+        "spark merge join",
+        values=(1_500_000_000_000_000, 1_600_000_000_000_000,
+                1_650_000_000_000_000.5, 1_680_000_000_000_000,
+                1_900_000_000_000_000))
+
+
 def q_search_terms_topn(spark, sf_dir):  # fixture-oracle
     """Size-limited terms bucket (tantivy TermsAggregation response
     shape) over the FULL BM25 match set: top-5 tags by doc_count
@@ -1716,6 +1735,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "sha256_invariant": q_sha256_invariant,
+        # born at the tail (every first-50 slot holds a never-graded
+        # entry): value-gated by test_entry with the same comparison
+        "search_percentile_ranks": q_search_percentile_ranks,
     }
 
 
@@ -1980,6 +2002,13 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
             "WHERE corpus_key = "
             "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
             "ORDER BY bucket"),
+        "search_percentile_ranks": (
+            "SELECT value, pct "
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_percentile_ranks.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
+            "ORDER BY value"),
         "search_derivative": (
             "SELECT bucket, value "
             f"FROM '{FIXTURES_DIR}/"

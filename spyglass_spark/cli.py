@@ -240,8 +240,8 @@ def main(argv=None, spark=None) -> int:
     ag.add_argument("--kind", default="facets",
                     choices=["facets", "date-histogram", "histogram",
                              "histogram-stats", "stats", "percentiles",
-                             "facet-stats", "range", "cardinality",
-                             "extended-stats", "top-hits",
+                             "percentile-ranks", "facet-stats", "range",
+                             "cardinality", "extended-stats", "top-hits",
                              "terms", "count"])
     ag.add_argument("--col", default="domain",
                     help="cardinality only: column to distinct-count")
@@ -253,6 +253,9 @@ def main(argv=None, spark=None) -> int:
                     dest="ranges", metavar="KEY:LO:HI",
                     help="range only: half-open [LO,HI) bucket in µs, "
                          "empty bound = unbounded; repeatable")
+    ag.add_argument("--value", type=float, action="append", default=[],
+                    dest="values",
+                    help="percentile-ranks only: probe value, repeatable")
     ag.add_argument("--percent", type=float, action="append", default=[],
                     help="percentiles only: requested percent, repeatable "
                          "(default 1/5/25/50/75/95/99)")
@@ -629,6 +632,13 @@ def main(argv=None, spark=None) -> int:
                 for r in rows:
                     print(json.dumps({"pct": float(r["pct"]),
                                       "value": float(r["value"])}))
+            elif args.kind == "percentile-ranks":
+                rows = eng.percentile_ranks(
+                    q_arg, filters=filters, col=args.date_col,
+                    values=tuple(args.values)).collect()
+                for r in rows:
+                    print(json.dumps({"value": float(r["value"]),
+                                      "pct": float(r["pct"])}))
             elif args.kind == "range":
                 ranges = []
                 for spec in args.ranges:

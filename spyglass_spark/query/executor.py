@@ -2443,6 +2443,70 @@ class SearchEngine:
                            F.col("z.value").cast("double").alias("value"))
                    .orderBy("pct"))
 
+    def percentile_ranks(self, query: str, filters=(), boosts=(),
+                         col: str = "lastmodified",
+                         values=(), _dm=None) -> DataFrame:
+        """Percentile-ranks aggregation over the FULL match set — the ES
+        `percentile_ranks` agg, the INVERSE of :meth:`percentiles`: one
+        (value double, pct double) row per requested probe value,
+        value-ascending. pct is the percent p at which the exact linear
+        percentile interpolation reaches the probe: position(v) = i +
+        (v − s[i]) / (s[i+1] − s[i]) with i the LAST sorted index where
+        s[i] ≤ v (ties collapse to the run's end), pct = position /
+        (n−1) · 100; clamped to 0.0 below the min and 100.0 at/above
+        the max (the ES contract). NULLs skipped; an empty match set
+        returns zero rows, like percentiles.
+
+        Exactness without sorting the data: per probe value the plan
+        aggregates ONLY (count ≤ v, max of values ≤ v, min of values >
+        v) — conditional aggregates in ONE partial→final pass, each
+        partition-order independent — and the interpolation runs as a
+        projection on the single agg row with the operand order pinned
+        to ``exact_percentile_rank`` (query/percentile.py), so the
+        output is bitwise hash-gradeable. Memory is O(#probe values),
+        not O(#distinct) — this form needs no sketch fallback at
+        100 TB."""
+        vs = sorted(float(v) for v in values)
+        if not vs:
+            raise ValueError("values must be non-empty")
+        dm = _dm if _dm is not None else self._match_doc_meta(
+            self._compile_arg(query, filters, boosts),
+            caller="percentile_ranks")
+        src = dm.filter(F.col(col).isNotNull())
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for k, v in enumerate(vs):
+            lit = repr(v)  # repr round-trips the exact double literal
+            aggs.append(F.expr(
+                f"count(CASE WHEN {col} <= {lit} THEN 1 END)")
+                .alias(f"_le{k}"))
+            aggs.append(F.expr(
+                f"max(CASE WHEN {col} <= {lit} THEN {col} END)")
+                .alias(f"_lo{k}"))
+            aggs.append(F.expr(
+                f"min(CASE WHEN {col} > {lit} THEN {col} END)")
+                .alias(f"_hi{k}"))
+        agg = src.agg(*aggs)
+        structs = []
+        for k, v in enumerate(vs):
+            lit = repr(v)
+            pct = (
+                f"CASE WHEN _n = 0 THEN CAST(NULL AS DOUBLE) "
+                f"WHEN _le{k} = 0 THEN 0.0D "
+                f"WHEN _le{k} = _n THEN 100.0D "
+                f"ELSE (CAST(_le{k} - 1 AS DOUBLE) + "
+                f"(CAST({lit} AS DOUBLE) - CAST(_lo{k} AS DOUBLE)) / "
+                f"(CAST(_hi{k} AS DOUBLE) - CAST(_lo{k} AS DOUBLE))) / "
+                f"CAST(_n - 1 AS DOUBLE) * 100.0D END")
+            structs.append(F.struct(F.lit(v).alias("value"),
+                                    F.expr(pct).alias("pct")))
+        # empty match set: n=0 -> every pct is NULL -> zero output rows
+        z = F.explode(F.array(*structs))
+        return (agg.select(z.alias("z"))
+                   .select(F.col("z.value").cast("double").alias("value"),
+                           F.col("z.pct").cast("double").alias("pct"))
+                   .filter(F.col("pct").isNotNull())
+                   .orderBy("value"))
+
     def facet_stats(self, query: str, filters=(), boosts=(),
                     facet_col: str = "tags", col: str = "lastmodified",
                     k_tags: int | None = None, _dm=None) -> DataFrame:
@@ -2745,9 +2809,9 @@ class SearchEngine:
                    .select("rank", "url", "domain", "title", col))
 
     AGG_KINDS = ("facets", "date_histogram", "histogram",
-                 "histogram_stats", "stats", "percentiles", "facet_stats",
-                 "range", "cardinality", "extended_stats", "top_hits",
-                 "terms", "count")
+                 "histogram_stats", "stats", "percentiles",
+                 "percentile_ranks", "facet_stats", "range", "cardinality",
+                 "extended_stats", "top_hits", "terms", "count")
 
     def aggregate(self, query: str, filters=(), boosts=(),
                   aggs: dict | None = None) -> dict:
@@ -2780,6 +2844,7 @@ class SearchEngine:
             "histogram": self.histogram,
             "histogram_stats": self.histogram_stats,
             "stats": self.field_stats, "percentiles": self.percentiles,
+            "percentile_ranks": self.percentile_ranks,
             "facet_stats": self.facet_stats, "range": self.range_agg,
             "cardinality": self.cardinality,
             "extended_stats": self.extended_stats, "top_hits": self.top_hits,

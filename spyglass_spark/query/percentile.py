@@ -53,3 +53,36 @@ def exact_percentiles(vals, percents=DEFAULT_PERCENTS) -> list[tuple[float, floa
     sv = sorted(vals)
     return [(float(p), exact_percentile(sv, float(p) / 100.0))
             for p in percents]
+
+
+def exact_percentile_rank(sorted_vals, v) -> float:
+    """One exact percentile RANK (the ES `percentile_ranks` inverse of
+    the percentile function): the percent p such that
+    ``exact_percentile(sorted_vals, p/100)`` linearly reaches ``v`` —
+    position(v) = i + (v − s[i]) / (s[i+1] − s[i]) with i the LAST
+    index where s[i] ≤ v (ties collapse to the run's end, making the
+    inverse well-defined), then pct = position / (n−1) · 100. Clamped
+    to 0 below the min and 100 at/above the max, the ES contract. The
+    operand order here is pinned — SearchEngine.percentile_ranks
+    evaluates the SAME expression JVM-side, so engine ≡ this scalar
+    bitwise (tested at several partition counts)."""
+    import bisect
+
+    n = len(sorted_vals)
+    if n == 0:
+        raise ValueError("exact_percentile_rank needs at least one value")
+    if v < sorted_vals[0]:
+        return 0.0
+    if v >= sorted_vals[-1]:
+        return 100.0
+    i = bisect.bisect_right(sorted_vals, v) - 1
+    lo, hi = float(sorted_vals[i]), float(sorted_vals[i + 1])
+    return (float(i) + (float(v) - lo) / (hi - lo)) / float(n - 1) * 100.0
+
+
+def exact_percentile_ranks(vals, values) -> list[tuple[float, float]]:
+    """(value, pct) rows for a list of probe values over unsorted data —
+    the scalar mirror of ``SearchEngine.percentile_ranks`` output
+    (value-ascending, like the input order contract)."""
+    sv = sorted(vals)
+    return [(float(v), exact_percentile_rank(sv, v)) for v in sorted(values)]

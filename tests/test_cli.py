@@ -329,6 +329,16 @@ def test_cli_terms_and_gapfilled_histogram(spark, built_index, capsys):
     assert len(drows) == len(rows) - 1
     assert sum(r["value"] for r in drows) == rows[-1]["n"] - rows[0]["n"]
 
+    # percentile-ranks: clamps at the data edges, interior monotone
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind",
+                               "percentile-ranks", "--query", "fn index",
+                               "--value", "0", "--value", "1.65e15",
+                               "--value", "9e15"])
+    prows = [json.loads(x) for x in out.strip().splitlines()]
+    assert [r["pct"] for r in prows][0] == 0.0
+    assert [r["pct"] for r in prows][-1] == 100.0
+    assert 0.0 <= prows[1]["pct"] <= 100.0
+
     # histogram-stats: nested published stats per bucket; totals tie
     # back to the plain histogram's bucket counts
     out = _run(capsys, spark, ["agg", "--index", idx, "--kind",

@@ -297,6 +297,49 @@ def test_percentile_partition_invariance(spark):
         assert list(got) == expect
 
 
+def test_percentile_ranks_vs_bruteforce_bitwise(eng, built_index):
+    """percentile_ranks (the ES inverse of percentiles): engine rows
+    bitwise equal to the pinned scalar inverse interpolation — probes
+    include exact data values (tie collapse to the run's end), strict
+    midpoints, below-min (0.0) and at/above-max (100.0) clamps; the
+    round trip percentile(rank(v)) must return v for interior probes."""
+    from spyglass_spark.query.percentile import (exact_percentile,
+                                                 exact_percentile_ranks)
+
+    for query, col in [("merge join table", "lastmodified"),
+                       ("fn index", "published")]:
+        vals = sorted(_brute_match_vals(built_index["docs"], query, col))
+        assert len(vals) >= 3
+        probes = [vals[0] - 1, float(vals[0]), vals[len(vals) // 2],
+                  (vals[0] + vals[-1]) / 2.0 + 0.25,
+                  float(vals[-1]), vals[-1] + 10]
+        got = [(r["value"], r["pct"]) for r in eng.percentile_ranks(
+            query, col=col, values=probes).collect()]
+        expect = exact_percentile_ranks(vals, probes)
+        assert got == expect  # float equality intended: bitwise pin
+        assert got[0][1] == 0.0 and got[-1][1] == 100.0
+        for v, p in got:
+            if 0.0 < p < 100.0 and float(v) in {float(x) for x in vals}:
+                # round trip: the inverse lands back on the probe
+                assert exact_percentile(vals, p / 100.0) == \
+                    pytest.approx(v, abs=1e-6)
+
+    # empty match set -> zero rows; empty probes -> guard
+    assert eng.percentile_ranks("the fast key", values=(1.0,)) \
+        .collect() == []
+    with pytest.raises(ValueError, match="non-empty"):
+        eng.percentile_ranks("fn index", values=())
+
+    # the aggregate() tree serves the same rows from the cached pass
+    probes2 = (1_500_000_000_000_000, 1_700_000_000_000_000)
+    exp2 = [(r["value"], r["pct"]) for r in eng.percentile_ranks(
+        "merge join table", values=probes2).collect()]
+    tree = eng.aggregate("merge join table", aggs={
+        "pr": {"kind": "percentile_ranks", "values": probes2}})
+    assert [(r["value"], r["pct"])
+            for r in tree["pr"].collect()] == exp2
+
+
 def test_percentiles_empty_match_and_guards(eng):
     assert eng.percentiles("the fast key").collect() == []
     import pytest as _pytest

@@ -463,6 +463,16 @@ def test_randomized_aggregation_parity(spark, tmp_path, seed):
             q, filters, col="lastmodified", percents=pcts).collect()]
         assert got_p == exact_percentiles(vals, pcts), (seed, q, pcts)
 
+        # percentile ranks: the inverse interpolation, bitwise — probes
+        # mix exact data values, a random midpoint, and both clamps
+        from spyglass_spark.query.percentile import exact_percentile_ranks
+        probes = [rng.choice(vals), min(vals) - 1, max(vals) + 1,
+                  rng.uniform(min(vals), max(vals))]
+        got_pr = [(row["value"], row["pct"]) for row in eng.percentile_ranks(
+            q, filters, col="lastmodified", values=probes).collect()]
+        assert got_pr == exact_percentile_ranks(vals, probes), \
+            (seed, q, probes)
+
         # range buckets: overlap + unbounded sides + an empty bucket
         a, b = svals[len(svals) // 5], svals[len(svals) // 2]
         c = svals[(4 * len(svals)) // 5]

@@ -51,6 +51,7 @@ FIXTURE_QUERIES = [
     "search_histogram_knobs",
     "search_histogram_stats",
     "search_derivative",
+    "search_percentile_ranks",
     "search_terms_topn",
     "search_sorted_after",
     "search_lifecycle",

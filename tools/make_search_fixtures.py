@@ -352,6 +352,7 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
     out["search_histogram_knobs"] = histogram_knobs_rows(docs, ckey)
     out["search_histogram_stats"] = histogram_stats_rows(docs, ckey)
     out["search_derivative"] = derivative_rows(docs, ckey)
+    out["search_percentile_ranks"] = percentile_ranks_rows(docs, ckey)
     out["search_terms_topn"] = terms_topn_rows(docs, ckey)
     out["search_sorted_after"] = sorted_after_rows(docs, ckey)
 
@@ -621,6 +622,36 @@ def derivative_rows(docs: list[dict], ckey: int,
 
 
 DERIV_FIELDS = [("bucket", pa.int64()), ("value", pa.int64())]
+
+PRANK_PROBES = (1_500_000_000_000_000, 1_600_000_000_000_000,
+                1_650_000_000_000_000.5, 1_680_000_000_000_000,
+                1_900_000_000_000_000)
+
+
+def percentile_ranks_rows(docs: list[dict], ckey: int,
+                          query: str = "spark merge join",
+                          col: str = "lastmodified") -> list[dict]:
+    """Expected percentile_ranks output: the pinned scalar inverse
+    interpolation (query/percentile.py exact_percentile_ranks) over the
+    brute-force match set at the fixed probe list — below-min and
+    above-max clamps plus interior probes (one fractional). Asserts at
+    least two probes land strictly interior so the interpolation (not
+    just the clamps) is graded."""
+    from spyglass_spark.query.percentile import exact_percentile_ranks
+
+    vals = [d[col] for d in _brute_match(docs, query)
+            if d.get(col) is not None]
+    assert vals, "percentile_ranks fixture must be nonvacuous"
+    rows = exact_percentile_ranks(vals, PRANK_PROBES)
+    assert sum(1 for _, p in rows if 0.0 < p < 100.0) >= 2, \
+        "percentile_ranks fixture needs interior probes"
+    assert rows[0][1] == 0.0 and rows[-1][1] == 100.0, \
+        "percentile_ranks fixture needs both clamps"
+    return [{"corpus_key": ckey, "value": float(v), "pct": float(p)}
+            for v, p in rows]
+
+
+PRANK_FIELDS = [("value", pa.float64()), ("pct", pa.float64())]
 
 HSTATS_FIELDS = [("bucket", pa.int64()), ("doc_count", pa.int64()),
                  ("n", pa.int64()), ("min", pa.int64()),
@@ -954,6 +985,7 @@ def main() -> None:
                "search_histogram_knobs": HIST_FIELDS,
                "search_histogram_stats": HSTATS_FIELDS,
                "search_derivative": DERIV_FIELDS,
+               "search_percentile_ranks": PRANK_FIELDS,
                "search_terms_topn": TERMS_FIELDS,
                "search_sorted_after": SORTED_FIELDS,
                "search_suggest": SUGGEST_FIELDS}
