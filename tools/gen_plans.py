@@ -258,6 +258,53 @@ section("Terms aggregation (size + sum_other_doc_count)",
         "  runs on O(#distinct tags) rows. The ES-contract other-count\n"
         "  costs no second match-set pass.", 50)
 
+section("Generic histogram with the full knob set (offset + bounds)",
+        eng.histogram("spark merge join", interval=7 * 86_400_000_000,
+                      offset=3 * 86_400_000_000 + 54_321,
+                      hard_bounds=(1_664_000_000_000_000,
+                                   1_704_067_200_000_000),
+                      extended_bounds=(1_664_000_000_000_000,
+                                       1_704_067_200_000_000),
+                      min_doc_count=0),
+        "- Same ONE-hash-agg shape as the date histogram: the floor-mod\n"
+        "  bucket key (value - pmod(value-offset, interval)) is pure\n"
+        "  codegen integer arithmetic, the hard_bounds cut is a plain\n"
+        "  Filter BEFORE the agg (rows outside never reach it), and the\n"
+        "  extended bounds fold into the grid's least/greatest on the\n"
+        "  single (min,max) row -- no extra pass for any knob.", 55)
+
+section("Nested stats under histogram buckets (histogram_stats)",
+        eng.histogram_stats("spark merge join",
+                            interval=7 * 86_400_000_000,
+                            min_doc_count=0),
+        "- ONE partial->final hash agg on the doc-local bucket key\n"
+        "  computes doc_count AND the nested (n, min, max, decimal-\n"
+        "  exact sum) together -- the sub-aggregation costs no second\n"
+        "  match-set traversal; the gap-fill grid LEFT-join runs on\n"
+        "  O(#buckets) rows as in the plain histogram.", 55)
+
+section("Pipeline aggregation (derivative over sibling buckets)",
+        eng.derivative(eng.date_histogram("spark merge join",
+                                          interval_us=7 * 86_400_000_000,
+                                          min_doc_count=0)),
+        "- The ES parent-pipeline property in the plan: the input is the\n"
+        "  SIBLING bucket frame, so the window (lag over bucket asc)\n"
+        "  sits on O(#buckets) rows above the bucket agg -- the match\n"
+        "  set's scan/agg subtree appears ONCE. The single-partition\n"
+        "  window is bounded by the 65536 max_buckets guard.", 60)
+
+section("Percentile ranks (inverse percentiles, no sort / no value map)",
+        eng.percentile_ranks("spark merge join",
+                             values=(1_600_000_000_000_000,
+                                     1_680_000_000_000_000)),
+        "- Per probe only THREE conditional aggregates (count <= v,\n"
+        "  max <= v, min > v) in the usual single partial->final pass;\n"
+        "  the inverse interpolation is a projection on the one agg\n"
+        "  row. No sort, no percentile value->count map: the agg buffer\n"
+        "  is O(#probes) at any data size (exact percentiles is\n"
+        "  O(#distinct) and needs the sketch fallback at 100 TB; ranks\n"
+        "  never do).", 55)
+
 from spyglass_spark.query.compiler import compile_query
 
 _exp_urls = eng._match_doc_meta(
