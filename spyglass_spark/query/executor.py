@@ -2851,20 +2851,30 @@ class SearchEngine:
             "terms": self.terms_agg, "count": self.count_matches,
         }
         pipeline_fns = {"cumulative_sum": self.cumulative_sum,
-                        "derivative": self.derivative}
+                        "derivative": self.derivative,
+                        "stats_bucket": self.stats_bucket,
+                        "max_bucket": self.max_bucket,
+                        "min_bucket": self.min_bucket}
+        seen = set()
         for name, spec in aggs.items():
             kind = spec.get("kind")
             if kind in pipeline_fns:
                 path = str(spec.get("buckets_path", "")).split(">")[0]
-                if path not in aggs or aggs[path].get("kind") in \
-                        pipeline_fns or path == name:
+                # a pipeline may chain onto an EARLIER pipeline entry
+                # (ES's max_bucket-of-derivative shape) — resolution is
+                # dict order, so forward/self references are rejected
+                if path not in aggs or path == name or (
+                        aggs[path].get("kind") in pipeline_fns
+                        and path not in seen):
                     raise ValueError(
                         f"agg {name!r}: buckets_path must name a sibling "
-                        "bucket aggregation")
+                        "bucket aggregation (or an earlier pipeline "
+                        "entry)")
             elif kind not in builders:
                 raise ValueError(
                     f"agg {name!r}: kind must be one of "
                     f"{self.AGG_KINDS + self.PIPELINE_KINDS}")
+            seen.add(name)
         dm = self._match_doc_meta(self._compile_arg(query, filters, boosts),
                                   caller="aggregate")
         prev = getattr(self, "_agg_dm_cache", None)
@@ -2889,7 +2899,57 @@ class SearchEngine:
             out[name] = pipeline_fns[spec["kind"]](out[sib], vcol or "n")
         return out
 
-    PIPELINE_KINDS = ("cumulative_sum", "derivative")
+    PIPELINE_KINDS = ("cumulative_sum", "derivative", "stats_bucket",
+                      "max_bucket", "min_bucket")
+
+    @staticmethod
+    def stats_bucket(buckets: DataFrame, val_col: str = "n") -> DataFrame:
+        """ES `stats_bucket` sibling pipeline aggregation: ONE row
+        (count, min, max, sum, avg) over a sibling bucket agg's
+        ``val_col`` — which also serves the ES avg_bucket / sum_bucket
+        / (value-only) min_bucket / max_bucket responses as columns.
+        Same arithmetic discipline as facet_stats: decimal(38,0)-exact
+        sum, avg = double(exact sum)/count in ONE division. An empty
+        sibling yields (0, NULLs) — ES's null stats. O(#buckets) input,
+        O(1) output; the match set is never re-traversed."""
+        agg = buckets.agg(
+            F.count(val_col).alias("count"),
+            F.min(val_col).alias("min"), F.max(val_col).alias("max"),
+            F.sum(F.col(val_col).cast("decimal(38,0)")).alias("_s"))
+        return agg.select(
+            "count", "min", "max",
+            F.expr("try_cast(_s AS BIGINT)").alias("sum"),
+            F.when(F.col("count") > 0,
+                   F.col("_s").cast("double") / F.col("count"))
+             .alias("avg"))
+
+    @staticmethod
+    def _extreme_bucket(buckets: DataFrame, val_col: str,
+                        minimum: bool) -> DataFrame:
+        """Shared ES min_bucket/max_bucket: the extreme ``val_col``
+        value plus EVERY bucket key attaining it (the ES keys-list
+        contract; ties kept, keys ascending, csv-joined — array columns
+        don't survive the driver's row compare). Two aggs over the
+        O(#buckets) sibling frame; empty sibling → zero rows."""
+        ext = (F.min if minimum else F.max)(F.col(val_col)).alias("_ext")
+        agg = buckets.agg(ext)
+        return (buckets.join(F.broadcast(agg),
+                             F.col(val_col) == F.col("_ext"))
+                       .agg(F.concat_ws(",", F.sort_array(F.collect_list(
+                            F.col("bucket").cast("string")))).alias("keys"),
+                            F.min("_ext").alias("value")))
+
+    @classmethod
+    def max_bucket(cls, buckets: DataFrame,
+                   val_col: str = "n") -> DataFrame:
+        """ES `max_bucket`: see _extreme_bucket."""
+        return cls._extreme_bucket(buckets, val_col, minimum=False)
+
+    @classmethod
+    def min_bucket(cls, buckets: DataFrame,
+                   val_col: str = "n") -> DataFrame:
+        """ES `min_bucket`: see _extreme_bucket."""
+        return cls._extreme_bucket(buckets, val_col, minimum=True)
 
     @staticmethod
     def cumulative_sum(buckets: DataFrame, val_col: str = "n") -> DataFrame:

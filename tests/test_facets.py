@@ -963,7 +963,37 @@ def test_pipeline_aggs_vs_bruteforce(eng, built_index):
     assert [(r["bucket"], r["value"]) for r in tree2["d"].collect()] == \
         [(occ[i][0], occ[i][1] - occ[i - 1][1]) for i in range(1, len(occ))]
 
+    # sibling pipeline family: stats_bucket one-row reduction, the
+    # min/max extreme with its FULL tie keys list, and the ES
+    # max_bucket-of-derivative chain (ordered pipeline-on-pipeline)
+    ns = [n for _, n in grid]
+    tree3 = eng.aggregate(query, aggs={
+        "w": {"kind": "histogram", "interval": step, "min_doc_count": 0},
+        "sb": {"kind": "stats_bucket", "buckets_path": "w"},
+        "mx": {"kind": "max_bucket", "buckets_path": "w"},
+        "mn": {"kind": "min_bucket", "buckets_path": "w>n"},
+        "d": {"kind": "derivative", "buckets_path": "w"},
+        "dmx": {"kind": "max_bucket", "buckets_path": "d>value"}})
+    sb = tree3["sb"].collect()[0]
+    assert (sb["count"], sb["min"], sb["max"], sb["sum"]) == \
+        (len(ns), min(ns), max(ns), sum(ns))
+    assert sb["avg"] == float(sum(ns)) / len(ns)
+    mx = tree3["mx"].collect()[0]
+    assert mx["value"] == max(ns)
+    assert mx["keys"] == ",".join(
+        str(b) for b, n in grid if n == max(ns))
+    mn = tree3["mn"].collect()[0]
+    assert mn["value"] == 0  # the gap fill guarantees zero buckets
+    assert len(mn["keys"].split(",")) == sum(1 for n in ns if n == 0) >= 1
+    dvals = [grid[i][1] - grid[i - 1][1] for i in range(1, len(grid))]
+    dmx = tree3["dmx"].collect()[0]
+    assert dmx["value"] == max(dvals)
+    assert dmx["keys"] == ",".join(
+        str(grid[i][0]) for i in range(1, len(grid))
+        if dvals[i - 1] == max(dvals))
+
     # validation: a pipeline agg must reference a sibling BUCKET agg
+    # (or an EARLIER pipeline entry — forward/self chains rejected)
     with pytest.raises(ValueError, match="sibling"):
         eng.aggregate(query, aggs={
             "c": {"kind": "cumulative_sum", "buckets_path": "nope"}})

@@ -429,6 +429,19 @@ def test_randomized_aggregation_parity(spark, tmp_path, seed):
                 for r in ptree["d"].collect()] == \
             [(exp_gf[i][0], exp_gf[i][1] - exp_gf[i - 1][1])
              for i in range(1, len(exp_gf))], (seed, q)
+        gf_ns = [nv for _, nv in exp_gf]
+        ptree2 = eng.aggregate(q, filters, aggs={
+            "w": {"kind": "date_histogram", "interval_us": interval,
+                  "min_doc_count": 0},
+            "sb": {"kind": "stats_bucket", "buckets_path": "w"},
+            "mx": {"kind": "max_bucket", "buckets_path": "w>n"}})
+        sb = ptree2["sb"].collect()[0]
+        assert (sb["count"], sb["min"], sb["max"], sb["sum"], sb["avg"]) \
+            == (len(gf_ns), min(gf_ns), max(gf_ns), sum(gf_ns),
+                float(sum(gf_ns)) / len(gf_ns)), (seed, q)
+        mxr = ptree2["mx"].collect()[0]
+        assert mxr["value"] == max(gf_ns) and mxr["keys"] == ",".join(
+            str(b) for b, nv in exp_gf if nv == max(gf_ns)), (seed, q)
 
         # nested stats under histogram buckets: per-bucket exact sum,
         # one double division, NULL-stats split (doc_count vs n)
