@@ -1498,6 +1498,18 @@ def q_search_percentile_ranks(spark, sf_dir):  # fixture-oracle
                 1_900_000_000_000_000))
 
 
+def q_search_significant_terms(spark, sf_dir):  # fixture-oracle
+    """ES `significant_terms` (JLH) over the FULL BM25 match set: the
+    content terms that characterize the matching docs against the whole
+    index — fg from a broadcast-intersect decode of the field's
+    postings (no shuffle of payload), bg from the same term_stats df
+    BM25's idf reads, JLH in pinned double order, top-10 by
+    (score desc, term asc). The fixture oracle recounts fg/bg with the
+    scalar analyzers and asserts the ranking is CUT by size."""
+    return _get_engine(spark, sf_dir).significant_terms(
+        "spark merge join", size=10, min_doc_count=3)
+
+
 def q_search_terms_topn(spark, sf_dir):  # fixture-oracle
     """Size-limited terms bucket (tantivy TermsAggregation response
     shape) over the FULL BM25 match set: top-5 tags by doc_count
@@ -1738,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # born at the tail (every first-50 slot holds a never-graded
         # entry): value-gated by test_entry with the same comparison
         "search_percentile_ranks": q_search_percentile_ranks,
+        "search_significant_terms": q_search_significant_terms,
     }
 
 
@@ -2002,6 +2015,13 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
             "WHERE corpus_key = "
             "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
             "ORDER BY bucket"),
+        "search_significant_terms": (
+            "SELECT term, fg, bg, score "
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_significant_terms.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
+            "ORDER BY score DESC, term"),
         "search_percentile_ranks": (
             "SELECT value, pct "
             f"FROM '{FIXTURES_DIR}/"

@@ -242,7 +242,7 @@ def main(argv=None, spark=None) -> int:
                              "histogram-stats", "stats", "percentiles",
                              "percentile-ranks", "facet-stats", "range",
                              "cardinality", "extended-stats", "top-hits",
-                             "terms", "count"])
+                             "terms", "count", "significant-terms"])
     ag.add_argument("--col", default="domain",
                     help="cardinality only: column to distinct-count")
     ag.add_argument("--rsd", type=float, default=None,
@@ -253,6 +253,9 @@ def main(argv=None, spark=None) -> int:
                     dest="ranges", metavar="KEY:LO:HI",
                     help="range only: half-open [LO,HI) bucket in µs, "
                          "empty bound = unbounded; repeatable")
+    ag.add_argument("--sig-field", default="content",
+                    help="significant-terms only: the indexed text field "
+                         "whose terms are scored")
     ag.add_argument("--value", type=float, action="append", default=[],
                     dest="values",
                     help="percentile-ranks only: probe value, repeatable")
@@ -654,6 +657,16 @@ def main(argv=None, spark=None) -> int:
                         "lo": None if r["lo"] is None else int(r["lo"]),
                         "hi": None if r["hi"] is None else int(r["hi"]),
                         "n": int(r["n"])}))
+            elif args.kind == "significant-terms":
+                rows = eng.significant_terms(
+                    q_arg, filters=filters, field=args.sig_field,
+                    size=args.size,
+                    min_doc_count=(3 if args.min_doc_count is None
+                                   else args.min_doc_count)).collect()
+                for r in rows:
+                    print(json.dumps({
+                        "term": r["term"], "fg": int(r["fg"]),
+                        "bg": int(r["bg"]), "score": float(r["score"])}))
             elif args.kind == "count":
                 rows = eng.count_matches(q_arg,
                                          filters=filters).collect()

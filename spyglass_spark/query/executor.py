@@ -2443,6 +2443,94 @@ class SearchEngine:
                            F.col("z.value").cast("double").alias("value"))
                    .orderBy("pct"))
 
+    def significant_terms(self, query: str, filters=(), boosts=(),
+                          field: str = "content", size: int = 10,
+                          min_doc_count: int = 3,
+                          fg_limit: int = 2_000_000, _dm=None) -> DataFrame:
+        """Significant-terms aggregation — the ES `significant_terms`
+        text-analytics agg with the JLH heuristic: the terms that
+        CHARACTERIZE the match set against the whole index as
+        background. Per candidate term: fg = how many MATCHING docs
+        contain it, bg = its index-wide document frequency (the same
+        term_stats df BM25's idf uses — tombstoned docs stay counted
+        until compaction on both, so foreground and scoring agree);
+        JLH score = (fgPct − bgPct) · (fgPct / bgPct) when fgPct >
+        bgPct else 0, in pinned double order. Output (term, fg long,
+        bg long, score double), score-descending then term-ascending,
+        top ``size``; ``min_doc_count`` drops rare-in-foreground noise
+        (the ES knob, default 3).
+
+        Scale shape — this is the one aggregation whose honest cost is
+        a FIELD-WIDE posting scan (ES documents the same): every
+        posting row of ``field`` is decoded once, intersected against a
+        BROADCAST sorted array of match ordinals (np.searchsorted, no
+        shuffle of postings), and only (term, count>0) partials reach
+        the one term-keyed groupBy — doc-local → skew-free. The match
+        set must fit the broadcast: ``fg_limit`` (the same 2M bound as
+        the top-k driver merge) guards it; ES's answer above that is
+        sampling, and so is ours (tighten the query or sample
+        upstream). Background df is a vocab-scale stats-store scan."""
+        if size <= 0:
+            raise ValueError("size must be positive")
+        dm = _dm if _dm is not None else self._match_doc_meta(
+            self._compile_arg(query, filters, boosts),
+            caller="significant_terms")
+        ords = np.sort(np.array(
+            [r["doc_ord"] for r in dm.select("doc_ord").collect()],
+            dtype=np.int64))
+        fg_total = int(len(ords))
+        if fg_total > int(fg_limit):
+            raise ValueError(
+                f"significant_terms: match set {fg_total} exceeds "
+                f"fg_limit={int(fg_limit)}; narrow the query or sample")
+        if fg_total == 0:
+            return self.spark.sql(
+                "SELECT '' AS term, 0L AS fg, 0L AS bg, "
+                "CAST(0.0 AS DOUBLE) AS score WHERE false")
+        bc = self.spark.sparkContext.broadcast(ords)
+        rows = (self._postings_base
+                .filter(F.col("field") == field)
+                .select("part_id", "term", "doc_bytes", "tf_bytes"))
+
+        def count_fg(batches):
+            for pdf in batches:
+                terms, cnts = [], []
+                ref = bc.value
+                for _, r in pdf.iterrows():
+                    docs, _ = decode_postings(r["doc_bytes"], r["tf_bytes"])
+                    base = np.uint64(int(r["part_id"])) \
+                        << np.uint64(ORD_SHIFT)
+                    dords = (base + docs).astype(np.int64)
+                    idx = np.searchsorted(ref, dords)
+                    ok = idx < len(ref)
+                    c = int(np.count_nonzero(ref[idx[ok]] == dords[ok]))
+                    if c:
+                        terms.append(r["term"])
+                        cnts.append(c)
+                yield pd.DataFrame({"term": pd.Series(terms, dtype="object"),
+                                    "fg_part": pd.Series(cnts,
+                                                         dtype="int64")})
+
+        fg = (rows.mapInPandas(count_fg, "term string, fg_part long")
+                  .groupBy("term").agg(F.sum("fg_part").alias("fg"))
+                  .filter(F.col("fg") >= int(min_doc_count)))
+        bg = (self.spark.read.parquet(*self._paths("term_stats"))
+                  .filter(F.col("field") == field)
+                  .groupBy("term").agg(F.sum("df").alias("bg")))
+        fgF = repr(float(fg_total))
+        bgF = repr(float(max(int(self.manifest.num_docs), 1)))
+        score = F.expr(
+            f"CASE WHEN (CAST(fg AS DOUBLE) / {fgF}) > "
+            f"(CAST(bg AS DOUBLE) / {bgF}) THEN "
+            f"((CAST(fg AS DOUBLE) / {fgF}) - (CAST(bg AS DOUBLE) / {bgF}))"
+            f" * ((CAST(fg AS DOUBLE) / {fgF}) / "
+            f"(CAST(bg AS DOUBLE) / {bgF})) "
+            "ELSE CAST(0.0 AS DOUBLE) END")
+        return (fg.join(bg, "term")
+                  .select("term", "fg", "bg", score.alias("score"))
+                  .orderBy(F.desc("score"), F.asc("term"))
+                  .limit(int(size)))
+
     def percentile_ranks(self, query: str, filters=(), boosts=(),
                          col: str = "lastmodified",
                          values=(), _dm=None) -> DataFrame:
@@ -2811,7 +2899,8 @@ class SearchEngine:
     AGG_KINDS = ("facets", "date_histogram", "histogram",
                  "histogram_stats", "stats", "percentiles",
                  "percentile_ranks", "facet_stats", "range", "cardinality",
-                 "extended_stats", "top_hits", "terms", "count")
+                 "extended_stats", "top_hits", "terms", "count",
+                 "significant_terms")
 
     def aggregate(self, query: str, filters=(), boosts=(),
                   aggs: dict | None = None) -> dict:
@@ -2849,6 +2938,7 @@ class SearchEngine:
             "cardinality": self.cardinality,
             "extended_stats": self.extended_stats, "top_hits": self.top_hits,
             "terms": self.terms_agg, "count": self.count_matches,
+            "significant_terms": self.significant_terms,
         }
         pipeline_fns = {"cumulative_sum": self.cumulative_sum,
                         "derivative": self.derivative,

@@ -329,6 +329,17 @@ def test_cli_terms_and_gapfilled_histogram(spark, built_index, capsys):
     assert len(drows) == len(rows) - 1
     assert sum(r["value"] for r in drows) == rows[-1]["n"] - rows[0]["n"]
 
+    # significant-terms: the query's own stem must rank with a
+    # positive JLH score; ranking is score-desc
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind",
+                               "significant-terms", "--query", "fn index",
+                               "--size", "5", "--min-doc-count", "2"])
+    srows2 = [json.loads(x) for x in out.strip().splitlines()]
+    assert srows2 and srows2[0]["score"] > 0.0
+    scores = [r["score"] for r in srows2]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["fg"] <= r["bg"] for r in srows2)
+
     # percentile-ranks: clamps at the data edges, interior monotone
     out = _run(capsys, spark, ["agg", "--index", idx, "--kind",
                                "percentile-ranks", "--query", "fn index",

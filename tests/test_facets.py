@@ -925,6 +925,64 @@ def test_histogram_stats_vs_bruteforce(eng, built_index):
              r["sum"], r["avg"]) for r in tree["hs"].collect()] == got
 
 
+def test_significant_terms_vs_bruteforce(eng, built_index):
+    """ES significant_terms with the JLH heuristic: per content term,
+    fg = matching docs containing it (distinct per doc), bg = the
+    index-wide df BM25 uses, score = (fgPct − bgPct)·(fgPct/bgPct)
+    clamped at 0 — vs a pure-Python recount with the scalar analyzers,
+    full ranked list bitwise (score desc, term asc)."""
+    docs = built_index["docs"]
+    query = "merge join table"
+    ids = _match_ids(docs, query)
+    assert len(ids) >= 3
+
+    def terms_of(d):
+        return {t for _, t in tokenize_en(d["content"] or "")}
+
+    fg_counts: dict[str, int] = {}
+    bg_counts: dict[str, int] = {}
+    for d in docs:
+        ts = terms_of(d)
+        for t in ts:
+            bg_counts[t] = bg_counts.get(t, 0) + 1
+        if d["doc_id"] in ids:
+            for t in ts:
+                fg_counts[t] = fg_counts.get(t, 0) + 1
+    fgT, bgT = float(len(ids)), float(len(docs))
+    mdc = 2
+    exp = []
+    for t, fgc in fg_counts.items():
+        if fgc < mdc:
+            continue
+        bgc = bg_counts[t]
+        fgp, bgp = fgc / fgT, bgc / bgT
+        score = (fgp - bgp) * (fgp / bgp) if fgp > bgp else 0.0
+        exp.append((t, fgc, bgc, score))
+    exp.sort(key=lambda x: (-x[3], x[0]))
+
+    got = [(r["term"], r["fg"], r["bg"], r["score"])
+           for r in eng.significant_terms(query, size=100_000,
+                                          min_doc_count=mdc).collect()]
+    assert got == exp  # float equality intended: bitwise pin
+    assert got[0][3] > 0.0  # something IS significant
+
+    # top-size is a prefix of the full ranking; aggregate-tree parity
+    got5 = [(r["term"], r["fg"], r["bg"], r["score"])
+            for r in eng.significant_terms(query, size=5,
+                                           min_doc_count=mdc).collect()]
+    assert got5 == exp[:5]
+    tree = eng.aggregate(query, aggs={
+        "sig": {"kind": "significant_terms", "size": 5,
+                "min_doc_count": mdc}})
+    assert [(r["term"], r["fg"], r["bg"], r["score"])
+            for r in tree["sig"].collect()] == got5
+
+    # empty match set -> zero rows; oversized match set -> the guard
+    assert eng.significant_terms("the fast key").collect() == []
+    with pytest.raises(ValueError, match="fg_limit"):
+        eng.significant_terms(query, fg_limit=1)
+
+
 def test_pipeline_aggs_vs_bruteforce(eng, built_index):
     """ES parent pipeline aggregations over sibling histogram buckets:
     cumulative_sum (running total, integer-exact) and derivative

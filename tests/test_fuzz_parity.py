@@ -476,6 +476,33 @@ def test_randomized_aggregation_parity(spark, tmp_path, seed):
             q, filters, col="lastmodified", percents=pcts).collect()]
         assert got_p == exact_percentiles(vals, pcts), (seed, q, pcts)
 
+        # significant terms: JLH over random corpora — full ranked list
+        # bitwise vs the scalar-analyzer recount (fg distinct per doc,
+        # bg = every doc, clamp at fgPct <= bgPct)
+        from spyglass_spark.analysis.analyzer import tokenize_en as _ten
+        fg_c: dict = {}
+        bg_c: dict = {}
+        mids = {h["doc_id"] for h in exp_hits}
+        for d in docs:
+            ts = {t for _, t in _ten(d["content"] or "")}
+            for t in ts:
+                bg_c[t] = bg_c.get(t, 0) + 1
+            if d["doc_id"] in mids:
+                for t in ts:
+                    fg_c[t] = fg_c.get(t, 0) + 1
+        fgT, bgT = float(len(mids)), float(len(docs))
+        exp_sig = sorted(
+            ((t, c, bg_c[t],
+              ((c / fgT - bg_c[t] / bgT) * ((c / fgT) / (bg_c[t] / bgT))
+               if c / fgT > bg_c[t] / bgT else 0.0))
+             for t, c in fg_c.items() if c >= 1),
+            key=lambda x: (-x[3], x[0]))
+        got_sig = [(r["term"], r["fg"], r["bg"], r["score"])
+                   for r in eng.significant_terms(
+                       q, filters, size=100_000,
+                       min_doc_count=1).collect()]
+        assert got_sig == exp_sig, (seed, q, filters)
+
         # percentile ranks: the inverse interpolation, bitwise — probes
         # mix exact data values, a random midpoint, and both clamps
         from spyglass_spark.query.percentile import exact_percentile_ranks

@@ -52,6 +52,7 @@ FIXTURE_QUERIES = [
     "search_histogram_stats",
     "search_derivative",
     "search_percentile_ranks",
+    "search_significant_terms",
     "search_terms_topn",
     "search_sorted_after",
     "search_lifecycle",

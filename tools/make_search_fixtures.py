@@ -353,6 +353,7 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
     out["search_histogram_stats"] = histogram_stats_rows(docs, ckey)
     out["search_derivative"] = derivative_rows(docs, ckey)
     out["search_percentile_ranks"] = percentile_ranks_rows(docs, ckey)
+    out["search_significant_terms"] = significant_terms_rows(docs, ckey)
     out["search_terms_topn"] = terms_topn_rows(docs, ckey)
     out["search_sorted_after"] = sorted_after_rows(docs, ckey)
 
@@ -652,6 +653,48 @@ def percentile_ranks_rows(docs: list[dict], ckey: int,
 
 
 PRANK_FIELDS = [("value", pa.float64()), ("pct", pa.float64())]
+
+
+def significant_terms_rows(docs: list[dict], ckey: int,
+                           query: str = "spark merge join",
+                           size: int = 10,
+                           min_doc_count: int = 3) -> list[dict]:
+    """Expected significant_terms (JLH) output: fg = matching docs
+    containing the content term (distinct per doc, scalar analyzer),
+    bg = index-wide df, score = (fgPct − bgPct)·(fgPct/bgPct) clamped
+    at 0, ranked (score desc, term asc), top ``size`` — independent of
+    the engine's broadcast-intersect posting scan and stats-store join.
+    Asserts the top row's score is positive and that the ranking is cut
+    by ``size`` (the agg actually selects, not echoes)."""
+    from spyglass_spark.analysis.analyzer import tokenize_en
+
+    matched = {d["doc_id"] for d in _brute_match(docs, query)}
+    fg_c: dict[str, int] = {}
+    bg_c: dict[str, int] = {}
+    for d in docs:
+        ts = {t for _, t in tokenize_en(d["content"] or "")}
+        for t in ts:
+            bg_c[t] = bg_c.get(t, 0) + 1
+        if d["doc_id"] in matched:
+            for t in ts:
+                fg_c[t] = fg_c.get(t, 0) + 1
+    fgT, bgT = float(len(matched)), float(len(docs))
+    ranked = sorted(
+        ((t, c, bg_c[t],
+          ((c / fgT - bg_c[t] / bgT) * ((c / fgT) / (bg_c[t] / bgT))
+           if c / fgT > bg_c[t] / bgT else 0.0))
+         for t, c in fg_c.items() if c >= min_doc_count),
+        key=lambda x: (-x[3], x[0]))
+    assert ranked and ranked[0][3] > 0.0, \
+        "significant_terms fixture must have a positive top score"
+    assert len(ranked) > size, \
+        "significant_terms fixture must be CUT by size to grade the top-k"
+    return [{"corpus_key": ckey, "term": t, "fg": int(f), "bg": int(b),
+             "score": float(s)} for t, f, b, s in ranked[:size]]
+
+
+SIG_FIELDS = [("term", pa.string()), ("fg", pa.int64()),
+              ("bg", pa.int64()), ("score", pa.float64())]
 
 HSTATS_FIELDS = [("bucket", pa.int64()), ("doc_count", pa.int64()),
                  ("n", pa.int64()), ("min", pa.int64()),
@@ -986,6 +1029,7 @@ def main() -> None:
                "search_histogram_stats": HSTATS_FIELDS,
                "search_derivative": DERIV_FIELDS,
                "search_percentile_ranks": PRANK_FIELDS,
+               "search_significant_terms": SIG_FIELDS,
                "search_terms_topn": TERMS_FIELDS,
                "search_sorted_after": SORTED_FIELDS,
                "search_suggest": SUGGEST_FIELDS}
