@@ -2446,7 +2446,8 @@ class SearchEngine:
     def significant_terms(self, query: str, filters=(), boosts=(),
                           field: str = "content", size: int = 10,
                           min_doc_count: int = 3,
-                          fg_limit: int = 2_000_000, _dm=None) -> DataFrame:
+                          fg_limit: int = 2_000_000,
+                          sample: int | None = None, _dm=None) -> DataFrame:
         """Significant-terms aggregation — the ES `significant_terms`
         text-analytics agg with the JLH heuristic: the terms that
         CHARACTERIZE the match set against the whole index as
@@ -2468,21 +2469,35 @@ class SearchEngine:
         the one term-keyed groupBy — doc-local → skew-free. The match
         set must fit the broadcast: ``fg_limit`` (the same 2M bound as
         the top-k driver merge) guards it; ES's answer above that is
-        sampling, and so is ours (tighten the query or sample
-        upstream). Background df is a vocab-scale stats-store scan."""
+        the sampler aggregation, and so is ours — ``sample=N`` takes
+        the N SMALLEST doc_ords of the match set (a bounded
+        TakeOrdered, never a full collect) as the foreground.
+        doc_ord is the engine's stable partition-major ordinal
+        (sha256-assigned part, url-rank within part — an index
+        invariant), so the sample is deterministic on any cluster and
+        reproducible by the scalar oracle, where ES's top-scored shard
+        sampler is not. Background df is a vocab-scale stats-store
+        scan."""
         if size <= 0:
             raise ValueError("size must be positive")
         dm = _dm if _dm is not None else self._match_doc_meta(
             self._compile_arg(query, filters, boosts),
             caller="significant_terms")
-        ords = np.sort(np.array(
-            [r["doc_ord"] for r in dm.select("doc_ord").collect()],
-            dtype=np.int64))
+        if sample is not None:
+            if int(sample) <= 0:
+                raise ValueError("sample must be positive")
+            rows0 = (dm.select("doc_ord").orderBy(F.asc("doc_ord"))
+                       .limit(int(sample)).collect())
+        else:
+            rows0 = dm.select("doc_ord").collect()
+        ords = np.sort(np.array([r["doc_ord"] for r in rows0],
+                                dtype=np.int64))
         fg_total = int(len(ords))
-        if fg_total > int(fg_limit):
+        if sample is None and fg_total > int(fg_limit):
             raise ValueError(
                 f"significant_terms: match set {fg_total} exceeds "
-                f"fg_limit={int(fg_limit)}; narrow the query or sample")
+                f"fg_limit={int(fg_limit)}; narrow the query or pass "
+                "sample=N (deterministic first-N-by-doc_ord sampler)")
         if fg_total == 0:
             return self.spark.sql(
                 "SELECT '' AS term, 0L AS fg, 0L AS bg, "

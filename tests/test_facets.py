@@ -982,6 +982,47 @@ def test_significant_terms_vs_bruteforce(eng, built_index):
     with pytest.raises(ValueError, match="fg_limit"):
         eng.significant_terms(query, fg_limit=1)
 
+    # deterministic sampler (the ES sampler-agg pairing): foreground =
+    # the k SMALLEST doc_ords of the match set — reproduced here via
+    # the doc_ord invariant (part_id(sha256(url)) << 40 | url rank)
+    from spyglass_spark.index.builder import part_id_py
+    P = built_index["P"]
+    parts: dict[int, list] = {}
+    for d in docs:
+        parts.setdefault(part_id_py(d["url"], P), []).append(d["url"])
+    omap = {}
+    for p, urls in parts.items():
+        for rank, u in enumerate(sorted(urls)):
+            omap[u] = (p << 40) | rank
+    matched_by_ord = sorted((omap[d["url"]], d) for d in docs
+                            if d["doc_id"] in ids)
+    k = max(2, len(matched_by_ord) // 2)
+    sampled = [d for _, d in matched_by_ord[:k]]
+    fg_s: dict[str, int] = {}
+    for d in sampled:
+        for t in terms_of(d):
+            fg_s[t] = fg_s.get(t, 0) + 1
+    fgT_s = float(k)
+    exp_s = []
+    for t, fgc in fg_s.items():
+        if fgc < mdc:
+            continue
+        bgc = bg_counts[t]
+        fgp, bgp = fgc / fgT_s, bgc / bgT
+        exp_s.append((t, fgc, bgc,
+                      (fgp - bgp) * (fgp / bgp) if fgp > bgp else 0.0))
+    exp_s.sort(key=lambda x: (-x[3], x[0]))
+    got_s = [(r["term"], r["fg"], r["bg"], r["score"])
+             for r in eng.significant_terms(query, size=100_000,
+                                            min_doc_count=mdc,
+                                            sample=k).collect()]
+    assert got_s == exp_s
+    # a sampled run ignores fg_limit (the sampler IS the bound)
+    assert eng.significant_terms(query, size=3, fg_limit=1,
+                                 sample=k).count() == 3
+    with pytest.raises(ValueError, match="sample must be positive"):
+        eng.significant_terms(query, sample=0)
+
 
 def test_pipeline_aggs_vs_bruteforce(eng, built_index):
     """ES parent pipeline aggregations over sibling histogram buckets:
