@@ -296,10 +296,20 @@ def main(argv=None, spark=None) -> int:
                     help="histogram-stats only: the nested stats metric "
                          "column")
     ag.add_argument("--pipeline", default=None,
-                    choices=["cumulative-sum", "derivative"],
+                    choices=["cumulative-sum", "derivative", "serial-diff",
+                             "moving-fn"],
                     help="histogram kinds only: apply an ES parent "
                          "pipeline aggregation to the bucket counts "
                          "(prints (bucket, value) instead)")
+    ag.add_argument("--lag", type=int, default=1,
+                    help="serial-diff only: difference distance in buckets")
+    ag.add_argument("--window", type=int, default=5,
+                    help="moving-fn only: sliding window size (previous N "
+                         "buckets excluding the current — ES shift=0)")
+    ag.add_argument("--moving-func", default="unweightedAvg",
+                    help="moving-fn only: one of the ES MovingFunctions "
+                         "(unweightedAvg sum min max stdDev "
+                         "linearWeightedAvg)")
     ag.add_argument("--hard-bounds", default=None, metavar="LO:HI",
                     help="histogram only: values outside the closed "
                          "[LO, HI] range are ignored")
@@ -573,6 +583,32 @@ def main(argv=None, spark=None) -> int:
             filters = [("tag", t) for t in args.tag]
             q_arg = ({"parsed": args.query} if args.parsed
                      else args.query)
+
+            def _print_buckets(df):
+                """Shared histogram/date-histogram emitter: raw
+                (bucket, n) counts, or (bucket, value) after the
+                requested parent pipeline aggregation (integer-exact
+                for the difference/sum kinds, double for moving-fn)."""
+                if args.pipeline == "moving-fn":
+                    out = eng.moving_fn(df, window=args.window,
+                                        func=args.moving_func)
+                    for r in out.collect():
+                        print(json.dumps({"bucket": int(r["bucket"]),
+                                          "value": float(r["value"])}))
+                    return
+                if args.pipeline:
+                    fn = {"cumulative-sum": eng.cumulative_sum,
+                          "derivative": eng.derivative,
+                          "serial-diff": lambda d: eng.serial_diff(
+                              d, lag=args.lag)}[args.pipeline]
+                    for r in fn(df).collect():
+                        print(json.dumps({"bucket": int(r["bucket"]),
+                                          "value": int(r["value"])}))
+                    return
+                for r in df.collect():
+                    print(json.dumps({"bucket": int(r["bucket"]),
+                                      "n": int(r["n"])}))
+
             if args.kind == "facets":
                 rows = eng.facet_counts(q_arg, filters=filters,
                                         k_tags=args.k).collect()
@@ -584,16 +620,7 @@ def main(argv=None, spark=None) -> int:
                     q_arg, filters=filters,
                     interval_us=args.interval_us, date_col=args.date_col,
                     min_doc_count=args.min_doc_count)
-                if args.pipeline:
-                    fn = {"cumulative-sum": eng.cumulative_sum,
-                          "derivative": eng.derivative}[args.pipeline]
-                    for r in fn(df).collect():
-                        print(json.dumps({"bucket": int(r["bucket"]),
-                                          "value": int(r["value"])}))
-                else:
-                    for r in df.collect():
-                        print(json.dumps({"bucket": int(r["bucket"]),
-                                          "n": int(r["n"])}))
+                _print_buckets(df)
             elif args.kind == "histogram":
                 def _bounds(spec):
                     if spec is None:
@@ -606,16 +633,7 @@ def main(argv=None, spark=None) -> int:
                     min_doc_count=args.min_doc_count,
                     hard_bounds=_bounds(args.hard_bounds),
                     extended_bounds=_bounds(args.extended_bounds))
-                if args.pipeline:
-                    fn = {"cumulative-sum": eng.cumulative_sum,
-                          "derivative": eng.derivative}[args.pipeline]
-                    for r in fn(df).collect():
-                        print(json.dumps({"bucket": int(r["bucket"]),
-                                          "value": int(r["value"])}))
-                else:
-                    for r in df.collect():
-                        print(json.dumps({"bucket": int(r["bucket"]),
-                                          "n": int(r["n"])}))
+                _print_buckets(df)
             elif args.kind == "terms":
                 rows = eng.terms_agg(q_arg, filters=filters,
                                      facet_col=args.facet_col,

@@ -2959,7 +2959,12 @@ class SearchEngine:
                         "derivative": self.derivative,
                         "stats_bucket": self.stats_bucket,
                         "max_bucket": self.max_bucket,
-                        "min_bucket": self.min_bucket}
+                        "min_bucket": self.min_bucket,
+                        "moving_fn": self.moving_fn,
+                        "serial_diff": self.serial_diff,
+                        "bucket_script": self.bucket_script,
+                        "bucket_selector": self.bucket_selector,
+                        "bucket_sort": self.bucket_sort}
         seen = set()
         for name, spec in aggs.items():
             kind = spec.get("kind")
@@ -2999,13 +3004,18 @@ class SearchEngine:
         for name, spec in aggs.items():  # pipeline pass: siblings exist
             if spec.get("kind") not in pipeline_fns:
                 continue
-            path = str(spec["buckets_path"])
+            s = dict(spec)
+            kind = s.pop("kind")
+            path = str(s.pop("buckets_path"))
             sib, _, vcol = path.partition(">")
-            out[name] = pipeline_fns[spec["kind"]](out[sib], vcol or "n")
+            if "from" in s:  # ES request key; `from` is a Python keyword
+                s["from_"] = s.pop("from")
+            out[name] = pipeline_fns[kind](out[sib], vcol or "n", **s)
         return out
 
     PIPELINE_KINDS = ("cumulative_sum", "derivative", "stats_bucket",
-                      "max_bucket", "min_bucket")
+                      "max_bucket", "min_bucket", "moving_fn", "serial_diff",
+                      "bucket_script", "bucket_selector", "bucket_sort")
 
     @staticmethod
     def stats_bucket(buckets: DataFrame, val_col: str = "n") -> DataFrame:
@@ -3087,6 +3097,133 @@ class SearchEngine:
                     (F.col(val_col) - F.lag(val_col).over(w)).alias("value"))
                        .filter(F.col("value").isNotNull())
                        .orderBy(F.asc("bucket")))
+
+    MOVING_FNS = ("unweightedAvg", "sum", "min", "max", "stdDev",
+                  "linearWeightedAvg")
+
+    @staticmethod
+    def serial_diff(buckets: DataFrame, val_col: str = "n", *,
+                    lag: int = 1) -> DataFrame:
+        """ES `serial_diff` parent pipeline aggregation: per bucket,
+        ``val_col`` minus its value ``lag`` buckets earlier in
+        bucket-ascending order — (bucket, value), integer-exact when
+        the sibling column is integral (ES renders doubles in JSON but
+        the arithmetic is the same). The first ``lag`` buckets have
+        nothing to difference against and are omitted, generalizing
+        :meth:`derivative` (== lag 1). One O(#buckets) lag window,
+        bounded by the 65536 max_buckets guard upstream."""
+        if lag < 1:
+            raise ValueError("lag must be >= 1")
+        w = Window.orderBy(F.asc("bucket"))
+        return (buckets.select(
+                    "bucket",
+                    (F.col(val_col) - F.lag(val_col, int(lag)).over(w))
+                    .alias("value"))
+                       .filter(F.col("value").isNotNull())
+                       .orderBy(F.asc("bucket")))
+
+    @classmethod
+    def moving_fn(cls, buckets: DataFrame, val_col: str = "n", *,
+                  window: int = 5, func: str = "unweightedAvg",
+                  shift: int = 0) -> DataFrame:
+        """ES `moving_fn` parent pipeline aggregation: per bucket, one
+        of the built-in MovingFunctions over a sliding window of the
+        sibling's ``val_col`` in bucket-ascending order. ES window
+        semantics: with ``shift=0`` (default) the window is the
+        previous ``window`` buckets EXCLUDING the current one
+        — rows [i-window+shift, i-1+shift]; ``shift=1`` includes the
+        current bucket. Buckets whose window is empty (the first one
+        at shift 0) are omitted, like :meth:`derivative`'s first row.
+
+        Functions (all return double, the ES contract):
+        ``unweightedAvg`` ``sum`` ``min`` ``max`` ``stdDev``
+        (population, matching MovingFunctions.stdDev) and
+        ``linearWeightedAvg`` (weights 1..n, oldest first — computed
+        over an array_sort-pinned per-window array so the result is
+        deterministic at any parallelism). One O(#buckets·window)
+        window pass; max_buckets bounds it upstream."""
+        if window < 1:
+            raise ValueError("window must be >= 1")
+        if func not in cls.MOVING_FNS:
+            raise ValueError(f"func must be one of {cls.MOVING_FNS}")
+        lo, hi = int(shift) - int(window), int(shift) - 1
+        w = Window.orderBy(F.asc("bucket")).rowsBetween(lo, hi)
+        v = F.col(val_col).cast("double")
+        if func == "linearWeightedAvg":
+            arr = F.array_sort(F.collect_list(
+                F.struct(F.col("bucket"), v.alias("v"))).over(w))
+            value = F.expr(
+                "aggregate(_arr, "
+                "named_struct('num', 0.0D, 'den', 0.0D, 'i', 0), "
+                "(acc, x) -> named_struct("
+                "'num', acc.num + (acc.i + 1) * x.v, "
+                "'den', acc.den + (acc.i + 1), 'i', acc.i + 1), "
+                "acc -> CASE WHEN acc.den > 0 THEN acc.num / acc.den END)")
+            return (buckets.select("bucket", arr.alias("_arr"))
+                           .select("bucket", value.alias("value"))
+                           .filter(F.col("value").isNotNull())
+                           .orderBy(F.asc("bucket")))
+        agg = {"unweightedAvg": F.avg, "sum": F.sum, "min": F.min,
+               "max": F.max, "stdDev": F.stddev_pop}[func]
+        return (buckets.select("bucket",
+                               agg(v).over(w).alias("value"))
+                       .filter(F.col("value").isNotNull())
+                       .orderBy(F.asc("bucket")))
+
+    @staticmethod
+    def bucket_script(buckets: DataFrame, val_col: str = "n", *,
+                      script: str) -> DataFrame:
+        """ES `bucket_script` parent pipeline aggregation: per bucket,
+        a computed value from the sibling's own columns — ``script`` is
+        a SQL expression over them (the ES form binds buckets_path
+        variables into a Painless script; here the sibling frame IS the
+        variable scope, so ``sum / doc_count`` reads directly). Returns
+        (bucket, value double); buckets where the script yields NULL
+        (e.g. a 0/0 guard) are omitted — ES gap_policy=skip. Pure
+        column arithmetic over the O(#buckets) sibling frame, fully
+        whole-stage-codegen."""
+        return (buckets.select(
+                    "bucket",
+                    F.expr(script).cast("double").alias("value"))
+                       .filter(F.col("value").isNotNull())
+                       .orderBy(F.asc("bucket")))
+
+    @staticmethod
+    def bucket_selector(buckets: DataFrame, val_col: str = "n", *,
+                        script: str) -> DataFrame:
+        """ES `bucket_selector` parent pipeline aggregation: keep only
+        the sibling buckets for which the boolean SQL expression
+        ``script`` holds (NULL → dropped, matching ES's falsy gap
+        handling); all sibling columns pass through unchanged. A plain
+        filter over the O(#buckets) frame."""
+        return buckets.filter(F.expr(script))
+
+    @staticmethod
+    def bucket_sort(buckets: DataFrame, val_col: str = "n", *,
+                    sort: tuple = (), from_: int = 0,
+                    size: int | None = None) -> DataFrame:
+        """ES `bucket_sort` parent pipeline aggregation: re-order the
+        sibling buckets by ``sort`` — a sequence of (column,
+        "asc"|"desc") pairs — then page with ``from_``/``size`` (the ES
+        request's `from`/`size`; aggregate() maps the reserved-word
+        spec key). With no sort spec it is pure truncation in the
+        sibling's natural order, like ES. Every column not named in
+        the spec is appended as an ascending tie-break (schema order),
+        so the emitted page is deterministic at any parallelism —
+        the driver-hash requirement ES itself doesn't make. O(#buckets)
+        with an early-out TakeOrdered when size is set."""
+        cols = []
+        named = set()
+        for col, direction in sort:
+            if direction not in ("asc", "desc"):
+                raise ValueError("sort direction must be 'asc' or 'desc'")
+            cols.append(F.asc(col) if direction == "asc" else F.desc(col))
+            named.add(col)
+        cols.extend(F.asc(c) for c in buckets.columns if c not in named)
+        out = buckets.orderBy(*cols)
+        if from_:
+            out = out.offset(int(from_))
+        return out.limit(int(size)) if size is not None else out
 
     def materialize(self, hits: DataFrame, documents: DataFrame,
                     query: str, preview_words: int = 20) -> DataFrame:

@@ -328,6 +328,29 @@ def test_cli_terms_and_gapfilled_histogram(spark, built_index, capsys):
     drows = [json.loads(x) for x in out.strip().splitlines()]
     assert len(drows) == len(rows) - 1
     assert sum(r["value"] for r in drows) == rows[-1]["n"] - rows[0]["n"]
+    # serial-diff at lag 1 IS the derivative; lag 2 telescopes to the
+    # sum of the last two minus the first two counts
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind",
+                               "date-histogram", "--query", "fn index",
+                               "--interval-us", week,
+                               "--min-doc-count", "0",
+                               "--pipeline", "serial-diff", "--lag", "2"])
+    s2 = [json.loads(x) for x in out.strip().splitlines()]
+    assert len(s2) == len(rows) - 2
+    assert sum(r["value"] for r in s2) == \
+        rows[-1]["n"] + rows[-2]["n"] - rows[0]["n"] - rows[1]["n"]
+    # moving-fn unweightedAvg window 3: the shift-0 window excludes the
+    # current bucket, so the first emitted value is exactly bucket 0's n
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind",
+                               "date-histogram", "--query", "fn index",
+                               "--interval-us", week,
+                               "--min-doc-count", "0",
+                               "--pipeline", "moving-fn", "--window", "3"])
+    mrows = [json.loads(x) for x in out.strip().splitlines()]
+    assert len(mrows) == len(rows) - 1
+    assert mrows[0]["value"] == float(rows[0]["n"])
+    assert mrows[-1]["value"] == \
+        sum(r["n"] for r in rows[-4:-1]) / 3.0
 
     # significant-terms: the query's own stem must rank with a
     # positive JLH score; ranking is score-desc

@@ -1103,6 +1103,102 @@ def test_pipeline_aggs_vs_bruteforce(eng, built_index):
             "b": {"kind": "derivative", "buckets_path": "a"}})
 
 
+def test_pipeline_aggs_extended(eng, built_index):
+    """The remaining ES parent pipeline aggregations — moving_fn (all
+    six MovingFunctions, ES window semantics incl. shift), serial_diff
+    (lag-k generalized derivative), bucket_script / bucket_selector
+    (SQL-expression script over the sibling's columns) and bucket_sort
+    (sort + from/size paging) — vs plain Python over the brute-forced
+    gap-filled grid, wired through aggregate() incl. a
+    pipeline-on-pipeline selector→sort chain."""
+    query, step = "merge join table", 7 * DAY_US
+    occupied = _brute_histogram(built_index["docs"], query, step)
+    lo, hi = min(occupied), max(occupied)
+    grid = [(b, occupied.get(b, 0)) for b in range(lo, hi + step, step)]
+    ns = [n for _, n in grid]
+    assert len(grid) >= 4 and any(n == 0 for n in ns)
+
+    tree = eng.aggregate(query, aggs={
+        "w": {"kind": "histogram", "interval": step, "min_doc_count": 0},
+        "avg": {"kind": "moving_fn", "buckets_path": "w", "window": 3},
+        "mmx": {"kind": "moving_fn", "buckets_path": "w>n", "window": 2,
+                "func": "max", "shift": 1},
+        "msum": {"kind": "moving_fn", "buckets_path": "w", "window": 3,
+                 "func": "sum"},
+        "mmin": {"kind": "moving_fn", "buckets_path": "w", "window": 2,
+                 "func": "min"},
+        "msd": {"kind": "moving_fn", "buckets_path": "w", "window": 3,
+                "func": "stdDev"},
+        "lwa": {"kind": "moving_fn", "buckets_path": "w", "window": 3,
+                "func": "linearWeightedAvg"},
+        "sd2": {"kind": "serial_diff", "buckets_path": "w", "lag": 2},
+        "scr": {"kind": "bucket_script", "buckets_path": "w",
+                "script": "n * 3 - 1"},
+        "sel": {"kind": "bucket_selector", "buckets_path": "w",
+                "script": "n > 0"},
+        "page": {"kind": "bucket_sort", "buckets_path": "sel",
+                 "sort": [["n", "desc"]], "from": 1, "size": 3}})
+
+    def windowed(w_len, shift):
+        out = []
+        for i in range(len(ns)):
+            frame = ns[max(0, i + shift - w_len):max(0, i + shift)]
+            if frame:
+                out.append((grid[i][0], frame))
+        return out
+
+    assert [(r["bucket"], r["value"]) for r in tree["avg"].collect()] == \
+        [(b, sum(f) / len(f)) for b, f in windowed(3, 0)]
+    assert [(r["bucket"], r["value"]) for r in tree["mmx"].collect()] == \
+        [(b, float(max(f))) for b, f in windowed(2, 1)]
+    assert [(r["bucket"], r["value"]) for r in tree["msum"].collect()] == \
+        [(b, float(sum(f))) for b, f in windowed(3, 0)]
+    assert [(r["bucket"], r["value"]) for r in tree["mmin"].collect()] == \
+        [(b, float(min(f))) for b, f in windowed(2, 0)]
+    for got, (b, f) in zip(tree["msd"].collect(), windowed(3, 0)):
+        m = sum(f) / len(f)
+        assert got["bucket"] == b
+        assert got["value"] == pytest.approx(
+            (sum((v - m) ** 2 for v in f) / len(f)) ** 0.5, rel=1e-12)
+
+    def lwa(f):
+        num = den = 0.0
+        for i, v in enumerate(f):
+            num += (i + 1) * float(v)
+            den += i + 1
+        return num / den
+    assert [(r["bucket"], r["value"]) for r in tree["lwa"].collect()] == \
+        [(b, lwa(f)) for b, f in windowed(3, 0)]
+
+    assert [(r["bucket"], r["value"]) for r in tree["sd2"].collect()] == \
+        [(grid[i][0], ns[i] - ns[i - 2]) for i in range(2, len(grid))]
+    assert [(r["bucket"], r["value"]) for r in tree["scr"].collect()] == \
+        [(b, float(n * 3 - 1)) for b, n in grid]
+    kept = [(b, n) for b, n in grid if n > 0]
+    assert sorted((r["bucket"], r["n"]) for r in tree["sel"].collect()) == \
+        kept
+    paged = sorted(kept, key=lambda x: (-x[1], x[0]))[1:4]
+    assert [(r["bucket"], r["n"]) for r in tree["page"].collect()] == paged
+
+    # bucket_script NULL results are omitted (ES gap_policy=skip)
+    nulls = eng.aggregate(query, aggs={
+        "w": {"kind": "histogram", "interval": step, "min_doc_count": 0},
+        "s": {"kind": "bucket_script", "buckets_path": "w",
+              "script": "CASE WHEN n > 0 THEN 1.0 / n END"}})["s"]
+    assert [(r["bucket"], r["value"]) for r in nulls.collect()] == \
+        [(b, 1.0 / n) for b, n in grid if n > 0]
+
+    # validation: bad func / lag / sort direction
+    with pytest.raises(ValueError, match="func must be"):
+        eng.moving_fn(tree["sel"], func="kurtosis")
+    with pytest.raises(ValueError, match="lag must be"):
+        eng.serial_diff(tree["sel"], lag=0)
+    with pytest.raises(ValueError, match="window must be"):
+        eng.moving_fn(tree["sel"], window=0)
+    with pytest.raises(ValueError, match="direction"):
+        eng.bucket_sort(tree["sel"], sort=(("n", "descending"),))
+
+
 def test_histogram_in_aggregate_tree(eng, built_index):
     """The `histogram` kind serves from aggregate()'s single cached
     match-set pass with the same answer as the standalone method."""

@@ -443,6 +443,40 @@ def test_randomized_aggregation_parity(spark, tmp_path, seed):
         assert mxr["value"] == max(gf_ns) and mxr["keys"] == ",".join(
             str(b) for b, nv in exp_gf if nv == max(gf_ns)), (seed, q)
 
+        # extended pipeline kinds, randomized knobs: lag-k serial_diff,
+        # moving mean (ES shift-0 window excludes the current bucket),
+        # script arithmetic, selector cut + deterministic sorted page
+        lag = rng.randint(1, 3)
+        win = rng.randint(1, 4)
+        ptree3 = eng.aggregate(q, filters, aggs={
+            "w": {"kind": "date_histogram", "interval_us": interval,
+                  "min_doc_count": 0},
+            "sd": {"kind": "serial_diff", "buckets_path": "w", "lag": lag},
+            "mv": {"kind": "moving_fn", "buckets_path": "w", "window": win},
+            "bs": {"kind": "bucket_script", "buckets_path": "w",
+                   "script": "n * 2 + 1"},
+            "sel": {"kind": "bucket_selector", "buckets_path": "w",
+                    "script": "n >= 1"},
+            "pg": {"kind": "bucket_sort", "buckets_path": "sel",
+                   "sort": [["n", "desc"]], "size": 3}})
+        assert [(r["bucket"], r["value"]) for r in ptree3["sd"].collect()] \
+            == [(exp_gf[i][0], exp_gf[i][1] - exp_gf[i - lag][1])
+                for i in range(lag, len(exp_gf))], (seed, q, lag)
+        exp_mv = []
+        for i in range(len(exp_gf)):
+            f = gf_ns[max(0, i - win):i]
+            if f:
+                exp_mv.append((exp_gf[i][0], float(sum(f)) / len(f)))
+        assert [(r["bucket"], r["value"]) for r in ptree3["mv"].collect()] \
+            == exp_mv, (seed, q, win)
+        assert [(r["bucket"], r["value"]) for r in ptree3["bs"].collect()] \
+            == [(b, float(nv * 2 + 1)) for b, nv in exp_gf], (seed, q)
+        kept = [(b, nv) for b, nv in exp_gf if nv >= 1]
+        assert sorted((r["bucket"], r["n"])
+                      for r in ptree3["sel"].collect()) == kept, (seed, q)
+        assert [(r["bucket"], r["n"]) for r in ptree3["pg"].collect()] == \
+            sorted(kept, key=lambda x: (-x[1], x[0]))[:3], (seed, q)
+
         # nested stats under histogram buckets: per-bucket exact sum,
         # one double division, NULL-stats split (doc_count vs n)
         hbuckets = defaultdict(list)

@@ -51,6 +51,9 @@ FIXTURE_QUERIES = [
     "search_histogram_knobs",
     "search_histogram_stats",
     "search_derivative",
+    "search_moving_fn",
+    "search_serial_diff",
+    "search_bucket_page",
     "search_percentile_ranks",
     "search_significant_terms",
     "search_terms_topn",

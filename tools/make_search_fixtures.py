@@ -352,6 +352,9 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
     out["search_histogram_knobs"] = histogram_knobs_rows(docs, ckey)
     out["search_histogram_stats"] = histogram_stats_rows(docs, ckey)
     out["search_derivative"] = derivative_rows(docs, ckey)
+    out["search_moving_fn"] = moving_fn_rows(docs, ckey)
+    out["search_serial_diff"] = serial_diff_rows(docs, ckey)
+    out["search_bucket_page"] = bucket_page_rows(docs, ckey)
     out["search_percentile_ranks"] = percentile_ranks_rows(docs, ckey)
     out["search_significant_terms"] = significant_terms_rows(docs, ckey)
     out["search_terms_topn"] = terms_topn_rows(docs, ckey)
@@ -623,6 +626,95 @@ def derivative_rows(docs: list[dict], ckey: int,
 
 
 DERIV_FIELDS = [("bucket", pa.int64()), ("value", pa.int64())]
+
+
+def _gapfilled_grid(docs: list[dict], query: str,
+                    interval_us: int) -> list[tuple[int, int]]:
+    """Shared brute-forced gap-filled (bucket, count) grid over the
+    scalar match set — the sibling histogram every pipeline fixture
+    transforms."""
+    counts: dict[int, int] = {}
+    for d in _brute_match(docs, query):
+        if d.get("lastmodified") is not None:
+            b = (d["lastmodified"] // interval_us) * interval_us
+            counts[b] = counts.get(b, 0) + 1
+    assert counts, "pipeline fixture grid must be nonvacuous"
+    return [(b, counts.get(b, 0))
+            for b in range(min(counts), max(counts) + 1, interval_us)]
+
+
+MOVFN_WINDOW = 4
+
+
+def moving_fn_rows(docs: list[dict], ckey: int,
+                   query: str = "spark merge join",
+                   interval_us: int = 7 * DAY_US,
+                   window: int = MOVFN_WINDOW) -> list[dict]:
+    """Expected ES `moving_fn` (unweightedAvg, shift=0) output over the
+    gap-filled weekly histogram: per bucket, the mean of the PREVIOUS
+    ``window`` bucket counts excluding the current one (the ES shift=0
+    window), first bucket omitted (empty window) — a plain Python slice
+    loop, independent of the engine's rowsBetween window. Counts are
+    integers < 2^53, so the double mean is one exact-sum division on
+    both sides."""
+    grid = _gapfilled_grid(docs, query, interval_us)
+    assert len(grid) > window + 1, \
+        "moving_fn fixture needs both partial and full windows"
+    rows = []
+    for i in range(1, len(grid)):
+        frame = [n for _, n in grid[max(0, i - window):i]]
+        rows.append({"corpus_key": ckey, "bucket": int(grid[i][0]),
+                     "value": float(sum(frame)) / len(frame)})
+    assert len({r["value"] for r in rows}) > 2, \
+        "moving_fn fixture must vary to grade the window arithmetic"
+    return rows
+
+
+MOVFN_FIELDS = [("bucket", pa.int64()), ("value", pa.float64())]
+
+SDIFF_LAG = 2
+
+
+def serial_diff_rows(docs: list[dict], ckey: int,
+                     query: str = "spark merge join",
+                     interval_us: int = 7 * DAY_US,
+                     lag: int = SDIFF_LAG) -> list[dict]:
+    """Expected ES `serial_diff` (lag=2) output over the gap-filled
+    weekly histogram: count minus the count ``lag`` buckets earlier,
+    first ``lag`` buckets omitted. Integer-exact; distinguishes the
+    lag-k path from derivative's hardwired lag-1 (asserted below)."""
+    grid = _gapfilled_grid(docs, query, interval_us)
+    assert len(grid) > lag + 1, "serial_diff fixture needs enough buckets"
+    rows = [{"corpus_key": ckey, "bucket": int(grid[i][0]),
+             "value": int(grid[i][1] - grid[i - lag][1])}
+            for i in range(lag, len(grid))]
+    lag1 = [grid[i][1] - grid[i - 1][1] for i in range(lag, len(grid))]
+    assert [r["value"] for r in rows] != lag1, \
+        "serial_diff fixture must diverge from the lag-1 derivative"
+    return rows
+
+
+BPAGE_FROM, BPAGE_SIZE = 1, 5
+
+
+def bucket_page_rows(docs: list[dict], ckey: int,
+                     query: str = "spark merge join",
+                     interval_us: int = 7 * DAY_US) -> list[dict]:
+    """Expected bucket_selector→bucket_sort pipeline-on-pipeline chain
+    output: gap-filled weekly buckets with n>0 kept (the selector must
+    cut at least one empty bucket), sorted n desc with the engine's
+    deterministic bucket-asc tie-break, then paged from=1 size=5 —
+    the ES "top occupied weeks, skip the best" dashboard shape."""
+    grid = _gapfilled_grid(docs, query, interval_us)
+    kept = [(b, n) for b, n in grid if n > 0]
+    assert len(kept) < len(grid), \
+        "bucket_page fixture must grade the selector cut"
+    assert len(kept) > BPAGE_FROM + BPAGE_SIZE, \
+        "bucket_page fixture must grade BOTH the offset and the limit"
+    page = sorted(kept, key=lambda x: (-x[1], x[0]))[
+        BPAGE_FROM:BPAGE_FROM + BPAGE_SIZE]
+    return [{"corpus_key": ckey, "bucket": int(b), "n": int(n)}
+            for b, n in page]
 
 PRANK_PROBES = (1_500_000_000_000_000, 1_600_000_000_000_000,
                 1_650_000_000_000_000.5, 1_680_000_000_000_000,
@@ -1028,6 +1120,9 @@ def main() -> None:
                "search_histogram_knobs": HIST_FIELDS,
                "search_histogram_stats": HSTATS_FIELDS,
                "search_derivative": DERIV_FIELDS,
+               "search_moving_fn": MOVFN_FIELDS,
+               "search_serial_diff": DERIV_FIELDS,
+               "search_bucket_page": HIST_FIELDS,
                "search_percentile_ranks": PRANK_FIELDS,
                "search_significant_terms": SIG_FIELDS,
                "search_terms_topn": TERMS_FIELDS,
