@@ -1625,6 +1625,79 @@ def q_search_sorted_after(spark, sf_dir):  # fixture-oracle
     return eng.search_sorted("spark merge join", k=5, after=cur)
 
 
+# filters-agg driver-request buckets — single-sourced with the fixture
+# generator (the ENTRY_RANGES discipline): overlapping named predicate
+# buckets over doc-meta columns; 'no_such' is deliberately empty (the
+# n=0-kept contract) and the _other_ bucket is exercised by every doc
+# that is neither src0 nor 2024+
+ENTRY_FILTER_SPECS = {
+    "src0": (("domain", "eq", "src0"),),
+    "since_2024": (("lastmodified", "gte", _US_2024),),
+    "src0_since_2024": (("domain", "eq", "src0"),
+                        ("lastmodified", "gte", _US_2024)),
+    "no_such": (("domain", "eq", "no-such-repo"),),
+}
+
+
+def q_search_filters_agg(spark, sf_dir):  # fixture-oracle
+    """ES `filters` bucket aggregation over the FULL BM25 match set:
+    named OVERLAPPING predicate buckets + the `_other_` bucket (docs
+    matching none), empty buckets kept at n=0, request order.
+    Membership is one when()-chain array literal in whole-stage
+    codegen → doc-local bucket ids, skew-free single groupBy; the
+    request-order frame is a job-free VALUES LocalRelation broadcast-
+    joined to the counts. Fixture oracle: scalar predicate evaluation
+    over the brute-force match set."""
+    return _get_engine(spark, sf_dir).filters_agg(
+        "spark merge join", specs=ENTRY_FILTER_SPECS, other_bucket=True)
+
+
+# rare_terms cap, single-sourced with the generator: sits BETWEEN the
+# repository-tag counts (~N/20 of the match set each) and the lens-tag
+# counts (~N/4) so the cut is graded at every sf dir
+ENTRY_RARE_MAX = 30
+
+
+def q_search_rare_terms(spark, sf_dir):  # fixture-oracle
+    """ES `rare_terms` over the FULL BM25 match set: the LONG TAIL of
+    the tags facet — every tag with doc_count <= 30 (the repository
+    tags; the lens tags sit above the cap and must be CUT), ordered
+    doc_count asc then tag asc. ES ships this approximate behind a
+    CuckooFilter; this form is EXACT at the same single partial→final
+    hash agg as terms_agg. Fixture oracle: a Python Counter over the
+    brute-force match set."""
+    return _get_engine(spark, sf_dir).rare_terms(
+        "spark merge join", max_doc_count=ENTRY_RARE_MAX)
+
+
+# composite-agg request shape, single-sourced with the generator
+ENTRY_COMPOSITE_MONTH_US = 30 * 86_400_000_000
+ENTRY_COMPOSITE_SIZE = 4
+
+
+def q_search_composite_page(spark, sf_dir):  # fixture-oracle
+    """ES `composite` aggregation, PAGE 2 via the after-cursor: flat
+    (domain, 30-day period) bucket tuples in composite-key-tuple
+    order, size 4 — collect page 1 (a bounded size-row driver read)
+    and resume STRICTLY after its last key. Bucket keys are doc-local
+    codegen expressions → ONE skew-free groupBy; each page is a
+    TakeOrderedAndProject of limit size with the cursor a pushed-down
+    filter, so page depth never raises cost (the search_after
+    discipline applied to buckets). Fixture oracle: rows size..2·size
+    of the Python-sorted brute bucket list."""
+    eng = _get_engine(spark, sf_dir)
+    sources = ({"name": "dom", "col": "domain", "kind": "terms"},
+               {"name": "month", "col": "lastmodified",
+                "kind": "date_histogram",
+                "interval": ENTRY_COMPOSITE_MONTH_US})
+    sz = ENTRY_COMPOSITE_SIZE
+    page1 = eng.composite_agg("spark merge join", sources=sources,
+                              size=sz).collect()
+    after = (page1[-1]["dom"], page1[-1]["month"])
+    return eng.composite_agg("spark merge join", sources=sources,
+                             size=sz, after=after)
+
+
 def q_search_batch(spark, sf_dir):  # fixture-oracle
     eng = _get_engine(spark, sf_dir)
     return _contract_hits(eng.search_many([
@@ -1810,6 +1883,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_count": q_search_count,
         "search_export_scored": q_search_export_scored,
         "search_field_stats": q_search_field_stats,
+        # final-session ES-aggregation completions (filters/rare_terms/
+        # composite): born at the tail, value-gated by test_entry with
+        # the driver's own comparison against their fixture oracles
+        "search_filters_agg": q_search_filters_agg,
+        "search_rare_terms": q_search_rare_terms,
+        "search_composite_page": q_search_composite_page,
     }
 
 
@@ -2081,6 +2160,26 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
             "WHERE corpus_key = "
             "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
             "ORDER BY score DESC, term"),
+        "search_filters_agg": (
+            "SELECT filter_key, n "
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_filters_agg.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)"),
+        "search_rare_terms": (
+            "SELECT tag_id, doc_count "
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_rare_terms.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
+            "ORDER BY doc_count, tag_id"),
+        "search_composite_page": (
+            "SELECT dom, month, doc_count "
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_composite_page.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
+            "ORDER BY dom, month"),
         "search_percentile_ranks": (
             "SELECT value, pct "
             f"FROM '{FIXTURES_DIR}/"

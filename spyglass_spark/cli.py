@@ -242,7 +242,30 @@ def main(argv=None, spark=None) -> int:
                              "histogram-stats", "stats", "percentiles",
                              "percentile-ranks", "facet-stats", "range",
                              "cardinality", "extended-stats", "top-hits",
-                             "terms", "count", "significant-terms"])
+                             "terms", "count", "significant-terms",
+                             "filters", "rare-terms", "composite"])
+    ag.add_argument("--filter", action="append", default=[],
+                    dest="filter_specs", metavar="KEY:COL:OP:VALUE",
+                    help="filters only: one condition of bucket KEY "
+                         "(conditions sharing a KEY are ANDed; buckets "
+                         "may overlap); OP one of eq/ne/lt/lte/gt/gte/"
+                         "like/contains; all-digit VALUE auto-cast to "
+                         "int; repeatable, request order")
+    ag.add_argument("--other-bucket", action="store_true",
+                    help="filters only: append the ES _other_ bucket "
+                         "(docs matching NO filter)")
+    ag.add_argument("--max-doc-count", type=int, default=1,
+                    help="rare-terms only: keep facet values with "
+                         "doc_count <= this (ES default 1)")
+    ag.add_argument("--source", action="append", default=[],
+                    dest="sources", metavar="NAME:COL[:KIND[:INTERVAL]]",
+                    help="composite only: bucket source — KIND terms "
+                         "(default) | histogram | date_histogram "
+                         "(INTERVAL in µs); repeatable, key-tuple order")
+    ag.add_argument("--after", action="append", default=[],
+                    help="composite only: previous page's last key "
+                         "tuple, one value per source in order "
+                         "(all-digit values auto-cast to int)")
     ag.add_argument("--col", default="domain",
                     help="cardinality only: column to distinct-count")
     ag.add_argument("--rsd", type=float, default=None,
@@ -748,6 +771,44 @@ def main(argv=None, spark=None) -> int:
                     else float(r["std_upper"]),
                     "std_lower": None if r["std_lower"] is None
                     else float(r["std_lower"])}))
+            elif args.kind == "filters":
+                specs: dict = {}
+                for spec in args.filter_specs:
+                    key, col, op, val = spec.split(":", 3)
+                    specs.setdefault(key, []).append(
+                        (col, op, int(val) if val.isdigit() else val))
+                rows = eng.filters_agg(
+                    q_arg, filters=filters, specs=specs,
+                    other_bucket=args.other_bucket).collect()
+                for r in rows:
+                    print(json.dumps({"filter_key": r["filter_key"],
+                                      "n": int(r["n"])}))
+            elif args.kind == "rare-terms":
+                rows = eng.rare_terms(
+                    q_arg, filters=filters, facet_col=args.facet_col,
+                    max_doc_count=args.max_doc_count).collect()
+                for r in rows:
+                    print(json.dumps({"tag_id": r["tag_id"],
+                                      "doc_count": int(r["doc_count"])}))
+            elif args.kind == "composite":
+                srcs = []
+                for spec in args.sources:
+                    parts = spec.split(":")
+                    s = {"name": parts[0], "col": parts[1]}
+                    if len(parts) > 2:
+                        s["kind"] = parts[2]
+                    if len(parts) > 3:
+                        s["interval"] = int(parts[3])
+                    srcs.append(s)
+                after = tuple(int(v) if v.isdigit() else v
+                              for v in args.after) or None
+                rows = eng.composite_agg(
+                    q_arg, filters=filters, sources=tuple(srcs),
+                    size=args.size, after=after).collect()
+                for r in rows:
+                    d = {s["name"]: r[s["name"]] for s in srcs}
+                    d["doc_count"] = int(r["doc_count"])
+                    print(json.dumps(d))
             elif args.kind == "top-hits":
                 rows = eng.top_hits(q_arg, filters=filters,
                                     facet_col=args.facet_col,

@@ -2911,11 +2911,204 @@ class SearchEngine:
                    .filter(F.col("rank") > int(offset))
                    .select("rank", "url", "domain", "title", col))
 
+    FILTER_OPS = ("eq", "ne", "lt", "lte", "gt", "gte", "like", "contains")
+
+    def filters_agg(self, query: str, filters=(), boosts=(),
+                    specs: dict | None = None, other_bucket: bool = False,
+                    _dm=None) -> DataFrame:
+        """Filters bucket aggregation — the ES `filters` agg (named
+        buckets, each defined by its own predicate over the match set;
+        tantivy's aggregation module ships the same named-buckets
+        contract). One row per requested key counting the matched docs
+        that ALSO satisfy that bucket's predicate: buckets may overlap
+        (a doc counts in EVERY bucket it satisfies), empty buckets
+        still emit n=0, and ``other_bucket=True`` appends the ES
+        ``_other_`` bucket — docs matching NONE of the filters.
+
+        ``specs``: {key: [(col, op, value), ...]} — conditions AND
+        within a bucket; op ∈ FILTER_OPS ("contains" = array_contains
+        for array columns like tags; "like" = SQL LIKE). A NULL column
+        value matches no op, "ne" included (ES term-level semantics:
+        a missing field matches nothing).
+
+        Scale shape (range_agg's profile): the membership test is ONE
+        when()-chain array literal in whole-stage codegen — doc-local
+        bucket ids → skew-free single groupBy, output O(#buckets); the
+        request-order frame is a literal VALUES LocalRelation
+        (job-free) broadcast-joined to the counts."""
+        if not specs:
+            raise ValueError("specs must be non-empty")
+        if "_other_" in specs:
+            raise ValueError("'_other_' is the reserved other-bucket key")
+        dm = _dm if _dm is not None else self._match_doc_meta(
+            self._compile_arg(query, filters, boosts), caller="filters_agg")
+
+        def _cond(col, op, value):
+            c = F.col(col)
+            if op == "eq":
+                return c == F.lit(value)
+            if op == "ne":
+                return c != F.lit(value)
+            if op == "lt":
+                return c < F.lit(value)
+            if op == "lte":
+                return c <= F.lit(value)
+            if op == "gt":
+                return c > F.lit(value)
+            if op == "gte":
+                return c >= F.lit(value)
+            if op == "like":
+                return c.like(str(value))
+            if op == "contains":
+                return F.array_contains(c, F.lit(value))
+            raise ValueError(f"op must be one of {self.FILTER_OPS}, "
+                             f"got {op!r}")
+
+        keys, preds = [], []
+        for key, conds in specs.items():
+            conds = list(conds)
+            if not conds:
+                raise ValueError(f"filter {key!r}: conditions must be "
+                                 "non-empty")
+            p = _cond(*conds[0])
+            for cnd in conds[1:]:
+                p = p & _cond(*cnd)
+            keys.append(str(key))
+            preds.append(p)
+        # matched bucket ids as ONE codegen array expression; a NULL
+        # predicate result (NULL column value) drops out in the filter
+        arr = F.filter(
+            F.array(*[F.when(p, F.lit(i)) for i, p in enumerate(preds)]),
+            lambda x: x.isNotNull())
+        if other_bucket:
+            arr = F.when(F.size(arr) == 0,
+                         F.array(F.lit(len(keys)))).otherwise(arr)
+            keys = keys + ["_other_"]
+        counts = (dm.select(F.explode(arr).alias("i"))
+                    .groupBy("i").agg(F.count("*").alias("n")))
+        vals = ", ".join("({}, '{}')".format(i, k.replace("'", "''"))
+                         for i, k in enumerate(keys))
+        frame = self.spark.sql(
+            f"SELECT * FROM VALUES {vals} AS t(i, filter_key)")
+        return (frame.join(F.broadcast(counts), "i", "left")
+                     .select("filter_key",
+                             F.coalesce("n", F.lit(0).cast("long"))
+                              .alias("n"), "i")
+                     .orderBy("i").drop("i"))
+
+    def rare_terms(self, query: str, filters=(), boosts=(),
+                   facet_col: str = "tags", max_doc_count: int = 1,
+                   _dm=None) -> DataFrame:
+        """Rare-terms bucket aggregation — the ES `rare_terms` agg: the
+        LONG TAIL of a terms aggregation, i.e. every facet value whose
+        doc_count over the match set is <= ``max_doc_count`` (ES
+        default 1), ordered doc_count ASC then key asc (total order;
+        the mirror of terms_agg's ordering). NULL values are skipped
+        (a missing field buckets nowhere). ES computes this
+        approximately behind a CuckooFilter; this form is EXACT — the
+        same one partial→final hash agg as terms_agg with the opposite
+        count filter, so strictly better precision at the same single
+        shuffle.
+
+        Scale note: output is O(#values with count <= max), which on a
+        power-law facet is the LARGE side of the vocabulary — unlike
+        terms_agg the ES contract has no size cap; cap downstream with
+        .limit() when rendering."""
+        if max_doc_count <= 0:
+            raise ValueError("max_doc_count must be positive")
+        dm = _dm if _dm is not None else self._match_doc_meta(
+            self._compile_arg(query, filters, boosts), caller="rare_terms")
+        facet = dm.schema[facet_col]
+        val = (F.explode(facet_col) if facet.dataType.typeName() == "array"
+               else F.col(facet_col))
+        return (dm.select(val.alias("tag_id"))
+                  .filter(F.col("tag_id").isNotNull())
+                  .groupBy("tag_id").agg(F.count("*").alias("doc_count"))
+                  .filter(F.col("doc_count") <= int(max_doc_count))
+                  .orderBy(F.asc("doc_count"), F.asc("tag_id")))
+
+    def composite_agg(self, query: str, filters=(), boosts=(),
+                      sources: tuple = (), size: int = 10,
+                      after: tuple | None = None, _dm=None) -> DataFrame:
+        """Composite bucket aggregation — the ES `composite` agg: the
+        pageable flat cross-product of one or more bucket sources,
+        ordered by the composite key tuple ASCENDING, ``size`` buckets
+        per page, with ``after`` resuming STRICTLY after a key tuple in
+        that total order. The canonical way to EXPORT a large bucket
+        set: unlike terms/histogram no stage ever holds more than one
+        page of buckets on the driver.
+
+        ``sources``: tuple of {"name", "col", "kind"} with kind
+        "terms" (raw value) or "histogram"/"date_histogram"
+        (+"interval": the same exact floor-mod integer bucketing as
+        :meth:`histogram`, offset 0 — composite sources carry no
+        offset in ES either). Docs NULL in ANY source column are
+        skipped (ES default missing_bucket=false). ``after``: the
+        previous page's last key tuple, in source order. Output: one
+        column per source name + doc_count.
+
+        Scale shape: bucket keys are doc-local codegen expressions →
+        ONE skew-free groupBy; the page is a TakeOrderedAndProject of
+        limit ``size`` (each partition keeps its local top-size, the
+        driver merges O(parts·size) rows); the cursor is a plain
+        filter Catalyst pushes below the sort, so page depth never
+        raises cost — the search_after discipline applied to buckets.
+        GroupBy keys are unique ⇒ the key order is total ⇒ pages
+        concatenate to exactly the one-shot order."""
+        srcs = [dict(s) for s in sources]
+        if not srcs:
+            raise ValueError("sources must be non-empty")
+        if size <= 0:
+            raise ValueError("size must be positive")
+        names = [str(s["name"]) for s in srcs]
+        if len(set(names)) != len(names):
+            raise ValueError("source names must be unique")
+        dm = _dm if _dm is not None else self._match_doc_meta(
+            self._compile_arg(query, filters, boosts),
+            caller="composite_agg")
+        keys = []
+        for s in srcs:
+            col, kind = str(s["col"]), str(s.get("kind", "terms"))
+            if kind == "terms":
+                keys.append(F.col(col))
+            elif kind in ("histogram", "date_histogram"):
+                step = int(s.get("interval", 0))
+                if step <= 0:
+                    raise ValueError(f"source {s['name']!r}: interval "
+                                     "must be positive")
+                # floor-mod like histogram(): exact for any sign, pure
+                # integer arithmetic (µs values sit near the double edge)
+                keys.append(F.expr(f"{col} - pmod({col}, {step})"))
+            else:
+                raise ValueError(f"source {s['name']!r}: kind must be "
+                                 "terms|histogram|date_histogram")
+        proj = dm.select(*[k.alias(n) for k, n in zip(keys, names)])
+        for n in names:
+            proj = proj.filter(F.col(n).isNotNull())
+        buckets = proj.groupBy(*names).agg(F.count("*").alias("doc_count"))
+        if after is not None:
+            if len(after) != len(names):
+                raise ValueError("after must have one value per source")
+            # strict lexicographic (k1..kn) > (a1..an) — the
+            # search_sorted cursor shape: OR over the first differing
+            # slot, equality-prefix AND'd in front
+            pred, eq = None, None
+            for n, a in zip(names, after):
+                gt = F.col(n) > F.lit(a)
+                term = gt if eq is None else eq & gt
+                pred = term if pred is None else pred | term
+                e = F.col(n) == F.lit(a)
+                eq = e if eq is None else eq & e
+            buckets = buckets.filter(pred)
+        order = [F.asc(n) for n in names]
+        return (buckets.orderBy(*order).limit(int(size))
+                       .orderBy(*order))
+
     AGG_KINDS = ("facets", "date_histogram", "histogram",
                  "histogram_stats", "stats", "percentiles",
                  "percentile_ranks", "facet_stats", "range", "cardinality",
                  "extended_stats", "top_hits", "terms", "count",
-                 "significant_terms")
+                 "significant_terms", "filters", "rare_terms", "composite")
 
     def aggregate(self, query: str, filters=(), boosts=(),
                   aggs: dict | None = None) -> dict:
@@ -2954,6 +3147,8 @@ class SearchEngine:
             "extended_stats": self.extended_stats, "top_hits": self.top_hits,
             "terms": self.terms_agg, "count": self.count_matches,
             "significant_terms": self.significant_terms,
+            "filters": self.filters_agg, "rare_terms": self.rare_terms,
+            "composite": self.composite_agg,
         }
         pipeline_fns = {"cumulative_sum": self.cumulative_sum,
                         "derivative": self.derivative,

@@ -472,3 +472,70 @@ def test_cli_msm_and_suggest(spark, built_index, capsys):
     assert rep["corrected"] == want["corrected"]
     assert rep["changed"] == want["changed"]
     assert rep["terms"] == want["terms"]
+
+
+def test_cli_filters_rare_composite(spark, built_index, capsys):
+    """The final-session ES-agg kinds' CLI surface: agg --kind filters
+    (KEY:COL:OP:VALUE conditions + --other-bucket), --kind rare-terms
+    (--max-doc-count tail), --kind composite (--source tuples + the
+    --after cursor) — each pinned to the in-process engine method the
+    fixture oracles grade."""
+    import json
+
+    from spyglass_spark.query.executor import SearchEngine
+
+    idx = built_index["index_dir"]
+    eng = SearchEngine(spark, idx)
+    q = "fn index"
+
+    dom = built_index["docs"][0]["domain"]
+    out = _run(capsys, spark, [
+        "agg", "--index", idx, "--kind", "filters", "--query", q,
+        "--filter", f"d0:domain:eq:{dom}",
+        "--filter", "old:lastmodified:lt:1672531200000000",
+        "--filter", f"both:domain:eq:{dom}",
+        "--filter", "both:lastmodified:lt:1672531200000000",
+        "--other-bucket"])
+    rows = [json.loads(x) for x in out.strip().splitlines()]
+    want = eng.filters_agg(q, specs={
+        "d0": [("domain", "eq", dom)],
+        "old": [("lastmodified", "lt", 1672531200000000)],
+        "both": [("domain", "eq", dom),
+                 ("lastmodified", "lt", 1672531200000000)]},
+        other_bucket=True).collect()
+    assert [(r["filter_key"], r["n"]) for r in rows] == \
+        [(w["filter_key"], w["n"]) for w in want]
+    assert rows[-1]["filter_key"] == "_other_"
+    assert rows[2]["n"] <= min(rows[0]["n"], rows[1]["n"])  # AND bucket
+
+    out = _run(capsys, spark, [
+        "agg", "--index", idx, "--kind", "rare-terms", "--query", q,
+        "--facet-col", "domain", "--max-doc-count", "3"])
+    rows = [json.loads(x) for x in out.strip().splitlines()]
+    want = eng.rare_terms(q, facet_col="domain", max_doc_count=3).collect()
+    assert [(r["tag_id"], r["doc_count"]) for r in rows] == \
+        [(w["tag_id"], w["doc_count"]) for w in want]
+    assert all(r["doc_count"] <= 3 for r in rows)
+
+    src = ["--source", "dom:domain", "--source",
+           "week:lastmodified:date_histogram:604800000000"]
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind",
+                               "composite", "--query", q, "--size", "3",
+                               *src])
+    p1 = [json.loads(x) for x in out.strip().splitlines()]
+    assert 0 < len(p1) <= 3
+    assert p1 == sorted(p1, key=lambda r: (r["dom"], r["week"]))
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind",
+                               "composite", "--query", q, "--size", "3",
+                               *src, "--after", p1[-1]["dom"],
+                               "--after", str(p1[-1]["week"])])
+    p2 = [json.loads(x) for x in out.strip().splitlines()]
+    sources = ({"name": "dom", "col": "domain"},
+               {"name": "week", "col": "lastmodified",
+                "kind": "date_histogram", "interval": 604800000000})
+    want = eng.composite_agg(q, sources=sources, size=3,
+                             after=(p1[-1]["dom"], p1[-1]["week"])).collect()
+    assert [(r["dom"], r["week"], r["doc_count"]) for r in p2] == \
+        [(w["dom"], w["week"], w["doc_count"]) for w in want]
+    assert all((r["dom"], r["week"]) > (p1[-1]["dom"], p1[-1]["week"])
+               for r in p2)

@@ -1311,3 +1311,155 @@ def test_count_matches_guards(eng):
         eng.count_matches("fn index", boosts=[("custom:priority", 7)])
     with pytest.raises(ValueError, match="Should"):
         eng.count_matches("")
+
+
+def _brute_match_docs(docs, query, filters=()):
+    """Independent match SET (doc dicts) with the scalar analyzers."""
+    from spyglass_spark.query.compiler import compile_query
+
+    cq = compile_query(query, filters)
+    out = []
+    for d in docs:
+        fields = {
+            "content": {t for _, t in tokenize_en(d["content"] or "")},
+            "title": {t for _, t in tokenize_default(d["title"] or "")},
+            "tags": {str(t) for t in d["tags"]},
+        }
+        should = any(t in fields.get(c.field, set())
+                     for c in cq.should_group for t in c.terms)
+        musts = all(all(t in fields.get(c.field, set()) for t in c.terms)
+                    for c in cq.musts)
+        if should and musts:
+            out.append(d)
+    return out
+
+
+def test_filters_agg_vs_bruteforce(eng, built_index):
+    """ES filters agg: named overlapping buckets ≡ brute predicate
+    counts over the match set, request order, empties kept as n=0,
+    _other_ = docs matching none."""
+    query = "merge join table"
+    matched = _brute_match_docs(built_index["docs"], query)
+    assert len(matched) > 5
+    doms = sorted({d["domain"] for d in matched})
+    cut = sorted(d["lastmodified"] for d in matched)[len(matched) // 2]
+    tag = matched[0]["tags"][0]
+    specs = {
+        "dom0": [("domain", "eq", doms[0])],
+        "old": [("lastmodified", "lt", cut)],
+        "dom0_old": [("domain", "eq", doms[0]),
+                     ("lastmodified", "lt", cut)],
+        "tagged": [("tags", "contains", tag)],
+        "none": [("domain", "eq", "no-such-repo")],
+    }
+    exp = {
+        "dom0": sum(d["domain"] == doms[0] for d in matched),
+        "old": sum(d["lastmodified"] < cut for d in matched),
+        "dom0_old": sum(d["domain"] == doms[0]
+                        and d["lastmodified"] < cut for d in matched),
+        "tagged": sum(tag in d["tags"] for d in matched),
+        "none": 0,
+    }
+    assert exp["dom0"] > 0 and exp["tagged"] > 0   # non-degenerate
+    rows = eng.filters_agg(query, specs=specs).collect()
+    assert [(r["filter_key"], r["n"]) for r in rows] == \
+        [(k, exp[k]) for k in specs]
+    other = sum(not (d["domain"] == doms[0] or d["lastmodified"] < cut
+                     or tag in d["tags"]) for d in matched)
+    rows = eng.filters_agg(query, specs=specs, other_bucket=True).collect()
+    assert [(r["filter_key"], r["n"]) for r in rows[:-1]] == \
+        [(k, exp[k]) for k in specs]
+    assert (rows[-1]["filter_key"], rows[-1]["n"]) == ("_other_", other)
+
+
+def test_filters_agg_guards(eng):
+    with pytest.raises(ValueError, match="non-empty"):
+        eng.filters_agg("fn index", specs={})
+    with pytest.raises(ValueError, match="reserved"):
+        eng.filters_agg("fn index", specs={"_other_": [("domain", "eq", "x")]})
+    with pytest.raises(ValueError, match="conditions"):
+        eng.filters_agg("fn index", specs={"empty": []})
+    with pytest.raises(ValueError, match="op must be"):
+        eng.filters_agg("fn index",
+                        specs={"bad": [("domain", "regex", "x")]})
+
+
+def test_rare_terms_vs_bruteforce(eng, built_index):
+    """ES rare_terms: exact long tail (doc_count <= max), count-asc
+    key-asc total order, on both array and scalar facet columns."""
+    query = "merge join table"
+    counts = _brute_facets(built_index["docs"], query)
+    assert counts
+    for mdc in (1, 2, max(counts.values())):
+        exp = sorted((n, t) for t, n in counts.items() if n <= mdc)
+        got = [(r["doc_count"], r["tag_id"]) for r in
+               eng.rare_terms(query, max_doc_count=mdc).collect()]
+        assert got == exp
+    domc = {}
+    for d in _brute_match_docs(built_index["docs"], query):
+        domc[d["domain"]] = domc.get(d["domain"], 0) + 1
+    exp = sorted((n, k) for k, n in domc.items() if n <= 3)
+    got = [(r["doc_count"], r["tag_id"]) for r in
+           eng.rare_terms(query, facet_col="domain",
+                          max_doc_count=3).collect()]
+    assert got == exp
+    with pytest.raises(ValueError, match="max_doc_count"):
+        eng.rare_terms(query, max_doc_count=0)
+
+
+def test_composite_pages_vs_bruteforce(eng, built_index):
+    """ES composite agg: (terms, date_histogram) sources ≡ brute
+    bucket counts in composite-key order; size-2 cursor pages
+    concatenate to exactly the one-shot order."""
+    query = "merge join table"
+    matched = _brute_match_docs(built_index["docs"], query)
+    day = 86_400_000_000
+    buckets = {}
+    for d in matched:
+        key = (d["domain"], d["lastmodified"] - (d["lastmodified"] % day))
+        buckets[key] = buckets.get(key, 0) + 1
+    exp = [(k[0], k[1], n) for k, n in sorted(buckets.items())]
+    assert len(exp) > 4
+    sources = ({"name": "dom", "col": "domain", "kind": "terms"},
+               {"name": "day", "col": "lastmodified",
+                "kind": "date_histogram", "interval": day})
+    one_shot = [(r["dom"], r["day"], r["doc_count"]) for r in
+                eng.composite_agg(query, sources=sources,
+                                  size=len(exp) + 5).collect()]
+    assert one_shot == exp
+    pages, after = [], None
+    while True:
+        rows = eng.composite_agg(query, sources=sources, size=2,
+                                 after=after).collect()
+        if not rows:
+            break
+        pages += [(r["dom"], r["day"], r["doc_count"]) for r in rows]
+        after = (rows[-1]["dom"], rows[-1]["day"])
+    assert pages == exp
+    with pytest.raises(ValueError, match="sources"):
+        eng.composite_agg(query, sources=())
+    with pytest.raises(ValueError, match="interval"):
+        eng.composite_agg(query, sources=(
+            {"name": "d", "col": "lastmodified", "kind": "histogram"},))
+    with pytest.raises(ValueError, match="after"):
+        eng.composite_agg(query, sources=sources, after=("x",) * 3)
+
+
+def test_new_kinds_in_aggregate_tree(eng, built_index):
+    """filters/rare_terms/composite through the one-pass aggregate()
+    request tree ≡ their standalone calls."""
+    query = "merge join table"
+    specs = {"all": [("lastmodified", "gte", 0)]}
+    out = eng.aggregate(query, aggs={
+        "rare": {"kind": "rare_terms", "max_doc_count": 2},
+        "f": {"kind": "filters", "specs": specs, "other_bucket": True},
+        "comp": {"kind": "composite",
+                 "sources": ({"name": "dom", "col": "domain"},),
+                 "size": 3},
+    })
+    assert out["rare"].collect() == \
+        eng.rare_terms(query, max_doc_count=2).collect()
+    assert out["f"].collect() == \
+        eng.filters_agg(query, specs=specs, other_bucket=True).collect()
+    assert out["comp"].collect() == eng.composite_agg(
+        query, sources=({"name": "dom", "col": "domain"},), size=3).collect()

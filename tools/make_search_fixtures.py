@@ -359,6 +359,9 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
     out["search_significant_terms"] = significant_terms_rows(docs, ckey)
     out["search_terms_topn"] = terms_topn_rows(docs, ckey)
     out["search_sorted_after"] = sorted_after_rows(docs, ckey)
+    out["search_filters_agg"] = filters_agg_rows(docs, ckey)
+    out["search_rare_terms"] = rare_terms_rows(docs, ckey)
+    out["search_composite_page"] = composite_page_rows(docs, ckey)
 
     # lifecycle rows: the entry mutates a dedicated index (upsert one
     # content-modified doc, delete a domain + two urls, compact); post-
@@ -823,6 +826,91 @@ FSTATS_FIELDS = [("tag_id", pa.int64()), ("doc_count", pa.int64()),
                  ("sum", pa.int64()), ("avg", pa.float64())]
 
 
+FILTERS_FIELDS = [("filter_key", pa.string()), ("n", pa.int64())]
+RARE_FIELDS = [("tag_id", pa.int64()), ("doc_count", pa.int64())]
+COMPOSITE_FIELDS = [("dom", pa.string()), ("month", pa.int64()),
+                    ("doc_count", pa.int64())]
+
+
+def filters_agg_rows(docs: list[dict], ckey: int,
+                     query: str = "spark merge join") -> list[dict]:
+    """Expected filters_agg output: scalar predicate evaluation over
+    the brute match set — request order, NULL col matches no op,
+    empties kept at n=0, _other_ (docs matching no filter) last.
+    Asserts the fixture exercises a non-empty bucket, an EMPTY bucket,
+    and a non-empty _other_."""
+    from __spark_entry__ import ENTRY_FILTER_SPECS
+
+    def hit(d, conds):
+        for col, op, v in conds:
+            x = d.get(col)
+            ok = x is not None and {
+                "eq": lambda: x == v, "ne": lambda: x != v,
+                "lt": lambda: x < v, "lte": lambda: x <= v,
+                "gt": lambda: x > v, "gte": lambda: x >= v,
+                "contains": lambda: v in x}[op]()
+            if not ok:
+                return False
+        return True
+
+    matched = list(_brute_match(docs, query))
+    rows = [{"corpus_key": ckey, "filter_key": key,
+             "n": sum(1 for d in matched if hit(d, conds))}
+            for key, conds in ENTRY_FILTER_SPECS.items()]
+    other = sum(1 for d in matched if not any(
+        hit(d, c) for c in ENTRY_FILTER_SPECS.values()))
+    rows.append({"corpus_key": ckey, "filter_key": "_other_", "n": other})
+    assert any(r["n"] > 0 for r in rows[:-1]), "filters fixture vacuous"
+    assert any(r["n"] == 0 for r in rows[:-1]), \
+        "filters fixture must keep an empty bucket"
+    assert rows[-1]["n"] > 0, "filters fixture must exercise _other_"
+    return rows
+
+
+def rare_terms_rows(docs: list[dict], ckey: int,
+                    query: str = "spark merge join") -> list[dict]:
+    """Expected rare_terms output: the tags whose brute doc_count is
+    <= ENTRY_RARE_MAX, (count asc, tag asc). Asserts the cap actually
+    CUTS the head of the distribution (the lens tags) — otherwise the
+    fixture would grade nothing terms_agg doesn't."""
+    from __spark_entry__ import ENTRY_RARE_MAX
+
+    counts: dict[int, int] = {}
+    for d in _brute_match(docs, query):
+        for t in d["tags"]:
+            counts[int(t)] = counts.get(int(t), 0) + 1
+    tail = sorted((n, t) for t, n in counts.items() if n <= ENTRY_RARE_MAX)
+    assert tail, "rare_terms fixture must be nonvacuous"
+    assert any(n > ENTRY_RARE_MAX for n in counts.values()), \
+        "rare_terms fixture must CUT the head of the distribution"
+    return [{"corpus_key": ckey, "tag_id": t, "doc_count": n}
+            for n, t in tail]
+
+
+def composite_page_rows(docs: list[dict], ckey: int,
+                        query: str = "spark merge join") -> list[dict]:
+    """Expected composite_agg PAGE-2 output: rows size..2·size of the
+    Python-sorted (domain, 30-day period) bucket list — the entry
+    collects page 1 and resumes via the after-cursor, so this grades
+    the strict-lexicographic cursor predicate, the key-tuple total
+    order, and the floor-mod bucketing at once."""
+    from __spark_entry__ import ENTRY_COMPOSITE_MONTH_US as MONTH
+    from __spark_entry__ import ENTRY_COMPOSITE_SIZE as SIZE
+
+    buckets: dict[tuple, int] = {}
+    for d in _brute_match(docs, query):
+        if d.get("lastmodified") is None:
+            continue
+        v = int(d["lastmodified"])
+        key = (d["domain"], v - v % MONTH)
+        buckets[key] = buckets.get(key, 0) + 1
+    ordered = sorted(buckets.items())
+    assert len(ordered) >= 2 * SIZE, \
+        "composite fixture needs two full pages"
+    return [{"corpus_key": ckey, "dom": k[0], "month": k[1],
+             "doc_count": n} for k, n in ordered[SIZE:2 * SIZE]]
+
+
 def _brute_match(docs: list[dict], query: str):
     """Brute-force match set with the scalar analyzers — the shared
     matcher of the aggregation fixtures, independent of the engine's
@@ -1127,6 +1215,9 @@ def main() -> None:
                "search_significant_terms": SIG_FIELDS,
                "search_terms_topn": TERMS_FIELDS,
                "search_sorted_after": SORTED_FIELDS,
+               "search_filters_agg": FILTERS_FIELDS,
+               "search_rare_terms": RARE_FIELDS,
+               "search_composite_page": COMPOSITE_FIELDS,
                "search_suggest": SUGGEST_FIELDS}
     for name, rows in merged.items():
         write_fixture(name, rows, special.get(name))
