@@ -575,6 +575,73 @@ def test_randomized_aggregation_parity(spark, tmp_path, seed):
                                             facet_col="tags").collect()]
         assert got_n == exp_n, (seed, q)
 
+        # ES filters buckets: random OVERLAPPING predicate set over
+        # domain/date/tag + a never-matching bucket (n=0 kept) + the
+        # _other_ bucket, vs scalar predicate evaluation
+        fdom = rng.choice(sorted({d["domain"] for d in matched}))
+        fcut = rng.choice(svals)
+        ftag = rng.randint(1, 4)
+        fspecs = {
+            "dom": (("domain", "eq", fdom),),
+            "older": (("lastmodified", "lt", fcut),),
+            "dom_old": (("domain", "eq", fdom),
+                        ("lastmodified", "lt", fcut)),
+            "tagged": (("tags", "contains", ftag),),
+            "never": (("domain", "eq", "zz-no-such"),),
+        }
+
+        def _fhit(d, conds):
+            for col, op, v in conds:
+                x = d.get(col)
+                if x is None:
+                    return False
+                if op == "eq" and x != v:
+                    return False
+                if op == "lt" and not x < v:
+                    return False
+                if op == "contains" and v not in x:
+                    return False
+            return True
+
+        exp_f = [(k, sum(1 for d in matched if _fhit(d, cs)))
+                 for k, cs in fspecs.items()]
+        exp_f.append(("_other_", sum(
+            1 for d in matched
+            if not any(_fhit(d, cs) for cs in fspecs.values()))))
+        got_f = [(row["filter_key"], row["n"]) for row in eng.filters_agg(
+            q, filters, specs=fspecs, other_bucket=True).collect()]
+        assert got_f == exp_f, (seed, q, fdom, fcut, ftag)
+
+        # rare_terms: the exact long tail at a random cap — the mirror
+        # of the terms_agg head, (count asc, key asc)
+        mdc = rng.randint(1, max(cnt.values()))
+        exp_rare = sorted((n, t) for t, n in cnt.items() if n <= mdc)
+        got_rare = [(row["doc_count"], row["tag_id"])
+                    for row in eng.rare_terms(q, filters,
+                                              max_doc_count=mdc).collect()]
+        assert got_rare == exp_rare, (seed, q, mdc)
+
+        # composite: a FULL pagination walk at a random page size must
+        # concatenate to the brute key-tuple order, each bucket exactly
+        # once (total order ⇒ the cursor never skips or repeats)
+        comp_src = ({"name": "dom", "col": "domain"},
+                    {"name": "bkt", "col": "lastmodified",
+                     "kind": "histogram", "interval": interval})
+        ckc = Counter((d["domain"], (d["lastmodified"] // interval)
+                       * interval) for d in matched)
+        exp_comp = [(k[0], k[1], nv) for k, nv in sorted(ckc.items())]
+        psz = rng.randint(1, 4)
+        walk, aft = [], None
+        while True:
+            page = eng.composite_agg(q, filters, sources=comp_src,
+                                     size=psz, after=aft).collect()
+            if not page:
+                break
+            walk += [(row["dom"], row["bkt"], row["doc_count"])
+                     for row in page]
+            aft = (page[-1]["dom"], page[-1]["bkt"])
+        assert walk == exp_comp, (seed, q, psz)
+
         # one aggregate() request tree must serve the SAME answers from
         # its single cached match-set pass as the standalone methods
         tree = eng.aggregate(q, filters, aggs={

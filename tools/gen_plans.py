@@ -305,6 +305,45 @@ section("Percentile ranks (inverse percentiles, no sort / no value map)",
         "  O(#distinct) and needs the sketch fallback at 100 TB; ranks\n"
         "  never do).", 55)
 
+section("Filters buckets (ES `filters` agg: named predicates + _other_)",
+        eng.filters_agg("spark merge join", specs={
+            "src0": (("domain", "eq", "src0"),),
+            "y24": (("lastmodified", "gte", 1_704_067_200_000_000),)},
+            other_bucket=True),
+        "- The per-bucket membership test is ONE when()-chain array\n"
+        "  literal + explode inside whole-stage codegen (no UDF, no\n"
+        "  second match-set pass); bucket ids are doc-local -> the\n"
+        "  single groupBy shuffles O(#buckets x partitions) partial\n"
+        "  rows. The request-order frame is a literal VALUES\n"
+        "  LocalRelation (job-free) broadcast-joined to the counts.", 45)
+
+section("Rare terms (ES `rare_terms`: exact long tail of the facet)",
+        eng.rare_terms("spark merge join", max_doc_count=30),
+        "- terms_agg's partial->final hash agg with the OPPOSITE count\n"
+        "  filter -- exact where ES ships a CuckooFilter approximation,\n"
+        "  same single shuffle. The count cut sits above the final agg\n"
+        "  on O(#distinct values) rows; output is the tail side of the\n"
+        "  vocabulary, so renderers cap downstream with limit().", 40)
+
+section("Composite aggregation page (multi-source keys + after-cursor)",
+        eng.composite_agg("spark merge join", sources=(
+            {"name": "dom", "col": "domain"},
+            {"name": "month", "col": "lastmodified",
+             "kind": "date_histogram", "interval": 2_592_000_000_000}),
+            size=4, after=("src0", 1_640_736_000_000_000)),
+        "- Both source keys are doc-local codegen expressions (raw\n"
+        "  column / floor-mod bucket) -> ONE skew-free groupBy; the\n"
+        "  page is a TakeOrderedAndProject of limit size (per-partition\n"
+        "  local top-size, O(parts x size) driver merge). The\n"
+        "  strict-lexicographic after predicate lands even lower than\n"
+        "  designed: the keys are deterministic, so Catalyst pushes the\n"
+        "  cursor THROUGH the aggregate into the doc-meta scan Filter\n"
+        "  (visible in (2) below) -- pre-cursor docs never even reach\n"
+        "  the hash agg, page depth never raises cost, and no stage\n"
+        "  holds the full bucket set (the scale-safe bucket EXPORT,\n"
+        "  unlike terms/histogram whose final orderBy frame is\n"
+        "  O(#buckets)).", 50)
+
 from spyglass_spark.query.compiler import compile_query
 
 _exp_urls = eng._match_doc_meta(
