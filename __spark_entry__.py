@@ -1675,6 +1675,53 @@ ENTRY_COMPOSITE_MONTH_US = 30 * 86_400_000_000
 ENTRY_COMPOSITE_SIZE = 4
 
 
+def q_search_multi_terms(spark, sf_dir):  # fixture-oracle
+    """ES `multi_terms` over the FULL BM25 match set: top-5
+    (domain, tag) VALUE TUPLES by doc_count (count desc, tuple asc —
+    total order), a doc emitting the cross-product of its per-field
+    values, plus the constant sum_other_doc_count. One partial→final
+    hash agg on the tuple after doc-local explodes — the terms_agg
+    plan profile on a composite key. Fixture oracle: a Python Counter
+    over the brute match set."""
+    return _get_engine(spark, sf_dir).multi_terms(
+        "spark merge join", facet_cols=("domain", "tags"), size=5)
+
+
+def q_search_adjacency_matrix(spark, sf_dir):  # fixture-oracle
+    """ES `adjacency_matrix` over the FULL BM25 match set: the
+    ENTRY_FILTER_SPECS named filters' singleton counts plus '&'-keyed
+    PAIR INTERSECTIONS (request-order members), non-empty buckets
+    only, key asc. The same one when()-chain membership array as
+    filters_agg; singleton + pair keys are emitted doc-locally via
+    transform/slice/flatten in codegen — no second match-set pass.
+    Fixture oracle: scalar predicate evaluation + pair counting."""
+    return _get_engine(spark, sf_dir).adjacency_matrix(
+        "spark merge join", specs=ENTRY_FILTER_SPECS)
+
+
+def q_search_auto_date_histogram(spark, sf_dir):  # fixture-oracle
+    """ES `auto_date_histogram` over the FULL BM25 match set at
+    target_buckets=12: the ENGINE picks the interval — the smallest
+    rung of the fixed second→year ladder whose gap-filled bucket count
+    fits the budget (one O(1) (min,max) driver read) — and emits the
+    gap-filled grid at that rung plus the constant interval_us echo.
+    Fixture oracle: the rung choice and grid replayed in Python over
+    the brute match set."""
+    return _get_engine(spark, sf_dir).auto_date_histogram(
+        "spark merge join", target_buckets=12)
+
+
+def q_search_boxplot(spark, sf_dir):  # fixture-oracle
+    """ES `boxplot` metric over the FULL BM25 match set: ONE row
+    (n, min, max, q1, q2, q3, lower, upper) — quartiles via the
+    exactly-merged `percentile` aggregate, Tukey whiskers (nearest
+    points inside the 1.5·IQR fences) from a second conditional
+    min/max pass broadcast-chained in the same lazy plan. µs doubles
+    sit below 2^53, so every op is exact and the fixture oracle
+    replicates the expression order bitwise."""
+    return _get_engine(spark, sf_dir).boxplot("spark merge join")
+
+
 def q_search_composite_page(spark, sf_dir):  # fixture-oracle
     """ES `composite` aggregation, PAGE 2 via the after-cursor: flat
     (domain, 30-day period) bucket tuples in composite-key-tuple
@@ -1889,6 +1936,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_filters_agg": q_search_filters_agg,
         "search_rare_terms": q_search_rare_terms,
         "search_composite_page": q_search_composite_page,
+        "search_multi_terms": q_search_multi_terms,
+        "search_adjacency_matrix": q_search_adjacency_matrix,
+        "search_auto_date_histogram": q_search_auto_date_histogram,
+        "search_boxplot": q_search_boxplot,
     }
 
 
@@ -2180,6 +2231,33 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
             "WHERE corpus_key = "
             "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
             "ORDER BY dom, month"),
+        "search_multi_terms": (
+            "SELECT domain, tags, doc_count, sum_other_doc_count "
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_multi_terms.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
+            "ORDER BY doc_count DESC, domain, tags"),
+        "search_adjacency_matrix": (
+            "SELECT filter_key, n "
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_adjacency_matrix.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
+            "ORDER BY filter_key"),
+        "search_auto_date_histogram": (
+            "SELECT bucket, n, interval_us "
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_auto_date_histogram.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
+            "ORDER BY bucket"),
+        "search_boxplot": (
+            'SELECT n, "min", "max", q1, q2, q3, lower, upper '
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_boxplot.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)"),
         "search_percentile_ranks": (
             "SELECT value, pct "
             f"FROM '{FIXTURES_DIR}/"

@@ -243,7 +243,11 @@ def main(argv=None, spark=None) -> int:
                              "percentile-ranks", "facet-stats", "range",
                              "cardinality", "extended-stats", "top-hits",
                              "terms", "count", "significant-terms",
-                             "filters", "rare-terms", "composite"])
+                             "filters", "rare-terms", "composite",
+                             "missing", "value-count", "weighted-avg",
+                             "median-absolute-deviation", "boxplot",
+                             "multi-terms", "adjacency-matrix",
+                             "auto-date-histogram"])
     ag.add_argument("--filter", action="append", default=[],
                     dest="filter_specs", metavar="KEY:COL:OP:VALUE",
                     help="filters only: one condition of bucket KEY "
@@ -266,6 +270,16 @@ def main(argv=None, spark=None) -> int:
                     help="composite only: previous page's last key "
                          "tuple, one value per source in order "
                          "(all-digit values auto-cast to int)")
+    ag.add_argument("--weight-col", default="published",
+                    choices=["lastmodified", "published"],
+                    help="weighted-avg only: the weight field")
+    ag.add_argument("--multi-col", action="append", default=[],
+                    dest="multi_cols",
+                    help="multi-terms only: facet column of the value "
+                         "tuple; repeatable, key order")
+    ag.add_argument("--target-buckets", type=int, default=10,
+                    help="auto-date-histogram only: the bucket budget "
+                         "the chosen ladder interval must fit")
     ag.add_argument("--col", default="domain",
                     help="cardinality only: column to distinct-count")
     ag.add_argument("--rsd", type=float, default=None,
@@ -809,6 +823,66 @@ def main(argv=None, spark=None) -> int:
                     d = {s["name"]: r[s["name"]] for s in srcs}
                     d["doc_count"] = int(r["doc_count"])
                     print(json.dumps(d))
+            elif args.kind == "missing":
+                rows = eng.missing_count(q_arg, filters=filters,
+                                         col=args.col).collect()
+                print(json.dumps({"n": int(rows[0]["n"])}))
+            elif args.kind == "value-count":
+                rows = eng.value_count(q_arg, filters=filters,
+                                       col=args.col).collect()
+                print(json.dumps({"n": int(rows[0]["n"])}))
+            elif args.kind == "weighted-avg":
+                r = eng.weighted_avg(q_arg, filters=filters,
+                                     col=args.date_col,
+                                     weight_col=args.weight_col) \
+                       .collect()[0]
+                print(json.dumps({
+                    "n": int(r["n"]),
+                    "value": None if r["value"] is None
+                    else float(r["value"])}))
+            elif args.kind == "median-absolute-deviation":
+                r = eng.median_absolute_deviation(
+                    q_arg, filters=filters, col=args.date_col).collect()[0]
+                print(json.dumps({
+                    "n": int(r["n"]),
+                    "mad": None if r["mad"] is None else float(r["mad"])}))
+            elif args.kind == "boxplot":
+                r = eng.boxplot(q_arg, filters=filters,
+                                col=args.date_col).collect()[0]
+                print(json.dumps({
+                    "n": int(r["n"]),
+                    **{k: (None if r[k] is None else float(r[k]))
+                       for k in ("min", "max", "q1", "q2", "q3",
+                                 "lower", "upper")}}))
+            elif args.kind == "multi-terms":
+                mcols = args.multi_cols or ["domain", "tags"]
+                rows = eng.multi_terms(q_arg, filters=filters,
+                                       facet_cols=tuple(mcols),
+                                       size=args.size).collect()
+                for r in rows:
+                    d = {c: r[c] for c in mcols}
+                    d["doc_count"] = int(r["doc_count"])
+                    d["sum_other_doc_count"] = int(r["sum_other_doc_count"])
+                    print(json.dumps(d))
+            elif args.kind == "adjacency-matrix":
+                specs: dict = {}
+                for spec in args.filter_specs:
+                    key, col, op, val = spec.split(":", 3)
+                    specs.setdefault(key, []).append(
+                        (col, op, int(val) if val.isdigit() else val))
+                rows = eng.adjacency_matrix(q_arg, filters=filters,
+                                            specs=specs).collect()
+                for r in rows:
+                    print(json.dumps({"filter_key": r["filter_key"],
+                                      "n": int(r["n"])}))
+            elif args.kind == "auto-date-histogram":
+                rows = eng.auto_date_histogram(
+                    q_arg, filters=filters, date_col=args.date_col,
+                    target_buckets=args.target_buckets).collect()
+                for r in rows:
+                    print(json.dumps({
+                        "bucket": int(r["bucket"]), "n": int(r["n"]),
+                        "interval_us": int(r["interval_us"])}))
             elif args.kind == "top-hits":
                 rows = eng.top_hits(q_arg, filters=filters,
                                     facet_col=args.facet_col,

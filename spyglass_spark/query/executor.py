@@ -2913,35 +2913,14 @@ class SearchEngine:
 
     FILTER_OPS = ("eq", "ne", "lt", "lte", "gt", "gte", "like", "contains")
 
-    def filters_agg(self, query: str, filters=(), boosts=(),
-                    specs: dict | None = None, other_bucket: bool = False,
-                    _dm=None) -> DataFrame:
-        """Filters bucket aggregation — the ES `filters` agg (named
-        buckets, each defined by its own predicate over the match set;
-        tantivy's aggregation module ships the same named-buckets
-        contract). One row per requested key counting the matched docs
-        that ALSO satisfy that bucket's predicate: buckets may overlap
-        (a doc counts in EVERY bucket it satisfies), empty buckets
-        still emit n=0, and ``other_bucket=True`` appends the ES
-        ``_other_`` bucket — docs matching NONE of the filters.
-
-        ``specs``: {key: [(col, op, value), ...]} — conditions AND
-        within a bucket; op ∈ FILTER_OPS ("contains" = array_contains
-        for array columns like tags; "like" = SQL LIKE). A NULL column
-        value matches no op, "ne" included (ES term-level semantics:
-        a missing field matches nothing).
-
-        Scale shape (range_agg's profile): the membership test is ONE
-        when()-chain array literal in whole-stage codegen — doc-local
-        bucket ids → skew-free single groupBy, output O(#buckets); the
-        request-order frame is a literal VALUES LocalRelation
-        (job-free) broadcast-joined to the counts."""
+    def _named_predicates(self, specs) -> tuple[list, list]:
+        """Shared spec parser of the named-filter bucket aggs
+        (filters_agg, adjacency_matrix): {key: [(col, op, value), ...]}
+        with conditions ANDed per key → (keys, boolean Columns). A NULL
+        column value fails every op ("ne" included — ES term-level
+        semantics: a missing field matches nothing)."""
         if not specs:
             raise ValueError("specs must be non-empty")
-        if "_other_" in specs:
-            raise ValueError("'_other_' is the reserved other-bucket key")
-        dm = _dm if _dm is not None else self._match_doc_meta(
-            self._compile_arg(query, filters, boosts), caller="filters_agg")
 
         def _cond(col, op, value):
             c = F.col(col)
@@ -2975,6 +2954,36 @@ class SearchEngine:
                 p = p & _cond(*cnd)
             keys.append(str(key))
             preds.append(p)
+        return keys, preds
+
+    def filters_agg(self, query: str, filters=(), boosts=(),
+                    specs: dict | None = None, other_bucket: bool = False,
+                    _dm=None) -> DataFrame:
+        """Filters bucket aggregation — the ES `filters` agg (named
+        buckets, each defined by its own predicate over the match set;
+        tantivy's aggregation module ships the same named-buckets
+        contract). One row per requested key counting the matched docs
+        that ALSO satisfy that bucket's predicate: buckets may overlap
+        (a doc counts in EVERY bucket it satisfies), empty buckets
+        still emit n=0, and ``other_bucket=True`` appends the ES
+        ``_other_`` bucket — docs matching NONE of the filters.
+
+        ``specs``: {key: [(col, op, value), ...]} — conditions AND
+        within a bucket; op ∈ FILTER_OPS ("contains" = array_contains
+        for array columns like tags; "like" = SQL LIKE). A NULL column
+        value matches no op, "ne" included (ES term-level semantics:
+        a missing field matches nothing).
+
+        Scale shape (range_agg's profile): the membership test is ONE
+        when()-chain array literal in whole-stage codegen — doc-local
+        bucket ids → skew-free single groupBy, output O(#buckets); the
+        request-order frame is a literal VALUES LocalRelation
+        (job-free) broadcast-joined to the counts."""
+        if "_other_" in (specs or ()):
+            raise ValueError("'_other_' is the reserved other-bucket key")
+        keys, preds = self._named_predicates(specs)
+        dm = _dm if _dm is not None else self._match_doc_meta(
+            self._compile_arg(query, filters, boosts), caller="filters_agg")
         # matched bucket ids as ONE codegen array expression; a NULL
         # predicate result (NULL column value) drops out in the filter
         arr = F.filter(
@@ -3104,11 +3113,277 @@ class SearchEngine:
         return (buckets.orderBy(*order).limit(int(size))
                        .orderBy(*order))
 
+    def missing_count(self, query: str, filters=(), boosts=(),
+                      col: str = "description", _dm=None) -> DataFrame:
+        """Missing bucket — the ES `missing` agg: ONE row (n) counting
+        the matched docs with NO value in ``col`` (NULL; for array
+        columns NULL or empty — ES buckets a doc as missing when the
+        field extracts zero values). The complement of every metric's
+        NULLs-skipped count: n_missing + value-bearing = match size.
+        Plan: one filter + partial→final count, no extra pass."""
+        dm = _dm if _dm is not None else self._match_doc_meta(
+            self._compile_arg(query, filters, boosts),
+            caller="missing_count")
+        c = F.col(col)
+        if dm.schema[col].dataType.typeName() == "array":
+            pred = c.isNull() | (F.size(c) == 0)
+        else:
+            pred = c.isNull()
+        return dm.filter(pred).agg(F.count("*").alias("n"))
+
+    def value_count(self, query: str, filters=(), boosts=(),
+                    col: str = "tags", _dm=None) -> DataFrame:
+        """Value-count metric — the ES `value_count` agg: ONE row (n)
+        counting the VALUES extracted from ``col`` across the match
+        set — each element of an array column counts (a doc with 3
+        tags contributes 3), NULLs skipped. Distinct-insensitive,
+        unlike cardinality. Plan: explode (arrays) + partial→final
+        count — doc-local, skew-free, one pass."""
+        dm = _dm if _dm is not None else self._match_doc_meta(
+            self._compile_arg(query, filters, boosts), caller="value_count")
+        val = (F.explode(col)
+               if dm.schema[col].dataType.typeName() == "array"
+               else F.col(col))
+        return (dm.select(val.alias("_v"))
+                  .filter(F.col("_v").isNotNull())
+                  .agg(F.count("*").alias("n")))
+
+    def weighted_avg(self, query: str, filters=(), boosts=(),
+                     col: str = "lastmodified",
+                     weight_col: str = "published", _dm=None) -> DataFrame:
+        """Weighted-average metric — the ES `weighted_avg` agg:
+        Σ(value·weight)/Σweight over matched docs carrying BOTH fields
+        (the ES default skips a doc missing either side). Output ONE
+        row (n, value).
+
+        Arithmetic discipline (the field_stats pattern): both sums are
+        EXACT decimal aggregates — partition-order independent — and
+        the division is ONE double op, double(Σvw)/double(Σw), so the
+        row is hash-gradeable. decimal(19,0)·decimal(19,0) products
+        stay inside decimal(38,0) for µs-scale operands."""
+        dm = _dm if _dm is not None else self._match_doc_meta(
+            self._compile_arg(query, filters, boosts), caller="weighted_avg")
+        v, w = F.col(col), F.col(weight_col)
+        x = dm.filter(v.isNotNull() & w.isNotNull())
+        agg = x.agg(
+            F.count("*").alias("n"),
+            F.expr(f"sum(cast({col} as decimal(19,0)) "
+                   f"* cast({weight_col} as decimal(19,0)))").alias("_svw"),
+            F.sum(w.cast("decimal(38,0)")).alias("_sw"))
+        return agg.select(
+            "n", (F.col("_svw").cast("double")
+                  / F.col("_sw").cast("double")).alias("value"))
+
+    def median_absolute_deviation(self, query: str, filters=(), boosts=(),
+                                  col: str = "lastmodified",
+                                  _dm=None) -> DataFrame:
+        """Median-absolute-deviation metric — the ES
+        `median_absolute_deviation` agg: median(|x − median(x)|) over
+        the matched docs' non-NULL values, ONE row (n, mad). ES ships
+        this on a TDigest sketch (approximate); this form is EXACT —
+        two `percentile` aggregates (each an exactly-merged
+        value→count map, partition-order independent) chained by a
+        broadcast of the 1-row median, all lazy in one plan. The
+        deviations are computed in double: µs values sit below 2^53 so
+        the subtraction and the .5-fraction median are exact.
+
+        Scale note: memory is O(#distinct values) in each final agg
+        buffer (the exact-percentiles profile); at 100 TB
+        high-cardinality columns use percentiles(approx_accuracy=...)
+        twice instead — the same exact-baseline/sketch-scale split."""
+        dm = _dm if _dm is not None else self._match_doc_meta(
+            self._compile_arg(query, filters, boosts),
+            caller="median_absolute_deviation")
+        c = F.col(col)
+        x = dm.filter(c.isNotNull()).select(c.cast("double").alias("_x"))
+        med = x.agg(F.expr("percentile(_x, 0.5)").alias("_med"))
+        dev = (x.crossJoin(F.broadcast(med))
+                .select(F.abs(F.col("_x") - F.col("_med")).alias("_d")))
+        return dev.agg(F.count("*").alias("n"),
+                       F.expr("percentile(_d, 0.5)").alias("mad"))
+
+    def boxplot(self, query: str, filters=(), boosts=(),
+                col: str = "lastmodified", _dm=None) -> DataFrame:
+        """Boxplot metric — the ES `boxplot` agg: ONE row (n, min, max,
+        q1, q2, q3, lower, upper) over the matched docs' non-NULL
+        values. lower/upper are the WHISKER values: the smallest/
+        largest data point inside the Tukey fences
+        [q1 − 1.5·IQR, q3 + 1.5·IQR] (the ES contract; equal to
+        min/max when nothing is fenced out). ES computes on a TDigest;
+        this form is exact — one quartile aggregate (exactly-merged
+        `percentile`), broadcast to a second conditional min/max pass,
+        all lazy in one plan, doubles below 2^53 so the fence
+        arithmetic is exact."""
+        dm = _dm if _dm is not None else self._match_doc_meta(
+            self._compile_arg(query, filters, boosts), caller="boxplot")
+        c = F.col(col)
+        x = dm.filter(c.isNotNull()).select(c.cast("double").alias("_x"))
+        q = x.agg(
+            F.count("*").alias("n"),
+            F.min("_x").alias("min"), F.max("_x").alias("max"),
+            F.expr("percentile(_x, array(0.25, 0.5, 0.75))").alias("_q"))
+        q = q.select(
+            "n", "min", "max",
+            F.col("_q")[0].alias("q1"), F.col("_q")[1].alias("q2"),
+            F.col("_q")[2].alias("q3"),
+            (F.col("_q")[0]
+             - F.lit(1.5) * (F.col("_q")[2] - F.col("_q")[0])).alias("_lf"),
+            (F.col("_q")[2]
+             + F.lit(1.5) * (F.col("_q")[2] - F.col("_q")[0])).alias("_uf"))
+        w = (x.crossJoin(F.broadcast(q))
+              .agg(F.min(F.when(F.col("_x") >= F.col("_lf"),
+                                F.col("_x"))).alias("lower"),
+                   F.max(F.when(F.col("_x") <= F.col("_uf"),
+                                F.col("_x"))).alias("upper")))
+        return q.select("n", "min", "max", "q1", "q2", "q3").crossJoin(
+            F.broadcast(w))
+
+    def multi_terms(self, query: str, filters=(), boosts=(),
+                    facet_cols: tuple = ("domain", "tags"),
+                    size: int = 10, _dm=None) -> DataFrame:
+        """Multi-terms bucket aggregation — the ES `multi_terms` agg:
+        terms buckets over VALUE TUPLES of several fields. Array
+        columns explode — a doc emits the cross-product of its
+        per-field values (the ES multi-valued contract) — and docs
+        missing ANY field are skipped (ES requires every source
+        present). Top ``size`` tuples by (doc_count desc, key tuple
+        asc — total order) plus the constant sum_other_doc_count:
+        matched tuples OUTSIDE the returned buckets. Output: one
+        column per facet col, doc_count, sum_other_doc_count.
+
+        Plan profile = terms_agg: the explodes are doc-local
+        Generates, ONE partial→final hash agg on the tuple; the limit,
+        the two 1-row totals, and the broadcast projection all run on
+        O(#distinct tuples) rows."""
+        cols = [str(c) for c in facet_cols]
+        if not cols or len(set(cols)) != len(cols):
+            raise ValueError("facet_cols must be non-empty and unique")
+        if size <= 0:
+            raise ValueError("size must be positive")
+        dm = _dm if _dm is not None else self._match_doc_meta(
+            self._compile_arg(query, filters, boosts), caller="multi_terms")
+        proj = dm
+        for c in cols:
+            if dm.schema[c].dataType.typeName() == "array":
+                proj = proj.withColumn(c, F.explode(c))
+        proj = proj.select(*cols)
+        for c in cols:
+            proj = proj.filter(F.col(c).isNotNull())
+        counts = proj.groupBy(*cols).agg(F.count("*").alias("doc_count"))
+        order = [F.desc("doc_count")] + [F.asc(c) for c in cols]
+        top = counts.orderBy(*order).limit(int(size))
+        total = counts.agg(
+            F.coalesce(F.sum("doc_count"), F.lit(0).cast("long"))
+             .alias("_total"))
+        kept = top.agg(
+            F.coalesce(F.sum("doc_count"), F.lit(0).cast("long"))
+             .alias("_kept"))
+        return (top.crossJoin(F.broadcast(total))
+                   .crossJoin(F.broadcast(kept))
+                   .select(*cols, "doc_count",
+                           (F.col("_total") - F.col("_kept"))
+                           .alias("sum_other_doc_count"))
+                   .orderBy(*order))
+
+    def adjacency_matrix(self, query: str, filters=(), boosts=(),
+                         specs: dict | None = None, _dm=None) -> DataFrame:
+        """Adjacency-matrix bucket aggregation — the ES
+        `adjacency_matrix` agg: given named filters, one bucket per
+        filter (its match count within the query's match set) and one
+        per INTERSECTING PAIR, keyed ``a&b`` (ES's ampersand join,
+        members in request order). Only NON-EMPTY buckets are emitted
+        (the ES contract — unlike filters_agg there is no n=0 echo);
+        output (filter_key, n) key-ascending. #buckets ≤ k(k+1)/2.
+
+        Plan shape: the same one when()-chain matched-ids array as
+        filters_agg, then the singleton AND pair keys are emitted
+        doc-locally from that array — combinations via
+        transform/slice/flatten, pure codegen, no UDF, no second
+        match-set pass — so the single groupBy shuffles
+        O(#buckets × partitions) partial rows."""
+        keys, preds = self._named_predicates(specs)
+        for k in keys:
+            if "&" in k:
+                raise ValueError(
+                    f"filter key {k!r}: '&' is the ES pair separator")
+        dm = _dm if _dm is not None else self._match_doc_meta(
+            self._compile_arg(query, filters, boosts),
+            caller="adjacency_matrix")
+        arr = F.filter(
+            F.array(*[F.when(p, F.lit(i)) for i, p in enumerate(preds)]),
+            lambda x: x.isNotNull())
+        names_sql = "array(" + ", ".join(
+            "'" + k.replace("'", "''") + "'" for k in keys) + ")"
+        # matched ids ascend by construction → pairs are request-order
+        # (i < j); keys resolve through the literal names array
+        bucket_keys = F.expr(
+            f"concat(transform(_m, x -> element_at({names_sql}, x + 1)), "
+            "flatten(transform(_m, (x, ix) -> "
+            "transform(slice(_m, ix + 2, size(_m)), "
+            f"y -> concat(element_at({names_sql}, x + 1), '&', "
+            f"element_at({names_sql}, y + 1))))))")
+        return (dm.select(arr.alias("_m"))
+                  .select(F.explode(bucket_keys).alias("filter_key"))
+                  .groupBy("filter_key").agg(F.count("*").alias("n"))
+                  .orderBy(F.asc("filter_key")))
+
+    # auto_date_histogram interval ladder (µs): 1s 5s 10s 30s 1m 5m 10m
+    # 30m 1h 3h 12h 1d 7d 30d 90d 365d — the fixed-interval analog of
+    # ES's calendar rounding ladder
+    AUTO_HIST_LADDER = (
+        1_000_000, 5_000_000, 10_000_000, 30_000_000, 60_000_000,
+        300_000_000, 600_000_000, 1_800_000_000, 3_600_000_000,
+        10_800_000_000, 43_200_000_000, 86_400_000_000, 604_800_000_000,
+        2_592_000_000_000, 7_776_000_000_000, 31_536_000_000_000)
+
+    def auto_date_histogram(self, query: str, filters=(), boosts=(),
+                            date_col: str = "lastmodified",
+                            target_buckets: int = 10,
+                            _dm=None) -> DataFrame:
+        """Auto-interval date histogram — the ES `auto_date_histogram`
+        agg: the ENGINE picks the interval — the smallest rung of the
+        fixed second→year AUTO_HIST_LADDER whose gap-filled bucket
+        count over the match span stays ≤ ``target_buckets`` (ES
+        rounds the interval UP to meet a bucket budget; the top rung
+        is used even if it still overshoots) — then emits the
+        gap-filled histogram at that rung plus a constant
+        ``interval_us`` echo column (the ES response's interval
+        field). Empty match set → zero rows.
+
+        Plan shape: ONE (min, max) aggregate row collected driver-side
+        to choose the rung — O(1) driver data, the search_sorted-
+        cursor discipline — then the standard histogram: doc-local
+        floor-mod keys, one groupBy, sequence/explode grid."""
+        if target_buckets <= 0:
+            raise ValueError("target_buckets must be positive")
+        dm = _dm if _dm is not None else self._match_doc_meta(
+            self._compile_arg(query, filters, boosts),
+            caller="auto_date_histogram")
+        c = F.col(date_col)
+        row = (dm.filter(c.isNotNull())
+                 .agg(F.min(c).alias("mn"), F.max(c).alias("mx"))
+                 .collect()[0])
+        if row["mn"] is None:
+            step = self.AUTO_HIST_LADDER[-1]
+        else:
+            mn, mx = int(row["mn"]), int(row["mx"])
+            step = next(
+                (s for s in self.AUTO_HIST_LADDER
+                 if mx // s - mn // s + 1 <= int(target_buckets)),
+                self.AUTO_HIST_LADDER[-1])
+        return (self.histogram(query, filters, boosts, col=date_col,
+                               interval=step, min_doc_count=0, _dm=dm,
+                               _caller="auto_date_histogram")
+                .withColumn("interval_us", F.lit(step).cast("long")))
+
     AGG_KINDS = ("facets", "date_histogram", "histogram",
                  "histogram_stats", "stats", "percentiles",
                  "percentile_ranks", "facet_stats", "range", "cardinality",
                  "extended_stats", "top_hits", "terms", "count",
-                 "significant_terms", "filters", "rare_terms", "composite")
+                 "significant_terms", "filters", "rare_terms", "composite",
+                 "missing", "value_count", "weighted_avg",
+                 "median_absolute_deviation", "boxplot", "multi_terms",
+                 "adjacency_matrix", "auto_date_histogram")
 
     def aggregate(self, query: str, filters=(), boosts=(),
                   aggs: dict | None = None) -> dict:
@@ -3149,6 +3424,12 @@ class SearchEngine:
             "significant_terms": self.significant_terms,
             "filters": self.filters_agg, "rare_terms": self.rare_terms,
             "composite": self.composite_agg,
+            "missing": self.missing_count, "value_count": self.value_count,
+            "weighted_avg": self.weighted_avg,
+            "median_absolute_deviation": self.median_absolute_deviation,
+            "boxplot": self.boxplot, "multi_terms": self.multi_terms,
+            "adjacency_matrix": self.adjacency_matrix,
+            "auto_date_histogram": self.auto_date_histogram,
         }
         pipeline_fns = {"cumulative_sum": self.cumulative_sum,
                         "derivative": self.derivative,

@@ -539,3 +539,81 @@ def test_cli_filters_rare_composite(spark, built_index, capsys):
         [(w["dom"], w["week"], w["doc_count"]) for w in want]
     assert all((r["dom"], r["week"]) > (p1[-1]["dom"], p1[-1]["week"])
                for r in p2)
+
+
+def test_cli_metric_and_matrix_kinds(spark, built_index, capsys):
+    """CLI surface of the metric/matrix/auto completions: missing,
+    value-count, weighted-avg, median-absolute-deviation, boxplot,
+    multi-terms, adjacency-matrix, auto-date-histogram — each pinned
+    to the in-process engine method."""
+    import json
+
+    from spyglass_spark.query.executor import SearchEngine
+
+    idx = built_index["index_dir"]
+    eng = SearchEngine(spark, idx)
+    q = "fn index"
+
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind",
+                               "missing", "--query", q,
+                               "--col", "description"])
+    assert json.loads(out)["n"] == \
+        eng.missing_count(q, col="description").collect()[0]["n"]
+
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind",
+                               "value-count", "--query", q,
+                               "--col", "tags"])
+    assert json.loads(out)["n"] == \
+        eng.value_count(q, col="tags").collect()[0]["n"]
+
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind",
+                               "weighted-avg", "--query", q])
+    w = json.loads(out)
+    r = eng.weighted_avg(q).collect()[0]
+    assert (w["n"], w["value"]) == (r["n"], r["value"])
+
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind",
+                               "median-absolute-deviation", "--query", q])
+    m = json.loads(out)
+    r = eng.median_absolute_deviation(q).collect()[0]
+    assert (m["n"], m["mad"]) == (r["n"], r["mad"])
+
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind",
+                               "boxplot", "--query", q])
+    b = json.loads(out)
+    r = eng.boxplot(q).collect()[0]
+    assert all(b[k] == r[k] for k in
+               ("n", "min", "max", "q1", "q2", "q3", "lower", "upper"))
+
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind",
+                               "multi-terms", "--query", q,
+                               "--multi-col", "domain",
+                               "--multi-col", "tags", "--size", "4"])
+    rows = [json.loads(x) for x in out.strip().splitlines()]
+    want = eng.multi_terms(q, facet_cols=("domain", "tags"),
+                           size=4).collect()
+    assert [(r["domain"], r["tags"], r["doc_count"],
+             r["sum_other_doc_count"]) for r in rows] == \
+        [(w["domain"], w["tags"], w["doc_count"],
+          w["sum_other_doc_count"]) for w in want]
+
+    dom = built_index["docs"][0]["domain"]
+    out = _run(capsys, spark, [
+        "agg", "--index", idx, "--kind", "adjacency-matrix",
+        "--query", q, "--filter", f"d0:domain:eq:{dom}",
+        "--filter", "old:lastmodified:lt:1672531200000000"])
+    rows = [json.loads(x) for x in out.strip().splitlines()]
+    want = eng.adjacency_matrix(q, specs={
+        "d0": [("domain", "eq", dom)],
+        "old": [("lastmodified", "lt", 1672531200000000)]}).collect()
+    assert [(r["filter_key"], r["n"]) for r in rows] == \
+        [(w["filter_key"], w["n"]) for w in want]
+
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind",
+                               "auto-date-histogram", "--query", q,
+                               "--target-buckets", "7"])
+    rows = [json.loads(x) for x in out.strip().splitlines()]
+    want = eng.auto_date_histogram(q, target_buckets=7).collect()
+    assert [(r["bucket"], r["n"], r["interval_us"]) for r in rows] == \
+        [(w["bucket"], w["n"], w["interval_us"]) for w in want]
+    assert 0 < len(rows) <= 7

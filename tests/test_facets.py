@@ -1463,3 +1463,173 @@ def test_new_kinds_in_aggregate_tree(eng, built_index):
         eng.filters_agg(query, specs=specs, other_bucket=True).collect()
     assert out["comp"].collect() == eng.composite_agg(
         query, sources=({"name": "dom", "col": "domain"},), size=3).collect()
+
+
+def test_metric_aggs_vs_bruteforce(eng, built_index):
+    """ES metric completions: missing (NULL/empty-field bucket),
+    value_count (per-element), weighted_avg (exact decimal sums, one
+    double division), median_absolute_deviation and boxplot (exact
+    chained percentile passes, Tukey whiskers) — each bitwise vs a
+    scalar brute force over the brute match set."""
+    from spyglass_spark.query.percentile import exact_percentile
+
+    query = "merge join table"
+    matched = _brute_match_docs(built_index["docs"], query)
+    vals = sorted(float(d["lastmodified"]) for d in matched
+                  if d["lastmodified"] is not None)
+    assert len(vals) > 10
+
+    # missing: the corpus never sets description (NULL for every doc)
+    # and always sets two tags (array-empty never missing)
+    assert eng.missing_count(query).collect()[0]["n"] == len(matched)
+    assert eng.missing_count(query, col="tags").collect()[0]["n"] == 0
+
+    # value_count: arrays count per element, scalars per doc
+    assert eng.value_count(query, col="tags").collect()[0]["n"] == \
+        sum(len(d["tags"]) for d in matched)
+    assert eng.value_count(query, col="domain").collect()[0]["n"] == \
+        len(matched)
+
+    # weighted_avg: double(exact Σv·w)/double(exact Σw), both-present
+    both = [(d["lastmodified"], d["published"]) for d in matched
+            if d["lastmodified"] is not None
+            and d["published"] is not None]
+    r = eng.weighted_avg(query).collect()[0]
+    assert r["n"] == len(both)
+    assert r["value"] == (float(sum(v * w for v, w in both))
+                          / float(sum(w for _, w in both)))
+
+    # median_absolute_deviation: exact median-of-deviations chain
+    med = exact_percentile(vals, 0.5)
+    devs = sorted(abs(v - med) for v in vals)
+    r = eng.median_absolute_deviation(query).collect()[0]
+    assert (r["n"], r["mad"]) == (len(devs), exact_percentile(devs, 0.5))
+
+    # boxplot: quartiles + Tukey whiskers (nearest points inside the
+    # 1.5·IQR fences), same double expression order
+    q1 = exact_percentile(vals, 0.25)
+    q2 = exact_percentile(vals, 0.5)
+    q3 = exact_percentile(vals, 0.75)
+    lf, uf = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    r = eng.boxplot(query).collect()[0]
+    assert (r["n"], r["min"], r["max"]) == \
+        (len(vals), vals[0], vals[-1])
+    assert (r["q1"], r["q2"], r["q3"]) == (q1, q2, q3)
+    assert r["lower"] == min(v for v in vals if v >= lf)
+    assert r["upper"] == max(v for v in vals if v <= uf)
+
+    # empty match set: counts come back 0, percentile chains NULL
+    assert eng.missing_count("the fast key").collect()[0]["n"] == 0
+    assert eng.value_count("the fast key", col="tags") \
+        .collect()[0]["n"] == 0
+    r = eng.median_absolute_deviation("the fast key").collect()[0]
+    assert (r["n"], r["mad"]) == (0, None)
+    assert eng.boxplot("the fast key").collect()[0]["n"] == 0
+
+    # through the one-pass aggregate() tree ≡ standalone
+    out = eng.aggregate(query, aggs={
+        "m": {"kind": "missing", "col": "description"},
+        "vc": {"kind": "value_count", "col": "tags"},
+        "wa": {"kind": "weighted_avg"},
+        "mad": {"kind": "median_absolute_deviation"},
+        "bp": {"kind": "boxplot"}})
+    assert out["m"].collect() == eng.missing_count(query).collect()
+    assert out["wa"].collect() == eng.weighted_avg(query).collect()
+    assert out["bp"].collect() == eng.boxplot(query).collect()
+
+
+def test_bucket_agg_completions_vs_bruteforce(eng, built_index):
+    """multi_terms (value-tuple buckets + other count),
+    adjacency_matrix (singletons + '&' pair intersections, non-empty
+    only), and auto_date_histogram (ladder rung choice, gap-filled
+    grid, interval echo) vs brute force."""
+    from collections import Counter
+
+    from spyglass_spark.query.executor import SearchEngine
+
+    query = "merge join table"
+    matched = _brute_match_docs(built_index["docs"], query)
+
+    # multi_terms over (domain, tags): a doc emits |tags| tuples
+    mt = Counter((d["domain"], t) for d in matched for t in d["tags"])
+    ranked = sorted(mt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(mt.values())
+    for size in (4, len(mt) + 3):
+        got = [((r["domain"], r["tags"]), r["doc_count"],
+                r["sum_other_doc_count"])
+               for r in eng.multi_terms(query, size=size).collect()]
+        top = ranked[:size]
+        other = total - sum(n for _, n in top)
+        assert got == [(k, n, other) for k, n in top]
+    with pytest.raises(ValueError, match="facet_cols"):
+        eng.multi_terms(query, facet_cols=("domain", "domain"))
+
+    # adjacency_matrix: singletons + intersecting pairs (request-order
+    # '&' keys), never-matching filter emits NOTHING, key-asc output
+    doms = sorted({d["domain"] for d in matched})
+    cut = sorted(d["lastmodified"] for d in matched)[len(matched) // 2]
+    tag = matched[0]["tags"][0]
+    specs = {
+        "a_dom": (("domain", "eq", doms[0]),),
+        "old": (("lastmodified", "lt", cut),),
+        "tagged": (("tags", "contains", tag),),
+        "never": (("domain", "eq", "zz-none"),),
+    }
+    names = list(specs)
+    exp: Counter = Counter()
+    for d in matched:
+        on = [k for k, hit in (
+            ("a_dom", d["domain"] == doms[0]),
+            ("old", d["lastmodified"] < cut),
+            ("tagged", tag in d["tags"]),
+            ("never", False)) if hit]
+        for i, a in enumerate(on):
+            exp[a] += 1
+            for b in on[i + 1:]:
+                exp[a + "&" + b] += 1
+    rows = eng.adjacency_matrix(query, specs=specs).collect()
+    assert {r["filter_key"]: r["n"] for r in rows} == \
+        {k: n for k, n in exp.items() if n > 0}
+    ks = [r["filter_key"] for r in rows]
+    assert ks == sorted(ks) and "never" not in ks
+    assert any("&" in k for k in ks)   # an intersection is exercised
+    with pytest.raises(ValueError, match="separator"):
+        eng.adjacency_matrix(query,
+                             specs={"a&b": (("domain", "eq", "x"),)})
+
+    # auto_date_histogram: smallest qualifying rung, gap-filled grid,
+    # constant interval echo
+    vals = [d["lastmodified"] for d in matched
+            if d["lastmodified"] is not None]
+    lad = SearchEngine.AUTO_HIST_LADDER
+    for target in (5, 20, 100):
+        rows = eng.auto_date_histogram(query,
+                                       target_buckets=target).collect()
+        step = rows[0]["interval_us"]
+        assert step in lad
+        assert len({r["interval_us"] for r in rows}) == 1
+        nb = max(vals) // step - min(vals) // step + 1
+        assert len(rows) == nb
+        assert nb <= target or step == lad[-1]
+        idx = lad.index(step)
+        if idx > 0:     # the next-smaller rung must have overflowed
+            prev = lad[idx - 1]
+            assert max(vals) // prev - min(vals) // prev + 1 > target
+        bc = Counter((v // step) * step for v in vals)
+        assert [(r["bucket"], r["n"]) for r in rows] == \
+            [(b, bc.get(b, 0))
+             for b in range(min(bc), max(bc) + step, step)]
+    assert eng.auto_date_histogram("the fast key").collect() == []
+    with pytest.raises(ValueError, match="target_buckets"):
+        eng.auto_date_histogram(query, target_buckets=0)
+
+    # through the one-pass aggregate() tree ≡ standalone
+    out = eng.aggregate(query, aggs={
+        "mt": {"kind": "multi_terms", "size": 4},
+        "adj": {"kind": "adjacency_matrix", "specs": specs},
+        "auto": {"kind": "auto_date_histogram", "target_buckets": 12}})
+    assert out["mt"].collect() == eng.multi_terms(query, size=4).collect()
+    assert out["adj"].collect() == \
+        eng.adjacency_matrix(query, specs=specs).collect()
+    assert out["auto"].collect() == \
+        eng.auto_date_histogram(query, target_buckets=12).collect()

@@ -344,6 +344,35 @@ section("Composite aggregation page (multi-source keys + after-cursor)",
         "  unlike terms/histogram whose final orderBy frame is\n"
         "  O(#buckets)).", 50)
 
+section("Adjacency matrix (named filters + '&' pair intersections)",
+        eng.adjacency_matrix("spark merge join", specs={
+            "src0": (("domain", "eq", "src0"),),
+            "y24": (("lastmodified", "gte", 1_704_067_200_000_000),)}),
+        "- The matched-filter ids are the same ONE when()-chain array\n"
+        "  as filters_agg; singleton AND pair bucket keys are emitted\n"
+        "  doc-locally from it via transform/slice/flatten -- pure\n"
+        "  codegen, no UDF, ONE match-set pass, one groupBy of\n"
+        "  O(#buckets x partitions) partials with #buckets <=\n"
+        "  k(k+1)/2.", 40)
+
+section("Boxplot metric (exact quartiles + Tukey whiskers)",
+        eng.boxplot("spark merge join"),
+        "- Two chained aggregates in ONE lazy plan: the quartile row\n"
+        "  (exactly-merged percentile map) broadcasts into a second\n"
+        "  conditional min/max pass for the whisker values -- no sort,\n"
+        "  no driver materialization between them; the match-set\n"
+        "  subtree feeds both via the shared persisted frame under\n"
+        "  aggregate(). median_absolute_deviation chains the same\n"
+        "  way (median -> |x - med| -> median).", 45)
+
+section("Auto date histogram (ladder rung + gap-filled grid)",
+        eng.auto_date_histogram("spark merge join", target_buckets=12),
+        "- The rung choice reads ONE (min,max) row driver-side (O(1)\n"
+        "  data); the emitted plan is the standard gap-filled\n"
+        "  histogram at the chosen rung -- doc-local floor-mod keys,\n"
+        "  one groupBy, sequence/explode grid -- plus a constant\n"
+        "  interval echo column.", 45)
+
 from spyglass_spark.query.compiler import compile_query
 
 _exp_urls = eng._match_doc_meta(

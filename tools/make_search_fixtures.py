@@ -362,6 +362,10 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
     out["search_filters_agg"] = filters_agg_rows(docs, ckey)
     out["search_rare_terms"] = rare_terms_rows(docs, ckey)
     out["search_composite_page"] = composite_page_rows(docs, ckey)
+    out["search_multi_terms"] = multi_terms_rows(docs, ckey)
+    out["search_adjacency_matrix"] = adjacency_matrix_rows(docs, ckey)
+    out["search_auto_date_histogram"] = auto_date_histogram_rows(docs, ckey)
+    out["search_boxplot"] = boxplot_rows(docs, ckey)
 
     # lifecycle rows: the entry mutates a dedicated index (upsert one
     # content-modified doc, delete a domain + two urls, compact); post-
@@ -826,6 +830,22 @@ FSTATS_FIELDS = [("tag_id", pa.int64()), ("doc_count", pa.int64()),
                  ("sum", pa.int64()), ("avg", pa.float64())]
 
 
+def _spec_hit(d: dict, conds) -> bool:
+    """Scalar twin of the named-filter predicate evaluation
+    (filters_agg / adjacency_matrix specs): conditions AND, a NULL
+    column value fails every op."""
+    for col, op, v in conds:
+        x = d.get(col)
+        ok = x is not None and {
+            "eq": lambda: x == v, "ne": lambda: x != v,
+            "lt": lambda: x < v, "lte": lambda: x <= v,
+            "gt": lambda: x > v, "gte": lambda: x >= v,
+            "contains": lambda: v in x}[op]()
+        if not ok:
+            return False
+    return True
+
+
 FILTERS_FIELDS = [("filter_key", pa.string()), ("n", pa.int64())]
 RARE_FIELDS = [("tag_id", pa.int64()), ("doc_count", pa.int64())]
 COMPOSITE_FIELDS = [("dom", pa.string()), ("month", pa.int64()),
@@ -841,24 +861,12 @@ def filters_agg_rows(docs: list[dict], ckey: int,
     and a non-empty _other_."""
     from __spark_entry__ import ENTRY_FILTER_SPECS
 
-    def hit(d, conds):
-        for col, op, v in conds:
-            x = d.get(col)
-            ok = x is not None and {
-                "eq": lambda: x == v, "ne": lambda: x != v,
-                "lt": lambda: x < v, "lte": lambda: x <= v,
-                "gt": lambda: x > v, "gte": lambda: x >= v,
-                "contains": lambda: v in x}[op]()
-            if not ok:
-                return False
-        return True
-
     matched = list(_brute_match(docs, query))
     rows = [{"corpus_key": ckey, "filter_key": key,
-             "n": sum(1 for d in matched if hit(d, conds))}
+             "n": sum(1 for d in matched if _spec_hit(d, conds))}
             for key, conds in ENTRY_FILTER_SPECS.items()]
     other = sum(1 for d in matched if not any(
-        hit(d, c) for c in ENTRY_FILTER_SPECS.values()))
+        _spec_hit(d, c) for c in ENTRY_FILTER_SPECS.values()))
     rows.append({"corpus_key": ckey, "filter_key": "_other_", "n": other})
     assert any(r["n"] > 0 for r in rows[:-1]), "filters fixture vacuous"
     assert any(r["n"] == 0 for r in rows[:-1]), \
@@ -909,6 +917,123 @@ def composite_page_rows(docs: list[dict], ckey: int,
         "composite fixture needs two full pages"
     return [{"corpus_key": ckey, "dom": k[0], "month": k[1],
              "doc_count": n} for k, n in ordered[SIZE:2 * SIZE]]
+
+
+MULTITERMS_FIELDS = [("domain", pa.string()), ("tags", pa.int64()),
+                     ("doc_count", pa.int64()),
+                     ("sum_other_doc_count", pa.int64())]
+ADJ_FIELDS = [("filter_key", pa.string()), ("n", pa.int64())]
+AUTOHIST_FIELDS = [("bucket", pa.int64()), ("n", pa.int64()),
+                   ("interval_us", pa.int64())]
+BOXPLOT_FIELDS = [("n", pa.int64()), ("min", pa.float64()),
+                  ("max", pa.float64()), ("q1", pa.float64()),
+                  ("q2", pa.float64()), ("q3", pa.float64()),
+                  ("lower", pa.float64()), ("upper", pa.float64())]
+
+
+def multi_terms_rows(docs: list[dict], ckey: int,
+                     query: str = "spark merge join",
+                     size: int = 5) -> list[dict]:
+    """Expected multi_terms output: top-``size`` (domain, tag) tuples
+    by (count desc, tuple asc) + the constant other-count; a doc
+    contributes one tuple per tag (the multi-valued cross-product).
+    Asserts the size cut and the other-count are both exercised."""
+    counts: dict[tuple, int] = {}
+    for d in _brute_match(docs, query):
+        for t in d["tags"]:
+            k = (d["domain"], int(t))
+            counts[k] = counts.get(k, 0) + 1
+    assert len(counts) > size, "multi_terms fixture needs a size cut"
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    top = ranked[:size]
+    other = sum(counts.values()) - sum(n for _, n in top)
+    assert other > 0, "multi_terms fixture must have a non-zero other"
+    return [{"corpus_key": ckey, "domain": k[0], "tags": k[1],
+             "doc_count": n, "sum_other_doc_count": other}
+            for k, n in top]
+
+
+def adjacency_matrix_rows(docs: list[dict], ckey: int,
+                          query: str = "spark merge join") -> list[dict]:
+    """Expected adjacency_matrix output over ENTRY_FILTER_SPECS:
+    singleton counts + request-order '&' pair intersections, NON-EMPTY
+    buckets only, key asc. Asserts a pair bucket exists and the
+    never-matching filter emits nothing."""
+    from __spark_entry__ import ENTRY_FILTER_SPECS
+
+    names = list(ENTRY_FILTER_SPECS)
+    cnt: dict[str, int] = {}
+    for d in _brute_match(docs, query):
+        on = [k for k in names if _spec_hit(d, ENTRY_FILTER_SPECS[k])]
+        for i, a in enumerate(on):
+            cnt[a] = cnt.get(a, 0) + 1
+            for b in on[i + 1:]:
+                cnt[a + "&" + b] = cnt.get(a + "&" + b, 0) + 1
+    assert any("&" in k for k in cnt), \
+        "adjacency fixture must exercise a pair intersection"
+    assert "no_such" not in cnt, \
+        "the never-matching filter must emit nothing"
+    return [{"corpus_key": ckey, "filter_key": k, "n": n}
+            for k, n in sorted(cnt.items())]
+
+
+# auto_date_histogram rung ladder — deliberately a SEPARATE copy of the
+# SearchEngine.AUTO_HIST_LADDER spec (1s 5s 10s 30s 1m 5m 10m 30m 1h 3h
+# 12h 1d 7d 30d 90d 365d in µs), like the stoplist duplication: the
+# generator stays independent of engine code, and a ladder drift fails
+# the fixture comparison instead of self-certifying
+AUTO_LADDER = (1_000_000, 5_000_000, 10_000_000, 30_000_000, 60_000_000,
+               300_000_000, 600_000_000, 1_800_000_000, 3_600_000_000,
+               10_800_000_000, 43_200_000_000, 86_400_000_000,
+               604_800_000_000, 2_592_000_000_000, 7_776_000_000_000,
+               31_536_000_000_000)
+
+
+def auto_date_histogram_rows(docs: list[dict], ckey: int,
+                             query: str = "spark merge join",
+                             target: int = 12,
+                             col: str = "lastmodified") -> list[dict]:
+    """Expected auto_date_histogram output: the smallest ladder rung
+    whose gap-filled bucket count over the match span fits ``target``,
+    then the gap-filled grid at that rung + the interval echo."""
+    vals = [int(d[col]) for d in _brute_match(docs, query)
+            if d.get(col) is not None]
+    assert vals, "auto_date_histogram fixture must be nonvacuous"
+    mn, mx = min(vals), max(vals)
+    step = next((s for s in AUTO_LADDER
+                 if mx // s - mn // s + 1 <= target), AUTO_LADDER[-1])
+    assert AUTO_LADDER.index(step) > 0, \
+        "fixture must exercise a non-trivial rung choice"
+    bc: dict[int, int] = {}
+    for v in vals:
+        b = (v // step) * step
+        bc[b] = bc.get(b, 0) + 1
+    rows = [{"corpus_key": ckey, "bucket": b, "n": bc.get(b, 0),
+             "interval_us": step}
+            for b in range(min(bc), max(bc) + step, step)]
+    assert 1 < len(rows) <= target, "rung choice must fit the budget"
+    return rows
+
+
+def boxplot_rows(docs: list[dict], ckey: int,
+                 query: str = "spark merge join",
+                 col: str = "lastmodified") -> list[dict]:
+    """Expected boxplot output: exact quartiles (the pinned percentile
+    interpolation) + Tukey whiskers, replicating the engine's double
+    expression order bitwise (µs doubles sit below 2^53)."""
+    from spyglass_spark.query.percentile import exact_percentile
+
+    vals = sorted(float(d[col]) for d in _brute_match(docs, query)
+                  if d.get(col) is not None)
+    assert vals, "boxplot fixture must be nonvacuous"
+    q1 = exact_percentile(vals, 0.25)
+    q2 = exact_percentile(vals, 0.5)
+    q3 = exact_percentile(vals, 0.75)
+    lf, uf = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    return [{"corpus_key": ckey, "n": len(vals), "min": vals[0],
+             "max": vals[-1], "q1": q1, "q2": q2, "q3": q3,
+             "lower": min(v for v in vals if v >= lf),
+             "upper": max(v for v in vals if v <= uf)}]
 
 
 def _brute_match(docs: list[dict], query: str):
@@ -1218,6 +1343,10 @@ def main() -> None:
                "search_filters_agg": FILTERS_FIELDS,
                "search_rare_terms": RARE_FIELDS,
                "search_composite_page": COMPOSITE_FIELDS,
+               "search_multi_terms": MULTITERMS_FIELDS,
+               "search_adjacency_matrix": ADJ_FIELDS,
+               "search_auto_date_histogram": AUTOHIST_FIELDS,
+               "search_boxplot": BOXPLOT_FIELDS,
                "search_suggest": SUGGEST_FIELDS}
     for name, rows in merged.items():
         write_fixture(name, rows, special.get(name))
