@@ -618,10 +618,11 @@ class SearchEngine:
                 m = load_manifest(self.index_dir)
         if m is None or not m.committed:
             raise FileNotFoundError(f"no committed index manifest in {self.index_dir}")
-        prev_agg = getattr(self, "_agg_dm_cache", None)
-        if prev_agg is not None:  # drop the stale-generation agg frame
-            prev_agg.unpersist()
-            self._agg_dm_cache = None
+        for cache in ("_agg_dm_cache", "_agg_gdm_cache"):
+            prev_agg = getattr(self, cache, None)
+            if prev_agg is not None:  # drop the stale-generation frame
+                prev_agg.unpersist()
+                setattr(self, cache, None)
         if m.version > 1:
             raise ValueError(
                 f"index manifest version {m.version} is newer than this "
@@ -3403,6 +3404,15 @@ class SearchEngine:
         The cached frame is retained so the returned (lazy) DataFrames
         stay cheap; the NEXT aggregate()/refresh() call unpersists it.
 
+        ``"global": True`` in a spec runs that sub-aggregation over the
+        WHOLE live index instead of the match set — the ES `global`
+        bucket ("all documents in the search context, ignoring the
+        query"), the standard match-vs-corpus comparison shape. The
+        full doc-meta frame is persisted once per request tree (only
+        when some spec asks for it) and shared by every global spec;
+        it reads the kind=3 store partition directly — no posting
+        decode at all on the global side.
+
         PIPELINE kinds (<PIPELINE_KINDS> — the ES parent pipeline
         aggregations) don't touch the match set at all: they transform
         a SIBLING bucket aggregation's output, referenced ES-style via
@@ -3463,20 +3473,32 @@ class SearchEngine:
             seen.add(name)
         dm = self._match_doc_meta(self._compile_arg(query, filters, boosts),
                                   caller="aggregate")
-        prev = getattr(self, "_agg_dm_cache", None)
-        if prev is not None:
-            prev.unpersist()
+        for cache in ("_agg_dm_cache", "_agg_gdm_cache"):
+            prev = getattr(self, cache, None)
+            if prev is not None:
+                prev.unpersist()
+                setattr(self, cache, None)
         dm = dm.persist()
         dm.count()  # materialize the shared pass eagerly
         self._agg_dm_cache = dm
+        g_dm = None
         out = {}
         for name, spec in aggs.items():
             if spec.get("kind") in pipeline_fns:
                 continue
             s = dict(spec)
             kind = s.pop("kind")
-            out[name] = builders[kind](query, filters=filters,
-                                       boosts=boosts, _dm=dm, **s)
+            if s.pop("global", False):
+                if g_dm is None:   # one shared full-index frame
+                    g_dm = self._anti_tombstone(self._doc_meta_base) \
+                               .persist()
+                    g_dm.count()
+                    self._agg_gdm_cache = g_dm
+                out[name] = builders[kind](query, filters=filters,
+                                           boosts=boosts, _dm=g_dm, **s)
+            else:
+                out[name] = builders[kind](query, filters=filters,
+                                           boosts=boosts, _dm=dm, **s)
         for name, spec in aggs.items():  # pipeline pass: siblings exist
             if spec.get("kind") not in pipeline_fns:
                 continue

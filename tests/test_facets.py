@@ -1633,3 +1633,28 @@ def test_bucket_agg_completions_vs_bruteforce(eng, built_index):
         eng.adjacency_matrix(query, specs=specs).collect()
     assert out["auto"].collect() == \
         eng.auto_date_histogram(query, target_buckets=12).collect()
+
+
+def test_global_bucket_in_aggregate_tree(eng, built_index):
+    """ES `global` bucket: a sub-aggregation with global=True runs
+    over the WHOLE live index (ignoring the query), sharing one
+    persisted full doc-meta frame; siblings stay match-set scoped."""
+    query = "merge join table"
+    matched = _brute_match_docs(built_index["docs"], query)
+    docs = built_index["docs"]
+    out = eng.aggregate(query, aggs={
+        "c": {"kind": "count"},
+        "gc": {"kind": "count", "global": True},
+        "gs": {"kind": "stats", "col": "lastmodified", "global": True},
+        "gf": {"kind": "facets", "global": True}})
+    assert out["c"].collect()[0]["n"] == len(matched) < len(docs)
+    assert out["gc"].collect()[0]["n"] == len(docs)
+    gs = out["gs"].collect()[0]
+    vals = [d["lastmodified"] for d in docs
+            if d["lastmodified"] is not None]
+    assert (gs["n"], gs["min"], gs["max"], gs["sum"]) == \
+        (len(vals), min(vals), max(vals), sum(vals))
+    from collections import Counter
+    gcnt = Counter(t for d in docs for t in d["tags"])
+    assert [(r["tag_id"], r["n"]) for r in out["gf"].collect()] == \
+        sorted(gcnt.items(), key=lambda kv: (-kv[1], kv[0]))

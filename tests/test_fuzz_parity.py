@@ -642,6 +642,88 @@ def test_randomized_aggregation_parity(spark, tmp_path, seed):
             aft = (page[-1]["dom"], page[-1]["bkt"])
         assert walk == exp_comp, (seed, q, psz)
 
+        # ES metric completions, bitwise vs scalar brute force
+        from spyglass_spark.query.percentile import exact_percentile
+        assert eng.missing_count(q, filters, col="description") \
+            .collect()[0]["n"] == len(matched), (seed, q)
+        assert eng.value_count(q, filters, col="tags") \
+            .collect()[0]["n"] == sum(len(d["tags"]) for d in matched), \
+            (seed, q)
+        both = [(d["lastmodified"], d["published"]) for d in matched
+                if d["lastmodified"] is not None
+                and d["published"] is not None]
+        wr = eng.weighted_avg(q, filters).collect()[0]
+        assert wr["n"] == len(both), (seed, q)
+        if both:
+            assert wr["value"] == (
+                float(sum(v * w for v, w in both))
+                / float(sum(w for _, w in both))), (seed, q)
+        fv = sorted(float(v) for v in vals)
+        med = exact_percentile(fv, 0.5)
+        devs = sorted(abs(v - med) for v in fv)
+        mr = eng.median_absolute_deviation(q, filters).collect()[0]
+        assert (mr["n"], mr["mad"]) == \
+            (len(devs), exact_percentile(devs, 0.5)), (seed, q)
+        bq1 = exact_percentile(fv, 0.25)
+        bq3 = exact_percentile(fv, 0.75)
+        blf, buf = bq1 - 1.5 * (bq3 - bq1), bq3 + 1.5 * (bq3 - bq1)
+        br = eng.boxplot(q, filters).collect()[0]
+        assert (br["n"], br["min"], br["max"], br["q1"], br["q2"],
+                br["q3"], br["lower"], br["upper"]) == \
+            (len(fv), fv[0], fv[-1], bq1, exact_percentile(fv, 0.5), bq3,
+             min(v for v in fv if v >= blf),
+             max(v for v in fv if v <= buf)), (seed, q)
+
+        # multi_terms at a random size: tuple buckets + other count
+        msz = rng.randint(1, 5)
+        mtc = Counter((d["domain"], t) for d in matched
+                      for t in d["tags"])
+        mranked = sorted(mtc.items(), key=lambda kv: (-kv[1], kv[0]))
+        mother = sum(mtc.values()) - sum(n for _, n in mranked[:msz])
+        got_mt = [((r["domain"], r["tags"]), r["doc_count"],
+                   r["sum_other_doc_count"])
+                  for r in eng.multi_terms(q, filters,
+                                           size=msz).collect()]
+        assert got_mt == [(k, n, mother) for k, n in mranked[:msz]], \
+            (seed, q, msz)
+
+        # adjacency_matrix from the SAME random filter specs: singleton
+        # + request-order '&' pairs, non-empty only
+        expa: Counter = Counter()
+        for d in matched:
+            on = [k for k in fspecs if _fhit(d, fspecs[k])]
+            for i, a in enumerate(on):
+                expa[a] += 1
+                for b in on[i + 1:]:
+                    expa[a + "&" + b] += 1
+        got_a = {row["filter_key"]: row["n"] for row in
+                 eng.adjacency_matrix(q, filters,
+                                      specs=fspecs).collect()}
+        assert got_a == {k: n for k, n in expa.items() if n > 0}, \
+            (seed, q)
+
+        # auto_date_histogram at a random budget: rung choice + grid
+        from spyglass_spark.query.executor import SearchEngine as _SE
+        tb = rng.choice([3, 8, 25])
+        st = next((s for s in _SE.AUTO_HIST_LADDER
+                   if max(vals) // s - min(vals) // s + 1 <= tb),
+                  _SE.AUTO_HIST_LADDER[-1])
+        bca = Counter((v // st) * st for v in vals)
+        got_ah = [(row["bucket"], row["n"], row["interval_us"])
+                  for row in eng.auto_date_histogram(
+                      q, filters, target_buckets=tb).collect()]
+        assert got_ah == [(b, bca.get(b, 0), st)
+                          for b in range(min(bca), max(bca) + st, st)], \
+            (seed, q, tb)
+
+        # global bucket: the sub-agg sees the whole live index while
+        # its sibling stays match-set scoped
+        gout = eng.aggregate(q, filters, aggs={
+            "gc": {"kind": "count", "global": True},
+            "c": {"kind": "count"}})
+        assert gout["gc"].collect()[0]["n"] == len(docs), (seed, q)
+        assert gout["c"].collect()[0]["n"] == len(matched), (seed, q)
+
         # one aggregate() request tree must serve the SAME answers from
         # its single cached match-set pass as the standalone methods
         tree = eng.aggregate(q, filters, aggs={
