@@ -247,7 +247,7 @@ def main(argv=None, spark=None) -> int:
                              "missing", "value-count", "weighted-avg",
                              "median-absolute-deviation", "boxplot",
                              "multi-terms", "adjacency-matrix",
-                             "auto-date-histogram"])
+                             "auto-date-histogram", "string-stats"])
     ag.add_argument("--filter", action="append", default=[],
                     dest="filter_specs", metavar="KEY:COL:OP:VALUE",
                     help="filters only: one condition of bucket KEY "
@@ -875,6 +875,18 @@ def main(argv=None, spark=None) -> int:
                 for r in rows:
                     print(json.dumps({"filter_key": r["filter_key"],
                                       "n": int(r["n"])}))
+            elif args.kind == "string-stats":
+                r = eng.string_stats(q_arg, filters=filters,
+                                     col=args.col).collect()[0]
+                print(json.dumps({
+                    "count": int(r["count"]),
+                    "min_length": None if r["min_length"] is None
+                    else int(r["min_length"]),
+                    "max_length": None if r["max_length"] is None
+                    else int(r["max_length"]),
+                    "avg_length": None if r["avg_length"] is None
+                    else float(r["avg_length"]),
+                    "entropy": float(r["entropy"])}))
             elif args.kind == "auto-date-histogram":
                 rows = eng.auto_date_histogram(
                     q_arg, filters=filters, date_col=args.date_col,

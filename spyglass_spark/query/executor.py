@@ -3328,6 +3328,57 @@ class SearchEngine:
                   .groupBy("filter_key").agg(F.count("*").alias("n"))
                   .orderBy(F.asc("filter_key")))
 
+    def string_stats(self, query: str, filters=(), boosts=(),
+                     col: str = "title", _dm=None) -> DataFrame:
+        """String-stats metric — the ES `string_stats` agg over a
+        keyword field: ONE row (count, min_length, max_length,
+        avg_length, entropy) where count is the number of extracted
+        values (arrays explode, NULLs skipped), lengths are character
+        counts, and entropy is the Shannon entropy IN BITS (log2, the
+        ES contract) of the CHARACTER distribution across all values.
+
+        Determinism discipline: avg_length is the exact decimal
+        length-sum over one double division (the field_stats pattern);
+        the entropy fold runs over the char-SORTED aggregate array in
+        one fixed order (sort_array + `aggregate` in codegen), so the
+        double summation is partition-order independent. The char
+        histogram is a groupBy of O(charset) rows — bounded by the
+        alphabet, not the data — and the 1-row frames broadcast-join.
+        (Entropy's last ulp depends on the platform log2 — the one
+        value gated by tolerance, not hash, in tests.)"""
+        dm = _dm if _dm is not None else self._match_doc_meta(
+            self._compile_arg(query, filters, boosts), caller="string_stats")
+        val = (F.explode(col)
+               if dm.schema[col].dataType.typeName() == "array"
+               else F.col(col))
+        # explode can't nest inside cast — generate first, cast after
+        vals = (dm.select(val.alias("_e"))
+                  .select(F.col("_e").cast("string").alias("_v"))
+                  .filter(F.col("_v").isNotNull()))
+        lens = vals.select(F.length("_v").alias("_l")).agg(
+            F.count("*").alias("count"),
+            F.min("_l").alias("min_length"),
+            F.max("_l").alias("max_length"),
+            F.sum(F.col("_l").cast("decimal(38,0)")).alias("_sl"))
+        lens = lens.select(
+            "count", "min_length", "max_length",
+            (F.col("_sl").cast("double") / F.col("count"))
+            .alias("avg_length"))
+        chars = (vals.select(F.explode(F.split("_v", "")).alias("_c"))
+                     .filter(F.length("_c") > 0)
+                     .groupBy("_c").agg(F.count("*").alias("_n")))
+        ent = (chars.agg(F.sort_array(
+                   F.collect_list(F.struct("_c", "_n"))).alias("_a"))
+                    .select(F.expr(
+                        "aggregate(_a, 0L, (t, x) -> t + x._n)").alias("_t"),
+                        F.col("_a"))
+                    .select(F.coalesce(F.expr(
+                        "aggregate(_a, cast(0.0 as double), (acc, x) -> "
+                        "acc - (x._n / cast(_t as double)) "
+                        "* log2(x._n / cast(_t as double)))"),
+                        F.lit(0.0)).alias("entropy")))
+        return lens.crossJoin(F.broadcast(ent))
+
     # auto_date_histogram interval ladder (µs): 1s 5s 10s 30s 1m 5m 10m
     # 30m 1h 3h 12h 1d 7d 30d 90d 365d — the fixed-interval analog of
     # ES's calendar rounding ladder
@@ -3384,7 +3435,7 @@ class SearchEngine:
                  "significant_terms", "filters", "rare_terms", "composite",
                  "missing", "value_count", "weighted_avg",
                  "median_absolute_deviation", "boxplot", "multi_terms",
-                 "adjacency_matrix", "auto_date_histogram")
+                 "adjacency_matrix", "auto_date_histogram", "string_stats")
 
     def aggregate(self, query: str, filters=(), boosts=(),
                   aggs: dict | None = None) -> dict:
@@ -3411,7 +3462,11 @@ class SearchEngine:
         full doc-meta frame is persisted once per request tree (only
         when some spec asks for it) and shared by every global spec;
         it reads the kind=3 store partition directly — no posting
-        decode at all on the global side.
+        decode at all on the global side. ``"sampler": N`` restricts a
+        spec's frame (match-set or global) to the deterministic
+        first-N-by-doc_ord sample — the ES `sampler` bucket analog
+        with significant_terms' total-order sampling, a TakeOrdered of
+        O(N).
 
         PIPELINE kinds (<PIPELINE_KINDS> — the ES parent pipeline
         aggregations) don't touch the match set at all: they transform
@@ -3440,6 +3495,7 @@ class SearchEngine:
             "boxplot": self.boxplot, "multi_terms": self.multi_terms,
             "adjacency_matrix": self.adjacency_matrix,
             "auto_date_histogram": self.auto_date_histogram,
+            "string_stats": self.string_stats,
         }
         pipeline_fns = {"cumulative_sum": self.cumulative_sum,
                         "derivative": self.derivative,
@@ -3494,11 +3550,21 @@ class SearchEngine:
                                .persist()
                     g_dm.count()
                     self._agg_gdm_cache = g_dm
-                out[name] = builders[kind](query, filters=filters,
-                                           boosts=boosts, _dm=g_dm, **s)
+                base = g_dm
             else:
-                out[name] = builders[kind](query, filters=filters,
-                                           boosts=boosts, _dm=dm, **s)
+                base = dm
+            samp = s.pop("sampler", None)
+            if samp is not None:
+                # ES `sampler` bucket analog: the sub-agg sees only a
+                # deterministic first-N-by-doc_ord sample of its frame
+                # (the significant_terms sampler's total order) — a
+                # TakeOrdered of O(N), never the full set
+                if int(samp) <= 0:
+                    raise ValueError(f"agg {name!r}: sampler must be "
+                                     "positive")
+                base = base.orderBy("doc_ord").limit(int(samp))
+            out[name] = builders[kind](query, filters=filters,
+                                       boosts=boosts, _dm=base, **s)
         for name, spec in aggs.items():  # pipeline pass: siblings exist
             if spec.get("kind") not in pipeline_fns:
                 continue

@@ -617,3 +617,22 @@ def test_cli_metric_and_matrix_kinds(spark, built_index, capsys):
     assert [(r["bucket"], r["n"], r["interval_us"]) for r in rows] == \
         [(w["bucket"], w["n"], w["interval_us"]) for w in want]
     assert 0 < len(rows) <= 7
+
+
+def test_cli_string_stats(spark, built_index, capsys):
+    """agg --kind string-stats: ES string metric via --col."""
+    import json
+
+    from spyglass_spark.query.executor import SearchEngine
+
+    idx = built_index["index_dir"]
+    eng = SearchEngine(spark, idx)
+    out = _run(capsys, spark, ["agg", "--index", idx, "--kind",
+                               "string-stats", "--query", "fn index",
+                               "--col", "title"])
+    s = json.loads(out)
+    r = eng.string_stats("fn index", col="title").collect()[0]
+    assert all(s[k] == r[k] for k in ("count", "min_length",
+                                      "max_length", "avg_length",
+                                      "entropy"))
+    assert s["count"] > 0 and s["entropy"] > 1.0

@@ -1658,3 +1658,65 @@ def test_global_bucket_in_aggregate_tree(eng, built_index):
     gcnt = Counter(t for d in docs for t in d["tags"])
     assert [(r["tag_id"], r["n"]) for r in out["gf"].collect()] == \
         sorted(gcnt.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_string_stats_and_sampler_vs_bruteforce(eng, built_index):
+    """string_stats (ES string metric: value lengths + log2 char
+    entropy — entropy tolerance-gated, platform log2 ulp) and the
+    aggregate() sampler knob (sub-agg over the deterministic
+    first-N-by-doc_ord frame)."""
+    import math
+    from collections import Counter
+
+    query = "merge join table"
+    matched = _brute_match_docs(built_index["docs"], query)
+
+    titles = [d["title"] for d in matched]
+    r = eng.string_stats(query, col="title").collect()[0]
+    lens = [len(t) for t in titles]
+    assert (r["count"], r["min_length"], r["max_length"]) == \
+        (len(lens), min(lens), max(lens))
+    assert r["avg_length"] == float(sum(lens)) / len(lens)
+    cc = Counter(ch for t in titles for ch in t)
+    tot = sum(cc.values())
+    exp_ent = -sum((n / tot) * math.log2(n / tot)
+                   for _, n in sorted(cc.items()))
+    assert abs(r["entropy"] - exp_ent) <= 1e-12 * max(1.0, abs(exp_ent))
+    assert r["entropy"] > 1.0
+
+    # array facet: values are the str casts of the tag elements
+    r2 = eng.string_stats(query, col="tags").collect()[0]
+    tvals = [str(t) for d in matched for t in d["tags"]]
+    assert r2["count"] == len(tvals)
+    assert (r2["min_length"], r2["max_length"]) == \
+        (min(len(v) for v in tvals), max(len(v) for v in tvals))
+
+    # empty match set: count 0, entropy 0.0 (the aggregate fold's seed)
+    r0 = eng.string_stats("the fast key").collect()[0]
+    assert (r0["count"], r0["entropy"]) == (0, 0.0)
+
+    # sampler knob: the sub-agg sees exactly the k smallest doc_ords,
+    # reproduced via the doc_ord invariant; the sibling stays full
+    from spyglass_spark.index.builder import part_id_py
+    P = built_index["P"]
+    parts: dict[int, list] = {}
+    for d in built_index["docs"]:
+        parts.setdefault(part_id_py(d["url"], P), []).append(d["url"])
+    omap = {}
+    for p, urls in parts.items():
+        for rank, u in enumerate(sorted(urls)):
+            omap[u] = (p << 40) | rank
+    by_ord = sorted((omap[d["url"]], d) for d in matched)
+    k = max(3, len(by_ord) // 3)
+    sampled = [d for _, d in by_ord[:k]]
+    out = eng.aggregate(query, aggs={
+        "sc": {"kind": "count", "sampler": k},
+        "sf": {"kind": "facets", "sampler": k},
+        "c": {"kind": "count"}})
+    assert out["sc"].collect()[0]["n"] == k
+    assert out["c"].collect()[0]["n"] == len(matched)
+    scnt = Counter(t for d in sampled for t in d["tags"])
+    assert [(x["tag_id"], x["n"]) for x in out["sf"].collect()] == \
+        sorted(scnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    with pytest.raises(ValueError, match="sampler"):
+        eng.aggregate(query, aggs={"x": {"kind": "count", "sampler": 0}})

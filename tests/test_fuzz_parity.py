@@ -716,6 +716,43 @@ def test_randomized_aggregation_parity(spark, tmp_path, seed):
                           for b in range(min(bca), max(bca) + st, st)], \
             (seed, q, tb)
 
+        # string_stats over title: lengths bitwise, entropy tolerance
+        # (platform log2 ulp)
+        import math as _math
+        st_r = eng.string_stats(q, filters, col="title").collect()[0]
+        st_lens = [len(d["title"]) for d in matched]
+        assert (st_r["count"], st_r["min_length"], st_r["max_length"]) \
+            == (len(st_lens), min(st_lens), max(st_lens)), (seed, q)
+        assert st_r["avg_length"] == \
+            float(sum(st_lens)) / len(st_lens), (seed, q)
+        scc = Counter(ch for d in matched for ch in d["title"])
+        stot = sum(scc.values())
+        exp_e = -sum((nv / stot) * _math.log2(nv / stot)
+                     for _, nv in sorted(scc.items()))
+        assert abs(st_r["entropy"] - exp_e) <= \
+            1e-12 * max(1.0, exp_e), (seed, q)
+
+        # sampler knob at a random k: the sub-agg frame is exactly the
+        # k smallest doc_ords (the ES sampler analog's total order)
+        from spyglass_spark.index.builder import part_id_py
+        parts_m: dict = {}
+        for d in docs:
+            parts_m.setdefault(part_id_py(d["url"], P), []).append(d["url"])
+        omap = {}
+        for pid, urls in parts_m.items():
+            for rank, u in enumerate(sorted(urls)):
+                omap[u] = (pid << 40) | rank
+        sk = rng.randint(1, len(matched))
+        s_docs = [d for _, d in sorted(
+            (omap[d["url"]], d) for d in matched)[:sk]]
+        s_out = eng.aggregate(q, filters, aggs={
+            "sf": {"kind": "facets", "sampler": sk}})
+        s_cnt = Counter(t for d in s_docs for t in d["tags"])
+        assert [(row["tag_id"], row["n"]) for row in
+                s_out["sf"].collect()] == \
+            sorted(s_cnt.items(), key=lambda kv: (-kv[1], kv[0])), \
+            (seed, q, sk)
+
         # global bucket: the sub-agg sees the whole live index while
         # its sibling stays match-set scoped
         gout = eng.aggregate(q, filters, aggs={
