@@ -1675,6 +1675,19 @@ ENTRY_COMPOSITE_MONTH_US = 30 * 86_400_000_000
 ENTRY_COMPOSITE_SIZE = 4
 
 
+def q_search_collapse(spark, sf_dir):  # fixture-oracle
+    """ES field collapsing over the flagship BM25 query: best hit per
+    domain (max float32 score, url-asc tie-break inside the group),
+    then (score desc, url asc) top-5. The per-group argmax is ONE
+    partial→final hash agg — min of a (-score, url) struct,
+    lexicographic, map-side combinable, so a hot group never
+    concentrates on one task — then a TakeOrderedAndProject page over
+    O(#groups) rows. Fixture oracle: the scalar engine's unbounded-k
+    hits collapsed in Python with the same float32 keys."""
+    return _get_engine(spark, sf_dir).search_collapse(
+        "spark merge join", k=5)
+
+
 def q_search_multi_terms(spark, sf_dir):  # fixture-oracle
     """ES `multi_terms` over the FULL BM25 match set: top-5
     (domain, tag) VALUE TUPLES by doc_count (count desc, tuple asc —
@@ -1940,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_adjacency_matrix": q_search_adjacency_matrix,
         "search_auto_date_histogram": q_search_auto_date_histogram,
         "search_boxplot": q_search_boxplot,
+        "search_collapse": q_search_collapse,
     }
 
 
@@ -2231,6 +2245,13 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
             "WHERE corpus_key = "
             "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
             "ORDER BY dom, month"),
+        "search_collapse": (
+            "SELECT rank, url, domain, title, score "
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_collapse.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
+            "ORDER BY rank"),
         "search_multi_terms": (
             "SELECT domain, tags, doc_count, sum_other_doc_count "
             f"FROM '{FIXTURES_DIR}/"

@@ -108,6 +108,10 @@ def main(argv=None, spark=None) -> int:
                    help="with --sort-by: the url of the previous page's "
                         "last hit (the unique tie-break half of the "
                         "cursor)")
+    s.add_argument("--collapse-by", default=None,
+                   help="ES field collapsing: keep only the best-scored "
+                        "hit per distinct value of this doc-meta column "
+                        "(e.g. domain), then the usual top-k page")
 
     u = sub.add_parser("upsert", help="delete+re-add documents by url "
                                       "(delta generation)")
@@ -540,6 +544,17 @@ def main(argv=None, spark=None) -> int:
                 if v is not None:
                     filters.append((kind, v))
             boosts = [("tag", t) for t in args.boost_tag]
+            if args.collapse_by is not None:
+                for r in eng.search_collapse(
+                        args.query, filters=filters, boosts=boosts,
+                        collapse_col=args.collapse_by, k=args.k,
+                        offset=args.offset).collect():
+                    print(json.dumps({
+                        "rank": r["rank"], "url": r["url"],
+                        args.collapse_by: r[args.collapse_by],
+                        "title": r["title"],
+                        "score": float(r["score"])}))
+                return 0
             if args.sort_by is not None:
                 if (args.after_value is None) != (args.after_url is None):
                     p.error("--after-value and --after-url go together")

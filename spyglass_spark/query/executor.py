@@ -2912,6 +2912,47 @@ class SearchEngine:
                    .filter(F.col("rank") > int(offset))
                    .select("rank", "url", "domain", "title", col))
 
+    def search_collapse(self, query, filters=(), boosts=(),
+                        collapse_col: str = "domain", k: int = 5,
+                        offset: int = 0) -> DataFrame:
+        """Field collapsing — the ES `collapse` search option: the
+        result list keeps only the BEST hit per distinct
+        ``collapse_col`` value (max float32 score, url-asc tie-break
+        INSIDE the group — total order), then the usual
+        (score desc, url asc) top-k + offset over the collapsed list.
+        "Top result per site" without a second query. Output
+        (rank, url, <collapse_col>, title, score).
+
+        Scale shape: built on the exhaustive scored match set
+        (score_matches' kernel — scores bitwise equal to search at any
+        rank). The per-group argmax is ONE partial→final hash agg —
+        `min` of a (-score, url, ...) struct, lexicographic, so
+        map-side combine applies and a HOT group never concentrates on
+        one task (no window, no per-group sort; float32 negation is a
+        sign flip, exact). The page is then a TakeOrderedAndProject of
+        offset+k over O(#groups) rows."""
+        if k <= 0:
+            raise ValueError("k must be positive")
+        scored = self.score_matches(query, filters, boosts)
+        dm = self._doc_meta_base.select("doc_ord", collapse_col, "title")
+        j = scored.join(dm, "doc_ord")
+        best = (j.groupBy(collapse_col)
+                 .agg(F.min(F.struct(
+                     (-F.col("score")).alias("_ns"),
+                     F.col("url").alias("url"),
+                     F.col("title").alias("title"))).alias("_b")))
+        flat = best.select(
+            collapse_col,
+            F.col("_b.url").alias("url"),
+            F.col("_b.title").alias("title"),
+            (-F.col("_b._ns")).cast("float").alias("score"))
+        order = [F.desc("score"), F.asc("url")]
+        top = flat.orderBy(*order).limit(int(offset) + int(k))
+        w = Window.orderBy(*order)
+        return (top.withColumn("rank", F.row_number().over(w))
+                   .filter(F.col("rank") > int(offset))
+                   .select("rank", "url", collapse_col, "title", "score"))
+
     FILTER_OPS = ("eq", "ne", "lt", "lte", "gt", "gte", "like", "contains")
 
     def _named_predicates(self, specs) -> tuple[list, list]:

@@ -636,3 +636,24 @@ def test_cli_string_stats(spark, built_index, capsys):
                                       "max_length", "avg_length",
                                       "entropy"))
     assert s["count"] > 0 and s["entropy"] > 1.0
+
+
+def test_cli_collapse(spark, built_index, capsys):
+    """search --collapse-by: ES field collapsing pinned to the
+    in-process engine method."""
+    import json
+
+    from spyglass_spark.query.executor import SearchEngine
+
+    idx = built_index["index_dir"]
+    eng = SearchEngine(spark, idx)
+    out = _run(capsys, spark, ["search", "--index", idx, "--query",
+                               "fn index", "--collapse-by", "domain",
+                               "--k", "4"])
+    rows = [json.loads(x) for x in out.strip().splitlines()]
+    want = eng.search_collapse("fn index", k=4).collect()
+    assert [(r["rank"], r["url"], r["domain"], r["score"])
+            for r in rows] == \
+        [(w["rank"], w["url"], w["domain"], float(w["score"]))
+         for w in want]
+    assert len({r["domain"] for r in rows}) == len(rows)

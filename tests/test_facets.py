@@ -1720,3 +1720,38 @@ def test_string_stats_and_sampler_vs_bruteforce(eng, built_index):
         sorted(scnt.items(), key=lambda kv: (-kv[1], kv[0]))
     with pytest.raises(ValueError, match="sampler"):
         eng.aggregate(query, aggs={"x": {"kind": "count", "sampler": 0}})
+
+
+def test_search_collapse_vs_oracle(eng, built_index):
+    """ES field collapsing: best hit per domain (max float32 score,
+    url-asc tie-break) then (score desc, url asc) top-k + offset —
+    vs the oracle's unbounded-k scored hits."""
+    import numpy as np
+
+    oracle = built_index["oracle"]
+    by_id = {d["doc_id"]: d for d in built_index["docs"]}
+    query = "merge join table"
+    hits = oracle.search(query, k=100_000)
+    best: dict[str, tuple] = {}
+    for h in hits:
+        d = by_id[h["doc_id"]]
+        key = (-np.float32(h["score"]), h["url"])
+        if d["domain"] not in best or key < best[d["domain"]][0]:
+            best[d["domain"]] = (key, h, d)
+    ranked = sorted(best.values(), key=lambda x: x[0])
+    assert len(ranked) > 6
+    for k, offset in ((5, 0), (3, 2), (100, 0)):
+        got = [(r["rank"], r["url"], r["domain"], r["title"],
+                np.float32(r["score"]))
+               for r in eng.search_collapse(query, k=k,
+                                            offset=offset).collect()]
+        exp = [(i + 1, h["url"], d["domain"], d["title"],
+                np.float32(h["score"]))
+               for i, (_, h, d) in enumerate(ranked)][offset:offset + k]
+        assert got == exp, (k, offset)
+    # one hit per domain, strictly
+    rows = eng.search_collapse(query, k=100).collect()
+    doms = [r["domain"] for r in rows]
+    assert len(doms) == len(set(doms))
+    with pytest.raises(ValueError, match="k must be"):
+        eng.search_collapse(query, k=0)

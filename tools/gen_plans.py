@@ -365,6 +365,15 @@ section("Boxplot metric (exact quartiles + Tukey whiskers)",
         "  aggregate(). median_absolute_deviation chains the same\n"
         "  way (median -> |x - med| -> median).", 45)
 
+section("Field collapsing (best hit per group, ES collapse)",
+        eng.search_collapse("spark merge join", k=5),
+        "- The per-group argmax is a partial->final hash agg (min of a\n"
+        "  (-score, url) struct, lexicographic): map-side combine\n"
+        "  applies, so a HOT group (one domain dominating the match\n"
+        "  set) reduces per-partition before the exchange -- no\n"
+        "  window, no per-group sort. The page is a\n"
+        "  TakeOrderedAndProject of offset+k over O(#groups) rows.", 50)
+
 section("Auto date histogram (ladder rung + gap-filled grid)",
         eng.auto_date_histogram("spark merge join", target_buckets=12),
         "- The rung choice reads ONE (min,max) row driver-side (O(1)\n"

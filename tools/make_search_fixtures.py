@@ -362,6 +362,7 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
     out["search_filters_agg"] = filters_agg_rows(docs, ckey)
     out["search_rare_terms"] = rare_terms_rows(docs, ckey)
     out["search_composite_page"] = composite_page_rows(docs, ckey)
+    out["search_collapse"] = collapse_rows(docs, ckey, oracle)
     out["search_multi_terms"] = multi_terms_rows(docs, ckey)
     out["search_adjacency_matrix"] = adjacency_matrix_rows(docs, ckey)
     out["search_auto_date_histogram"] = auto_date_histogram_rows(docs, ckey)
@@ -919,6 +920,33 @@ def composite_page_rows(docs: list[dict], ckey: int,
              "doc_count": n} for k, n in ordered[SIZE:2 * SIZE]]
 
 
+COLLAPSE_FIELDS = [("rank", pa.int32()), ("url", pa.string()),
+                   ("domain", pa.string()), ("title", pa.string()),
+                   ("score", pa.float32())]
+
+
+def collapse_rows(docs: list[dict], ckey: int, oracle,
+                  query: str = "spark merge join", k: int = 5) -> list[dict]:
+    """Expected search_collapse output: the oracle's unbounded-k hits
+    collapsed per domain (min of the (-float32 score, url) key — the
+    engine's exact struct-argmax key), then the top-k of the collapsed
+    list. Asserts the page fills and actually collapses (more matched
+    domains than page slots)."""
+    by_id = {d["doc_id"]: d for d in docs}
+    best: dict[str, tuple] = {}
+    for h in oracle.search(query, k=100_000):
+        d = by_id[h["doc_id"]]
+        key = (-np.float32(h["score"]), h["url"])
+        if d["domain"] not in best or key < best[d["domain"]][0]:
+            best[d["domain"]] = (key, h, d)
+    assert len(best) > k, "collapse fixture must actually cut groups"
+    ranked = sorted(best.values(), key=lambda x: x[0])[:k]
+    return [{"corpus_key": ckey, "rank": i + 1, "url": h["url"],
+             "domain": d["domain"], "title": d["title"],
+             "score": float(np.float32(h["score"]))}
+            for i, (_, h, d) in enumerate(ranked)]
+
+
 MULTITERMS_FIELDS = [("domain", pa.string()), ("tags", pa.int64()),
                      ("doc_count", pa.int64()),
                      ("sum_other_doc_count", pa.int64())]
@@ -1343,6 +1371,7 @@ def main() -> None:
                "search_filters_agg": FILTERS_FIELDS,
                "search_rare_terms": RARE_FIELDS,
                "search_composite_page": COMPOSITE_FIELDS,
+               "search_collapse": COLLAPSE_FIELDS,
                "search_multi_terms": MULTITERMS_FIELDS,
                "search_adjacency_matrix": ADJ_FIELDS,
                "search_auto_date_histogram": AUTOHIST_FIELDS,
