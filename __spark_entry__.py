@@ -1675,6 +1675,30 @@ ENTRY_COMPOSITE_MONTH_US = 30 * 86_400_000_000
 ENTRY_COMPOSITE_SIZE = 4
 
 
+# rescore request shape, single-sourced with the fixture generator
+ENTRY_RESCORE = {"primary": "spark merge join",
+                 "secondary": "window sort", "window_size": 10,
+                 "query_weight": 1.0, "rescore_weight": 2.0, "k": 5}
+
+
+def q_search_rescore(spark, sf_dir):  # fixture-oracle
+    """ES `rescore` phase over the flagship query: the 10-hit primary
+    window (score desc, url asc) re-ranked by float32(1.0·primary) +
+    float32(2.0·secondary) in one float32 add (the clause-order
+    summation discipline — bitwise replicable), top-5 of the window.
+    Both passes are the exhaustive score_matches kernel; the secondary
+    attaches via a broadcast LEFT join onto the O(window) frame, 0 for
+    window docs outside its match set. Fixture oracle: the scalar
+    engine's unbounded-k hits for BOTH queries combined with the same
+    float32 ops; the generator asserts the rescorer actually moved a
+    rank."""
+    r = ENTRY_RESCORE
+    return _get_engine(spark, sf_dir).search_rescore(
+        r["primary"], r["secondary"], window_size=r["window_size"],
+        query_weight=r["query_weight"], rescore_weight=r["rescore_weight"],
+        k=r["k"])
+
+
 def q_search_collapse(spark, sf_dir):  # fixture-oracle
     """ES field collapsing over the flagship BM25 query: best hit per
     domain (max float32 score, url-asc tie-break inside the group),
@@ -1954,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_auto_date_histogram": q_search_auto_date_histogram,
         "search_boxplot": q_search_boxplot,
         "search_collapse": q_search_collapse,
+        "search_rescore": q_search_rescore,
     }
 
 
@@ -2245,6 +2270,13 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
             "WHERE corpus_key = "
             "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
             "ORDER BY dom, month"),
+        "search_rescore": (
+            "SELECT rank, url, domain, title, score, primary_score "
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_rescore.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
+            "ORDER BY rank"),
         "search_collapse": (
             "SELECT rank, url, domain, title, score "
             f"FROM '{FIXTURES_DIR}/"

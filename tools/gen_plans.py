@@ -365,6 +365,17 @@ section("Boxplot metric (exact quartiles + Tukey whiskers)",
         "  aggregate(). median_absolute_deviation chains the same\n"
         "  way (median -> |x - med| -> median).", 45)
 
+section("Rescore phase (top-window weighted re-rank, ES rescore)",
+        eng.search_rescore("spark merge join", "window sort",
+                           window_size=10, rescore_weight=2.0, k=5),
+        "- Cheap-retrieval / expensive-rerank split: the primary\n"
+        "  window is a TakeOrderedAndProject of O(window) tiny\n"
+        "  (doc_ord, score) rows; the secondary's O(matches) score\n"
+        "  frame attaches by a broadcast LEFT join onto that window\n"
+        "  (missing -> 0); the float32 weighted sum and the final\n"
+        "  top-k both run on O(window) rows. Neither pass decodes\n"
+        "  positions or payloads outside the scoring kernel.", 55)
+
 section("Field collapsing (best hit per group, ES collapse)",
         eng.search_collapse("spark merge join", k=5),
         "- The per-group argmax is a partial->final hash agg (min of a\n"

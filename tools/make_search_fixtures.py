@@ -363,6 +363,7 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
     out["search_rare_terms"] = rare_terms_rows(docs, ckey)
     out["search_composite_page"] = composite_page_rows(docs, ckey)
     out["search_collapse"] = collapse_rows(docs, ckey, oracle)
+    out["search_rescore"] = rescore_rows(docs, ckey, oracle)
     out["search_multi_terms"] = multi_terms_rows(docs, ckey)
     out["search_adjacency_matrix"] = adjacency_matrix_rows(docs, ckey)
     out["search_auto_date_histogram"] = auto_date_histogram_rows(docs, ckey)
@@ -920,6 +921,46 @@ def composite_page_rows(docs: list[dict], ckey: int,
              "doc_count": n} for k, n in ordered[SIZE:2 * SIZE]]
 
 
+RESCORE_FIELDS = [("rank", pa.int32()), ("url", pa.string()),
+                  ("domain", pa.string()), ("title", pa.string()),
+                  ("score", pa.float32()), ("primary_score", pa.float32())]
+
+
+def rescore_rows(docs: list[dict], ckey: int, oracle) -> list[dict]:
+    """Expected search_rescore output: the primary window (score desc,
+    url asc) combined with the secondary scores by the SAME float32
+    ops — float32(w·s1) + float32(w'·s2) in one float32 add — then
+    (total desc, url asc) top-k. Asserts the secondary overlaps the
+    window AND the rescorer actually changed the order (otherwise the
+    fixture would grade nothing the primary fixture doesn't)."""
+    from __spark_entry__ import ENTRY_RESCORE as R
+
+    meta = {d["url"]: d for d in docs}
+    s1 = {h["url"]: np.float32(h["score"])
+          for h in oracle.search(R["primary"], k=100_000)}
+    s2 = {h["url"]: np.float32(h["score"])
+          for h in oracle.search(R["secondary"], k=100_000)}
+    win = sorted(s1.items(),
+                 key=lambda kv: (-kv[1], kv[0]))[:R["window_size"]]
+    assert any(u in s2 for u, _ in win), \
+        "rescore fixture: secondary must overlap the window"
+    rescored = []
+    for u, sc in win:
+        tot = np.float32(
+            np.float32(float(R["query_weight"]) * float(sc))
+            + np.float32(float(R["rescore_weight"])
+                         * float(s2.get(u, 0.0))))
+        rescored.append((u, tot, sc))
+    rescored.sort(key=lambda x: (-x[1], x[0]))
+    assert [u for u, _, _ in rescored[:R["k"]]] != \
+        [u for u, _ in win[:R["k"]]], \
+        "rescore fixture must actually move a rank"
+    return [{"corpus_key": ckey, "rank": i + 1, "url": u,
+             "domain": meta[u]["domain"], "title": meta[u]["title"],
+             "score": float(tot), "primary_score": float(sc)}
+            for i, (u, tot, sc) in enumerate(rescored[:R["k"]])]
+
+
 COLLAPSE_FIELDS = [("rank", pa.int32()), ("url", pa.string()),
                    ("domain", pa.string()), ("title", pa.string()),
                    ("score", pa.float32())]
@@ -1372,6 +1413,7 @@ def main() -> None:
                "search_rare_terms": RARE_FIELDS,
                "search_composite_page": COMPOSITE_FIELDS,
                "search_collapse": COLLAPSE_FIELDS,
+               "search_rescore": RESCORE_FIELDS,
                "search_multi_terms": MULTITERMS_FIELDS,
                "search_adjacency_matrix": ADJ_FIELDS,
                "search_auto_date_histogram": AUTOHIST_FIELDS,
