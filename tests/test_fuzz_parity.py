@@ -753,6 +753,55 @@ def test_randomized_aggregation_parity(spark, tmp_path, seed):
             sorted(s_cnt.items(), key=lambda kv: (-kv[1], kv[0])), \
             (seed, q, sk)
 
+        # field collapsing at a random k: per-domain float32 argmax
+        # ((-score, url) key) then (score desc, url asc) page
+        best_c: dict = {}
+        for h in exp_hits:
+            dd = by_id[h["doc_id"]]
+            ckey2 = (-np.float32(h["score"]), h["url"])
+            if dd["domain"] not in best_c or ckey2 < best_c[dd["domain"]][0]:
+                best_c[dd["domain"]] = (ckey2, h, dd)
+        rankedc = sorted(best_c.values(), key=lambda x: x[0])
+        kx = rng.randint(1, len(rankedc))
+        got_c = [(row["rank"], row["url"], row["domain"],
+                  np.float32(row["score"]))
+                 for row in eng.search_collapse(q, filters,
+                                                k=kx).collect()]
+        assert got_c == [(i + 1, h["url"], dd["domain"],
+                          np.float32(h["score"]))
+                         for i, (_, h, dd) in enumerate(rankedc[:kx])], \
+            (seed, q, kx)
+
+        # rescore at random window/weights: float32 weighted-sum
+        # re-rank of the primary window, bitwise
+        q2 = " ".join(rng.choice(WORDS) for _ in range(2))
+        if compile_query(q2, (), ()).should_group:
+            s2m = {h["url"]: np.float32(h["score"])
+                   for h in oracle.search(q2, k=100_000)}
+            wsz = rng.randint(2, max(3, len(exp_hits)))
+            w1 = round(rng.uniform(0.1, 2.0), 3)
+            w2 = round(rng.uniform(0.1, 3.0), 3)
+            s1s = sorted(((np.float32(h["score"]), h["url"])
+                          for h in exp_hits),
+                         key=lambda x: (-x[0], x[1]))[:wsz]
+            resc = []
+            for sc, u in s1s:
+                tot = np.float32(
+                    np.float32(w1 * float(sc))
+                    + np.float32(w2 * float(s2m.get(u, 0.0))))
+                resc.append((u, tot, sc))
+            resc.sort(key=lambda x: (-x[1], x[0]))
+            kk = rng.randint(1, wsz)
+            got_r = [(row["rank"], row["url"], np.float32(row["score"]),
+                      np.float32(row["primary_score"]))
+                     for row in eng.search_rescore(
+                         q, q2, filters=filters, window_size=wsz,
+                         query_weight=w1, rescore_weight=w2,
+                         k=kk).collect()]
+            assert got_r == [(i + 1, u, t, sc) for i, (u, t, sc)
+                             in enumerate(resc[:kk])], \
+                (seed, q, q2, wsz, w1, w2, kk)
+
         # global bucket: the sub-agg sees the whole live index while
         # its sibling stays match-set scoped
         gout = eng.aggregate(q, filters, aggs={
