@@ -1675,6 +1675,43 @@ ENTRY_COMPOSITE_MONTH_US = 30 * 86_400_000_000
 ENTRY_COMPOSITE_SIZE = 4
 
 
+def entry_percolate_specs(rs_tag: int) -> tuple:
+    """Percolator stored-query set, single-sourced with the fixture
+    generator — parameterized on the data-derived 'rs' lens tag id so
+    the entry and the scalar oracle always percolate the same specs."""
+    return (
+        {"key": "alert_merge", "query": "merge join table"},
+        {"key": "alert_recent", "query": "spark index",
+         "filters": (("lastmodified_ge", _US_2024),)},
+        {"key": "alert_msm", "query": "key",
+         "boosts": (("tag", rs_tag),), "min_should_match": 2},
+        {"key": "alert_excl", "query": "window sort",
+         "exclude_tags": (rs_tag,)},
+        {"key": "alert_never", "query": "nonexistentzzz"},
+    )
+
+
+def q_search_percolate(spark, sf_dir):  # fixture-oracle
+    """Percolator (reverse search — the ES percolate contract): the
+    entry_percolate_specs stored queries evaluated against the WHOLE
+    derived documents frame in ONE Spark job — no per-doc query loop,
+    no index: the same vectorized tokenizer emits distinct (url,
+    field, term) triples once, the compiled queries flatten to
+    kilobyte relations that BROADCAST, and matching is equi-joins +
+    clause counting with the _match_doc_meta exactness guards (msm via
+    countDistinct clause ids, musts via pair totals, ranges via a
+    broadcast predicate, must_nots via anti-join). Fixture oracle: the
+    scalar-analyzer brute force over the same query specs."""
+    from spyglass_spark.ops.percolate import percolate
+    corpus = load_corpus(spark, sf_dir)
+    dim = build_tags_dim(corpus)
+    rs_tag = dim.filter((F.col("label") == "lens")
+                        & (F.col("value") == "rs")) \
+                .collect()[0]["id"]
+    return percolate(spark, to_documents(corpus),
+                     entry_percolate_specs(int(rs_tag)))
+
+
 # rescore request shape, single-sourced with the fixture generator
 ENTRY_RESCORE = {"primary": "spark merge join",
                  "secondary": "window sort", "window_size": 10,
@@ -1979,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_boxplot": q_search_boxplot,
         "search_collapse": q_search_collapse,
         "search_rescore": q_search_rescore,
+        "search_percolate": q_search_percolate,
     }
 
 
@@ -2270,6 +2308,13 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
             "WHERE corpus_key = "
             "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
             "ORDER BY dom, month"),
+        "search_percolate": (
+            "SELECT query_key, url "
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_percolate.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
+            "ORDER BY query_key, url"),
         "search_rescore": (
             "SELECT rank, url, domain, title, score, primary_score "
             f"FROM '{FIXTURES_DIR}/"

@@ -244,6 +244,18 @@ def main(argv=None, spark=None) -> int:
                     help="interpret --query with the query-string grammar "
                          "(--mode parsed of search) instead of free text")
 
+    pc = sub.add_parser("percolate", help="reverse search: which stored "
+                        "queries match each document of a corpus (ES "
+                        "percolator analog — one Spark job, no index)")
+    pc.add_argument("--corpus", required=True,
+                    help="documents-or-raw-corpus parquet (the build "
+                         "command's loader)")
+    pc.add_argument("--spec", action="append", required=True,
+                    dest="specs",
+                    help="stored query: a plain query string, or a JSON "
+                         "object {key, query, filters, boosts, "
+                         "min_should_match, exclude_tags}; repeatable")
+
     ag = sub.add_parser("agg", help="unscored aggregations over a query's "
                                     "FULL match set (not top-k)")
     ag.add_argument("--index", required=True)
@@ -512,6 +524,21 @@ def main(argv=None, spark=None) -> int:
             m = build_index(spark, df, args.index,
                             num_partitions=args.partitions, waves=args.waves)
             print(m.to_json())
+        elif args.cmd == "percolate":
+            from spyglass_spark.corpus import to_documents
+            from spyglass_spark.ops.percolate import percolate
+            from spyglass_spark.sources import read_corpus
+
+            df = read_corpus(spark, args.corpus)
+            if "url" not in df.columns:
+                df = to_documents(df)
+            specs = []
+            for s in args.specs:
+                s = s.strip()
+                specs.append(json.loads(s) if s.startswith("{") else s)
+            for r in percolate(spark, df, specs).collect():
+                print(json.dumps({"query_key": r["query_key"],
+                                  "url": r["url"]}))
         elif args.cmd == "upsert":
             from spyglass_spark.corpus import to_documents
             from spyglass_spark.index.builder import upsert_documents

@@ -365,6 +365,22 @@ section("Boxplot metric (exact quartiles + Tukey whiskers)",
         "  aggregate(). median_absolute_deviation chains the same\n"
         "  way (median -> |x - med| -> median).", 45)
 
+from spyglass_spark.ops.percolate import percolate as _percolate
+
+section("Percolator (stored queries vs a documents frame, no index)",
+        _percolate(spark, to_documents(load_corpus(spark, SF)), [
+            {"key": "alert", "query": "merge join table"},
+            {"key": "tagged", "query": "spark key",
+             "filters": [("tag", 4)]}]),
+        "- ONE tokenize pass (the index build's vectorized kernel in\n"
+        "  mapInPandas) emits distinct (url, field, term) triples; the\n"
+        "  compiled queries flatten into kilobyte VALUES LocalRelations\n"
+        "  that BROADCAST into every join (should/must/must_not) -- the\n"
+        "  document side never shuffles more than its own term triples,\n"
+        "  and clause counting is partial->final on doc-local keys.\n"
+        "  No per-doc query loop, no per-query scan: Q queries x M\n"
+        "  docs costs one job.", 60)
+
 section("Rescore phase (top-window weighted re-rank, ES rescore)",
         eng.search_rescore("spark merge join", "window sort",
                            window_size=10, rescore_weight=2.0, k=5),

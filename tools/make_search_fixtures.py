@@ -364,6 +364,7 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
     out["search_composite_page"] = composite_page_rows(docs, ckey)
     out["search_collapse"] = collapse_rows(docs, ckey, oracle)
     out["search_rescore"] = rescore_rows(docs, ckey, oracle)
+    out["search_percolate"] = percolate_rows(docs, ckey, rs_tag)
     out["search_multi_terms"] = multi_terms_rows(docs, ckey)
     out["search_adjacency_matrix"] = adjacency_matrix_rows(docs, ckey)
     out["search_auto_date_histogram"] = auto_date_histogram_rows(docs, ckey)
@@ -921,6 +922,67 @@ def composite_page_rows(docs: list[dict], ckey: int,
              "doc_count": n} for k, n in ordered[SIZE:2 * SIZE]]
 
 
+PERC_FIELDS = [("query_key", pa.string()), ("url", pa.string())]
+
+
+def percolate_rows(docs: list[dict], ckey: int,
+                   rs_tag: int) -> list[dict]:
+    """Expected search_percolate output: the entry_percolate_specs
+    stored queries brute-matched with the scalar analyzers (the same
+    term-level boolean semantics as every match-set fixture: Should
+    union or distinct-clause msm count, Must all-pairs, range bounds,
+    MustNot/exclude rejection). Asserts the set exercises a match, an
+    empty query, an msm cut, and an exclusion cut."""
+    from __spark_entry__ import entry_percolate_specs
+    from spyglass_spark.analysis.analyzer import (tokenize_default,
+                                                  tokenize_en)
+    from spyglass_spark.query.compiler import (compile_query,
+                                               resolve_min_should_match)
+
+    rows = []
+    per_key: dict[str, int] = {}
+    for spec in entry_percolate_specs(rs_tag):
+        cq = compile_query(spec.get("query", ""),
+                           spec.get("filters", ()),
+                           spec.get("boosts", ()))
+        msm = resolve_min_should_match(spec.get("min_should_match", 0),
+                                       len(cq.should_group))
+        excl = [str(t) for t in spec.get("exclude_tags", ())]
+        n = 0
+        for d in docs:
+            fields = {
+                "content": {t for _, t in tokenize_en(d["content"] or "")},
+                "title": {t for _, t in
+                          tokenize_default(d["title"] or "")},
+                "tags": {str(t) for t in d["tags"]},
+                "id": {d["doc_id"]}, "url": {d["url"]},
+            }
+            n_cl = sum(1 for c in cq.should_group if c.kind == "term"
+                       and any(t in fields.get(c.field, set())
+                               for t in c.terms))
+            ok = (n_cl >= max(msm, 1)
+                  and all(all(t in fields.get(c.field, set())
+                              for t in c.terms) for c in cq.musts)
+                  and all(d.get(f) is not None
+                          and (ge is None or d[f] >= ge)
+                          and (le is None or d[f] <= le)
+                          for f, ge, le in cq.range_musts)
+                  and not any(t in fields.get(c.field, set())
+                              for c in cq.must_nots for t in c.terms)
+                  and not any(t in fields["tags"] for t in excl))
+            if ok:
+                rows.append({"corpus_key": ckey,
+                             "query_key": spec["key"], "url": d["url"]})
+                n += 1
+        per_key[spec["key"]] = n
+    assert per_key["alert_merge"] > 0, "percolate fixture vacuous"
+    assert per_key["alert_never"] == 0
+    assert 0 < per_key["alert_msm"], "msm axis must match something"
+    assert 0 < per_key["alert_excl"], "exclusion axis must keep docs"
+    rows.sort(key=lambda r: (r["query_key"], r["url"]))
+    return rows
+
+
 RESCORE_FIELDS = [("rank", pa.int32()), ("url", pa.string()),
                   ("domain", pa.string()), ("title", pa.string()),
                   ("score", pa.float32()), ("primary_score", pa.float32())]
@@ -1414,6 +1476,7 @@ def main() -> None:
                "search_composite_page": COMPOSITE_FIELDS,
                "search_collapse": COLLAPSE_FIELDS,
                "search_rescore": RESCORE_FIELDS,
+               "search_percolate": PERC_FIELDS,
                "search_multi_terms": MULTITERMS_FIELDS,
                "search_adjacency_matrix": ADJ_FIELDS,
                "search_auto_date_histogram": AUTOHIST_FIELDS,
