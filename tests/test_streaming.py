@@ -210,3 +210,57 @@ def test_stream_merge_policy_bounds_generations(spark, tmp_path):
     assert len(hits) == 1  # only the newest revision of doc 0 matches
     got = eng.search("gen word", k=100).collect()
     assert all(r["score"] > 0 for r in got)
+
+
+def test_percolate_alert_stream(spark, tmp_path):
+    """Streaming percolator alerting: file-source micro-batches →
+    foreachBatch percolate → parquet alert sink with epoch stamps;
+    alerts match the batch percolator over the full doc set, and the
+    deduped view is idempotent under a replayed epoch."""
+    from spyglass_spark.ops.percolate import percolate
+    from spyglass_spark.streaming.alerts import (alerts_deduped,
+                                                 percolate_microbatch,
+                                                 start_percolate_alerts)
+
+    src = tmp_path / "pin"
+    src.mkdir()
+    out = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "pckpt")
+    queries = [
+        {"key": "alpha", "query": "alpha parser"},
+        {"key": "beta", "query": "betamarker"},
+        {"key": "never", "query": "nonexistentzzz"},
+    ]
+    b1 = [_doc(i, f"alpha stream content number {i} parser")
+          for i in range(12)]
+    b2 = [_doc(i, f"beta stream betamarker number {i}")
+          for i in range(12, 18)]
+    spark.createDataFrame(b1, SCHEMA).write.parquet(str(src / "b1"))
+    spark.createDataFrame(b2, SCHEMA).write.parquet(str(src / "b2"))
+
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", "2").parquet(f"{src}/*"))
+    q = start_percolate_alerts(stream, queries, out, ckpt,
+                               trigger_once=False)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r["query_key"], r["url"])
+           for r in alerts_deduped(spark, out).collect()}
+    all_docs = spark.createDataFrame(b1 + b2, SCHEMA)
+    exp = {(r["query_key"], r["url"])
+           for r in percolate(spark, all_docs, queries).collect()}
+    assert got == exp
+    assert {k for k, _ in got} == {"alpha", "beta"}
+
+    # replay idempotence: re-running an epoch's batch appends duplicate
+    # rows; the deduped view is unchanged
+    percolate_microbatch(spark, spark.createDataFrame(b2, SCHEMA),
+                         queries, out, epoch_id=999)
+    raw = spark.read.parquet(out).count()
+    assert raw > len(exp)   # duplicates landed in the raw sink
+    got2 = {(r["query_key"], r["url"])
+            for r in alerts_deduped(spark, out).collect()}
+    assert got2 == exp
