@@ -1675,6 +1675,37 @@ ENTRY_COMPOSITE_MONTH_US = 30 * 86_400_000_000
 ENTRY_COMPOSITE_SIZE = 4
 
 
+def q_search_hybrid_rrf(spark, sf_dir):  # fixture-oracle
+    """ES 8 hybrid search fused by reciprocal ranks (`rank: {rrf}`):
+    the flagship BM25 top-10 and the embedding-cosine top-10 (query =
+    vec 0, the driver-green ann_cosine_topk request; vec_id ↔ doc via
+    the file_<id>_ path convention) fuse by Σ 1/(60 + rank), top-10 by
+    (rrf desc, url asc). Each reciprocal is ONE double divide in a
+    fixed two-term order — the fixture oracle (scalar BM25 ranks +
+    the DuckDB cosine oracle's ranks) replicates the score bitwise.
+    The fusion itself is a full-outer join + TakeOrdered over O(20)
+    rows — never the corpus."""
+    from pyspark.sql import Window as W
+
+    from spyglass_spark.ops.semantic import rrf_fuse
+
+    eng = _get_engine(spark, sf_dir)
+    text = eng.search("spark merge join", k=10).select("url", "rank")
+    e = _emb(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    vec = S.cosine_topk(e, list(qv), k=10, exclude_ids=(0,))
+    vec = vec.withColumn("rank", F.row_number().over(
+        W.orderBy(F.desc("cos_sim"), F.asc("vec_id"))))
+    c = load_corpus(spark, sf_dir)
+    url = F.concat(F.lit("repo://"), F.col("repo"), F.lit("/"),
+                   F.col("path"), F.lit("@"), F.col("commit"))
+    m = c.select(url.alias("url"),
+                 F.regexp_extract(F.col("path"), r"file_(\d+)_", 1)
+                  .cast("long").alias("vec_id"))
+    vec_urls = vec.join(m, "vec_id").select("url", "rank")
+    return rrf_fuse(text, vec_urls, k=10)
+
+
 def entry_percolate_specs(rs_tag: int) -> tuple:
     """Percolator stored-query set, single-sourced with the fixture
     generator — parameterized on the data-derived 'rs' lens tag id so
@@ -2017,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_collapse": q_search_collapse,
         "search_rescore": q_search_rescore,
         "search_percolate": q_search_percolate,
+        "search_hybrid_rrf": q_search_hybrid_rrf,
     }
 
 
@@ -2308,6 +2340,13 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
             "WHERE corpus_key = "
             "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
             "ORDER BY dom, month"),
+        "search_hybrid_rrf": (
+            "SELECT rank, url, rrf_score, text_rank, vec_rank "
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_hybrid_rrf.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
+            "ORDER BY rank"),
         "search_percolate": (
             "SELECT query_key, url "
             f"FROM '{FIXTURES_DIR}/"

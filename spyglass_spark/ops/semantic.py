@@ -60,3 +60,51 @@ def search_with_semantic_boost(engine, query: str, distances: DataFrame,
                           max_distance)
     return engine.search(query, filters=filters, boosts=list(boosts) + sem,
                          k=k, offset=offset)
+
+
+def rrf_fuse(text_ranked: DataFrame, vec_ranked: DataFrame, k: int = 10,
+             rank_constant: int = 60, id_col: str = "url") -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion — the ES 8 hybrid
+    search contract (BM25 ⊕ kNN, `rank: {rrf}`): two independently
+    ranked lists fuse by score(d) = Σ_lists 1/(rank_constant + rank_d)
+    over the lists containing d, top-k by (rrf desc, id asc — total
+    order). Inputs: two (id_col, rank) frames (any retriever that emits
+    ranks: `SearchEngine.search`, `similarity.cosine_topk` + a rank
+    window, ...). Output (rank, <id_col>, rrf_score, text_rank,
+    vec_rank) with -1 echoing an absent side (no NULLs — the driver's
+    row-sort contract).
+
+    Arithmetic: ranks are ints; each reciprocal is ONE double divide
+    and the sum is a fixed two-term order (text + vec), so a scalar
+    oracle replicates the score bitwise. Scale shape: both inputs are
+    O(n_each) rows (the retrievers already truncated), the fusion is a
+    full-outer join + TakeOrderedAndProject over O(2·n_each) — the fuse
+    itself never touches the corpus."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if rank_constant <= 0:
+        raise ValueError("rank_constant must be positive")
+    from pyspark.sql import Window
+
+    a = text_ranked.select(F.col(id_col), F.col("rank").alias("_ra"))
+    b = vec_ranked.select(F.col(id_col), F.col("rank").alias("_rb"))
+    j = a.join(b, id_col, "full_outer")
+    rc = F.lit(float(rank_constant))
+
+    def contrib(c):
+        return F.when(c.isNotNull(),
+                      F.lit(1.0) / (rc + c.cast("double"))) \
+                .otherwise(F.lit(0.0))
+
+    out = j.select(
+        id_col,
+        (contrib(F.col("_ra")) + contrib(F.col("_rb")))
+        .alias("rrf_score"),
+        F.coalesce("_ra", F.lit(-1)).cast("int").alias("text_rank"),
+        F.coalesce("_rb", F.lit(-1)).cast("int").alias("vec_rank"))
+    order = [F.desc("rrf_score"), F.asc(id_col)]
+    w = Window.orderBy(*order)
+    return (out.orderBy(*order).limit(int(k))
+               .withColumn("rank", F.row_number().over(w))
+               .select("rank", id_col, "rrf_score", "text_rank",
+                       "vec_rank"))

@@ -63,3 +63,39 @@ def test_semantic_boost_search_parity(spark, built_index):
     boosted = {r["doc_id"]: r["rank"] for r in got}
     if seeds[0] in base and seeds[0] in boosted:
         assert boosted[seeds[0]] <= base[seeds[0]]
+
+
+def test_rrf_fuse_vs_bruteforce(spark):
+    """Reciprocal-rank fusion (ES hybrid rrf): bitwise vs a Python
+    brute force — overlap fused, single-side docs echoed with -1,
+    (rrf desc, id asc) total order, top-k cut."""
+    import pytest
+
+    from spyglass_spark.ops.semantic import rrf_fuse
+
+    a = [("u1", 1), ("u2", 2), ("u3", 3), ("u4", 4)]
+    b = [("u3", 1), ("u5", 2), ("u1", 3)]
+    ta = spark.createDataFrame(a, "url string, rank int")
+    tb = spark.createDataFrame(b, "url string, rank int")
+    ra, rb = dict(a), dict(b)
+    exp = []
+    for u in sorted({u for u, _ in a} | {u for u, _ in b}):
+        s = (1.0 / (60.0 + ra[u]) if u in ra else 0.0) \
+            + (1.0 / (60.0 + rb[u]) if u in rb else 0.0)
+        exp.append((u, s, ra.get(u, -1), rb.get(u, -1)))
+    exp.sort(key=lambda x: (-x[1], x[0]))
+    for k in (3, 10):
+        rows = rrf_fuse(ta, tb, k=k).collect()
+        got = [(r["url"], r["rrf_score"], r["text_rank"], r["vec_rank"])
+               for r in rows]
+        assert got == exp[:k], k
+        assert [r["rank"] for r in rows] == \
+            list(range(1, min(k, len(exp)) + 1))
+    # u3 (ranks 3+1) must beat u1 (ranks 1+3)? equal sums — tie broken
+    # by url asc: u1 first
+    top = rrf_fuse(ta, tb, k=2).collect()
+    assert [r["url"] for r in top] == ["u1", "u3"]
+    with pytest.raises(ValueError, match="k must be"):
+        rrf_fuse(ta, tb, k=0)
+    with pytest.raises(ValueError, match="rank_constant"):
+        rrf_fuse(ta, tb, rank_constant=0)

@@ -365,6 +365,7 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
     out["search_collapse"] = collapse_rows(docs, ckey, oracle)
     out["search_rescore"] = rescore_rows(docs, ckey, oracle)
     out["search_percolate"] = percolate_rows(docs, ckey, rs_tag)
+    out["search_hybrid_rrf"] = hybrid_rrf_rows(docs, ckey, oracle, sf_dir)
     out["search_multi_terms"] = multi_terms_rows(docs, ckey)
     out["search_adjacency_matrix"] = adjacency_matrix_rows(docs, ckey)
     out["search_auto_date_histogram"] = auto_date_histogram_rows(docs, ckey)
@@ -922,6 +923,51 @@ def composite_page_rows(docs: list[dict], ckey: int,
              "doc_count": n} for k, n in ordered[SIZE:2 * SIZE]]
 
 
+HYBRID_FIELDS = [("rank", pa.int32()), ("url", pa.string()),
+                 ("rrf_score", pa.float64()), ("text_rank", pa.int32()),
+                 ("vec_rank", pa.int32())]
+
+
+def hybrid_rrf_rows(docs: list[dict], ckey: int, oracle,
+                    sf_dir: str) -> list[dict]:
+    """Expected search_hybrid_rrf output: scalar BM25 top-10 ranks +
+    the DuckDB cosine oracle's top-10 ranks (the driver-green
+    ann_cosine_topk SQL, vec_id → url via the file_<id>_ path
+    convention), fused by 1/(60+r_text) + 1/(60+r_vec) in the same
+    fixed double order, (rrf desc, url asc) top-10. Asserts both
+    retrievers contribute to the page."""
+    import __spark_entry__ as E
+
+    text = {h["url"]: h["rank"]
+            for h in oracle.search("spark merge join", k=10)}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{sf_dir}/embeddings.parquet'")
+    vrows = con.execute(E.oracle_sql()["ann_cosine_topk"]).fetchall()
+    con.close()
+    by_vec = {}
+    for d in docs:
+        m = re.search(r"file_(\d+)_", d["url"])
+        if m:
+            by_vec[int(m.group(1))] = d["url"]
+    vec = {by_vec[vid]: i + 1 for i, (vid, _) in enumerate(vrows)
+           if vid in by_vec}
+    assert len(vec) == len(vrows), "every vec id must map to a doc"
+    fused = []
+    for u in sorted(text.keys() | vec.keys()):
+        s = (1.0 / (60.0 + text[u]) if u in text else 0.0) \
+            + (1.0 / (60.0 + vec[u]) if u in vec else 0.0)
+        fused.append((u, s, text.get(u, -1), vec.get(u, -1)))
+    fused.sort(key=lambda x: (-x[1], x[0]))
+    page = fused[:10]
+    assert any(t != -1 for _, _, t, _ in page) \
+        and any(v != -1 for _, _, _, v in page), \
+        "both retrievers must contribute to the fused page"
+    return [{"corpus_key": ckey, "rank": i + 1, "url": u,
+             "rrf_score": s, "text_rank": t, "vec_rank": v}
+            for i, (u, s, t, v) in enumerate(page)]
+
+
 PERC_FIELDS = [("query_key", pa.string()), ("url", pa.string())]
 
 
@@ -1477,6 +1523,7 @@ def main() -> None:
                "search_collapse": COLLAPSE_FIELDS,
                "search_rescore": RESCORE_FIELDS,
                "search_percolate": PERC_FIELDS,
+               "search_hybrid_rrf": HYBRID_FIELDS,
                "search_multi_terms": MULTITERMS_FIELDS,
                "search_adjacency_matrix": ADJ_FIELDS,
                "search_auto_date_histogram": AUTOHIST_FIELDS,
