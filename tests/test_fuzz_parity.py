@@ -1111,3 +1111,87 @@ def test_randomized_time_travel_parity(spark, tmp_path, seed):
             (seed, cur, q, f, b)
         ok += bool(exp)
     assert ok >= 1
+
+
+@pytest.mark.parametrize("seed", [808])
+def test_randomized_percolate_parity(spark, tmp_path, seed):
+    """Random corpora × random stored-query sets: the percolator's
+    join-plan matches must equal a scalar brute force over the same
+    compile_query grammar (Should union / msm clause count / Must
+    pairs / range bounds / MustNot + exclude rejection) — guarded
+    shapes (phrase under msm, empty query) skip like the engine."""
+    from spyglass_spark.ops.percolate import percolate
+    from spyglass_spark.query.compiler import (compile_query,
+                                               resolve_min_should_match)
+
+    rng = random.Random(seed)
+    docs = _mk_docs(rng, rng.randint(40, 80))
+    svals = sorted(d["lastmodified"] for d in docs)
+
+    specs = []
+    for qi in range(rng.randint(3, 7)):
+        spec = {"key": f"q{qi}",
+                "query": " ".join(rng.choice(WORDS)
+                                  for _ in range(rng.randint(1, 3)))}
+        if rng.random() < 0.4:
+            spec["filters"] = [("tag", rng.randint(1, 4))]
+        if rng.random() < 0.3:
+            spec.setdefault("filters", []).append(
+                ("lastmodified_ge", svals[len(svals) // 3]))
+        if rng.random() < 0.3:
+            spec["exclude_tags"] = [rng.randint(1, 4)]
+        # phrase-free msm shape only: single-token query + a boost
+        # tag clause (multi-word queries carry phrase Shoulds, which
+        # the exactness guard rejects under msm >= 2)
+        if rng.random() < 0.3 and " " not in spec["query"]:
+            spec["boosts"] = [("tag", rng.randint(1, 4))]
+            spec["min_should_match"] = 2
+        specs.append(spec)
+
+    def brute(spec):
+        from spyglass_spark.analysis.analyzer import (tokenize_default,
+                                                      tokenize_en)
+        cq = compile_query(spec.get("query", ""),
+                           spec.get("filters", ()),
+                           spec.get("boosts", ()))
+        if not cq.should_group:
+            return None
+        msm = resolve_min_should_match(spec.get("min_should_match", 0),
+                                       len(cq.should_group))
+        excl = [str(t) for t in spec.get("exclude_tags", ())]
+        out = []
+        for d in docs:
+            fields = {
+                "content": {t for _, t in tokenize_en(d["content"] or "")},
+                "title": {t for _, t in
+                          tokenize_default(d["title"] or "")},
+                "tags": {str(t) for t in d["tags"]},
+                "id": {d["doc_id"]}, "url": {d["url"]},
+            }
+            n_cl = sum(1 for c in cq.should_group if c.kind == "term"
+                       and any(t in fields.get(c.field, set())
+                               for t in c.terms))
+            ok = (n_cl >= max(msm, 1)
+                  and all(all(t in fields.get(c.field, set())
+                              for t in c.terms) for c in cq.musts)
+                  and all(d.get(f) is not None
+                          and (ge is None or d[f] >= ge)
+                          and (le is None or d[f] <= le)
+                          for f, ge, le in cq.range_musts)
+                  and not any(t in fields.get(c.field, set())
+                              for c in cq.must_nots for t in c.terms)
+                  and not any(t in fields["tags"] for t in excl))
+            if ok:
+                out.append(d["url"])
+        return sorted(out)
+
+    exp = {s["key"]: brute(s) for s in specs}
+    runnable = [s for s in specs if exp[s["key"]] is not None]
+    if not runnable:
+        return  # every random query was all-stopword: nothing to run
+    got: dict = {}
+    for r in percolate(spark, spark.createDataFrame(docs),
+                       runnable).collect():
+        got.setdefault(r["query_key"], []).append(r["url"])
+    for s in runnable:
+        assert got.get(s["key"], []) == exp[s["key"]], (seed, s)

@@ -34,6 +34,7 @@ def main() -> None:
     from pyspark.sql import SparkSession  # noqa: F401
     from test_fuzz_parity import (test_randomized_aggregation_parity,
                                   test_randomized_lifecycle_parity,
+                                  test_randomized_percolate_parity,
                                   test_randomized_rank_identity,
                                   test_randomized_sorted_collector_parity,
                                   test_randomized_time_travel_parity)
@@ -54,6 +55,11 @@ def main() -> None:
             if i % 5 == 0:
                 test_randomized_lifecycle_parity(spark, pathlib.Path(td),
                                                  seed)
+            # offset-1: the percolator's join plan vs a scalar brute
+            # force over random stored-query sets (no index build)
+            if i % 5 == 1:
+                test_randomized_percolate_parity(spark, pathlib.Path(td),
+                                                 seed)
             # offset-2 fifth seeds soak the aggregation surface: every
             # agg kind vs a pandas brute-force over the oracle match set
             if i % 5 == 2:
@@ -70,6 +76,7 @@ def main() -> None:
                 test_randomized_time_travel_parity(spark, pathlib.Path(td),
                                                    seed)
         print(json.dumps({"seed": seed, "ok": True, "lifecycle": i % 5 == 0,
+                          "percolate": i % 5 == 1,
                           "aggregations": i % 5 == 2, "sorted": i % 5 == 3,
                           "time_travel": i % 5 == 4,
                           "elapsed": round(time.time() - t0, 1)}),
