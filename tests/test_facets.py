@@ -1793,3 +1793,24 @@ def test_search_rescore_vs_oracle(eng, built_index):
     assert base  # engine alive
     with pytest.raises(ValueError, match="window_size"):
         eng.search_rescore(primary, secondary, window_size=0)
+
+
+def test_agg_cache_lifecycle(eng, built_index):
+    """aggregate()'s two persisted frames (match-set + global) are
+    dropped by the NEXT aggregate() call and by refresh() — no storage
+    leak across request trees or generations."""
+    q = "merge join table"
+    eng.aggregate(q, aggs={"gc": {"kind": "count", "global": True},
+                           "c": {"kind": "count"}})
+    assert getattr(eng, "_agg_dm_cache") is not None
+    g1 = getattr(eng, "_agg_gdm_cache")
+    assert g1 is not None and g1.storageLevel.useMemory
+    # a tree WITHOUT a global spec must drop the old global frame
+    eng.aggregate(q, aggs={"c": {"kind": "count"}})
+    assert getattr(eng, "_agg_gdm_cache", None) is None
+    assert not g1.storageLevel.useMemory  # unpersisted
+    eng.aggregate(q, aggs={"gc": {"kind": "count", "global": True}})
+    assert getattr(eng, "_agg_gdm_cache") is not None
+    eng.refresh()
+    assert getattr(eng, "_agg_dm_cache", None) is None
+    assert getattr(eng, "_agg_gdm_cache", None) is None
