@@ -1675,6 +1675,51 @@ ENTRY_COMPOSITE_MONTH_US = 30 * 86_400_000_000
 ENTRY_COMPOSITE_SIZE = 4
 
 
+def _get_union_engines(spark: SparkSession, sf_dir: str):
+    """Two disk-cached indices over the deterministic even/odd url
+    split of the derived corpus (sorted by url — the fixture generator
+    replicates the split exactly), for the federated-search entry."""
+    from spyglass_spark.index.builder import build_index
+    from spyglass_spark.index.manifest import load_manifest
+    from spyglass_spark.query.executor import SearchEngine
+
+    fp = _data_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    engines = []
+    for half in (0, 1):
+        tag = hashlib.md5(
+            f"union{half}:v1:{os.path.abspath(sf_dir)}:{fp}".encode()
+        ).hexdigest()[:10]
+        index_dir = os.path.join(
+            os.environ.get("SPYGLASS_INDEX_CACHE", "/tmp/spyglass_idx"),
+            tag)
+        m = load_manifest(index_dir)
+        if m is None or not m.committed:
+            docs = to_documents(load_corpus(spark, sf_dir))
+            w = Window.orderBy("url")
+            part = (docs.withColumn("_rn", F.row_number().over(w))
+                        .filter((F.col("_rn") % 2) == (1 - half))
+                        .drop("_rn"))
+            build_index(spark, part, index_dir, num_partitions=8,
+                        waves=1)
+        engines.append(SearchEngine(spark, index_dir))
+    return engines
+
+
+def q_search_union(spark, sf_dir):  # fixture-oracle
+    """Multi-index federated search — the ES comma-separated-indices
+    contract: the flagship query against TWO indices (a deterministic
+    even/odd url split of the corpus), hit lists merged by (score
+    desc, url asc). Each index scores with its OWN BM25 stats (the ES
+    default — no cross-index idf normalization); the merge is a
+    unionByName + TakeOrderedAndProject over O(#indices · k) rows.
+    Fixture oracle: two scalar OracleIndex builds over the same split,
+    merged with the same float32 keys."""
+    from spyglass_spark.query.executor import search_union
+
+    return search_union(_get_union_engines(spark, sf_dir),
+                        "spark merge join", k=10)
+
+
 def q_search_hybrid_rrf(spark, sf_dir):  # fixture-oracle
     """ES 8 hybrid search fused by reciprocal ranks (`rank: {rrf}`):
     the flagship BM25 top-10 and the embedding-cosine top-10 (query =
@@ -2049,6 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_rescore": q_search_rescore,
         "search_percolate": q_search_percolate,
         "search_hybrid_rrf": q_search_hybrid_rrf,
+        "search_union": q_search_union,
     }
 
 
@@ -2340,6 +2386,13 @@ FROM tot t LEFT JOIN agg a USING (doc_id)""",
             "WHERE corpus_key = "
             "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
             "ORDER BY dom, month"),
+        "search_union": (
+            "SELECT rank, index_id, url, domain, title, score "
+            f"FROM '{FIXTURES_DIR}/"
+            "search_expected_search_union.parquet' "
+            "WHERE corpus_key = "
+            "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) "
+            "ORDER BY rank"),
         "search_hybrid_rrf": (
             "SELECT rank, url, rrf_score, text_rank, vec_rank "
             f"FROM '{FIXTURES_DIR}/"

@@ -72,6 +72,41 @@ MERGE_COLLECT_MAX = 32_768
 TOMBSTONE_SHIP_MAX = 1_000_000
 
 
+def search_union(engines, query, filters=(), boosts=(),
+                 k: int = 5) -> DataFrame:
+    """Multi-index federated search — the ES comma-separated-indices
+    contract: the SAME query runs against every index and the hit
+    lists merge into one page by (score desc, url asc — urls are
+    globally unique, total order). Scores are each index's OWN BM25
+    (local N/df/avgdl, the ES default: cross-index idf is NOT
+    normalized, exactly like querying two ES indices without
+    dfs_query_then_fetch), so the merged order is as comparable as
+    ES's. Output (rank, index_id, url, domain, title, score).
+
+    Scale shape: each per-index search is the ordinary k-bounded
+    engine path (its own WAND pruning, its own one-job plan); the
+    merge is a unionByName + TakeOrderedAndProject over
+    O(#indices · k) rows — adding an index adds one bounded search,
+    never a cross-index shuffle."""
+    engines = list(engines)
+    if not engines:
+        raise ValueError("engines must be non-empty")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    frames = []
+    for i, eng in enumerate(engines):
+        h = eng.search(query, filters=filters, boosts=boosts, k=k)
+        frames.append(h.select(F.lit(i).alias("index_id"), "url",
+                               "domain", "title", "score"))
+    u = reduce(DataFrame.unionByName, frames)
+    order = [F.desc("score"), F.asc("url")]
+    w = Window.orderBy(*order)
+    return (u.orderBy(*order).limit(int(k))
+             .withColumn("rank", F.row_number().over(w))
+             .select("rank", "index_id", "url", "domain", "title",
+                     "score"))
+
+
 def _wand_eligible(specs) -> bool:
     """Block-max WAND handles the standard search shape: a scoring Should
     group + single-term Must clauses (zero-boost filters AND scoring

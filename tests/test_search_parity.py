@@ -338,3 +338,42 @@ def test_scan_aligned_fallback_trigger(spark, built_index):
         assert eng._compute_scan_aligned() is False
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def test_search_union_vs_oracle(spark, built_index, tmp_path):
+    """Multi-index federated search: a deterministic even/odd url
+    split indexed separately must merge to the brute (score desc,
+    url asc) order of the two oracles' per-index hit lists — each
+    side's BM25 uses its OWN stats (the ES default), so the oracle is
+    two independent OracleIndex builds."""
+    import numpy as np
+
+    from spyglass_spark.index.builder import build_index
+    from spyglass_spark.oracle.engine import OracleIndex
+    from spyglass_spark.query.executor import SearchEngine, search_union
+
+    docs = sorted(built_index["docs"], key=lambda d: d["url"])
+    halves = [docs[0::2], docs[1::2]]
+    engines, oracles = [], []
+    for i, part in enumerate(halves):
+        idx = str(tmp_path / f"u{i}")
+        build_index(spark, spark.createDataFrame(part), idx,
+                    num_partitions=4)
+        engines.append(SearchEngine(spark, idx))
+        oracles.append(OracleIndex.build(part, num_partitions=4))
+    meta = {d["url"]: d for d in docs}
+    for query, k in (("merge join table", 7), ("fn index", 5)):
+        merged = []
+        for i, o in enumerate(oracles):
+            for h in o.search(query, k=k):
+                merged.append((-np.float32(h["score"]), h["url"], i))
+        merged.sort()
+        exp = [(r + 1, i, u, meta[u]["domain"], meta[u]["title"],
+                np.float32(-ns))
+               for r, (ns, u, i) in enumerate(merged[:k])]
+        got = [(x["rank"], x["index_id"], x["url"], x["domain"],
+                x["title"], np.float32(x["score"]))
+               for x in search_union(engines, query, k=k).collect()]
+        assert got == exp, (query, k)
+    with pytest.raises(ValueError, match="engines"):
+        search_union([], "fn")

@@ -366,6 +366,7 @@ def build_fixtures(spark, sf_dir: str) -> dict[str, list[dict]]:
     out["search_rescore"] = rescore_rows(docs, ckey, oracle)
     out["search_percolate"] = percolate_rows(docs, ckey, rs_tag)
     out["search_hybrid_rrf"] = hybrid_rrf_rows(docs, ckey, oracle, sf_dir)
+    out["search_union"] = union_rows(docs, ckey)
     out["search_multi_terms"] = multi_terms_rows(docs, ckey)
     out["search_adjacency_matrix"] = adjacency_matrix_rows(docs, ckey)
     out["search_auto_date_histogram"] = auto_date_histogram_rows(docs, ckey)
@@ -921,6 +922,45 @@ def composite_page_rows(docs: list[dict], ckey: int,
         "composite fixture needs two full pages"
     return [{"corpus_key": ckey, "dom": k[0], "month": k[1],
              "doc_count": n} for k, n in ordered[SIZE:2 * SIZE]]
+
+
+UNION_FIELDS = [("rank", pa.int32()), ("index_id", pa.int32()),
+                ("url", pa.string()), ("domain", pa.string()),
+                ("title", pa.string()), ("score", pa.float32())]
+
+
+def union_rows(docs: list[dict], ckey: int,
+               query: str = "spark merge join", k: int = 10) -> list[dict]:
+    """Expected search_union output: two scalar OracleIndex builds
+    over the deterministic even/odd url split (each half scores with
+    its OWN BM25 stats — the ES per-index default), hit lists merged
+    by (-float32 score, url). Asserts BOTH indices contribute to the
+    merged page (otherwise the merge grades nothing a single index
+    doesn't)."""
+    from spyglass_spark.oracle.engine import OracleIndex
+
+    meta = {d["url"]: d for d in docs}
+    ordered = sorted(docs, key=lambda d: d["url"])
+    merged = []
+    sides = set()
+    for i, part in enumerate((ordered[0::2], ordered[1::2])):
+        o = OracleIndex.build(part, num_partitions=P)
+        hits = o.search(query, k=k)
+        sides.add(i) if hits else None
+        for h in hits:
+            merged.append((-np.float32(h["score"]), h["url"], i))
+    merged.sort()
+    page = merged[:k]
+    # both indices must at least COMPETE for the page (an all-one-side
+    # page is still a real cross-index comparison — per-index idf can
+    # legitimately dominate, the ES local-stats contract — but an empty
+    # side would make the merge vacuous)
+    assert sides == {0, 1}, "union fixture: both indices must match"
+    assert len(page) == k, "union fixture must fill the page"
+    return [{"corpus_key": ckey, "rank": r + 1, "index_id": i,
+             "url": u, "domain": meta[u]["domain"],
+             "title": meta[u]["title"], "score": float(-ns)}
+            for r, (ns, u, i) in enumerate(page)]
 
 
 HYBRID_FIELDS = [("rank", pa.int32()), ("url", pa.string()),
@@ -1524,6 +1564,7 @@ def main() -> None:
                "search_rescore": RESCORE_FIELDS,
                "search_percolate": PERC_FIELDS,
                "search_hybrid_rrf": HYBRID_FIELDS,
+               "search_union": UNION_FIELDS,
                "search_multi_terms": MULTITERMS_FIELDS,
                "search_adjacency_matrix": ADJ_FIELDS,
                "search_auto_date_histogram": AUTOHIST_FIELDS,
