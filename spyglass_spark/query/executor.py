@@ -3287,14 +3287,18 @@ class SearchEngine:
         EXACT decimal aggregates — partition-order independent — and
         the division is ONE double op, double(Σvw)/double(Σw), so the
         row is hash-gradeable. decimal(19,0)·decimal(19,0) products
-        stay inside decimal(38,0) for µs-scale operands."""
+        stay inside decimal(38,0) for µs-scale operands; the SUM of
+        µs·µs products outgrows decimal(38,0) past ~10⁷ matched docs,
+        so it is a try_sum (NULL value, never an ANSI error — the
+        extended_stats degradation contract; shift/rescale the weight
+        at that scale)."""
         dm = _dm if _dm is not None else self._match_doc_meta(
             self._compile_arg(query, filters, boosts), caller="weighted_avg")
         v, w = F.col(col), F.col(weight_col)
         x = dm.filter(v.isNotNull() & w.isNotNull())
         agg = x.agg(
             F.count("*").alias("n"),
-            F.expr(f"sum(cast({col} as decimal(19,0)) "
+            F.expr(f"try_sum(cast({col} as decimal(19,0)) "
                    f"* cast({weight_col} as decimal(19,0)))").alias("_svw"),
             F.sum(w.cast("decimal(38,0)")).alias("_sw"))
         return agg.select(
@@ -3471,7 +3475,9 @@ class SearchEngine:
         histogram is a groupBy of O(charset) rows — bounded by the
         alphabet, not the data — and the 1-row frames broadcast-join.
         (Entropy's last ulp depends on the platform log2 — the one
-        value gated by tolerance, not hash, in tests.)"""
+        value gated by tolerance, not hash, in tests. Characters are
+        Java regex split code UNITS: astral-plane text counts
+        surrogate halves, like ES's UTF-16-based length itself.)"""
         dm = _dm if _dm is not None else self._match_doc_meta(
             self._compile_arg(query, filters, boosts), caller="string_stats")
         val = (F.explode(col)
