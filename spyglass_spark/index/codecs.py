@@ -295,6 +295,58 @@ def decode_positions(buf: bytes, ndocs: int) -> list[np.ndarray]:
     return out
 
 
+def decode_positions_stream(flat: np.ndarray, rec_starts: np.ndarray,
+                            tfs: np.ndarray):
+    """Restore ALL records' positions from the flat varint stream in one
+    vectorized pass: returns ``(pos, cum)`` where ``pos`` is the
+    record-major concatenation of every record's cumsum-restored
+    positions and ``cum[i]`` is record i's exclusive offset into it
+    (``cum[-1] == pos.size``). The per-query phrase scorers then slice
+    selected records out of this cache (``phrase_keys_select``) instead
+    of re-walking the delta stream per query — the cross-query phrase
+    decode cache for batch mode."""
+    lens = tfs.astype(np.int64)
+    total = int(lens.sum())
+    cum = np.concatenate(([0], np.cumsum(lens)))
+    if total == 0:
+        return np.empty(0, np.int64), cum
+    starts = rec_starts[:-1].astype(np.int64) + 1  # skip the count slot
+    out_idx = (np.repeat(starts, lens)
+               + (np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], lens)))
+    deltas = flat[out_idx].astype(np.int64)
+    g = np.cumsum(deltas)
+    base = (g - deltas)[cum[:-1]]  # exclusive global prefix at record start
+    pos = g - np.repeat(base, lens)
+    return pos, cum
+
+
+def phrase_keys_all(pos: np.ndarray, cum: np.ndarray) -> np.ndarray:
+    """Batched phrase-counter keys for EVERY record of a cached position
+    stream: ``rec_idx·2^40 + position``. When a query's candidate set
+    covers the whole posting list (hot-term intersections) this cached
+    array is used as-is — zero per-query gather."""
+    n = cum.size - 1
+    lens = (cum[1:] - cum[:-1]).astype(np.int64)
+    return (np.repeat(np.arange(n, dtype=np.int64), lens) << 40) + pos
+
+
+def phrase_keys_select(pos: np.ndarray, cum: np.ndarray,
+                       sel: np.ndarray) -> np.ndarray:
+    """Batched phrase-counter keys (``cand_idx·2^40 + position``) for the
+    SELECTED records of a cached position stream — one gather over the
+    already-restored positions, no delta re-decode (compare
+    ``phrase_position_keys``, which re-walks the flat stream)."""
+    lens = (cum[sel + 1] - cum[sel]).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    c2 = np.concatenate(([0], np.cumsum(lens)))
+    out_idx = (np.repeat(cum[sel].astype(np.int64), lens)
+               + (np.arange(total, dtype=np.int64) - np.repeat(c2[:-1], lens)))
+    cand_idx = np.repeat(np.arange(sel.size, dtype=np.int64), lens)
+    return (cand_idx << 40) + pos[out_idx]
+
+
 def phrase_position_keys(flat: np.ndarray, rec_starts: np.ndarray,
                          tfs: np.ndarray, sel: np.ndarray) -> np.ndarray:
     """Build the batched phrase counter's keyed positions for the SELECTED

@@ -45,8 +45,9 @@ from pyspark.sql import functions as F
 from ..index.builder import (FAST_MARK, KIND_DOCMETA, KIND_FAST, KIND_NORMS,
                              KIND_POSTING, NORMS_MARK, ORD_SHIFT,
                              doc_meta_view, read_store, tombstone_view)
-from ..index.codecs import (decode_positions_selected, decode_postings,
-                            phrase_position_keys, varint_decode)
+from ..index.codecs import (decode_positions_selected, decode_positions_stream,
+                            decode_postings, phrase_keys_all,
+                            phrase_keys_select, varint_decode)
 from ..index.manifest import Manifest, load_manifest
 from .compiler import CompiledQuery, compile_expanded, compile_query
 from .expand import (DEFAULT_MAX_EXPANSIONS, expand_fuzzy, expand_prefix,
@@ -61,15 +62,29 @@ HIT_COLUMNS = ["query_id", "rank", "doc_id", "url", "domain", "title",
 
 # Above this many candidate rows (parts × limit × queries) the global top-k
 # merge runs as a distributed window instead of a driver-side heap.
-# Interactive shapes (single query, small batches) stay on the driver path
-# — it is the one-Spark-job guarantee; large batches go distributed, where
-# the window merge measured 10-27% faster end-to-end (batch256: 37.2 →
-# 27.2 s at 8 cores, 12.7 → 11.3 s at 32) because the driver-side pandas
-# heap is a serial tail the big shapes don't amortize.
-MERGE_COLLECT_MAX = 32_768
+# Interactive shapes (single query, mid-size batches) stay on the driver
+# path — it is the one-Spark-job guarantee; very large batches go
+# distributed. Raised 32k → 128k in r6: the old bound was tuned against a
+# Row-collect + python-loop merge whose serial tail big shapes didn't
+# amortize; the merge is now an Arrow toPandas + one numpy lexsort
+# (~10 ms for 80k rows), so a 64-query batch at P=128 (81,920 rows,
+# ~1.4 MB) merges driver-side in one job. batch256-and-up still takes the
+# window path, which scales with the cluster instead of the driver.
+MERGE_COLLECT_MAX = 131_072
 # Tombstone sets up to this size ship inside the plan payload; larger sets
 # are read per-partition by the executors from the parquet side tables.
 TOMBSTONE_SHIP_MAX = 1_000_000
+# Below this many part-local posting rows across a query's Should clauses,
+# algo='auto' scores exhaustively even when the query shape is
+# WAND-eligible: block-max WAND's per-pivot Python loop only amortizes
+# over posting lists big enough that skipping whole blocks beats the
+# fully vectorized exhaustive scorer (measured cross-over ~1e5 rows/part;
+# at bench-scale 2.5k-doc parts WAND costs ~20% extra, on 100 TB parts it
+# prunes). Results are bitwise identical either way (WAND is a pruning
+# strategy only — pinned by tests/test_wand.py auto≡exhaustive).
+import os as _os
+
+WAND_MIN_PART_ROWS = int(_os.environ.get("SPYGLASS_WAND_MIN_ROWS", "131072"))
 
 
 def search_union(engines, query, filters=(), boosts=(),
@@ -127,6 +142,23 @@ def _wand_eligible(specs) -> bool:
                 s["kind"] != "term" or len(s["terms"]) != 1):
             return False
     return any(s["role"] == "should" for s in specs)
+
+
+def _wand_worthwhile(specs, payload) -> bool:
+    """Scale gate for the WAND path (see WAND_MIN_PART_ROWS): total
+    part-local posting rows across the query's Should clauses, from the
+    df_part column already in the scanned chunk — no decode needed."""
+    total = 0
+    for s in specs:
+        if s["role"] != "should":
+            continue
+        for t in s["terms"]:
+            r = payload.get((s["field"], t))
+            if r is not None:
+                total += int(r["df_part"])
+                if total >= WAND_MIN_PART_ROWS:
+                    return True
+    return False
 
 
 def _run_wand(q, payload, caches, norm_arrays, fast_arrays, limit,
@@ -408,8 +440,11 @@ def _score_partition(plan: dict, postings_pdf: pd.DataFrame):
     base = np.uint64(part_id) << np.uint64(ORD_SHIFT)
     norm_arrays, fast_arrays = _load_part_arrays(
         tuple(plan["store_dirs"]), part_id, plan.get("store_epoch", ""))
-    # posting payloads for this part, keyed (field, term)
-    payload = {(r["field"], r["term"]): r for _, r in postings_pdf.iterrows()}
+    # posting payloads for this part, keyed (field, term) — to_dict avoids
+    # the per-row Series construction of iterrows (byte payloads pass by
+    # reference either way)
+    payload = {(r["field"], r["term"]): r
+               for r in postings_pdf.to_dict("records")}
     caches = plan["caches"]
     limit = plan["limit"]
     algo = plan.get("algo", "auto")
@@ -444,7 +479,8 @@ def _score_partition(plan: dict, postings_pdf: pd.DataFrame):
         after_local = ((np.float32(after[0]), int(after[1]) - base_i)
                        if after is not None else None)
         if algo != "exhaustive" and q.get("msm", 0) <= 1 \
-                and _wand_eligible(q["specs"]):
+                and _wand_eligible(q["specs"]) \
+                and _wand_worthwhile(q["specs"], payload):
             res = _run_wand(q, payload, caches, norm_arrays, fast_arrays,
                             limit, local_tomb, shared, after_local)
             if res is not None:
@@ -498,24 +534,34 @@ def _score_partition(plan: dict, postings_pdf: pd.DataFrame):
                 if common.size == 0:
                     clause_results.append((common, np.empty(0, np.float32), spec))
                     continue
-                # positions decoded ONLY for the intersected docs; the flat
-                # stream + record boundaries are cached per (field, term)
-                # across the batch's queries, and the sloppy-phrase count
-                # runs vectorized ACROSS all candidate docs at once
+                # positions are delta-restored ONCE per (field, term) per
+                # part into a record-major stream cached across the
+                # batch's queries; each query gathers only its intersected
+                # docs' slices out of it — and when the intersection
+                # covers the whole posting list (hot-term pairs) the
+                # pre-keyed array is reused with ZERO per-query work. The
+                # sloppy-phrase count runs vectorized ACROSS all candidate
+                # docs at once.
                 keyed = []
                 for t_name, tp in zip(spec["terms"], tps):
-                    docs_t, tfs_t, row = tp[0].astype(np.int64), tp[1], tp[2]
+                    docs_t, tfs_t, row = tp[0], tp[1], tp[2]
                     pkey = (field, t_name)
                     hit = shared["pos"].get(pkey)
                     if hit is None:
                         flat = varint_decode(row["pos_bytes"])
                         rec_starts = np.concatenate(
                             ([0], np.cumsum(tfs_t.astype(np.int64) + 1)))
-                        hit = shared["pos"][pkey] = (flat, rec_starts)
-                    flat, rec_starts = hit
-                    sel = np.searchsorted(docs_t, common)
-                    keyed.append(phrase_position_keys(flat, rec_starts,
-                                                      tfs_t, sel))
+                        pos_s, cum_s = decode_positions_stream(
+                            flat, rec_starts, tfs_t)
+                        hit = shared["pos"][pkey] = (
+                            pos_s, cum_s, phrase_keys_all(pos_s, cum_s))
+                    pos_s, cum_s, keys_full = hit
+                    if common.size == docs_t.size:
+                        keyed.append(keys_full)
+                    else:
+                        sel = np.searchsorted(docs_t.astype(np.int64),
+                                              common)
+                        keyed.append(phrase_keys_select(pos_s, cum_s, sel))
                 tf_counts = sloppy_phrase_counts_batch(
                     keyed, list(spec["positions"]), spec["slop"], common.size)
                 mask = tf_counts > 0
@@ -681,6 +727,7 @@ class SearchEngine:
             "doc_bytes", "tf_bytes", "pos_bytes", "meta_bytes")
         self._doc_meta_base = doc_meta_view(self.spark, self.index_dir, self.gens)
         self._df_cache: dict[tuple[str, str], int] = {}
+        self._meta_ds_cache: dict = {}  # pyarrow dataset handles per gen
         self._tomb_cache = None
         self._scan_aligned = self._compute_scan_aligned()
 
@@ -1383,18 +1430,26 @@ class SearchEngine:
         pyarrow for small hit sets (the doc-store-lookup analog: a
         metadata-plane fetch, not a cluster job), a broadcast join above
         the size guard."""
-        rows = partial.collect()
-        by_q: dict[int, list] = defaultdict(list)
-        for r in rows:
-            by_q[r["query_id"]].append((r["doc_ord"], r["score"]))
-        hits = []  # (query_id, rank, doc_ord, score)
-        for qi, pairs in by_q.items():
-            ords = np.fromiter((p[0] for p in pairs), dtype=np.int64, count=len(pairs))
-            scores = np.asarray([p[1] for p in pairs], dtype=np.float32)
-            sel = np.lexsort((ords, -scores.astype(np.float64)))
-            sel = sel[offset:offset + k]
+        # Arrow collect + ONE global lexsort replaces the per-query python
+        # heap loop: (query asc, score desc, ord asc) ordering, then each
+        # query's [offset, offset+k) slice — identical ranks/tie-breaks,
+        # ~10 ms at 80k rows where the Row loop took ~1 s
+        pdf = partial.toPandas()
+        if not len(pdf):
+            return self._empty_result()
+        qa = pdf["query_id"].to_numpy()
+        oa = pdf["doc_ord"].to_numpy()
+        sa = pdf["score"].to_numpy()
+        order = np.lexsort((oa, -sa.astype(np.float64), qa))
+        qs = qa[order]
+        starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+        ends = np.r_[starts[1:], qs.size]
+        hits = []  # (query_id, rank, doc_ord, score) — (query, rank) asc
+        for st, en in zip(starts, ends):
+            sel = order[st + offset:min(en, st + offset + k)]
+            qi = int(qs[st])
             for rank, i in enumerate(sel, start=1 + offset):
-                hits.append((int(qi), rank, int(ords[i]), float(scores[i])))
+                hits.append((qi, rank, int(oa[i]), float(sa[i])))
         if not hits:
             return self._empty_result()
         # gate on DISTINCT docs, not hit rows: a 64-query batch's hits
@@ -1432,9 +1487,18 @@ class SearchEngine:
             & pads.field("part_id").isin(parts) \
             & pads.field("local_ord").isin(locs)
         out: dict[int, tuple] = {}
+        # dataset handles hold the file listing — cached per generation so
+        # repeated searches skip the store-directory walk (~0.1 s at
+        # P=128); refresh() rebuilds the engine and drops the cache
+        ds_cache = getattr(self, "_meta_ds_cache", None)
+        if ds_cache is None:
+            ds_cache = self._meta_ds_cache = {}
         for g in self.gens:
-            ds = pads.dataset(f"{self.index_dir}/{g['prefix']}/store",
-                              format="parquet", partitioning="hive")
+            ds = ds_cache.get(g["prefix"])
+            if ds is None:
+                ds = ds_cache[g["prefix"]] = pads.dataset(
+                    f"{self.index_dir}/{g['prefix']}/store",
+                    format="parquet", partitioning="hive")
             tbl = ds.to_table(columns=["part_id", "local_ord", "doc_id", "url",
                                        "domain", "title", "description",
                                        "tags"], filter=flt)
@@ -4015,14 +4079,34 @@ class SearchEngine:
     def _local_hits_df(self, rows: list[tuple]) -> DataFrame:
         """Driver-resident hit rows → DataFrame WITHOUT a Spark job.
 
-        ``spark.createDataFrame`` parallelizes python rows into an RDD, so
-        the caller's ``collect()`` launches a (defaultParallelism-task) job
-        just to read back ≤k local rows — ~0.3-0.9 s of pure scheduling on
-        a warm local[32]. A literal VALUES inline table becomes a Catalyst
-        LocalRelation instead: ``collect()`` is a driver-local read, zero
-        jobs — the whole search stays at ONE Spark job (the scoring pass).
-        Strings are SQL-escaped; rows with characters the parser can't
-        round-trip (NUL) fall back to a single-slice parallelize."""
+        ``spark.createDataFrame`` from python ROWS parallelizes into an
+        RDD, so the caller's ``collect()`` launches a
+        (defaultParallelism-task) job just to read back ≤k local rows —
+        ~0.3-0.9 s of pure scheduling on a warm local[32]. Two job-free
+        LocalRelation paths instead:
+
+        - Arrow (preferred): ``createDataFrame(pandas)`` with
+          spark.sql.execution.arrow.pyspark.enabled converts the batch
+          into a Catalyst LocalRelation directly (Spark 4 keeps local
+          Arrow data under arrow.localRelationThreshold driver-side) —
+          ~6x faster than parsing a VALUES literal at 640 rows (0.36 s →
+          0.06 s) and NUL-safe, still ZERO jobs at collect (pinned by
+          tests/test_search_parity.py::test_local_hits_values_roundtrip).
+        - VALUES literal fallback when Arrow is off: strings are
+          SQL-escaped; rows with characters the parser can't round-trip
+          (NUL) fall back to a single-slice parallelize."""
+        try:
+            arrow_on = self.spark.conf.get(
+                "spark.sql.execution.arrow.pyspark.enabled", "false") == "true"
+        except Exception:
+            arrow_on = False
+        if arrow_on:
+            pdf = pd.DataFrame(rows, columns=HIT_COLUMNS)
+            return self.spark.createDataFrame(
+                pdf, schema="query_id long, rank int, doc_id string, "
+                "url string, domain string, title string, "
+                "description string, tags array<long>, score float, "
+                "doc_ord long")
         if any(isinstance(v, str) and "\x00" in v for r in rows for v in r):
             return self.spark.createDataFrame(
                 self.spark.sparkContext.parallelize(rows, 1),
