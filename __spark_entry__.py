@@ -20,6 +20,7 @@ from __future__ import annotations
 import hashlib
 import os
 from collections.abc import Callable
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -105,6 +106,31 @@ def _dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _spread(df: DataFrame, min_bytes: int = 8 << 20) -> DataFrame:
+    """Round-robin repartition ONLY when the input is big enough that a
+    single-task scan would serialize CPU-heavy tokenize work (guide §2.5
+    input skew: a big unsplit parquet file is one task until a shuffle)
+    AND the scan yields fewer splits than cores. Below ``min_bytes`` the
+    work is trivial and the extra exchange + codegen stage costs more
+    than one core pays; at 100 TB the scan already has ≥cores splits and
+    no shuffle is added. The probe is metadata-only (inputFiles +
+    local stat), no job."""
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    try:
+        files = df.inputFiles()
+        total = 0
+        for f in files:
+            p = f[7:] if f.startswith("file://") else f
+            total += os.path.getsize(p)
+    except Exception:
+        return df
+    if total < min_bytes:
+        return df
+    est_splits = max(len(files), total // (128 << 20))
+    return df.repartition(cores) if est_splits < cores else df
 
 
 def _emb(spark, sf_dir):
@@ -411,23 +437,46 @@ def q_title_term_df(spark, sf_dir):
 
 def q_bm25_topk_simple(spark, sf_dir):
     """Full BM25 (k1=1.2,b=0.75) with the simple analyzer, as a pure
-    DataFrame plan — pins the scoring math against an independent engine."""
-    d = _docs(spark, sf_dir)
+    DataFrame plan — pins the scoring math against an independent engine.
+
+    Plan shape (optimization r6): the corpus is tokenized ONCE — a single
+    explode + per-doc aggregation yields the narrow (doc_id, dl, tf×4)
+    frame; corpus stats (N, avgdl) AND the 4 per-term dfs fold into ONE
+    1-row aggregate of that frame (df_t = count of docs with tf_t>0),
+    broadcast back by cross join; the per-doc BM25 sum is then a plain
+    projection (term t contributes 0 when tf_t = 0, exactly the old
+    inner-join semantics, with docs matching no term filtered out). The
+    old plan scanned + regex-tokenized documents.parquet 4× across 6
+    exchanges and 3 joins; this one runs the tokenize pipeline twice
+    (stats branch + scoring branch) with no doc-level join at all, and
+    _spread parallelizes the scan when the input is one big file.
+    Results are identical (same tf/df/dl/avgdl doubles into the same
+    formula — value-gated vs the DuckDB oracle in tests/test_entry.py)."""
+    d = _spread(_docs(spark, sf_dir).select("doc_id", "text"))
     toks_col = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != "")
-    toks = d.select("doc_id", toks_col.alias("t"))
-    dl = toks.select("doc_id", F.size("t").cast("double").alias("dl"))
-    stats = dl.agg(F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl"))
-    flat = toks.select("doc_id", F.explode("t").alias("term")) \
-               .filter(F.col("term").isin(BM25_QUERY_TERMS))
-    tf = flat.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    scored = (tf.join(dfreq, "term").join(dl, "doc_id").crossJoin(F.broadcast(stats))
-              .withColumn("s", F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5)
-                                     / (F.col("df") + 0.5))
-                          * F.lit(K1 + 1.0) * F.col("tf")
-                          / (F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
-                             + F.lit(B) * F.col("dl") / F.col("avgdl"))))
-              .groupBy("doc_id").agg(F.round(F.sum("s"), 4).alias("score")))
+    flat = d.select("doc_id", F.explode_outer(toks_col).alias("term"))
+    per_doc = flat.groupBy("doc_id").agg(
+        F.count("term").cast("double").alias("dl"),
+        *[F.count(F.when(F.col("term") == t, True)).cast("double").alias(f"tf{i}")
+          for i, t in enumerate(BM25_QUERY_TERMS)])
+    stats = per_doc.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[F.count(F.when(F.col(f"tf{i}") > 0, True)).cast("double").alias(f"df{i}")
+          for i in range(len(BM25_QUERY_TERMS))])
+    matched = per_doc.filter(
+        reduce(lambda a, b: a | b,
+               [F.col(f"tf{i}") > 0 for i in range(len(BM25_QUERY_TERMS))]))
+    scored = matched.crossJoin(F.broadcast(stats))
+    s_total = None
+    for i in range(len(BM25_QUERY_TERMS)):
+        s_i = (F.log(F.lit(1.0) + (F.col("n") - F.col(f"df{i}") + 0.5)
+                     / (F.col(f"df{i}") + 0.5))
+               * F.lit(K1 + 1.0) * F.col(f"tf{i}")
+               / (F.col(f"tf{i}") + F.lit(K1) * (F.lit(1.0 - B)
+                  + F.lit(B) * F.col("dl") / F.col("avgdl"))))
+        s_total = s_i if s_total is None else s_total + s_i
+    scored = scored.select("doc_id", F.round(s_total, 4).alias("score"))
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
 
 
@@ -482,18 +531,33 @@ def q_dedup_embedding_pairs(spark, sf_dir):
     return D.embedding_cosine_pairs(e, threshold=0.2)
 
 
+def _emb_vectors(sf_dir: str, vec_ids: list[int]) -> dict[int, list]:
+    """Driver-side pyarrow fetch of a handful of seed/query vectors by id
+    (row-group pruned) — the old ``.filter(...).collect()`` launched a
+    full Spark job per lookup (~0.2-0.4 s of scheduling for <10 rows);
+    the values are identical parquet bytes either way."""
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(os.path.join(sf_dir, "embeddings.parquet"),
+                      format="parquet")
+    tbl = ds.to_table(columns=["vec_id", "embedding"],
+                      filter=pads.field("vec_id").isin(vec_ids))
+    return {int(i): list(v) for i, v in
+            zip(tbl.column("vec_id").to_pylist(),
+                tbl.column("embedding").to_pylist())}
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     e = _emb(spark, sf_dir)
-    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qv = _emb_vectors(sf_dir, [0])[0]
     return S.cosine_topk(e, list(qv), k=10, exclude_ids=(0,))
 
 
 def q_ann_lsh_topk(spark, sf_dir):
     e = _emb(spark, sf_dir)
-    rows = e.filter(F.col("vec_id").isin([0, 1, 2, 3, 4])).orderBy("vec_id") \
-            .select("vec_id", "embedding").collect()
-    qv = list(next(r["embedding"] for r in rows if r["vec_id"] == 0))
-    planes = [list(r["embedding"]) for r in rows if r["vec_id"] in (1, 2, 3, 4)]
+    vecs = _emb_vectors(sf_dir, [0, 1, 2, 3, 4])
+    qv = vecs[0]
+    planes = [vecs[i] for i in (1, 2, 3, 4)]
     return S.lsh_cosine_topk(e, qv, planes, k=10, exclude_ids=(0, 1, 2, 3, 4))
 
 
@@ -501,9 +565,9 @@ def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN: assign vectors to max-cosine centroid lists, probe the 2
     lists nearest the query, exact cosine top-k inside them."""
     e = _emb(spark, sf_dir)
-    rows = e.filter(F.col("vec_id") <= 8).orderBy("vec_id")             .select("vec_id", "embedding").collect()
-    qv = list(next(r["embedding"] for r in rows if r["vec_id"] == 0))
-    centroids = [list(r["embedding"]) for r in rows if 1 <= r["vec_id"] <= 8]
+    vecs = _emb_vectors(sf_dir, list(range(9)))
+    qv = vecs[0]
+    centroids = [vecs[i] for i in range(1, 9)]
     return S.ivf_cosine_topk(e, qv, centroids, k=10, nprobe=2,
                              exclude_ids=tuple(range(9)))
 
@@ -515,10 +579,9 @@ def q_ann_ivf_indexed(spark, sf_dir):
     partitions (partition pruning proven in tests/test_ops.py). Same
     centroids as ann_ivf_topk → same SQL oracle."""
     e = _emb(spark, sf_dir)
-    rows = e.filter(F.col("vec_id") <= 8).orderBy("vec_id") \
-            .select("vec_id", "embedding").collect()
-    qv = list(next(r["embedding"] for r in rows if r["vec_id"] == 0))
-    centroids = [list(r["embedding"]) for r in rows if 1 <= r["vec_id"] <= 8]
+    vecs = _emb_vectors(sf_dir, list(range(9)))
+    qv = vecs[0]
+    centroids = [vecs[i] for i in range(1, 9)]
     fp = _data_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     tag = hashlib.md5(f"ivf1:{os.path.abspath(sf_dir)}:{fp}".encode()).hexdigest()[:10]
     lists_dir = os.path.join(
@@ -694,14 +757,14 @@ def q_ann_l2_topk(spark, sf_dir):
     """Brute-force L2-distance top-k — the distance feeding the semantic
     boosts (search.rs:73-79)."""
     e = _emb(spark, sf_dir)
-    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qv = _emb_vectors(sf_dir, [0])[0]
     return S.l2_topk(e, list(qv), k=10, exclude_ids=(0,))
 
 
 def q_ann_ivf_trained(spark, sf_dir):  # rows-only: iterative k-means trainer
     e = _emb(spark, sf_dir)
     cents = S.train_centroids(e, k=4, iters=3)
-    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qv = _emb_vectors(sf_dir, [0])[0]
     return S.ivf_cosine_topk(e, list(qv), cents, k=10, nprobe=2,
                              exclude_ids=(0,))
 
@@ -713,7 +776,7 @@ def q_search_semantic_boost(spark, sf_dir):  # fixture-oracle: BM25 + dist boost
 
     eng = _get_engine(spark, sf_dir)
     e = _emb(spark, sf_dir)
-    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qv = _emb_vectors(sf_dir, [0])[0]
     dist = (S.l2_topk(e, list(qv), k=10, exclude_ids=(0,))
             .withColumnRenamed("l2_dist", "distance"))
     # vec_id ↔ doc: the synthetic corpus embeds file_<doc_id>_<r> in path

@@ -15,6 +15,8 @@ so every operator has an exact cross-engine oracle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 TOKEN_SPLIT = "[^a-z0-9]+"
@@ -24,15 +26,21 @@ def _tokens(col: str):
     return F.filter(F.split(F.lower(F.col(col)), TOKEN_SPLIT), lambda t: t != "")
 
 
-def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
+def _gram_explode(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shingle) rows, duplicates INCLUDED — one tokenize + explode,
+    no shuffle. Callers needing the distinct-shingle contract add
+    .distinct(); duplicate-insensitive aggregations (min) skip it."""
     toks = _tokens(text_col)
     parts = [F.slice(toks, i + 1, F.size(toks) - F.lit(n - 1)) for i in range(n)]
     grams = parts[0]
     for p in parts[1:]:
         grams = F.zip_with(grams, p, lambda a, b: F.concat_ws(" ", a, b))
-    return (df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
-            .distinct())
+    return df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    return _gram_explode(df, text_col, id_col, n).distinct()
 
 
 def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -46,8 +54,27 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        num_perms: int = 8, ngram: int = 3) -> DataFrame:
     """MinHash signature per doc: perm i = min(md5(i || ':' || shingle)).
-    One narrow aggregation after the shingle explode."""
-    sh = shingles(df, text_col, id_col, ngram)
+
+    ONE narrow aggregation directly over the shingle explode
+    (optimization r6): min() is duplicate-insensitive, so the
+    distinct-shingle pre-shuffle the other shingle consumers rely on is
+    provably redundant here — dropping it removes a full #shingle-rows
+    exchange; the remaining exchange carries #docs partial-aggregated
+    narrow rows. A big-but-unsplit input (one large parquet file = one
+    scan task) is round-robin spread first so the tokenize+md5 work
+    parallelizes; small inputs skip the extra exchange and at scale the
+    scan already has ≥cores splits — metadata-only probe, no job."""
+    sc = df.sparkSession.sparkContext
+    try:
+        files = df.inputFiles()
+        total = sum(os.path.getsize(f[7:] if f.startswith("file://") else f)
+                    for f in files)
+        est_splits = max(len(files), total // (128 << 20))
+        if total >= (8 << 20) and est_splits < sc.defaultParallelism:
+            df = df.repartition(sc.defaultParallelism)
+    except Exception:
+        pass
+    sh = _gram_explode(df, text_col, id_col, ngram)
     aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
             for i in range(num_perms)]
     return sh.groupBy("id").agg(*aggs)
@@ -67,6 +94,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                                   F.md5(F.concat_ws("|", *cols)).alias("sig")))
     banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bs")) \
                 .select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    # materialize the banded signature table ONCE before the self-join:
+    # without it Catalyst plans the left and right sides as two full
+    # shingle→minhash→band pipelines (2× the tokenize/md5 work — the
+    # dominant cost). The frame is #docs × bands narrow rows (the LSH
+    # bucket table every practical pipeline persists); localCheckpoint,
+    # not persist, so repeated invocations never serve a previous run's
+    # bytes through the CacheManager.
+    banded = banded.localCheckpoint()
     left = banded.alias("l")
     right = banded.alias("r")
     return (left.join(right, (F.col("l.band") == F.col("r.band")) &
@@ -146,6 +181,9 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
                        F.explode(F.array(*band_cols)).alias("bk"))
               .select("id", "simhash", F.col("bk.band").alias("band"),
                       F.col("bk.key").alias("key")))
+    # one materialization of the banded fingerprint table feeds both join
+    # sides (see minhash_lsh_pairs — same double-pipeline trap)
+    banded = banded.localCheckpoint()
     l, r = banded.alias("l"), banded.alias("r")
     cand = (l.join(r, (F.col("l.band") == F.col("r.band")) &
                    (F.col("l.key") == F.col("r.key")) &
