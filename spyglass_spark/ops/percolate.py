@@ -78,9 +78,13 @@ def doc_term_pairs(documents: DataFrame) -> DataFrame:
             if "tags" in pdf.columns:
                 tag_u, tag_t = [], []
                 for u, ts in zip(pdf["url"], pdf["tags"]):
-                    for t in (ts if ts is not None else ()):
+                    # per-doc tag SET: a duplicated stored tag must not
+                    # double-count a tags Must pair (the _nm ==
+                    # n_must_pairs equality would silently false-negate)
+                    for t in sorted({str(t) for t in ts}
+                                    if ts is not None else ()):
                         tag_u.append(u)
-                        tag_t.append(str(t))
+                        tag_t.append(t)
                 if tag_u:
                     frames.append(pd.DataFrame(
                         {"url": tag_u, "field": "tags", "term": tag_t}))
@@ -191,8 +195,12 @@ def percolate(spark: SparkSession, documents: DataFrame,
         raise ValueError("queries must be non-empty")
     pairs = doc_term_pairs(documents)
     # the same micro-batch percolates against every relation — never
-    # re-tokenize per relation
-    pairs = pairs.persist()
+    # re-tokenize per relation. localCheckpoint, not persist: the
+    # checkpoint RDD is released by GC when the result frame dies, so
+    # streaming micro-batches don't leak one cached frame each (the old
+    # persist had no unpersist), and a repeated identical call can never
+    # be served from the CacheManager instead of recomputing.
+    pairs = pairs.localCheckpoint()
 
     sh = _lit_frame(spark, q["shoulds"], "query_key, clause_id, field, term")
     hit = pairs.join(F.broadcast(sh), ["field", "term"])

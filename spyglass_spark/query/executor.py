@@ -85,6 +85,20 @@ TOMBSTONE_SHIP_MAX = 1_000_000
 import os as _os
 
 WAND_MIN_PART_ROWS = int(_os.environ.get("SPYGLASS_WAND_MIN_ROWS", "131072"))
+# Driver-local execution gates (see _execute_compiled): a batch runs on
+# the driver — same kernel, pyarrow posting read, zero Spark jobs — only
+# when ALL of: ≤ LOCAL_EXEC_MAX_QUERIES queries, the estimated decode
+# volume (Σ global df, phrase members ×4) ≤ LOCAL_EXEC_MAX_ROWS, and the
+# index has ≤ LOCAL_EXEC_MAX_PARTS partitions (per-file footer metadata
+# is driver-side work). Mode: auto | never | always (tests use
+# never/always to pin both paths bitwise-identical).
+LOCAL_EXEC_MODE = _os.environ.get("SPYGLASS_LOCAL_EXEC", "auto")
+LOCAL_EXEC_MAX_ROWS = int(_os.environ.get("SPYGLASS_LOCAL_EXEC_ROWS",
+                                          str(4_000_000)))
+LOCAL_EXEC_MAX_QUERIES = int(_os.environ.get("SPYGLASS_LOCAL_EXEC_QUERIES",
+                                             "2"))
+LOCAL_EXEC_MAX_PARTS = int(_os.environ.get("SPYGLASS_LOCAL_EXEC_PARTS",
+                                           "1024"))
 
 
 def search_union(engines, query, filters=(), boosts=(),
@@ -727,9 +741,54 @@ class SearchEngine:
             "doc_bytes", "tf_bytes", "pos_bytes", "meta_bytes")
         self._doc_meta_base = doc_meta_view(self.spark, self.index_dir, self.gens)
         self._df_cache: dict[tuple[str, str], int] = {}
+        self._cf_cache: dict[tuple[str, str], int] = {}
         self._meta_ds_cache: dict = {}  # pyarrow dataset handles per gen
         self._tomb_cache = None
         self._scan_aligned = self._compute_scan_aligned()
+        self._prewarm_local_exec()
+
+    def _prewarm_local_exec(self) -> None:
+        """Open-time warm-up of the driver-local executor's metadata
+        plane (the tantivy open-segment-readers analog): pyarrow dataset
+        handles, the part→fragment map, and — when the whole norm/fast
+        plane is small — the per-part norm arrays. All bounded by the
+        LOCAL_EXEC gates; a 100 TB index skips everything beyond the
+        part-count check. Best-effort: failures defer to lazy loads."""
+        if LOCAL_EXEC_MODE == "never":
+            return
+        total_parts = sum(g["num_partitions"] for g in self.gens)
+        if total_parts > LOCAL_EXEC_MAX_PARTS:
+            return
+        try:
+            import pyarrow.dataset as pads
+
+            m = self.manifest
+            epoch = f"{m.created_utc}#{getattr(m, 'commit_seq', 0)}"
+            dirs = tuple(f"{self.index_dir}/{g['prefix']}/store"
+                         for g in self.gens)
+            ds_list = []
+            for d in dirs:
+                ds = _NORM_CACHE.get(("ds", d, epoch))
+                if ds is None:
+                    ds = _NORM_CACHE[("ds", d, epoch)] = pads.dataset(
+                        d, format="parquet", partitioning="hive")
+                ds_list.append(ds)
+            pmap = _part_fragment_map(
+                ds_list, _NORM_CACHE, ("pmap", dirs, epoch),
+                frag_filter=pads.field("kind").isin([KIND_NORMS, KIND_FAST]))
+            # norm/fast arrays are ~#docs bytes per field — preload only
+            # when the whole plane fits a small driver budget
+            est_bytes = m.num_docs * max(1, len(m.field_totals)) * 2
+            if est_bytes <= 64 << 20:
+                for p in sorted(k for k in pmap if k is not None):
+                    _load_part_arrays(dirs, p, epoch)
+            # first Arrow local-relation conversion in a session pays ~1 s
+            # of JVM classloading; do it once at open with a dummy row so
+            # the first query's result materialization doesn't
+            self._local_hits_df(
+                [(0, 1, "w", "w", "w", "w", None, [], 0.0, 0)]).collect()
+        except Exception:
+            pass
 
     def _compute_scan_aligned(self) -> bool:
         """True when the kind=0 store layout guarantees whole-part input
@@ -1274,6 +1333,28 @@ class SearchEngine:
         ``[:None]`` keeps every candidate). Shared by the top-k search
         collectors and score_matches/export_scored. None when the batch
         carries no term keys (all-stopword queries)."""
+        built = self._build_scoring_plan(compiled, limit, algo, afters)
+        if built is None:
+            return None
+        plan, fields, terms, needs_pos, _est = built
+        postings = self._postings_base.filter(
+            F.col("field").isin(fields) & F.col("term").isin(terms))
+        # positions are only decoded by phrase clauses — for term-only
+        # query batches, prune the pos_bytes column (the largest payload)
+        # out of the scan + shuffle entirely
+        if not needs_pos:
+            postings = postings.drop("pos_bytes")
+        return self._partial_frame(plan, postings)
+
+    def _build_scoring_plan(self, compiled: list[CompiledQuery],
+                            limit: int | None, algo: str = "auto",
+                            afters=None):
+        """Common scoring-plan construction for the distributed and the
+        driver-local executors: (plan, fields, terms, needs_pos,
+        est_rows) or None for a term-less batch. ``est_rows`` is the
+        global posting-row volume the batch will decode (Σ df per key;
+        phrase members weighted ×4 for their position payloads) — the
+        scale gate for the driver-local path."""
         m = self.manifest
         keys = set()
         for cq in compiled:
@@ -1336,27 +1417,54 @@ class SearchEngine:
         }
         plan.update(self._tombstone_plan())
 
-        postings = self._postings_base.filter(
-            F.col("field").isin(fields) & F.col("term").isin(terms))
-        # positions are only decoded by phrase clauses — for term-only
-        # query batches, prune the pos_bytes column (the largest payload)
-        # out of the scan + shuffle entirely
         needs_pos = any(s["kind"] == "phrase"
                         for q in plan["queries"] for s in q["specs"])
-        if not needs_pos:
-            postings = postings.drop("pos_bytes")
-
-        return self._partial_frame(plan, postings)
+        # decode-volume estimate: df rows per term clause; phrase members
+        # additionally decode their position streams (~cf entries each)
+        phrase_keys = {(s["field"], t) for q in plan["queries"]
+                       for s in q["specs"] if s["kind"] == "phrase"
+                       for t in s["terms"]}
+        cfs = self._term_cfs(phrase_keys) if phrase_keys else {}
+        est = 0
+        for q in plan["queries"]:
+            for s in q["specs"]:
+                for t in s["terms"]:
+                    est += dfs.get((s["field"], t), 0)
+                    if s["kind"] == "phrase":
+                        est += cfs.get((s["field"], t), 0)
+        return plan, fields, terms, needs_pos, est
 
     def _execute_compiled(self, compiled: list[CompiledQuery], k: int = 5,
                           offset: int = 0, algo: str = "auto",
                           afters=None) -> DataFrame:
-        partial = self._scoring_partial(compiled, k + offset, algo, afters)
-        if partial is None:
+        built = self._build_scoring_plan(compiled, k + offset, algo, afters)
+        if built is None:
             return self._empty_result()
+        plan, fields, terms, needs_pos, est = built
 
         total_parts = sum(g["num_partitions"] for g in self.gens)
         bound = total_parts * (k + offset) * len(compiled)
+        # Driver-local execution for SMALL searches: the identical
+        # scoring kernel (_score_partition) over a pyarrow-pruned posting
+        # read — zero Spark jobs, skipping the ~0.5 s scan+Python-worker
+        # floor a 1 MB posting fetch pays as a cluster job (the tantivy
+        # single-searcher shape; same metadata-plane pattern as the
+        # pattern expansions and _doc_meta_pyarrow). Strictly gated:
+        # estimated decode volume (Σ df, phrase-weighted), batch width,
+        # and part count (footer metadata is per-file) — any big shape
+        # keeps the distributed path, which stays the 100 TB executor.
+        if (LOCAL_EXEC_MODE != "never" and bound <= MERGE_COLLECT_MAX
+                and len(compiled) <= LOCAL_EXEC_MAX_QUERIES
+                and total_parts <= LOCAL_EXEC_MAX_PARTS
+                and (est <= LOCAL_EXEC_MAX_ROWS
+                     or LOCAL_EXEC_MODE == "always")):
+            pdf = self._score_local(plan, fields, terms, needs_pos)
+            return self._merge_driver_pdf(pdf, k, offset)
+        postings = self._postings_base.filter(
+            F.col("field").isin(fields) & F.col("term").isin(terms))
+        if not needs_pos:
+            postings = postings.drop("pos_bytes")
+        partial = self._partial_frame(plan, postings)
         if bound <= MERGE_COLLECT_MAX:
             # AQE is a net loss for this fixed scan→exchange→score shape:
             # it runs the shuffle stage as its OWN job (a barrier between
@@ -1417,6 +1525,44 @@ class SearchEngine:
 
         return postings.groupBy("part_id").applyInPandas(run, RESULT_SCHEMA)
 
+    def _score_local(self, plan: dict, fields, terms,
+                     needs_pos: bool) -> pd.DataFrame:
+        """Driver-local scoring: the SAME per-part kernel
+        (_score_partition) over a pyarrow read of the query terms'
+        posting chunks (kind-partition + field/term row-group pruned),
+        sharing the process-level norm/tombstone caches the executors
+        use. Bitwise-identical to the distributed path by construction —
+        pinned by tests/test_search_parity.py::test_local_exec_ab_parity."""
+        import pyarrow.dataset as pads
+
+        cols = ["part_id", "field", "term", "df_part", "cf_part",
+                "n_local", "doc_bytes", "tf_bytes", "meta_bytes"]
+        if needs_pos:
+            cols.append("pos_bytes")
+        flt = ((pads.field("kind") == KIND_POSTING)
+               & pads.field("field").isin(list(fields))
+               & pads.field("term").isin(list(terms)))
+        epoch = plan.get("store_epoch", "")
+        chunks = []
+        for d in plan["store_dirs"]:
+            ds = _NORM_CACHE.get(("ds", d, epoch))
+            if ds is None:  # same handle _load_part_arrays caches
+                ds = _NORM_CACHE[("ds", d, epoch)] = pads.dataset(
+                    d, format="parquet", partitioning="hive")
+            tbl = ds.to_table(columns=cols, filter=flt)
+            if tbl.num_rows:
+                chunks.append(tbl.to_pandas())
+        if not chunks:
+            pdf = pd.DataFrame({c: [] for c in cols})
+        else:
+            pdf = pd.concat(chunks, ignore_index=True) \
+                if len(chunks) > 1 else chunks[0]
+        outs = [_score_partition(plan, g)
+                for _, g in pdf.groupby("part_id", sort=True)]
+        if not outs:
+            return _score_partition(plan, pdf.iloc[0:0])
+        return pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
+
     # hit sets up to this size materialize doc_meta via a driver-side
     # pyarrow pruned read (metadata-plane, no Spark job); larger sets go
     # through the distributed join
@@ -1434,7 +1580,13 @@ class SearchEngine:
         # heap loop: (query asc, score desc, ord asc) ordering, then each
         # query's [offset, offset+k) slice — identical ranks/tie-breaks,
         # ~10 ms at 80k rows where the Row loop took ~1 s
-        pdf = partial.toPandas()
+        return self._merge_driver_pdf(partial.toPandas(), k, offset)
+
+    def _merge_driver_pdf(self, pdf: pd.DataFrame, k: int,
+                          offset: int) -> DataFrame:
+        """Global top-k merge over a driver-resident partial frame —
+        shared by the collected distributed path and the driver-local
+        executor."""
         if not len(pdf):
             return self._empty_result()
         qa = pdf["query_id"].to_numpy()
@@ -1833,9 +1985,11 @@ class SearchEngine:
         def decode(batches):
             for pdf in batches:
                 outs = []
-                for _, r in pdf.iterrows():
-                    docs, _ = decode_postings(r["doc_bytes"], r["tf_bytes"])
-                    base = np.uint64(int(r["part_id"])) << np.uint64(ORD_SHIFT)
+                for pid, db, tb in zip(pdf["part_id"].tolist(),
+                                       pdf["doc_bytes"].tolist(),
+                                       pdf["tf_bytes"].tolist()):
+                    docs, _ = decode_postings(db, tb)
+                    base = np.uint64(int(pid)) << np.uint64(ORD_SHIFT)
                     outs.append(pd.DataFrame(
                         {"doc_ord": (base + docs).astype(np.int64)}))
                 yield (pd.concat(outs) if outs else
@@ -1859,11 +2013,15 @@ class SearchEngine:
         def decode(batches):
             for pdf in batches:
                 outs = []
-                for _, r in pdf.iterrows():
-                    if (r["field"], r["term"]) not in pairset:
+                for pid, f_, t_, db, tb in zip(pdf["part_id"].tolist(),
+                                               pdf["field"].tolist(),
+                                               pdf["term"].tolist(),
+                                               pdf["doc_bytes"].tolist(),
+                                               pdf["tf_bytes"].tolist()):
+                    if (f_, t_) not in pairset:
                         continue
-                    docs, _ = decode_postings(r["doc_bytes"], r["tf_bytes"])
-                    base = np.uint64(int(r["part_id"])) << np.uint64(ORD_SHIFT)
+                    docs, _ = decode_postings(db, tb)
+                    base = np.uint64(int(pid)) << np.uint64(ORD_SHIFT)
                     outs.append(pd.DataFrame(
                         {"doc_ord": (base + docs).astype(np.int64)}))
                 yield (pd.concat(outs) if outs else
@@ -1893,12 +2051,16 @@ class SearchEngine:
         def decode(batches):
             for pdf in batches:
                 outs = []
-                for _, r in pdf.iterrows():
-                    cids = by_pair.get((r["field"], r["term"]))
+                for pid, f_, t_, db, tb in zip(pdf["part_id"].tolist(),
+                                               pdf["field"].tolist(),
+                                               pdf["term"].tolist(),
+                                               pdf["doc_bytes"].tolist(),
+                                               pdf["tf_bytes"].tolist()):
+                    cids = by_pair.get((f_, t_))
                     if not cids:
                         continue
-                    docs, _ = decode_postings(r["doc_bytes"], r["tf_bytes"])
-                    base = np.uint64(int(r["part_id"])) << np.uint64(ORD_SHIFT)
+                    docs, _ = decode_postings(db, tb)
+                    base = np.uint64(int(pid)) << np.uint64(ORD_SHIFT)
                     ords = (base + docs).astype(np.int64)
                     for ci in cids:
                         outs.append(pd.DataFrame(
@@ -2589,15 +2751,20 @@ class SearchEngine:
             rows0 = (dm.select("doc_ord").orderBy(F.asc("doc_ord"))
                        .limit(int(sample)).collect())
         else:
-            rows0 = dm.select("doc_ord").collect()
+            # guard BEFORE materializing: a limit(fg_limit+1) probe means
+            # an over-limit match set raises with at most fg_limit+1 rows
+            # on the driver — the old full collect() could OOM the driver
+            # before its own size check ever ran
+            rows0 = (dm.select("doc_ord")
+                       .limit(int(fg_limit) + 1).collect())
+            if len(rows0) > int(fg_limit):
+                raise ValueError(
+                    f"significant_terms: match set exceeds "
+                    f"fg_limit={int(fg_limit)}; narrow the query or pass "
+                    "sample=N (deterministic first-N-by-doc_ord sampler)")
         ords = np.sort(np.array([r["doc_ord"] for r in rows0],
                                 dtype=np.int64))
         fg_total = int(len(ords))
-        if sample is None and fg_total > int(fg_limit):
-            raise ValueError(
-                f"significant_terms: match set {fg_total} exceeds "
-                f"fg_limit={int(fg_limit)}; narrow the query or pass "
-                "sample=N (deterministic first-N-by-doc_ord sampler)")
         if fg_total == 0:
             return self.spark.sql(
                 "SELECT '' AS term, 0L AS fg, 0L AS bg, "
@@ -2608,19 +2775,23 @@ class SearchEngine:
                 .select("part_id", "term", "doc_bytes", "tf_bytes"))
 
         def count_fg(batches):
+            # column-array zip, not iterrows: on a 10M-term vocab the
+            # per-row Series construction dominated the loop
             for pdf in batches:
                 terms, cnts = [], []
                 ref = bc.value
-                for _, r in pdf.iterrows():
-                    docs, _ = decode_postings(r["doc_bytes"], r["tf_bytes"])
-                    base = np.uint64(int(r["part_id"])) \
-                        << np.uint64(ORD_SHIFT)
+                for pid, t_, db, tb in zip(pdf["part_id"].tolist(),
+                                           pdf["term"].tolist(),
+                                           pdf["doc_bytes"].tolist(),
+                                           pdf["tf_bytes"].tolist()):
+                    docs, _ = decode_postings(db, tb)
+                    base = np.uint64(int(pid)) << np.uint64(ORD_SHIFT)
                     dords = (base + docs).astype(np.int64)
                     idx = np.searchsorted(ref, dords)
                     ok = idx < len(ref)
                     c = int(np.count_nonzero(ref[idx[ok]] == dords[ok]))
                     if c:
-                        terms.append(r["term"])
+                        terms.append(t_)
                         cnts.append(c)
                 yield pd.DataFrame({"term": pd.Series(terms, dtype="object"),
                                     "fg_part": pd.Series(cnts,
@@ -3355,7 +3526,9 @@ class SearchEngine:
         µs·µs products outgrows decimal(38,0) past ~10⁷ matched docs,
         so it is a try_sum (NULL value, never an ANSI error — the
         extended_stats degradation contract; shift/rescale the weight
-        at that scale)."""
+        at that scale). A zero (or NULL) weight sum degrades to a NULL
+        value the same way — never NaN, which json.dumps would emit as
+        non-standard JSON."""
         dm = _dm if _dm is not None else self._match_doc_meta(
             self._compile_arg(query, filters, boosts), caller="weighted_avg")
         v, w = F.col(col), F.col(weight_col)
@@ -3366,8 +3539,9 @@ class SearchEngine:
                    f"* cast({weight_col} as decimal(19,0)))").alias("_svw"),
             F.sum(w.cast("decimal(38,0)")).alias("_sw"))
         return agg.select(
-            "n", (F.col("_svw").cast("double")
-                  / F.col("_sw").cast("double")).alias("value"))
+            "n", F.when(F.col("_sw") != 0,
+                        F.col("_svw").cast("double")
+                        / F.col("_sw").cast("double")).alias("value"))
 
     def median_absolute_deviation(self, query: str, filters=(), boosts=(),
                                   col: str = "lastmodified",
@@ -4022,7 +4196,8 @@ class SearchEngine:
         """Global df per (field, term): memoized driver-side pyarrow read
         of the term-sorted stats store (row-group pruned by the field/term
         predicate — the term-dictionary-lookup analog, not a Spark job).
-        Generations are summed."""
+        Generations are summed. The same read memoizes cf (total term
+        frequency — see _term_cfs, the position-payload scale gate)."""
         missing = {k2 for k2 in keys if k2 not in self._df_cache}
         if missing:
             import pyarrow.dataset as pads
@@ -4031,17 +4206,27 @@ class SearchEngine:
             terms = sorted({t for _, t in missing})
             flt = pads.field("field").isin(fields) & pads.field("term").isin(terms)
             found: dict[tuple[str, str], int] = defaultdict(int)
+            found_cf: dict[tuple[str, str], int] = defaultdict(int)
             for p in self._paths("term_stats"):
                 tbl = pads.dataset(p, format="parquet").to_table(
-                    columns=["field", "term", "df"], filter=flt)
-                for f_, t_, d_ in zip(tbl.column("field").to_pylist(),
-                                      tbl.column("term").to_pylist(),
-                                      tbl.column("df").to_pylist()):
+                    columns=["field", "term", "df", "cf"], filter=flt)
+                for f_, t_, d_, c_ in zip(tbl.column("field").to_pylist(),
+                                          tbl.column("term").to_pylist(),
+                                          tbl.column("df").to_pylist(),
+                                          tbl.column("cf").to_pylist()):
                     if (f_, t_) in missing:
                         found[(f_, t_)] += int(d_)
+                        found_cf[(f_, t_)] += int(c_ or 0)
             for k2 in missing:
                 self._df_cache[k2] = found.get(k2, 0)
+                self._cf_cache[k2] = found_cf.get(k2, 0)
         return {k2: self._df_cache[k2] for k2 in keys}
+
+    def _term_cfs(self, keys: set) -> dict:
+        """Global cf per (field, term) — populated by the same stats read
+        as _term_dfs (call that first for any new keys)."""
+        self._term_dfs(keys)
+        return {k2: self._cf_cache.get(k2, 0) for k2 in keys}
 
     def _tombstone_plan(self) -> dict:
         """Tombstones for the scoring plan: the manifest's doc_id list is

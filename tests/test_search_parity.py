@@ -322,6 +322,46 @@ def test_scan_aligned_ab_parity(spark, built_index):
                (rb["query_id"], rb["rank"], rb["doc_id"], rb["score"])
 
 
+def test_local_exec_ab_parity(spark, built_index, monkeypatch):
+    """Driver-local execution (same kernel over a pyarrow posting read,
+    zero Spark jobs) vs the distributed path must be bitwise identical —
+    the gate is a scale/latency choice only, never a semantics change.
+    Covers single, multi-term, phrase-bearing and batch-of-2 shapes plus
+    a search_after page."""
+    from spyglass_spark.query import executor as X
+
+    eng = X.SearchEngine(spark, built_index["index_dir"])
+    queries = [{"query": "salinas"}, {"query": "parse token stream"}]
+    single = [{"query": "the parsing of tokens"}]
+
+    monkeypatch.setattr(X, "LOCAL_EXEC_MODE", "always")
+    a_batch = eng.search_many(queries, k=8).collect()
+    a_single = eng.search_many(single, k=8).collect()
+    a_jobs = eng.last_meta["spark_jobs"]
+    cursor = (a_single[2]["score"], a_single[2]["doc_ord"]) \
+        if len(a_single) > 2 else None
+    a_page = (eng.search_many(single, k=3).collect()
+              if cursor is None else
+              eng.search_many([dict(single[0], after=cursor)], k=3).collect())
+
+    monkeypatch.setattr(X, "LOCAL_EXEC_MODE", "never")
+    b_batch = eng.search_many(queries, k=8).collect()
+    b_single = eng.search_many(single, k=8).collect()
+    b_page = (eng.search_many(single, k=3).collect()
+              if cursor is None else
+              eng.search_many([dict(single[0], after=cursor)], k=3).collect())
+
+    assert a_jobs == 0  # driver-local = zero Spark jobs
+    for a, b in ((a_batch, b_batch), (a_single, b_single),
+                 (a_page, b_page)):
+        assert len(a) == len(b) and len(a) > 0
+        for ra, rb in zip(a, b):
+            assert (ra["query_id"], ra["rank"], ra["doc_id"],
+                    ra["score"], ra["doc_ord"]) == \
+                   (rb["query_id"], rb["rank"], rb["doc_id"],
+                    rb["score"], rb["doc_ord"])
+
+
 def test_scan_aligned_fallback_trigger(spark, built_index):
     """A posting file bigger than maxPartitionBytes/2 could be split
     across scan tasks (partial parts → wrong per-part scoring), so
