@@ -20,7 +20,6 @@ from __future__ import annotations
 import hashlib
 import os
 from collections.abc import Callable
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -439,44 +438,34 @@ def q_bm25_topk_simple(spark, sf_dir):
     """Full BM25 (k1=1.2,b=0.75) with the simple analyzer, as a pure
     DataFrame plan — pins the scoring math against an independent engine.
 
-    Plan shape (optimization r6): the corpus is tokenized ONCE — a single
-    explode + per-doc aggregation yields the narrow (doc_id, dl, tf×4)
-    frame; corpus stats (N, avgdl) AND the 4 per-term dfs fold into ONE
-    1-row aggregate of that frame (df_t = count of docs with tf_t>0),
-    broadcast back by cross join; the per-doc BM25 sum is then a plain
-    projection (term t contributes 0 when tf_t = 0, exactly the old
-    inner-join semantics, with docs matching no term filtered out). The
-    old plan scanned + regex-tokenized documents.parquet 4× across 6
-    exchanges and 3 joins; this one runs the tokenize pipeline twice
-    (stats branch + scoring branch) with no doc-level join at all, and
-    _spread parallelizes the scan when the input is one big file.
-    Results are identical (same tf/df/dl/avgdl doubles into the same
-    formula — value-gated vs the DuckDB oracle in tests/test_entry.py)."""
+    Optimization r6 note: a tokenize-once rewrite (single explode +
+    per-doc tf/dl aggregate, stats+dfs folded into one 1-row broadcast,
+    join-free scoring projection) was built, oracle-verified and then
+    REJECTED on measurement: in the exact bench context at sf0.1 the
+    original shape is ~0.3-0.7 s faster per fresh-JVM sample (median
+    ~3.0 vs ~3.75 over 4 interleaved A/B pairs) because the tiny data
+    never amortizes the rewrite's bigger whole-stage-codegen units —
+    Janino compile time dominates every sample. The one change kept is
+    ``_spread``: when the input is a single big unsplit parquet file the
+    scan is round-robin parallelized before the CPU-heavy tokenize
+    (guide §2.5 input skew; metadata-only probe, no-op at sf0.1 and on
+    already-split inputs)."""
     d = _spread(_docs(spark, sf_dir).select("doc_id", "text"))
     toks_col = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != "")
-    flat = d.select("doc_id", F.explode_outer(toks_col).alias("term"))
-    per_doc = flat.groupBy("doc_id").agg(
-        F.count("term").cast("double").alias("dl"),
-        *[F.count(F.when(F.col("term") == t, True)).cast("double").alias(f"tf{i}")
-          for i, t in enumerate(BM25_QUERY_TERMS)])
-    stats = per_doc.agg(
-        F.count("*").cast("double").alias("n"),
-        F.avg("dl").alias("avgdl"),
-        *[F.count(F.when(F.col(f"tf{i}") > 0, True)).cast("double").alias(f"df{i}")
-          for i in range(len(BM25_QUERY_TERMS))])
-    matched = per_doc.filter(
-        reduce(lambda a, b: a | b,
-               [F.col(f"tf{i}") > 0 for i in range(len(BM25_QUERY_TERMS))]))
-    scored = matched.crossJoin(F.broadcast(stats))
-    s_total = None
-    for i in range(len(BM25_QUERY_TERMS)):
-        s_i = (F.log(F.lit(1.0) + (F.col("n") - F.col(f"df{i}") + 0.5)
-                     / (F.col(f"df{i}") + 0.5))
-               * F.lit(K1 + 1.0) * F.col(f"tf{i}")
-               / (F.col(f"tf{i}") + F.lit(K1) * (F.lit(1.0 - B)
-                  + F.lit(B) * F.col("dl") / F.col("avgdl"))))
-        s_total = s_i if s_total is None else s_total + s_i
-    scored = scored.select("doc_id", F.round(s_total, 4).alias("score"))
+    toks = d.select("doc_id", toks_col.alias("t"))
+    dl = toks.select("doc_id", F.size("t").cast("double").alias("dl"))
+    stats = dl.agg(F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl"))
+    flat = toks.select("doc_id", F.explode("t").alias("term")) \
+               .filter(F.col("term").isin(BM25_QUERY_TERMS))
+    tf = flat.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = (tf.join(dfreq, "term").join(dl, "doc_id").crossJoin(F.broadcast(stats))
+              .withColumn("s", F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5)
+                                     / (F.col("df") + 0.5))
+                          * F.lit(K1 + 1.0) * F.col("tf")
+                          / (F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                             + F.lit(B) * F.col("dl") / F.col("avgdl"))))
+              .groupBy("doc_id").agg(F.round(F.sum("s"), 4).alias("score")))
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
 
 
