@@ -47,7 +47,8 @@ from ..index.builder import (FAST_MARK, KIND_DOCMETA, KIND_FAST, KIND_NORMS,
                              doc_meta_view, read_store, tombstone_view)
 from ..index.codecs import (decode_positions_selected, decode_positions_stream,
                             decode_postings, phrase_keys_all,
-                            phrase_keys_select, varint_decode)
+                            phrase_keys_select, phrase_position_keys,
+                            varint_decode)
 from ..index.manifest import Manifest, load_manifest
 from .compiler import CompiledQuery, compile_expanded, compile_query
 from .expand import (DEFAULT_MAX_EXPANSIONS, expand_fuzzy, expand_prefix,
@@ -548,14 +549,18 @@ def _score_partition(plan: dict, postings_pdf: pd.DataFrame):
                 if common.size == 0:
                     clause_results.append((common, np.empty(0, np.float32), spec))
                     continue
-                # positions are delta-restored ONCE per (field, term) per
-                # part into a record-major stream cached across the
-                # batch's queries; each query gathers only its intersected
-                # docs' slices out of it — and when the intersection
-                # covers the whole posting list (hot-term pairs) the
-                # pre-keyed array is reused with ZERO per-query work. The
-                # sloppy-phrase count runs vectorized ACROSS all candidate
-                # docs at once.
+                # positions: the flat varint stream is decoded once per
+                # (field, term) per part and cached across the batch's
+                # queries. A DENSE intersection (≥ half the posting list
+                # — hot-term pairs, the batch shape) upgrades the cache
+                # to the record-major restored stream: full-coverage
+                # queries then reuse the pre-keyed array with ZERO
+                # per-query work and partial ones do one gather. A
+                # SPARSE intersection (selective phrases) keeps the old
+                # per-selection gather — restoring the whole stream
+                # would cost more than the query touches. The
+                # sloppy-phrase count runs vectorized ACROSS all
+                # candidate docs at once.
                 keyed = []
                 for t_name, tp in zip(spec["terms"], tps):
                     docs_t, tfs_t, row = tp[0], tp[1], tp[2]
@@ -565,17 +570,26 @@ def _score_partition(plan: dict, postings_pdf: pd.DataFrame):
                         flat = varint_decode(row["pos_bytes"])
                         rec_starts = np.concatenate(
                             ([0], np.cumsum(tfs_t.astype(np.int64) + 1)))
+                        hit = shared["pos"][pkey] = [
+                            "flat", flat, rec_starts, None]
+                    if hit[0] == "flat" and common.size * 2 >= docs_t.size:
                         pos_s, cum_s = decode_positions_stream(
-                            flat, rec_starts, tfs_t)
-                        hit = shared["pos"][pkey] = (
-                            pos_s, cum_s, phrase_keys_all(pos_s, cum_s))
-                    pos_s, cum_s, keys_full = hit
-                    if common.size == docs_t.size:
-                        keyed.append(keys_full)
+                            hit[1], hit[2], tfs_t)
+                        hit[:] = ["full", pos_s, cum_s,
+                                  phrase_keys_all(pos_s, cum_s)]
+                    if hit[0] == "full":
+                        if common.size == docs_t.size:
+                            keyed.append(hit[3])
+                        else:
+                            sel = np.searchsorted(
+                                docs_t.astype(np.int64), common)
+                            keyed.append(phrase_keys_select(
+                                hit[1], hit[2], sel))
                     else:
                         sel = np.searchsorted(docs_t.astype(np.int64),
                                               common)
-                        keyed.append(phrase_keys_select(pos_s, cum_s, sel))
+                        keyed.append(phrase_position_keys(
+                            hit[1], hit[2], tfs_t, sel))
                 tf_counts = sloppy_phrase_counts_batch(
                     keyed, list(spec["positions"]), spec["slop"], common.size)
                 mask = tf_counts > 0
