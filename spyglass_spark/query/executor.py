@@ -551,14 +551,15 @@ def _score_partition(plan: dict, postings_pdf: pd.DataFrame):
                     continue
                 # positions: the flat varint stream is decoded once per
                 # (field, term) per part and cached across the batch's
-                # queries. A DENSE intersection (≥ half the posting list
-                # — hot-term pairs, the batch shape) upgrades the cache
-                # to the record-major restored stream: full-coverage
-                # queries then reuse the pre-keyed array with ZERO
-                # per-query work and partial ones do one gather. A
-                # SPARSE intersection (selective phrases) keeps the old
-                # per-selection gather — restoring the whole stream
-                # would cost more than the query touches. The
+                # queries. The cache upgrades to the record-major
+                # restored stream only when that pays: on a FULL-coverage
+                # intersection (the restore costs the same as the gather
+                # the query needs anyway, and later queries reuse the
+                # pre-keyed array with ZERO work) or on the term's SECOND
+                # touch within the batch (hot terms recur ~8× in a
+                # 64-query batch). A single selective phrase keeps the
+                # old per-selection gather — restoring the whole stream
+                # would cost more than the one query touches. The
                 # sloppy-phrase count runs vectorized ACROSS all
                 # candidate docs at once.
                 keyed = []
@@ -571,8 +572,11 @@ def _score_partition(plan: dict, postings_pdf: pd.DataFrame):
                         rec_starts = np.concatenate(
                             ([0], np.cumsum(tfs_t.astype(np.int64) + 1)))
                         hit = shared["pos"][pkey] = [
-                            "flat", flat, rec_starts, None]
-                    if hit[0] == "flat" and common.size * 2 >= docs_t.size:
+                            "flat", flat, rec_starts, 0]
+                    if hit[0] == "flat":
+                        hit[3] += 1
+                    if hit[0] == "flat" and (
+                            common.size == docs_t.size or hit[3] >= 2):
                         pos_s, cum_s = decode_positions_stream(
                             hit[1], hit[2], tfs_t)
                         hit[:] = ["full", pos_s, cum_s,
