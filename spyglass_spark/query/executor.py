@@ -390,6 +390,11 @@ def _local_tombstones(plan: dict, part_id: int):
 _NORM_CACHE: dict = {}
 _NORM_CACHE_MAX = 8192
 
+# Spark sessions whose generic execution machinery has been warmed by
+# SearchEngine open (see _prewarm_session) — keyed on applicationId so
+# the warm runs exactly once per JVM no matter how many engines open.
+_WARMED_SESSIONS: set = set()
+
 
 def _load_part_arrays(store_dirs: tuple, part_id: int, epoch: str):
     """(norm_arrays, fast_arrays) for one partition, read DIRECTLY from the
@@ -763,7 +768,48 @@ class SearchEngine:
         self._meta_ds_cache: dict = {}  # pyarrow dataset handles per gen
         self._tomb_cache = None
         self._scan_aligned = self._compute_scan_aligned()
+        self._prewarm_session()
         self._prewarm_local_exec()
+
+    def _prewarm_session(self) -> None:
+        """One-time per-Spark-session warm of the generic SQL execution
+        machinery — the JVM half of the open-segment-readers analog,
+        next to _prewarm_local_exec's metadata plane. Small searches run
+        driver-local (zero Spark jobs), so without this nothing warms
+        the JVM before the first distributed query, which then absorbs
+        seconds of one-time classloading + C2 JIT that are properly an
+        open cost. The warm runs a synthetic pipeline over sp.range —
+        Generate(explode) → two-level HashAggregate → Exchange →
+        BroadcastHashJoin → TakeOrderedAndProject — with enough rows to
+        compile AND heat the codegen loops, plus a Python-worker /
+        Arrow round trip and one store-row parquet read (vectorized
+        reader classes). Touches no corpus data and caches no results;
+        best-effort, once per applicationId."""
+        try:
+            app = self.spark.sparkContext.applicationId
+        except Exception:
+            return
+        if app in _WARMED_SESSIONS:
+            return
+        _WARMED_SESSIONS.add(app)
+        try:
+            sp = self.spark
+            n = max(sp.sparkContext.defaultParallelism, 2)
+            base = (sp.range(0, 200_000, 1, n)
+                      .withColumn("arr", F.array(F.col("id") % 97,
+                                                 F.col("id") % 31,
+                                                 F.col("id") % 7))
+                      .select("id", F.explode("arr").alias("t")))
+            tf = base.groupBy("id", "t").agg(F.count("*").alias("tf"))
+            dfq = tf.groupBy("t").agg(F.count("*").alias("df"))
+            (tf.join(F.broadcast(dfq), "t")
+               .groupBy("id").agg(F.sum(F.col("tf") * F.col("df")).alias("s"))
+               .orderBy(F.desc("s"), F.asc("id")).limit(10).collect())
+            sp.range(0, n, 1, n).mapInPandas(lambda it: it,
+                                             "id long").count()
+            self._postings_base.select("part_id").limit(1).collect()
+        except Exception:
+            pass
 
     def _prewarm_local_exec(self) -> None:
         """Open-time warm-up of the driver-local executor's metadata

@@ -417,3 +417,29 @@ def test_search_union_vs_oracle(spark, built_index, tmp_path):
         assert got == exp, (query, k)
     with pytest.raises(ValueError, match="engines"):
         search_union([], "fn")
+
+
+def test_session_prewarm_once_per_session(spark, built_index):
+    """Engine open warms the generic SQL machinery exactly once per
+    Spark session (keyed on applicationId): the second open must not
+    re-run the warm jobs, and the warm must never affect search
+    results (covered by every parity test above running after it)."""
+    import spyglass_spark.query.executor as X
+
+    app = spark.sparkContext.applicationId
+    assert app in X._WARMED_SESSIONS  # the fixture engine's open warmed
+    before = len(X._WARMED_SESSIONS)
+    calls = []
+    orig_range = spark.range
+
+    def counting_range(*a, **kw):
+        calls.append(a)
+        return orig_range(*a, **kw)
+
+    spark.range = counting_range
+    try:
+        X.SearchEngine(spark, built_index["index_dir"])  # re-open
+    finally:
+        spark.range = orig_range
+    assert calls == []  # guard short-circuited: no warm jobs re-ran
+    assert len(X._WARMED_SESSIONS) == before
